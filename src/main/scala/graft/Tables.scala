@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver's deterministic testdata tables (TESTDATA.md).
+  *
+  * Every query in [[SparkEntry.queries]] receives a scale-factor directory
+  * (e.g. /root/testdata/sf0.01) and reads one parquet file per table. At
+  * 100 TB these would be partitioned parquet/Delta directories; the reader
+  * API is identical (`spark.read.parquet(dir)`), so nothing here is
+  * toy-scale-specific. Filters and projections applied downstream reach the
+  * parquet scan via Catalyst pushdown (verified with .explain in the specs).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

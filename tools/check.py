@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads the Verify output dir (one parquet dir per query + oracle_sql.json),
+runs each oracle SQL in DuckDB against the same sf parquet tables, and
+compares: row count, column names, values (doubles at 1e-9 rel tolerance,
+exact otherwise), after sorting columns by name and rows by all columns.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps to naive ns, categoricals to str
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            s = df[c]
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def values_match(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf or abs(af - bf) <= 1e-9 * max(abs(af), abs(bf), 1.0)
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a, b = list(a), list(b)
+        return len(a) == len(b) and all(values_match(x, y) for x, y in zip(a, b))
+    return a == b
+
+def compare(name, spark_df, duck_df):
+    errs = []
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        return [f"columns differ: spark={list(s.columns)} duck={list(d.columns)}"]
+    if len(s) != len(d):
+        return [f"row count differs: spark={len(s)} duck={len(d)}"]
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        bad = [(i, x, y) for i, (x, y) in enumerate(zip(sv, dv)) if not values_match(x, y)]
+        if bad:
+            i, x, y = bad[0]
+            errs.append(f"col {c}: {len(bad)} mismatches, first row {i}: spark={x!r} duck={y!r}")
+    return errs
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    results = {}
+    qdirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    for qd in qdirs:
+        name = os.path.basename(qd)
+        files = glob.glob(f"{qd}/*.parquet")
+        if not files:
+            results[name] = ["no spark output parquet"]
+            continue
+        spark_df = pq.ParquetDataset(files).read().to_pandas()
+        if name not in oracles:
+            results[name] = [] if len(spark_df) > 0 else ["rows-only check: 0 rows"]
+            results[name] and None
+            print(f"  {name}: rows-only ({len(spark_df)} rows)")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = [f"oracle SQL failed: {e}"]
+            continue
+        results[name] = compare(name, spark_df, duck_df)
+    n_ok = sum(1 for v in results.values() if not v)
+    print(f"\n== {n_ok}/{len(results)} queries match ==")
+    for name, errs in sorted(results.items()):
+        status = "OK " if not errs else "FAIL"
+        print(f"[{status}] {name}")
+        for e in errs:
+            print(f"       {e}")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
