@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Core relational operator surface (SURVEY.md §2) expressed over the
@@ -9,29 +9,365 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB design): every query is a declarative DataFrame plan
   * — Catalyst pushes filters/projections to the parquet scan, chooses
-  * broadcast-hash joins for the small dimensions (region/nation/supplier),
-  * and runs partial+final hash aggregation around a single shuffle. Nothing
-  * collects to the driver.
+  * broadcast-hash joins for the small dimensions (region/nation/supplier,
+  * and any aggregate below the broadcast threshold), and runs partial+final
+  * hash aggregation around a single shuffle. Nothing collects to the driver
+  * except the three scalar collection points the reference itself has
+  * (min/max bounds, imputation medians — SURVEY §3.1).
+  *
+  * Determinism: every query ends in a total order on a unique key set so
+  * output is reproducible across engines; integer aggregates are LongType
+  * on both sides (DuckDB sums are cast from HUGEINT to BIGINT in the
+  * oracle SQL), date parts are IntegerType on both sides.
   */
 object CoreQueries {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** A1: hash group-by, multi-agg with exact count-distinct
-    * (ref: src/etl_functions.py:261-265). */
-  private val q1Agg: Q = (s, d) =>
-    lineitem(s, d)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        sum("l_quantity").as("sum_qty"),
-        sum("l_extendedprice").as("sum_price"),
-        countDistinct("l_orderkey").as("order_count"),
-        count(lit(1)).as("n_rows"))
-      .orderBy("l_returnflag", "l_linestatus")
+  // revenue expression used by several queries (TPC-H style)
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   val queries: Map[String, Q] = Map(
-    "q1_agg" -> q1Agg
+    // ---- scans / projections / filters (S1, P1, P3-P5) ----------------
+
+    /** S1+P1: scan with projection + pushed filter. `.explain` shows
+      * PushedFilters + 3-column ReadSchema (ref: src/etl_functions.py:199-353). */
+    "q2_scan_project" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    /** P3: equality filter (ref: src/etl_functions.py:384). */
+    "q3_filter_eq" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    /** P4+P5: inequality filter + derived boolean predicate column
+      * (ref: src/etl_functions.py:116,385). */
+    "q4_filter_range" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") <= 10)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_discount") <= 0.02).as("low_discount"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- joins (J1-J7) ------------------------------------------------
+
+    /** J2: inner equi-join on the fact grain (ref: src/etl_functions.py:215-220). */
+    "q5_join_inner" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    /** J1+J3: left outer join + null-fill on the no-match side
+      * (ref: src/etl_functions.py:120-125,230-233). Orders with no lineitem
+      * rows get revenue 0. */
+    "q6_join_left_fill" -> ((s, d) => {
+      val rev = lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(revenue).as("rev"), count(lit(1)).as("n_items"))
+      orders(s, d).select("o_orderkey", "o_orderstatus")
+        .join(rev, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          coalesce(col("rev"), lit(0.0)).as("revenue"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"))
+        .orderBy("o_orderkey")
+    }),
+
+    /** J5/J6: star join — fact through two broadcast dimension hops
+      * (ref BI model: src/etl_functions.py:489-493). region/nation are
+      * KB-scale → Catalyst picks BroadcastHashJoin for every hop. */
+    "q7_join_star" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(revenue).as("revenue"),
+          countDistinct("o_orderkey").as("order_count"))
+        .orderBy("r_name", "n_name")),
+
+    /** J4: aggregate below join, then attach dimension attributes via
+      * differently-named keys (ref: src/etl_functions.py:270-276). */
+    "q8_join_diffkey" -> ((s, d) => {
+      val perCust = orders(s, d).groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("total_spend"),
+          count(lit(1)).as("order_count"))
+      perCust
+        .join(customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .drop("c_custkey")
+        .orderBy("o_custkey")
+    }),
+
+    /** J7: anti-join (set-difference FK check,
+      * ref: notebooks/01_etl_process.ipynb cell 21:5-13). */
+    "q9_join_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    /** Semi-join (EXISTS) — dual of J7. */
+    "q10_join_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")),
+
+    // ---- aggregations (A2-A13) ----------------------------------------
+
+    /** A2: two-level rollup with the reference's sum-of-per-day-distinct
+      * semantics (ref: src/etl_functions.py:261-283, hazard H2) —
+      * monthly order_count = SUM over days of per-day countDistinct,
+      * deliberately NOT month-level distinct. */
+    "q11_rollup" -> ((s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+        .agg(
+          countDistinct("l_orderkey").as("order_count"),
+          sum("l_extendedprice").as("total_sales"))
+      daily
+        .groupBy(
+          year(col("ship_day")).as("year"),
+          month(col("ship_day")).as("month"))
+        .agg(
+          sum("order_count").as("order_count"),
+          sum("total_sales").as("total_sales"))
+        .orderBy("year", "month")
+    }),
+
+    /** A5: composite-key hash aggregate (ref: src/etl_functions.py:337-340). */
+    "q12_group_composite" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"))
+        .agg(
+          countDistinct("l_orderkey").as("order_count"),
+          sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag", "ship_year")),
+
+    /** A8: global min/max bounds — the reference's one intentional
+      * driver-side materialization shape (ref: src/etl_functions.py:149-150);
+      * kept fully lazy here as a 1-row aggregate. */
+    "q13_minmax" -> ((s, d) =>
+      orders(s, d).agg(
+        min("o_orderdate").as("min_date"),
+        max("o_orderdate").as("max_date"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))),
+
+    /** A9: exact interpolating median, global and per-group
+      * (ref: src/etl_functions.py:87-88). */
+    "q14_median" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          median(col("l_quantity")).as("median_qty"),
+          median(col("l_extendedprice")).as("median_price"))
+        .orderBy("l_returnflag")),
+
+    /** A10+F15: NPS-style conditional aggregation collapsed into one pass
+      * (ref: src/etl_functions.py:382-389). */
+    "q15_conditional_agg" -> ((s, d) =>
+      lineitem(s, d).agg(
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n_accept"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_return"),
+        count(lit(1)).as("n_total"),
+        ((sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)) -
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))).cast("double") /
+          count(lit(1)) * 100.0).as("nps_like"))),
+
+    /** A11: per-column null counts in a single pass
+      * (ref: notebooks/01_etl_process.ipynb cell 21:17). Nulls are
+      * synthesized deterministically so the operator is actually exercised. */
+    "q16_nullcount" -> ((s, d) =>
+      events(s, d)
+        .select(
+          nullif(col("event_type"), lit("error")).as("event_type_n"),
+          when(col("value") < 1.0, lit(null)).otherwise(col("value")).as("value_n"))
+        .agg(
+          sum(when(col("event_type_n").isNull, 1L).otherwise(0L)).as("null_event_type"),
+          sum(when(col("value_n").isNull, 1L).otherwise(0L)).as("null_value"),
+          count(lit(1)).as("n_total"))),
+
+    /** A12: histogram / group-by count
+      * (ref: notebooks/01_etl_process.ipynb cell 23:42). */
+    "q17_histogram" -> ((s, d) =>
+      events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    /** T1: top-K via sort+limit → TakeOrderedAndProjectExec; no full sort
+      * at scale (ref: notebooks/01_etl_process.ipynb cell 23:20). Tie-broken
+      * on the unique key so output is deterministic. */
+    "q18_topk" -> ((s, d) =>
+      orders(s, d).groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("total_spend"))
+        .orderBy(desc("total_spend"), col("o_custkey"))
+        .limit(10)),
+
+    /** A13/§3.3: the DAX measure surface — SUM, exact DISTINCTCOUNT, safe
+      * DIVIDE, under a dimension filter (ref: src/etl_functions.py:500-504,
+      * 530-534). try_divide ⇒ null on /0, matching DAX DIVIDE blank. */
+    "q19_measures" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") =!= "MACHINERY")
+        .groupBy("c_mktsegment")
+        .agg(
+          sum("l_extendedprice").as("total_sales"),
+          sum(col("l_extendedprice") * col("l_tax")).as("total_tax"),
+          countDistinct("l_orderkey").as("order_count"),
+          try_divide(sum("l_extendedprice"), countDistinct("l_orderkey").cast("double"))
+            .as("avg_order_value"),
+          (try_divide(sum(col("l_extendedprice") * col("l_tax")),
+            sum("l_extendedprice")) * 100.0).as("tax_percentage"))
+        .orderBy("c_mktsegment")),
+
+    // ---- scalar functions (F2-F16) ------------------------------------
+
+    /** F2-F6: date-part extraction — year/month/day/quarter, pandas
+      * Monday=0 weekday (Spark weekday(), hazard H4), is_weekend,
+      * yyyyMMdd surrogate id, locale month/day names
+      * (ref: src/etl_functions.py:97-101,159-170). */
+    "q20_date_parts" -> ((s, d) =>
+      orders(s, d)
+        .select(date_trunc("DAY", col("o_orderdate")).cast("timestamp_ntz").as("order_day"))
+        .distinct()
+        .select(
+          col("order_day"),
+          year(col("order_day")).as("year"),
+          month(col("order_day")).as("month"),
+          dayofmonth(col("order_day")).as("day"),
+          quarter(col("order_day")).as("quarter"),
+          weekday(col("order_day")).as("dayofweek"),
+          weekday(col("order_day")).isin(5, 6).cast("long").as("is_weekend"),
+          date_format(col("order_day"), "yyyyMMdd").cast("long").as("date_id"),
+          date_format(col("order_day"), "MMMM").as("month_name"),
+          date_format(col("order_day"), "EEEE").as("dayofweek_name"))
+        .orderBy("order_day")),
+
+    /** F7: timestamp difference in fractional days via epoch-second cast
+      * (ref: src/etl_functions.py:104-113). */
+    "q21_date_diff" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          ((col("l_shipdate").cast("timestamp").cast("double") -
+            col("o_orderdate").cast("timestamp").cast("double")) / 86400.0)
+            .as("days_to_ship"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    /** F8: date-dimension generation — sequence(min,max,1 day) + explode
+      * (ref: src/etl_functions.py:154). Stays lazy: the min/max aggregate
+      * feeds sequence() inside the same plan, no driver collect. */
+    "q22_date_sequence" -> ((s, d) =>
+      orders(s, d)
+        .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+        .select(
+          col("d").cast("timestamp_ntz").as("date"),
+          date_format(col("d"), "yyyyMMdd").cast("long").as("date_id"))
+        .orderBy("date")),
+
+    /** F9-F11: imputation — numeric nulls → column median, string nulls →
+      * 'unknown' (ref: src/etl_functions.py:84-92). Nulls synthesized
+      * deterministically; the median is collected driver-side exactly like
+      * the reference's stage-2 barrier (SURVEY §3.1). */
+    "q23_impute" -> ((s, d) => {
+      val withNulls = events(s, d).select(
+        col("event_id"),
+        nullif(col("event_type"), lit("error")).as("event_type"),
+        when(col("value") < 1.0, lit(null).cast("double")).otherwise(col("value")).as("value"))
+      val med = withNulls.agg(median(col("value"))).first().getDouble(0)
+      withNulls.na.fill(med, Seq("value")).na.fill("unknown", Seq("event_type"))
+        .orderBy("event_id")
+    }),
+
+    /** F12: string concatenation (ref: src/etl_functions.py:343). */
+    "q24_concat" -> ((s, d) =>
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          concat(col("c_name"), lit(" ("), col("c_mktsegment"), lit(")")).as("label"))
+        .orderBy("c_custkey")),
+
+    /** F16: numeric casts / truncation (ref: src/etl_functions.py:164-233).
+      * floor() on both sides — raw double→int cast rounds in DuckDB but
+      * truncates in Spark, so the portable form is explicit floor. */
+    "q25_casts" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          round(col("l_discount") * 100.0, 0).cast("long").as("discount_pct"),
+          col("l_quantity").cast("long").as("qty_int"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- set ops / distinct -------------------------------------------
+
+    /** Set operation: UNION ALL of two disjoint filtered slices. */
+    "q26_union" -> ((s, d) => {
+      val hi = orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), lit("high").as("band"))
+      val lo = orders(s, d).filter(col("o_totalprice") < 1000.0)
+        .select(col("o_orderkey"), lit("low").as("band"))
+      hi.unionByName(lo).orderBy("o_orderkey")
+    }),
+
+    /** DISTINCT → ReplaceDistinctWithAggregate (SURVEY §4.2). */
+    "q27_distinct" -> ((s, d) =>
+      lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- window functions (north-star extension; SURVEY §2.5) ---------
+
+    /** Ranking window: top-3 orders per market segment via row_number,
+      * deterministic tie-break on the unique key. */
+    "q28_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val joined = orders(s, d)
+        .join(customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      joined
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 3)
+        .orderBy("c_mktsegment", "rank")
+    }),
+
+    /** Frame window: per-customer running order total (rows between
+      * unbounded preceding and current row). */
+    "q29_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice")).over(w).as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -43,6 +379,180 @@ object CoreQueries {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_filter_eq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "q4_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_discount <= 0.02 AS low_discount
+        |FROM lineitem WHERE l_quantity <= 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q5_join_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderdate, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q6_join_left_fill" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  coalesce(rev, 0.0) AS revenue,
+        |  CAST(coalesce(n_items, 0) AS BIGINT) AS n_items
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev,
+        |         count(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q7_join_star" ->
+      """SELECT r_name, n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(DISTINCT o_orderkey) AS order_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q8_join_diffkey" ->
+      """SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total_spend,
+        |  count(*) AS order_count,
+        |  any_value(c_name) AS c_name, any_value(c_mktsegment) AS c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q9_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_join_semi" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT CAST(year(ship_day) AS INTEGER) AS year,
+        |  CAST(month(ship_day) AS INTEGER) AS month,
+        |  CAST(sum(order_count) AS BIGINT) AS order_count,
+        |  sum(total_sales) AS total_sales
+        |FROM (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |    count(DISTINCT l_orderkey) AS order_count,
+        |    sum(l_extendedprice) AS total_sales
+        |  FROM lineitem GROUP BY 1) daily
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q12_group_composite" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  count(DISTINCT l_orderkey) AS order_count,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_minmax" ->
+      """SELECT min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    "q14_median" ->
+      """SELECT l_returnflag,
+        |  CAST(median(l_quantity) AS DOUBLE) AS median_qty,
+        |  CAST(median(l_extendedprice) AS DOUBLE) AS median_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_conditional_agg" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_return,
+        |  count(*) AS n_total,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 100.0 AS nps_like
+        |FROM lineitem""".stripMargin,
+    "q16_nullcount" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |  CAST(sum(CASE WHEN (CASE WHEN value < 1.0 THEN NULL ELSE value END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |  count(*) AS n_total
+        |FROM events""".stripMargin,
+    "q17_histogram" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "q18_topk" ->
+      """SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY 1
+        |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "q19_measures" ->
+      """SELECT c_mktsegment,
+        |  sum(l_extendedprice) AS total_sales,
+        |  sum(l_extendedprice * l_tax) AS total_tax,
+        |  count(DISTINCT l_orderkey) AS order_count,
+        |  sum(l_extendedprice) / CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS avg_order_value,
+        |  sum(l_extendedprice * l_tax) / sum(l_extendedprice) * 100.0 AS tax_percentage
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment <> 'MACHINERY'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_date_parts" ->
+      """SELECT order_day,
+        |  CAST(year(order_day) AS INTEGER) AS year,
+        |  CAST(month(order_day) AS INTEGER) AS month,
+        |  CAST(day(order_day) AS INTEGER) AS day,
+        |  CAST(quarter(order_day) AS INTEGER) AS quarter,
+        |  CAST(isodow(order_day) - 1 AS INTEGER) AS dayofweek,
+        |  CAST(CASE WHEN isodow(order_day) - 1 IN (5, 6) THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+        |  CAST(strftime(order_day, '%Y%m%d') AS BIGINT) AS date_id,
+        |  monthname(order_day) AS month_name,
+        |  dayname(order_day) AS dayofweek_name
+        |FROM (SELECT DISTINCT date_trunc('day', o_orderdate) AS order_day FROM orders)
+        |ORDER BY order_day""".stripMargin,
+    "q21_date_diff" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 AS days_to_ship
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q22_date_sequence" ->
+      """WITH bounds AS (
+        |  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |         max(CAST(o_orderdate AS DATE)) AS hi FROM orders)
+        |SELECT CAST(d AS TIMESTAMP) AS date,
+        |  CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_id
+        |FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds)
+        |ORDER BY date""".stripMargin,
+    "q23_impute" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    nullif(event_type, 'error') AS event_type,
+        |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |med AS (SELECT CAST(median(value) AS DOUBLE) AS m FROM base)
+        |SELECT event_id,
+        |  coalesce(event_type, 'unknown') AS event_type,
+        |  coalesce(value, (SELECT m FROM med)) AS value
+        |FROM base ORDER BY event_id""".stripMargin,
+    "q24_concat" ->
+      """SELECT c_custkey, c_name || ' (' || c_mktsegment || ')' AS label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q25_casts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(round(l_discount * 100.0, 0) AS BIGINT) AS discount_pct,
+        |  CAST(trunc(l_quantity) AS BIGINT) AS qty_int
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q26_union" ->
+      """SELECT o_orderkey, 'high' AS band FROM orders WHERE o_totalprice > 400000.0
+        |UNION ALL
+        |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice < 1000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q27_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q28_window_rank" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "q29_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
   )
 }

@@ -19,12 +19,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamps to naive ns, categoricals to str
+    import datetime
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             s = df[c]
             if getattr(s.dt, "tz", None) is not None:
                 s = s.dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]")
+        elif df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (datetime.date, datetime.datetime)) or v is None).all() \
+                and df[c].notna().any():
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def values_match(a, b) -> bool:
