@@ -1,0 +1,46 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Stage 5 — Load (S4-S5; ref: src/etl_functions.py:396-439).
+  *
+  * Writes all 14 tables as headered CSV and Parquet. Outputs are ordered
+  * by their natural keys before writing (hazard H1 — pandas groupby
+  * orders by key, Spark groupBy doesn't) and coalesced to one file to
+  * match the reference's single-file-per-table layout. At 100 TB the
+  * coalesce(1) goes away and the fact partitions by date_id — the sort
+  * keys below already are those partition keys.
+  */
+object Load {
+
+  /** Natural output ordering per table (H1). */
+  val sortKeys: Map[String, Seq[String]] = Map(
+    "dim_date" -> Seq("id"),
+    "dim_customer" -> Seq("customer_id"),
+    "dim_product" -> Seq("product_id"),
+    "dim_seller" -> Seq("seller_id"),
+    "dim_order" -> Seq("order_id"),
+    "dim_review" -> Seq("review_id"),
+    "fact_sales" -> Seq("order_id", "order_item_id"),
+    "agg_sales_by_date" -> Seq("year", "month"),
+    "agg_sales_by_category" -> Seq("category_name"),
+    "agg_sales_by_location" -> Seq("state"),
+    "agg_sales_by_city" -> Seq("state", "city"),
+    "agg_sales_by_seller" -> Seq("seller_id"),
+    "agg_review_metrics" -> Seq("review_score"))
+
+  def allTables(star: StarSchema, aggs: AggTables): Map[String, DataFrame] =
+    star.dims ++ aggs.byName + ("fact_sales" -> star.factSales)
+
+  def writeAll(star: StarSchema, aggs: AggTables, outDir: String): Unit =
+    allTables(star, aggs).foreach { case (name, df) =>
+      val ordered = df.orderBy(sortKeys(name).map(col): _*).coalesce(1)
+      ordered.write.mode("overwrite").option("header", "true")
+        // default CSV writer prints ms precision; golden carries ns
+        // (we keep µs — the max Spark holds)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(s"$outDir/csv/$name")
+      ordered.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
+    }
+}

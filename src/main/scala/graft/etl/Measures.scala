@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Power BI / DAX query surface (§3.3, A13;
+  * ref: src/etl_functions.py:461-548) as a composable query API.
+  *
+  * The reference *declares* this workload (model relationships, measures,
+  * slicers) for Power BI to execute; here it is an executable API: any
+  * conjunction of dimension filters, any grouping columns, all five
+  * measures in one aggregation pass. Every dim joins broadcast (J6), so
+  * the plan at 100 TB is scan → broadcast joins → one shuffle for the
+  * final aggregate.
+  */
+object Measures {
+
+  /** fact joined to the five dimensions with disambiguated column names
+    * (dim columns prefixed: date_*, customer_*, product_*, seller_*,
+    * order_*, review appears via fact.review_score). */
+  def model(star: StarSchema): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, s"${p}_$c"))
+    star.factSales
+      .join(broadcast(prefixed(star.dimDate, "dt")),
+        col("date_id") === col("dt_id"), "inner")
+      .join(broadcast(prefixed(star.dimCustomer, "cust")),
+        col("customer_id") === col("cust_id"), "inner")
+      .join(broadcast(prefixed(star.dimProduct, "prod")),
+        col("product_id") === col("prod_id"), "inner")
+      .join(broadcast(prefixed(star.dimSeller, "sell")),
+        col("seller_id") === col("sell_id"), "inner")
+      .join(broadcast(prefixed(star.dimOrder, "ord")),
+        col("order_id") === col("ord_id"), "inner")
+  }
+
+  /** DAX measures (ref :500-504): Total Vendas, Total Frete, Número de
+    * Pedidos (exact DISTINCTCOUNT), Ticket Médio (DIVIDE → null-on-zero),
+    * Percentual de Frete. */
+  def measureColumns: Seq[Column] = Seq(
+    sum("price").as("total_sales"),
+    sum("freight_value").as("total_freight"),
+    countDistinct("order_id").as("order_count"),
+    try_divide(sum("price"), countDistinct("order_id").cast("double")).as("avg_ticket"),
+    (try_divide(sum("freight_value"), sum("price")) * 100.0).as("freight_pct"))
+
+  /** Evaluate all measures under arbitrary slicer filters and groupings
+    * (ref slicers :530-534: year/quarter/month, category, state, price band). */
+  def evaluate(star: StarSchema, filters: Seq[Column] = Nil,
+      groupBy: Seq[Column] = Nil): DataFrame = {
+    val filtered = filters.foldLeft(model(star))(_.filter(_))
+    if (groupBy.isEmpty) filtered.agg(measureColumns.head, measureColumns.tail: _*)
+    else filtered.groupBy(groupBy: _*).agg(measureColumns.head, measureColumns.tail: _*)
+  }
+}

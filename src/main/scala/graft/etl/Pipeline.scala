@@ -1,0 +1,50 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end wiring (ref: src/etl_functions.py:562-585): extract →
+  * transform → model → aggregate → load. Each output table is one lazy
+  * logical plan; the only driver-side materializations are the per-table
+  * imputation medians (Transform) — the same barrier the reference has.
+  */
+object Pipeline {
+
+  final case class Result(star: StarSchema, aggs: AggTables)
+
+  def build(spark: SparkSession, rawPath: String): Either[String, Result] =
+    Extract(spark, rawPath).map { raw =>
+      val transformed = Transform(raw)
+      val star = Model(transformed)
+      val aggs = Aggregates(star.factSales, star)
+      Result(star, aggs)
+    }
+
+  /** Build + write all 28 files (14 CSV + 14 Parquet). */
+  def run(spark: SparkSession, rawPath: String, outDir: String): Either[String, Result] =
+    build(spark, rawPath).map { r =>
+      Load.writeAll(r.star, r.aggs, outDir)
+      r
+    }
+
+  def main(args: Array[String]): Unit = {
+    val rawPath = if (args.length > 0) args(0) else "/root/reference/data/raw"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_etl_out"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false") // parity mode (H5)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Pipeline.run(spark, rawPath, outDir) match {
+      case Left(err) => System.err.println(s"pipeline failed: $err"); sys.exit(1)
+      case Right(r) =>
+        val report = Quality.check(r.star, r.aggs)
+        println(s"pipeline ok=${report.ok} fk=${report.fkViolations} " +
+          s"nulls=${report.nullCounts} fact=${report.factTotalSales} agg=${report.aggTotalSales}")
+    }
+    spark.stop()
+  }
+}

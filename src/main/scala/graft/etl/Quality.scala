@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+/** Post-load invariants (J7, A11; ref: notebooks/01_etl_process.ipynb
+  * cell 21) — the reference's in-notebook verification as a typed API:
+  * FK integrity via anti-joins, fact null counts, fact↔aggregate sum
+  * reconciliation.
+  */
+object Quality {
+
+  final case class Report(
+      fkViolations: Map[String, Long],
+      nullCounts: Map[String, Long],
+      factTotalSales: Double,
+      aggTotalSales: Double) {
+    def fkOk: Boolean = fkViolations.values.forall(_ == 0L)
+    def nullsOk: Boolean = nullCounts.values.forall(_ == 0L)
+    def reconciled: Boolean = math.abs(factTotalSales - aggTotalSales) < 1e-6
+    def ok: Boolean = fkOk && nullsOk && reconciled
+  }
+
+  def check(star: StarSchema, aggs: AggTables): Report = {
+    val fact = star.factSales
+
+    // cell 21:5-13 — every fact FK resolves in its dimension (anti-join empty)
+    val fks = Seq(
+      ("order_id", star.dimOrder), ("product_id", star.dimProduct),
+      ("seller_id", star.dimSeller), ("customer_id", star.dimCustomer),
+      ("date_id", star.dimDate))
+    val fkViolations = fks.map { case (fk, dim) =>
+      fk -> fact.select(fk).distinct()
+        .join(dim.select("id"), fact(fk) === dim("id"), "left_anti")
+        .count()
+    }.toMap
+
+    // cell 21:15-18 — null counts over the key fact columns, one pass
+    val keyCols = Seq("order_id", "order_item_id", "product_id", "seller_id",
+      "customer_id", "date_id", "price")
+    val nullRow = fact.agg(
+      sum(when(col(keyCols.head).isNull, 1L).otherwise(0L)).as(keyCols.head),
+      keyCols.tail.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*).first()
+    val nullCounts = keyCols.zipWithIndex.map { case (c, i) => c -> nullRow.getLong(i) }.toMap
+
+    // cell 21:20-26 — sum(fact.price) == sum(agg_sales_by_date.total_sales)
+    val factSum = fact.agg(sum("price")).first().getDouble(0)
+    val aggSum = aggs.salesByDate.agg(sum("total_sales")).first().getDouble(0)
+
+    Report(fkViolations, nullCounts, factSum, aggSum)
+  }
+}
