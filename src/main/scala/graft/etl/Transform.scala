@@ -99,10 +99,15 @@ object Transform {
     val withDerived = imputed.copy(orders = deriveOrderColumns(imputed.orders))
 
     // J1: left join category translation onto products (broadcast — the
-    // translation table is a handful of rows even on the real dataset)
+    // translation table is a handful of rows even on the real dataset).
+    // pandas merge(on=) keeps the left table's column order with the new
+    // column appended; Seq-join moves the key first, so re-project.
     val products = withDerived.categoryTranslation match {
-      case Some(tr) => withDerived.products.join(
-        broadcast(tr), Seq("product_category_name"), "left")
+      case Some(tr) =>
+        val joined = withDerived.products.join(
+          broadcast(tr), Seq("product_category_name"), "left")
+        joined.select((withDerived.products.columns :+
+          "product_category_name_english").map(col): _*)
       case None => withDerived.products
     }
     withDerived.copy(products = products)

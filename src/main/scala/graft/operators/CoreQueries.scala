@@ -28,7 +28,21 @@ object CoreQueries {
   // revenue expression used by several queries (TPC-H style)
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** A1: hash group-by, multi-agg with exact count-distinct
+    * (ref: src/etl_functions.py:261-265). */
+  private val q1Agg: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_price"),
+        countDistinct("l_orderkey").as("order_count"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+
     // ---- scans / projections / filters (S1, P1, P3-P5) ----------------
 
     /** S1+P1: scan with projection + pushed filter. `.explain` shows
@@ -112,10 +126,11 @@ object CoreQueries {
     }),
 
     /** J7: anti-join (set-difference FK check,
-      * ref: notebooks/01_etl_process.ipynb cell 21:5-13). */
+      * ref: notebooks/01_etl_process.ipynb cell 21:5-13) — customers with
+      * no high-value order. */
     "q9_join_anti" -> ((s, d) =>
       customer(s, d)
-        .join(orders(s, d).select("o_custkey"),
+        .join(orders(s, d).filter(col("o_totalprice") > 300000.0).select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
@@ -422,7 +437,8 @@ object CoreQueries {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q9_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q10_join_semi" ->
       """SELECT c_custkey, c_nationkey FROM customer

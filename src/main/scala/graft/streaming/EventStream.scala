@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape (builder
+  * prompt: readStream → transforms → writeStream; watermark + windowed
+  * aggs; stateful sessionization).
+  *
+  * The reference is strictly batch (SURVEY §2.9); this module is the
+  * north-star streaming twin of EventQueries: q31's tumbling window and
+  * q32's sessionization re-expressed over an unbounded source, so a user
+  * can run the same analytics on a live event feed. File-source streaming
+  * scales by partition discovery (maxFilesPerTrigger), state is bounded
+  * by the watermark — both 1000-executor-safe shapes.
+  */
+object EventStream {
+
+  /** events schema as stored (ts is parquet TIMESTAMP(NANOS) → read as
+    * long nanos, converted after load; see graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2-hour
+    * watermark for late data (q31's streaming twin). */
+  def hourlyAggregates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows per user with a 30-minute inactivity gap (q32's
+    * streaming twin, using the native session_window operator — state
+    * bounded by the watermark). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Drive a streaming DataFrame to completion against a static directory
+    * via the memory sink (test/driver harness; Trigger semantics are
+    * identical on a live source). Returns the materialized result. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the dedup / similarity operators whose outputs are
+  * not SQL-replicable (MinHash-LSH, SimHash, LSH/IVF ANN): recall against
+  * the exact baselines, plus crafted-input sanity checks.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("d37: exact dedup keeps one id per distinct text") {
+    val out = SparkEntry.queries("d37_dedup_exact")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.select("text").distinct().count())
+    assert(out.agg(sum("n_copies")).first().getLong(0) == docs.count())
+  }
+
+  test("d39: MinHash-LSH recall >= 0.9 vs exact Jaccard pairs at 0.5") {
+    val exact = SparkEntry.queries("d38_dedup_jaccard")(spark, sf)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("d39_dedup_minhash_lsh")(spark, sf)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact near-dup pairs should exist in testdata")
+    // precision is 1.0 by construction (candidates are verified exactly)
+    assert(lsh.subsetOf(exact), s"LSH emitted non-dup pairs: ${lsh -- exact}")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (missed ${exact -- lsh})")
+  }
+
+  test("d40: SimHash flags crafted near-duplicates and not unrelated docs") {
+    // dominant repeated token pins every simhash bit's margin far from
+    // zero, so a single-token edit provably flips no bits (hamming 0)
+    val base = ("spark " * 30) + "catalyst optimizer codegen adaptive execution plans"
+    val nearDup = base.replace("optimizer", "rewriter") // one token changed
+    val unrelated = ("tomato " * 30) + "cooking pasta with basil sauce garlic"
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("crafted_docs")
+    // run the simhash pipeline over the crafted docs by writing them to parquet
+    val tmp = java.nio.file.Files.createTempDirectory("simhash").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("d40_dedup_simhash")(spark, tmp)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair should be within hamming 3")
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L), "unrelated doc must not pair")
+  }
+
+  test("cosine_sim expression matches manual computation and handles zero vectors") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(1.0f, 1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0) // zero-norm convention
+    assert(math.abs(got(3) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("s43/s44: approximate ANN neighbors are a subset of the corpus with exact scores") {
+    val brute = SparkEntry.queries("s42_ann_brute")(spark, sf)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (q <- Seq("s43_ann_lsh", "s44_ann_ivf")) {
+      val approx = SparkEntry.queries(q)(spark, sf)
+        .select("query_id", "neighbor_id", "rank", "cosine").collect()
+      assert(approx.nonEmpty, s"$q returned no rows")
+      // any (query, neighbor) the approx index returns that brute-force also
+      // ranked must carry the identical cosine (same scoring kernel)
+      approx.foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        brute.get(k).foreach(exp => assert(math.abs(exp - r.getDouble(3)) < 1e-12))
+      }
+      // per query at most K results, ranked 1..n without gaps
+      val byQuery = approx.groupBy(_.getLong(0))
+      byQuery.values.foreach { rows =>
+        val ranks = rows.map(_.getLong(2)).sorted.toSeq
+        assert(ranks == (1L to ranks.length).toSeq)
+      }
+    }
+  }
+
+  test("m46: media feature extraction is deterministic and schema-complete") {
+    val out = SparkEntry.queries("m46_media_features")(spark, sf)
+    assert(out.columns.toSeq == Seq("doc_id", "media_type", "byte_len", "width",
+      "height", "n_frames", "mean_byte"))
+    val rows = out.limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 64 && r.getLong(3) < 192) // width from fake header
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) < 256.0)
+    }
+    // videos get frame counts, images/audio exactly 1
+    val byType = out.groupBy("media_type").agg(max("n_frames").as("mx")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("image") == 1L && byType("audio") == 1L && byType("video") >= 1L)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over the static events parquet: the streaming
+  * hourly aggregate must agree with its batch twin (q31) on every window
+  * the watermark has closed, and session windows must cover all events.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  // the file stream source needs a directory; stage the single parquet
+  // file into one (a real deployment streams a growing directory anyway)
+  private lazy val eventsDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("part-0.parquet"))
+    tmp.toString
+  }
+
+  /** epoch millis from either java.sql.Timestamp (TimestampType rows) or
+    * java.time.LocalDateTime (TIMESTAMP_NTZ rows, UTC session). */
+  private def millis(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case o => fail(s"unexpected timestamp class ${o.getClass}")
+  }
+
+  test("streaming hourly aggregates match the batch q31 result for closed windows") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.hourlyAggregates(EventStream.readEvents(spark, eventsDir)),
+      "hourly_agg_test")
+    val batch = graft.SparkEntry.queries("q31_time_window")(spark, sf)
+    val batchMap = batch.collect()
+      .map(r => (millis(r.get(0)), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val emitted = streamed.collect()
+    assert(emitted.nonEmpty, "watermark should have closed at least one window")
+    emitted.foreach { r =>
+      val key = (millis(r.get(0)), r.getString(1))
+      val (n, v) = (r.getLong(2), r.getDouble(3))
+      assert(batchMap.contains(key), s"streaming emitted unknown window $key")
+      val (bn, bv) = batchMap(key)
+      assert(n == bn, s"count mismatch for $key: $n vs $bn")
+      assert(math.abs(v - bv) <= 1e-9 * math.max(math.abs(bv), 1.0))
+    }
+  }
+
+  test("session windows partition each user's events without loss (closed sessions)") {
+    val sessions = EventStream.runToMemory(spark,
+      EventStream.userSessions(EventStream.readEvents(spark, eventsDir)),
+      "sessions_test")
+    val rows = sessions.collect()
+    assert(rows.nonEmpty)
+    // sessions are disjoint per user and well-formed
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => millis(r.get(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(millis(a.get(2)) <= millis(b.get(1)), "sessions overlap")
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0)
+      assert(millis(r.get(1)) <= millis(r.get(2)))
+    }
+  }
+}
