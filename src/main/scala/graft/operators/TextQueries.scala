@@ -47,26 +47,27 @@ object TextQueries {
 
     /** Quality scoring: length, punctuation density, stopword ratio,
       * mean word length — combined into one 0-100 score. Same arithmetic
-      * on both engines. */
+      * on both engines. Tokens are projected once and reused so the split
+      * runs one time per row, not once per derived metric. */
     "t34_quality" -> ((s, d) => {
-      val t = toks(col("text"))
-      val nTok = size(t).cast("double")
-      val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("double")
-      val stopHits = markerCount(t, Seq("the", "a", "of", "and", "is", "to", "in")).cast("double")
-      val meanWordLen = (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
-      val score =
-        least(lit(40.0), col("n_chars").cast("double") / 10.0) +
-          least(lit(20.0), nPunct * 4.0) +
-          least(lit(20.0), stopHits / nTok * 100.0) +
-          when(meanWordLen.between(3.0, 8.0), 20.0).otherwise(5.0)
-      documents(s, d)
-        .select(
-          col("doc_id"),
-          nTok.cast("long").as("n_tokens"),
-          nPunct.cast("long").as("n_punct"),
-          stopHits.cast("long").as("stopword_hits"),
-          meanWordLen.as("mean_word_len"),
-          score.as("quality_score"))
+      val base = documents(s, d).select(
+        col("doc_id"), col("n_chars"),
+        size(toks(col("text"))).cast("double").as("n_tok"),
+        regexp_count(col("text"), lit("[.!?,;:]")).cast("double").as("n_punct"),
+        markerCount(toks(col("text")), Seq("the", "a", "of", "and", "is", "to", "in"))
+          .cast("double").as("stop_hits"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double").as("n_nonspace"))
+      val meanWordLen = col("n_nonspace") / col("n_tok")
+      base.select(
+        col("doc_id"),
+        col("n_tok").cast("long").as("n_tokens"),
+        col("n_punct").cast("long").as("n_punct"),
+        col("stop_hits").cast("long").as("stopword_hits"),
+        meanWordLen.as("mean_word_len"),
+        (least(lit(40.0), col("n_chars").cast("double") / 10.0) +
+          least(lit(20.0), col("n_punct") * 4.0) +
+          least(lit(20.0), col("stop_hits") / col("n_tok") * 100.0) +
+          when(meanWordLen.between(3.0, 8.0), 20.0).otherwise(5.0)).as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -74,8 +75,10 @@ object TextQueries {
       * fixed precedence order (en,es,de,fr,zh). Compared against the
       * table's `lang` column for an accuracy summary per actual lang. */
     "t35_langid" -> ((s, d) => {
-      val t = toks(col("text"))
-      val scores = langMarkers.map { case (l, ms) => l -> markerCount(t, ms) }
+      val t = col("t")
+      val scores = langMarkers.map { case (l, ms) =>
+        l -> size(filter(t, x => x.isin(ms.map(lit): _*))).cast("long")
+      }
       val best = scores.tail.foldLeft(
         struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
         case (acc, (l, sc)) =>
@@ -83,6 +86,7 @@ object TextQueries {
             struct(sc.as("score"), lit(l).as("lang"))).otherwise(acc)
       }
       documents(s, d)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
         .select(col("doc_id"), col("lang"), best.getField("lang").as("predicted_lang"))
         .groupBy("lang", "predicted_lang")
         .agg(count(lit(1)).as("n"))
