@@ -75,7 +75,7 @@ object CoreQueries {
     /** J2: inner equi-join on the fact grain (ref: src/etl_functions.py:215-220). */
     "q5_join_inner" -> ((s, d) =>
       lineitem(s, d)
-        .join(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        .join(broadcast(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")),
           col("l_orderkey") === col("o_orderkey"), "inner")
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
@@ -281,7 +281,7 @@ object CoreQueries {
       * (ref: src/etl_functions.py:104-113). */
     "q21_date_diff" -> ((s, d) =>
       lineitem(s, d)
-        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+        .join(broadcast(orders(s, d).select("o_orderkey", "o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .select(
           col("l_orderkey"), col("l_linenumber"),

@@ -35,18 +35,24 @@ object DedupQueries {
           .otherwise(array(concat_ws(" ", col("t"))))).as("shingle"))
       .distinct()
 
-  /** Exact pairwise Jaccard via inverted-index join, pairs ≥ minJac. */
+  /** Exact pairwise Jaccard via inverted-index join, pairs ≥ minJac.
+    *
+    * Size-ratio pruning: jaccard(A,B) ≥ t implies t·|B| ≤ |A| ≤ |B|/t, so
+    * candidate co-shingle rows failing the ratio are dropped *before* the
+    * expensive pair aggregation — a large cut on skewed corpora with no
+    * change to the output (the DuckDB oracle recomputes quadratically). */
   private def jaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
     val sh = shingleRows(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id1", "shingle")
+      .join(broadcast(sizes.toDF("id1", "sz1")), "id1")
     val b = sh.toDF("id2", "shingle")
+      .join(broadcast(sizes.toDF("id2", "sz2")), "id2")
     val inter = a.join(b, "shingle")
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+      .filter(col("id1") < col("id2") &&
+        col("sz1") >= col("sz2") * minJac && col("sz2") >= col("sz1") * minJac)
+      .groupBy("id1", "id2", "sz1", "sz2").agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.toDF("id1", "sz1"), "id1")
-      .join(sizes.toDF("id2", "sz2"), "id2")
       .select(col("id1").as("doc1"), col("id2").as("doc2"),
         (col("n_common").cast("double") /
           (col("sz1") + col("sz2") - col("n_common"))).as("jaccard"))
