@@ -64,7 +64,40 @@ object EventQueries {
           min("ts").as("session_start"),
           max("ts").as("session_end"))
         .orderBy("user_id", "session_id")
-    })
+    }),
+
+    /** CUBE over two dimensions with grouping_id disambiguating the
+      * subtotal levels (multi-dimensional aggregate surface). */
+    "q47_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    /** ROLLUP year → month over order dates. */
+    "q48_rollup_op" -> ((s, d) =>
+      orders(s, d)
+        .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          col("o_totalprice"))
+        .rollup("y", "m")
+        .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"))
+        .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)),
+
+    /** PIVOT: hourly activity matrix, one column per event type (fixed
+      * value list → identical to conditional aggregation, which is how
+      * the oracle states it). */
+    "q49_pivot" -> ((s, d) =>
+      events(s, d)
+        .select(hour(col("ts")).as("hour_of_day"), col("event_type"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("hour_of_day"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -94,6 +127,28 @@ object EventQueries {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, sum(value) AS session_value,
         |  min(ts) AS session_start, max(ts) AS session_end
-        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q47_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q48_rollup_op" ->
+      """WITH t AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |    CAST(month(o_orderdate) AS INTEGER) AS m, o_totalprice
+        |  FROM orders)
+        |SELECT y, m, CAST(sum(o_totalprice) AS DOUBLE) AS total, count(*) AS n
+        |FROM t GROUP BY ROLLUP (y, m)
+        |ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin,
+    "q49_pivot" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -28,9 +28,16 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     /** Brute-force cosine top-k for each query vector (exact baseline).
-      * Deterministic rank ties broken on neighbor id. */
+      * Deterministic rank ties broken on neighbor id.
+      *
+      * Scoring is one broadcast nested-loop pass; the top-k itself uses the
+      * custom [[graft.functions.TopKByScore]] TypedImperativeAggregate — a
+      * bounded k-element heap merged across partitions — instead of a
+      * window row_number, which would sort the full candidate set per
+      * query (O(n log n) + full shuffle vs O(n log k) + k-row merge). */
     "s42_ann_brute" -> ((s, d) => {
       VectorFunctions.register(s)
+      graft.functions.TopKAggregate.register(s)
       val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val corpus = embeddings(s, d)
@@ -38,11 +45,12 @@ object SimilarityQueries {
       val scored = corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           call_function("cosine_sim", col("qv"), col("nv")).as("cosine"))
-      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-          col("cosine"))
+      scored.groupBy("query_id")
+        .agg(call_function("topk_by_score", col("cosine"), col("neighbor_id"), lit(K))
+          .as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("col.score").as("cosine"))
         .orderBy("query_id", "rank")
     }),
 

@@ -52,6 +52,63 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  final case class SessState(startMs: Long, lastMs: Long, n: Long, total: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: per-user
+    * state holds the open session; a 30-minute event-time gap closes and
+    * emits it; event-time timeout flushes idle users once the watermark
+    * passes. This is the arbitrary-state escape hatch for session logic
+    * session_window can't express (e.g. value-dependent gaps) — state per
+    * key is O(1), so 10^9 users shard across executors. */
+  def statefulSessions(events: DataFrame): org.apache.spark.sql.Dataset[SessionAgg] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          def emit(s: SessState): SessionAgg = SessionAgg(user,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n, s.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionAgg]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  closed += emit(s)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(lastMs = t, n = s.n + 1, total = s.total + e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against a static directory
     * via the memory sink (test/driver harness; Trigger semantics are
     * identical on a live source). Returns the materialized result. */

@@ -67,4 +67,24 @@ class EventStreamSpec extends SparkSpec {
       assert(millis(r.get(1)) <= millis(r.get(2)))
     }
   }
+
+  test("flatMapGroupsWithState sessions agree with the batch sessionization (q32)") {
+    val emitted = EventStream.runToMemory(spark,
+      EventStream.statefulSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
+      "stateful_sessions_test").collect()
+    assert(emitted.nonEmpty, "gap-closed sessions should be emitted")
+    // batch q32 sessions keyed by (user, start-ms): every emitted closed
+    // session must exactly match one batch session
+    val batch = graft.SparkEntry.queries("q32_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), millis(r.get(4))) -> (r.getLong(2), r.getDouble(3), millis(r.get(5))))
+      .toMap
+    emitted.foreach { r =>
+      val key = (r.getLong(0), millis(r.get(1)))
+      assert(batch.contains(key), s"unknown session $key")
+      val (n, v, endMs) = batch(key)
+      assert(r.getLong(3) == n, s"n_events mismatch for $key")
+      assert(math.abs(r.getDouble(4) - v) <= 1e-9 * math.max(math.abs(v), 1.0))
+      assert(millis(r.get(2)) == endMs)
+    }
+  }
 }
