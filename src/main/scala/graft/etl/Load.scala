@@ -43,4 +43,23 @@ object Load {
         .csv(s"$outDir/csv/$name")
       ordered.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
     }
+
+  /** Cluster-scale layout: the fact partitions by month (date_id prefix) so
+    * time-sliced queries prune partitions at the file index, and rows are
+    * sorted by date_id within files for min/max row-group skipping. The
+    * dimensions stay unpartitioned single-directory parquet (they
+    * broadcast). At 100 TB this is the only write path; the golden
+    * single-file layout above exists for reference parity. */
+  def writeAtScale(star: StarSchema, aggs: AggTables, outDir: String): Unit = {
+    val fact = star.factSales
+      .withColumn("month_id", (org.apache.spark.sql.functions.col("date_id") / 100L)
+        .cast("long"))
+      .repartition(org.apache.spark.sql.functions.col("month_id"))
+      .sortWithinPartitions("date_id", "order_id")
+    fact.write.mode("overwrite").partitionBy("month_id")
+      .parquet(s"$outDir/fact_sales")
+    (star.dims ++ aggs.byName).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+  }
 }

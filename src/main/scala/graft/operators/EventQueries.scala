@@ -97,7 +97,39 @@ object EventQueries {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("hour_of_day"))
+        .orderBy("hour_of_day")),
+
+    /** As-of join: each event picks the customer's latest order with
+      * o_orderdate <= ts. Spark lacks the operator; rather than a custom
+      * SparkPlan, it composes as the classic union + last-ignoring-nulls
+      * window: tag both sides, sort within the key partition by (time,
+      * tag), carry the most recent order forward, keep event rows. One
+      * shuffle on the key — the same cost a native as-of join would pay.
+      * Orders are pre-deduped per (customer, date) so ties are
+      * deterministic on both engines (DuckDB oracles with native ASOF). */
+    "q50_asof_join" -> ((s, d) => {
+      val ev = events(s, d).select(
+        col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey_in"), lit(1).as("tag"))
+      val ord = orders(s, d)
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp_ntz").as("t"))
+        .agg(max("o_orderkey").as("o_orderkey_in"))
+        .select(col("k"), col("t"), col("o_orderkey_in"),
+          lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+        .select("k", "t", "event_id", "o_orderkey_in", "tag")
+      val unioned = ev.select("k", "t", "event_id", "o_orderkey_in", "tag")
+        .unionByName(ord)
+      val w = Window.partitionBy("k")
+        .orderBy(col("t"), col("tag"), col("o_orderkey_in").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("o_orderkey", last("o_orderkey_in", ignoreNulls = true).over(w))
+        .withColumn("matched_t", last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          col("o_orderkey"), col("matched_t").as("o_orderdate"))
+        .orderBy("event_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -149,6 +181,14 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
   )
 }
