@@ -129,8 +129,22 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           col("cosine"))
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    "s53_label_centroids" -> labelCentroids
   )
+
+  /** Per-label centroid in long form (label, dim, centroid_val, n) —
+    * element-wise mean via posexplode + one aggregation. Long form keeps
+    * the output scalar-typed for engine-agnostic comparison; the array
+    * form is one collect_list away. */
+  private def labelCentroids: Q = (s, d) =>
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "v")
+      .groupBy("label", "dim")
+      .agg(avg(col("v").cast("double")).as("centroid_val"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
 
   val oracleSql: Map[String, String] = Map(
     "s42_ann_brute" ->
@@ -146,7 +160,15 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
-         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "s53_label_centroids" ->
+      """WITH flat AS (
+        |  SELECT label, CAST(g.i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[g.i] AS DOUBLE) AS v
+        |  FROM embeddings
+        |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(i))
+        |SELECT label, dim, avg(v) AS centroid_val, count(*) AS n
+        |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
 

@@ -101,7 +101,46 @@ object TextQueries {
           col("doc_id"),
           md5(col("text").cast("binary")).as("fingerprint_md5"),
           substring(md5(col("text").cast("binary")), 1, 4).as("bucket"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    /** Corpus-level n-gram statistics: top-20 word bigrams. Explode is a
+      * generator inside the scan stage; one shuffle for the count, then
+      * TakeOrdered — linear in corpus size. */
+    "t51_top_bigrams" -> ((s, d) =>
+      documents(s, d)
+        .select(toks(col("text")).as("t"))
+        .select(explode(when(size(col("t")) >= 2,
+          expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+          .otherwise(array())).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(20)),
+
+    /** TF-IDF: the highest-scoring term per document (tf = term count /
+      * doc tokens; idf = ln(N / df); ties break toward the lexicographically
+      * smaller term). Two aggregations + a broadcast of the tiny df table —
+      * the standard scalable shape. */
+    "t52_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tokens = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("term_count"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = documents(s, d).select(countDistinct("doc_id").as("n_docs"))
+      val scored = tf
+        .join(broadcast(docLen), "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          ((col("term_count").cast("double") / col("doc_len")) *
+            log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+        .orderBy("doc_id")
+    })
   )
 
   private def duckMarkerCount(markers: Seq[String]): String = {
@@ -163,6 +202,33 @@ object TextQueries {
     "t36_fingerprint" ->
       """SELECT doc_id, md5(text) AS fingerprint_md5,
         |  substr(md5(text), 1, 4) AS bucket
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t51_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram
+        |  FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+        |  WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "t52_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS term_count FROM tokens GROUP BY 1, 2),
+        |doclen AS (SELECT doc_id, count(*) AS doc_len FROM tokens GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (CAST(term_count AS DOUBLE) / doc_len) *
+        |      ln(CAST(n_docs AS DOUBLE) / df) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY (CAST(term_count AS DOUBLE) / doc_len) *
+        |        ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term) AS rk
+        |  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, tfidf FROM scored
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 }
