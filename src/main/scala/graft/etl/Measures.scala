@@ -52,4 +52,21 @@ object Measures {
     if (groupBy.isEmpty) filtered.agg(measureColumns.head, measureColumns.tail: _*)
     else filtered.groupBy(groupBy: _*).agg(measureColumns.head, measureColumns.tail: _*)
   }
+
+  /** 100 TB opt-in: HyperLogLog++ order counts (single-pass, mergeable
+    * sketch, no distinct expansion) in place of exact DISTINCTCOUNT —
+    * SURVEY A13's explicit trade-off. rsd defaults to 1%. */
+  def evaluateApprox(star: StarSchema, filters: Seq[Column] = Nil,
+      groupBy: Seq[Column] = Nil, rsd: Double = 0.01): DataFrame = {
+    val approxCols = Seq(
+      sum("price").as("total_sales"),
+      sum("freight_value").as("total_freight"),
+      approx_count_distinct(col("order_id"), rsd).as("order_count"),
+      try_divide(sum("price"), approx_count_distinct(col("order_id"), rsd).cast("double"))
+        .as("avg_ticket"),
+      (try_divide(sum("freight_value"), sum("price")) * 100.0).as("freight_pct"))
+    val filtered = filters.foldLeft(model(star))(_.filter(_))
+    if (groupBy.isEmpty) filtered.agg(approxCols.head, approxCols.tail: _*)
+    else filtered.groupBy(groupBy: _*).agg(approxCols.head, approxCols.tail: _*)
+  }
 }

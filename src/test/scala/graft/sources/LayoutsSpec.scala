@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins must be shuffle-free; salted joins must be
+  * row-identical to plain joins while spreading hot keys.
+  */
+class LayoutsSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      Layouts.writeBucketed(li, "li_bucketed", 8, Seq("l_orderkey"))
+      Layouts.writeBucketed(ord, "ord_bucketed", 8, Seq("o_orderkey"))
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan)
+      assert(joined.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderstatus")
+    val salted = Layouts.saltedJoin(li, ord, "l_orderkey", "o_orderkey", n = 4)
+      .select("l_orderkey", "l_linenumber", "o_orderstatus")
+    assertSameRows(plain, salted)
+  }
+
+  test("salted left join preserves unmatched rows exactly once per salt assignment") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
+    val none = Tables.orders(spark, sf).filter(lit(false))
+      .select("o_orderkey", "o_orderstatus")
+    val out = Layouts.saltedJoin(li, none, "l_orderkey", "o_orderkey", n = 4, "left")
+    assert(out.count() == li.count())
+    assert(out.filter(col("o_orderstatus").isNotNull).count() == 0)
+  }
+}
