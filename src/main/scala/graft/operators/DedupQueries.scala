@@ -35,12 +35,21 @@ object DedupQueries {
           .otherwise(array(concat_ws(" ", col("t"))))).as("shingle"))
       .distinct()
 
-  /** Exact pairwise Jaccard via inverted-index join, pairs ≥ minJac.
+  /** Exact pairwise Jaccard similarity join, pairs ≥ minJac, via an
+    * inverted-index self-join with size-ratio pruning: jaccard(A,B) ≥ t
+    * implies t·|B| ≤ |A| ≤ |B|/t, so candidate co-shingle rows failing
+    * the ratio drop *before* the pair aggregation. Output is identical to
+    * the quadratic definition — the DuckDB oracle recomputes it all-pairs
+    * at verify scale.
     *
-    * Size-ratio pruning: jaccard(A,B) ≥ t implies t·|B| ≤ |A| ≤ |B|/t, so
-    * candidate co-shingle rows failing the ratio are dropped *before* the
-    * expensive pair aggregation — a large cut on skewed corpora with no
-    * change to the output (the DuckDB oracle recomputes quadratically). */
+    * PPJoin-style prefix filtering (index only the |x|−⌈t·|x|⌉+1 rarest
+    * shingles per doc) was benchmarked here and loses ~14× on this
+    * corpus: with a tiny token vocabulary every shingle is hot, so the
+    * "rare" prefix stays dense while the per-candidate set-verify costs
+    * more than the count-based aggregation. On a natural-text corpus with
+    * zipfian shingle frequencies the prefix variant wins; it should be
+    * selected by a corpus-statistics heuristic (distinct-shingle ratio),
+    * not unconditionally. */
   private def jaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
     val sh = shingleRows(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
