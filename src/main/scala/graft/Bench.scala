@@ -49,7 +49,26 @@ object Bench {
       val a = runOnce(n); val b = runOnce(n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+
+    // ETL end-to-end on the reference's own raw data (the BASELINE.md
+    // 0.255 s row): extract → transform → model → aggregate → export all
+    // 28 files, measured as one wall-clock unit.
+    val etlSecs = {
+      val t0 = System.nanoTime()
+      try {
+        graft.etl.Pipeline.run(spark, "/root/reference/data/raw",
+          s"/tmp/graft_bench_etl_${System.nanoTime()}") match {
+          case Left(err) => System.err.println(s"[bench] etl failed: $err"); -1.0
+          case Right(_) => (System.nanoTime() - t0) / 1e9
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0
+      }
+    }
+
+    val all = results :+ ("etl_pipeline_golden" -> etlSecs)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

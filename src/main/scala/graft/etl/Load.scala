@@ -33,16 +33,30 @@ object Load {
   def allTables(star: StarSchema, aggs: AggTables): Map[String, DataFrame] =
     star.dims ++ aggs.byName + ("fact_sales" -> star.factSales)
 
-  def writeAll(star: StarSchema, aggs: AggTables, outDir: String): Unit =
-    allTables(star, aggs).foreach { case (name, df) =>
-      val ordered = df.orderBy(sortKeys(name).map(col): _*).coalesce(1)
-      ordered.write.mode("overwrite").option("header", "true")
-        // default CSV writer prints ms precision; golden carries ns
-        // (we keep µs — the max Spark holds)
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        .csv(s"$outDir/csv/$name")
-      ordered.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
-    }
+  def writeAll(star: StarSchema, aggs: AggTables, outDir: String): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // the fact feeds 7 of the 14 outputs (itself + 6 aggregates) and each
+    // CSV+parquet pair re-executes its plan — cache it once for the export
+    star.factSales.persist()
+    try {
+      // independent output tables write concurrently; Spark schedules the
+      // jobs side by side (28 tiny jobs serially = pure scheduling latency)
+      val jobs = allTables(star, aggs).toSeq.map { case (name, df) =>
+        Future {
+          val ordered = df.orderBy(sortKeys(name).map(col): _*).coalesce(1)
+          ordered.write.mode("overwrite").option("header", "true")
+            // default CSV writer prints ms precision; golden carries ns
+            // (we keep µs — the max Spark holds)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(s"$outDir/csv/$name")
+          ordered.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
+        }
+      }
+      Await.result(Future.sequence(jobs), Duration.Inf)
+    } finally star.factSales.unpersist()
+  }
 
   /** Cluster-scale layout: the fact partitions by month (date_id prefix) so
     * time-sliced queries prune partitions at the file index, and rows are

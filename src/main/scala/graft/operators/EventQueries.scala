@@ -129,6 +129,33 @@ object EventQueries {
         .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
           col("o_orderkey"), col("matched_t").as("o_orderdate"))
         .orderBy("event_id")
+    }),
+
+    /** Range-frame window (time-range join family): per event, activity of
+      * the same user in the preceding 10 minutes. A RANGE frame over
+      * floor-epoch-seconds — one shuffle on user_id, no self-join blowup;
+      * the binned-equi-join alternative only wins when partitions exceed
+      * memory. */
+    "q54_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-600L, 0L)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_recent", count(lit(1)).over(w))
+        .withColumn("recent_value", sum("value").over(w))
+        .orderBy("event_id")
+    }),
+
+    /** Scalar subquery: orders above the global average price — the 1-row
+      * aggregate broadcasts via cross join, fully lazy. */
+    "q55_scalar_subquery" -> ((s, d) => {
+      val avgPrice = orders(s, d).agg(avg("o_totalprice").as("avg_price"))
+      orders(s, d)
+        .crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select("o_orderkey", "o_totalprice", "avg_price")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -189,6 +216,21 @@ object EventQueries {
         |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q54_range_window" ->
+      """SELECT event_id, user_id, ts, value,
+        |  count(*) OVER w AS n_recent,
+        |  sum(value) OVER w AS recent_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q55_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT avg(o_totalprice) FROM orders) AS avg_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
