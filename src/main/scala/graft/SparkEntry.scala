@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries ++ FunctionQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
+      DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      MultimodalQueries.oracleSql ++ FunctionQueries.oracleSql
 }

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Function-surface breadth: exact percentiles, statistical aggregates,
+  * string functions (incl. edit distance for fuzzy matching), array
+  * functions, predicate forms, and the full ranking-window suite. All
+  * single-pass, codegen'd, oracle-checked.
+  */
+object FunctionQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    /** Exact interpolating percentiles per group (Spark percentile ==
+      * DuckDB quantile_cont). */
+    "q56_percentiles" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          expr("percentile(l_quantity, 0.25)").as("qty_p25"))
+        .orderBy("l_returnflag")),
+
+    /** Statistical aggregates: sample stddev/variance, correlation,
+      * covariance. */
+    "q57_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          stddev_samp(col("l_extendedprice")).as("sd_price"),
+          var_samp(col("l_quantity")).as("var_qty"),
+          corr(col("l_extendedprice"), col("l_quantity")).as("corr_price_qty"),
+          covar_samp(col("l_extendedprice"), col("l_discount")).as("cov_price_disc"),
+          avg("l_tax").as("avg_tax"))
+        .orderBy("l_linestatus")),
+
+    /** String function suite + levenshtein edit distance (the fuzzy-match
+      * primitive for entity resolution). */
+    "q58_strings" -> ((s, d) =>
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          lower(col("c_mktsegment")).as("lower_seg"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          length(col("c_name")).cast("long").as("name_len"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+          levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("edit_dist"))
+        .orderBy("c_custkey")),
+
+    /** Array functions over tokenized text: dedup, sort, membership,
+      * first/last elements — scalar outputs for engine-agnostic compare. */
+    "q59_arrays" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_distinct"),
+          element_at(col("toks"), 1).as("first_token"),
+          element_at(col("toks"), -1).as("last_token"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          concat_ws("|", slice(col("toks"), 1, 3)).as("first3"))
+        .orderBy("doc_id")),
+
+    /** Predicate forms: LIKE, IN, BETWEEN, null-safe combinators. */
+    "q60_predicates" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_orderpriority").like("1-%").as("is_urgent"),
+          col("o_orderstatus").isin("F", "P").as("closed_or_pending"),
+          col("o_totalprice").between(10000.0, 200000.0).as("mid_price"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("price_floor50k"),
+          least(col("o_custkey"), lit(100L)).as("key_cap"))
+        .orderBy("o_orderkey")),
+
+    /** Ranking-window suite: dense_rank, ntile, percent_rank, cume_dist,
+      * lead/lag over a deterministic order. */
+    "q61_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .filter(col("o_custkey") <= 200)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q56_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  quantile_cont(l_quantity, 0.25) AS qty_p25
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_stats" ->
+      """SELECT l_linestatus,
+        |  stddev_samp(l_extendedprice) AS sd_price,
+        |  var_samp(l_quantity) AS var_qty,
+        |  corr(l_extendedprice, l_quantity) AS corr_price_qty,
+        |  covar_samp(l_extendedprice, l_discount) AS cov_price_disc,
+        |  avg(l_tax) AS avg_tax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_strings" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS upper_name,
+        |  lower(c_mktsegment) AS lower_seg,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |  CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS edit_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q59_arrays" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_distinct,
+        |  toks[1] AS first_token,
+        |  toks[-1] AS last_token,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  array_to_string(toks[1:3], '|') AS first3
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q60_predicates" ->
+      """SELECT o_orderkey,
+        |  o_orderpriority LIKE '1-%' AS is_urgent,
+        |  o_orderstatus IN ('F', 'P') AS closed_or_pending,
+        |  o_totalprice BETWEEN 10000.0 AND 200000.0 AS mid_price,
+        |  greatest(o_totalprice, 50000.0) AS price_floor50k,
+        |  CAST(least(o_custkey, 100) AS BIGINT) AS key_cap
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q61_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
