@@ -109,6 +109,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop replayed events by event_id, with state
+    * bounded by the watermark (an id older than the watermark can no
+    * longer collide, so its state is evicted — the streaming twin of
+    * d37_dedup_exact, and the standard at-least-once → exactly-once
+    * repair step in an ingest pipeline). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming DataFrame to completion against a static directory
     * via the memory sink (test/driver harness; Trigger semantics are
     * identical on a live source). Returns the materialized result. */

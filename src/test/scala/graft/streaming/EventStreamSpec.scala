@@ -68,6 +68,21 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup by event_id drops replayed events within the watermark") {
+    // stage the same parquet file twice — a full replay of every event
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = EventStream.runToMemory(spark,
+      EventStream.dedupedEvents(EventStream.readEvents(spark, dir.toString)),
+      "dedup_test")
+    val expected = graft.Tables.events(spark, sf).count()
+    assert(deduped.count() == expected,
+      s"expected $expected unique events, got ${deduped.count()}")
+  }
+
   test("flatMapGroupsWithState sessions agree with the batch sessionization (q32)") {
     val emitted = EventStream.runToMemory(spark,
       EventStream.statefulSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
