@@ -175,6 +175,48 @@ object DedupQueries {
         .orderBy("doc1", "doc2")
     }),
 
+    /** Dup-cluster assignment: connected components over the near-dup
+      * pair graph (d38's output), labels = min doc_id per component —
+      * the step that turns pairwise dedup into keep/drop decisions.
+      * Distributed min-label propagation, one broadcast-join round per
+      * graph-diameter step (near-dup components are tiny, so 2-3 rounds);
+      * the loop breaks at fixpoint. Oracle: DuckDB recursive CTE closure. */
+    "d62_dedup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d, 0.5).select("doc1", "doc2")
+      val edges = pairs
+        .unionByName(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+        .toDF("src", "dst").persist()
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges
+          .join(labels.toDF("dst", "nbr_lbl"), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min("nbr_lbl").as("nbr_min"))
+        val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .persist()
+        val changed = updated.toDF("doc_id", "new_lbl")
+          .join(labels, "doc_id")
+          .filter(col("new_lbl") =!= col("cluster_id")).count()
+        labels.unpersist()
+        labels = updated
+        converged = changed == 0
+        iter += 1
+      }
+      val out = labels
+        .join(labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+          "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+      edges.unpersist()
+      out
+    }),
+
     /** Embedding-cosine near-dup pairs (≥ 0.4 on this synthetic data; the
       * threshold is a parameter). Exact all-pairs with the codegen'd
       * cosine expression — the LSH-bucketed scale path is s43_ann_lsh. */
@@ -215,6 +257,39 @@ object DedupQueries {
         |JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin,
+    "d62_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc1, doc2 FROM (
+        |    WITH toks AS (
+        |      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |    sh AS (
+        |      SELECT DISTINCT doc_id,
+        |        CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |             ELSE array_to_string(t, ' ') END AS shingle
+        |      FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+        |    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |    inter AS (
+        |      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |    SELECT doc1, doc2
+        |    FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
+        |    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5)),
+        |edges AS (
+        |  SELECT doc1 AS s, doc2 AS t FROM pairs
+        |  UNION SELECT doc2, doc1 FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |nodes AS (SELECT DISTINCT s FROM edges),
+        |closure AS (
+        |  SELECT s, t FROM reach UNION ALL SELECT s, s FROM nodes)
+        |SELECT c.s AS doc_id, m.cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS cluster_size
+        |FROM nodes c
+        |JOIN (SELECT s, min(t) AS cluster_id FROM closure GROUP BY s) m ON c.s = m.s
+        |ORDER BY doc_id""".stripMargin,
     "d41_dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
