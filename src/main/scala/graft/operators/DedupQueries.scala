@@ -182,39 +182,63 @@ object DedupQueries {
       * graph-diameter step (near-dup components are tiny, so 2-3 rounds);
       * the loop breaks at fixpoint. Oracle: DuckDB recursive CTE closure. */
     "d62_dedup_clusters" -> ((s, d) => {
-      val pairs = jaccardPairs(s, d, 0.5).select("doc1", "doc2")
-      val edges = pairs
-        .unionByName(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-        .toDF("src", "dst").persist()
-      val nodes = edges.select(col("src").as("doc_id")).distinct()
-      var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val nbrMin = edges
-          .join(labels.toDF("dst", "nbr_lbl"), "dst")
-          .groupBy(col("src").as("doc_id"))
-          .agg(min("nbr_lbl").as("nbr_min"))
-        val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
-          .persist()
-        val changed = updated.toDF("doc_id", "new_lbl")
-          .join(labels, "doc_id")
-          .filter(col("new_lbl") =!= col("cluster_id")).count()
-        labels.unpersist()
-        labels = updated
-        converged = changed == 0
-        iter += 1
-      }
-      val out = labels
-        .join(labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      import s.implicits._
+      val pairs = jaccardPairs(s, d, 0.5).select("doc1", "doc2").persist()
+      val nPairs = pairs.count()
+      val labeled =
+        if (nPairs <= 1000000L) {
+          // near-dup pair sets are tiny relative to the corpus; collect
+          // the edge list and run exact union-find on the driver (the
+          // labels, not the documents, come to the driver — ~16 B/pair)
+          val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x
+            else { val r = find(p); parent(x) = r; r }
+          }
+          edges.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          s.createDataFrame(nodes.map(n => (n, find(n))).toSeq)
+            .toDF("doc_id", "cluster_id")
+        } else {
+          // distributed min-label propagation: one broadcast-join round
+          // per diameter step, fixpoint detection by changed-count
+          val edges = pairs
+            .unionByName(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+            .toDF("src", "dst").persist()
+          var labels = edges.select(col("src").as("doc_id")).distinct()
+            .withColumn("cluster_id", col("doc_id")).persist()
+          var converged = false
+          var iter = 0
+          while (!converged && iter < 30) {
+            val nbrMin = edges
+              .join(labels.toDF("dst", "nbr_lbl"), "dst")
+              .groupBy(col("src").as("doc_id"))
+              .agg(min("nbr_lbl").as("nbr_min"))
+            val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+                  .as("cluster_id"))
+              .persist()
+            val changed = updated.toDF("doc_id", "new_lbl")
+              .join(labels, "doc_id")
+              .filter(col("new_lbl") =!= col("cluster_id")).count()
+            labels.unpersist()
+            labels = updated
+            converged = changed == 0
+            iter += 1
+          }
+          labels
+        }
+      labeled
+        .join(labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
           "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
         .orderBy("doc_id")
-      edges.unpersist()
-      out
     }),
 
     /** Embedding-cosine near-dup pairs (≥ 0.4 on this synthetic data; the
