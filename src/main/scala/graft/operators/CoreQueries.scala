@@ -352,6 +352,20 @@ object CoreQueries {
       lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    /** INTERSECT / EXCEPT (set semantics — Catalyst rewrites both to
+      * semi/anti joins over distinct): customers appearing in both halves
+      * of the order book, and in the first but not the second. */
+    "q63_setops" -> ((s, d) => {
+      val firstHalf = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey"))
+      val secondHalf = orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_custkey"))
+      firstHalf.intersect(secondHalf).select(col("o_custkey"), lit("both").as("side"))
+        .unionByName(
+          firstHalf.except(secondHalf).select(col("o_custkey"), lit("only_even").as("side")))
+        .orderBy("o_custkey", "side")
+    }),
+
     // ---- window functions (north-star extension; SURVEY §2.5) ---------
 
     /** Ranking window: top-3 orders per market segment via row_number,
@@ -556,6 +570,13 @@ object CoreQueries {
     "q27_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q63_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_custkey, 'both' AS side FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_even' AS side FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |ORDER BY o_custkey, side""".stripMargin,
     "q28_window_rank" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

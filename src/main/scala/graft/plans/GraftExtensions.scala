@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
+
+/** Session-extension entry point: makes the custom expressions available
+  * in every session created with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), so SQL
+  * users get them without any imperative registration call. The runtime
+  * alternative for an already-built session is
+  * [[graft.functions.VectorFunctions.register]] /
+  * [[graft.functions.TopKAggregate.register]].
+  *
+  * No custom planner strategies or optimizer rules are injected: every
+  * operator in SURVEY §2 and the north-star surface composes from
+  * Catalyst built-ins (SURVEY §4.3) — the extension surface is exactly
+  * the expression layer where built-ins genuinely fall short
+  * (vector math, bounded top-k).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(score, id, k) - top-k (id, score) structs by score, ties to smaller id"),
+      (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("xxhash64_seed"),
+      info("xxhash64_seed", "xxhash64_seed(cols..., seed) - xxhash64 with explicit seed"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          exprs.init, exprs.last.eval(null).asInstanceOf[Number].longValue())))
+  }
+}
