@@ -147,6 +147,22 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    /** UNPIVOT (melt): the hourly activity matrix back to long form —
+      * retains explicit zero cells, which a bare group-by would drop. */
+    "q64_unpivot" -> ((s, d) => {
+      val wide = events(s, d)
+        .select(hour(col("ts")).as("hour_of_day"), col("event_type"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+        Array(col("hour_of_day")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+        .orderBy("hour_of_day", "event_type")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -226,6 +242,22 @@ object EventQueries {
         |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q64_unpivot" ->
+      """WITH m AS (
+        |  SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        |  FROM events GROUP BY 1)
+        |SELECT hour_of_day, event_type, n FROM (
+        |  SELECT hour_of_day, 'click' AS event_type, click AS n FROM m
+        |  UNION ALL SELECT hour_of_day, 'error', error FROM m
+        |  UNION ALL SELECT hour_of_day, 'purchase', purchase FROM m
+        |  UNION ALL SELECT hour_of_day, 'signup', signup FROM m
+        |  UNION ALL SELECT hour_of_day, 'view', "view" FROM m)
+        |ORDER BY hour_of_day, event_type""".stripMargin,
     "q55_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice,
         |  (SELECT avg(o_totalprice) FROM orders) AS avg_price
