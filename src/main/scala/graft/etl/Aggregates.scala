@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * ref: src/etl_functions.py:240-393).
   *
   * Every table is a partial+final hash aggregation around one shuffle;
-  * dimension attributes attach via broadcast joins. The reference's
+  * dimension attributes attach via joins that Catalyst/AQE turns into
+  * broadcasts whenever the dim fits the threshold — only dim_date (one
+  * row per day, guaranteed small) is hard-hinted; customer/product/seller
+  * grow with the business, so hinting them would OOM the driver at scale. The reference's
   * non-standard rollup semantics are preserved deliberately (H2): monthly
   * order_count is the SUM over days of per-day countDistinct(order_id),
   * and per-category/state/seller counts count an order once per group it
@@ -54,8 +57,8 @@ object Aggregates {
         "product_category_name_english"
       else "product_category_name"
     val salesByCategory = fact
-      .join(broadcast(star.dimProduct
-        .select("id", "product_category_name", "product_category_name_english")),
+      .join(star.dimProduct
+        .select("id", "product_category_name", "product_category_name_english"),
         col("product_id") === col("id"), "inner")
       .groupBy(col(catCol).as("category_name"))
       .agg(
@@ -66,7 +69,7 @@ object Aggregates {
 
     // sales_by_location + sales_by_city (ref :316-345)
     val withCustomer = fact
-      .join(broadcast(star.dimCustomer.select("id", "customer_state", "customer_city")),
+      .join(star.dimCustomer.select("id", "customer_state", "customer_city"),
         col("customer_id") === col("id"), "inner")
     val salesByLocation = withCustomer
       .groupBy(col("customer_state").as("state"))
@@ -84,7 +87,7 @@ object Aggregates {
 
     // sales_by_seller (ref :348-369)
     val salesBySeller = fact
-      .join(broadcast(star.dimSeller.select("id", "seller_state", "seller_city")),
+      .join(star.dimSeller.select("id", "seller_state", "seller_city"),
         col("seller_id") === col("id"), "inner")
       .groupBy("seller_id")
       .agg(

@@ -16,21 +16,28 @@ import org.apache.spark.sql.functions._
 object Measures {
 
   /** fact joined to the five dimensions with disambiguated column names
-    * (dim columns prefixed: date_*, customer_*, product_*, seller_*,
-    * order_*, review appears via fact.review_score). */
+    * (dim columns prefixed: dt_*, cust_*, prod_*, sell_*, ord_*; review
+    * appears via fact.review_score).
+    *
+    * Broadcast is hinted only where size is guaranteed (dim_date: one row
+    * per day, forever small). dim_order grows 1:1 with orders and
+    * customer/product/seller grow with the business — hard-hinting those
+    * would OOM the driver at 100 TB, so Catalyst/AQE picks broadcast only
+    * when they actually fit under the threshold (which they do at toy
+    * scale, keeping the same local plan). */
   def model(star: StarSchema): DataFrame = {
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, s"${p}_$c"))
     star.factSales
       .join(broadcast(prefixed(star.dimDate, "dt")),
         col("date_id") === col("dt_id"), "inner")
-      .join(broadcast(prefixed(star.dimCustomer, "cust")),
+      .join(prefixed(star.dimCustomer, "cust"),
         col("customer_id") === col("cust_id"), "inner")
-      .join(broadcast(prefixed(star.dimProduct, "prod")),
+      .join(prefixed(star.dimProduct, "prod"),
         col("product_id") === col("prod_id"), "inner")
-      .join(broadcast(prefixed(star.dimSeller, "sell")),
+      .join(prefixed(star.dimSeller, "sell"),
         col("seller_id") === col("sell_id"), "inner")
-      .join(broadcast(prefixed(star.dimOrder, "ord")),
+      .join(prefixed(star.dimOrder, "ord"),
         col("order_id") === col("ord_id"), "inner")
   }
 
