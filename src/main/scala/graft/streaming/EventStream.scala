@@ -119,6 +119,26 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Production sink pattern: foreachBatch gives each micro-batch to
+    * arbitrary batch-writer code with its batchId — the hook for
+    * idempotent writes (partition-overwrite by batchId), merges into
+    * warehouse tables, or multi-sink fan-out. Here: hourly aggregates
+    * appended as parquet partitioned by event_type. */
+  def runToParquet(streamed: DataFrame, outDir: String): Unit = {
+    val q = streamed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").partitionBy("event_type")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming DataFrame to completion against a static directory
     * via the memory sink (test/driver harness; Trigger semantics are
     * identical on a live source). Returns the materialized result. */

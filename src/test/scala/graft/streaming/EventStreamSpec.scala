@@ -68,6 +68,21 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch sink lands partitioned parquet that matches the memory sink") {
+    val outDir = java.nio.file.Files.createTempDirectory("fb_out").toString + "/agg"
+    EventStream.runToParquet(
+      EventStream.hourlyAggregates(EventStream.readEvents(spark, eventsDir)), outDir)
+    val fromParquet = spark.read.parquet(outDir)
+      .select("window_start", "event_type", "n", "total_value")
+    val fromMemory = EventStream.runToMemory(spark,
+      EventStream.hourlyAggregates(EventStream.readEvents(spark, eventsDir)),
+      "fb_compare_test")
+    assertSameRows(fromMemory, fromParquet)
+    // partitioned layout: one hive directory per event type
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")), dirs.mkString(","))
+  }
+
   test("streaming dedup by event_id drops replayed events within the watermark") {
     // stage the same parquet file twice — a full replay of every event
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
