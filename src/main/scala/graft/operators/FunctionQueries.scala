@@ -27,6 +27,20 @@ object FunctionQueries {
           expr("percentile(l_quantity, 0.25)").as("qty_p25"))
         .orderBy("l_returnflag")),
 
+    /** Approximate percentiles — the 100 TB path for q56: a mergeable
+      * quantile sketch (single pass, bounded memory) instead of the
+      * sort-based exact percentile. Rows-only for the driver (sketch
+      * internals differ across engines); the spec bounds its error
+      * against the exact result. */
+    "q65_percentile_approx" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     /** Statistical aggregates: sample stddev/variance, correlation,
       * covariance. */
     "q57_stats" -> ((s, d) =>

@@ -86,6 +86,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q65: approx percentiles within 1% relative error of exact") {
+    val exact = SparkEntry.queries("q56_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    SparkEntry.queries("q65_percentile_approx")(spark, sf).collect().foreach { r =>
+      val (p50e, p99e) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50e) <= 0.01 * p50e,
+        s"p50 approx ${r.getDouble(1)} vs exact $p50e")
+      assert(math.abs(r.getDouble(2) - p99e) <= 0.01 * p99e,
+        s"p99 approx ${r.getDouble(2)} vs exact $p99e")
+    }
+  }
+
   test("m46: media feature extraction is deterministic and schema-complete") {
     val out = SparkEntry.queries("m46_media_features")(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "media_type", "byte_len", "width",
