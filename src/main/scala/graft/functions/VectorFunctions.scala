@@ -136,6 +136,8 @@ object VectorFunctions {
       // MinHash permutation family — ANSI-safe, unlike affine (a*h+b)
       // permutations which overflow LongType under ANSI mode.
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "rolling_min_hash", exprs => RollingMinHash(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "xxhash64_seed", exprs =>
           org.apache.spark.sql.catalyst.expressions.XxHash64(
             exprs.init, exprs.last.eval(null).asInstanceOf[Number].longValue()),

@@ -80,6 +80,31 @@ object MultimodalQueries {
         .mapPartitions(_.map(r => FakeDecoder.decode(r.doc_id, r.media, r.media_type)))
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    /** Frame sampling: one row per sampled frame of each "video" payload
+      * (every 4th frame, deterministic) with its byte-range offsets — the
+      * shape a video-training pipeline feeds to a decoder fleet: the
+      * explode happens before the expensive per-frame work, so frames of
+      * one video fan out across tasks. Decode itself stays the stub. */
+    "m47_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val videos = documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+          lit("video").as("media_type"))
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the fake "video" modality
+        .as[MediaRecord]
+      videos
+        .mapPartitions(_.flatMap { r =>
+          val f = FakeDecoder.decode(r.doc_id, r.media, r.media_type)
+          val frameBytes = math.max(1L, f.byte_len / f.n_frames)
+          (0L until f.n_frames by 4).map { idx =>
+            (r.doc_id, idx, idx * frameBytes,
+              math.min(f.byte_len, (idx + 1) * frameBytes), f.width, f.height)
+          }
+        })
+        .toDF("doc_id", "frame_idx", "byte_start", "byte_end", "width", "height")
+        .orderBy("doc_id", "frame_idx")
     })
   )
 

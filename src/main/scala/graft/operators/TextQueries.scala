@@ -103,6 +103,22 @@ object TextQueries {
           substring(md5(col("text").cast("binary")), 1, 4).as("bucket"))
         .orderBy("doc_id")),
 
+    /** Rolling-hash document fingerprints (Rabin-Karp / winnowing style):
+      * min polynomial hash over 16-byte windows via the codegen'd
+      * rolling_min_hash expression, O(n) per doc, plus a bucket for
+      * grouping candidates. Rows-only (JVM-wraparound arithmetic isn't
+      * portable SQL); the spec pins collision semantics. */
+    "t66_fingerprint_rolling" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          call_function("rolling_min_hash", col("text"), lit(16)).as("rolling_fp"),
+          pmod(call_function("rolling_min_hash", col("text"), lit(16)), lit(1024L))
+            .as("fp_bucket"))
+        .orderBy("doc_id")
+    }),
+
     /** Corpus-level n-gram statistics: top-20 word bigrams. Explode is a
       * generator inside the scan stage; one shuffle for the count, then
       * TakeOrdered — linear in corpus size. */

@@ -86,6 +86,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("t66: rolling-hash fingerprints — equal texts collide, shared runs likely collide") {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.RollingMinHash
+    val a = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val b = "a different prefix here but jumps over the lazy dog and keeps running far away"
+    val c = "zqx wvu tsr qpo nml kji hgf edc ba nothing shared with the others at all!!"
+    def fp(s: String) = RollingMinHash.minHash(s.getBytes("UTF-8"), 16, 1000003L)
+    assert(fp(a) == fp(a)) // deterministic
+    // a and b share a long byte run → the min over windows is very likely shared
+    assert(fp(a) == fp(b) || {
+      // if the min window fell outside the shared run, at least SOME window hash is shared
+      val wins = (s: String) => (0 to s.length - 16)
+        .map(i => RollingMinHash.minHash(s.substring(i, i + 16).getBytes("UTF-8"), 16, 1000003L)).toSet
+      (wins(a) & wins(b)).nonEmpty
+    })
+    assert(fp(a) != fp(c))
+    // the query runs end-to-end with one row per doc
+    val out = SparkEntry.queries("t66_fingerprint_rolling")(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("m47: frame sampling emits every-4th-frame ranges for video payloads only") {
+    val frames = SparkEntry.queries("m47_frame_sample")(spark, sf).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getLong(0) % 3 == 2, "non-video doc sampled") // fake modality rule
+      assert(r.getLong(1) % 4 == 0, "frame index not on the sample grid")
+      assert(r.getLong(2) < r.getLong(3), "empty byte range")
+    }
+  }
+
   test("q65: approx percentiles within 1% relative error of exact") {
     val exact = SparkEntry.queries("q56_percentiles")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
