@@ -131,7 +131,23 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    "s53_label_centroids" -> labelCentroids
+    "s53_label_centroids" -> labelCentroids,
+
+    /** Vector norms & component stats — the normalization primitives an
+      * embedding pipeline applies before indexing, via the codegen'd
+      * dot_product expression + array higher-order functions. */
+    "s67_vector_norms" -> ((s, d) => {
+      VectorFunctions.register(s)
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          sqrt(call_function("dot_product", col("embedding"), col("embedding")))
+            .as("l2_norm"),
+          array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+            .as("max_abs_component"))
+        .orderBy("vec_id")
+    })
   )
 
   /** Per-label centroid in long form (label, dim, centroid_val, n) —
@@ -161,6 +177,12 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "s67_vector_norms" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2_norm,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs_component
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "s53_label_centroids" ->
       """WITH flat AS (
         |  SELECT label, CAST(g.i - 1 AS INTEGER) AS dim,
