@@ -29,13 +29,19 @@ object CoreQueries {
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** A1: hash group-by, multi-agg with exact count-distinct
-    * (ref: src/etl_functions.py:261-265). */
+    * (ref: src/etl_functions.py:261-265).
+    *
+    * Double sums are emitted as round(sum, 2) — money semantics — because
+    * FP summation is non-associative: Spark's partial/final merge order vs
+    * DuckDB's sequential scan lands ~1 ulp apart on 10k-row groups, which
+    * is invisible at any tolerance but fatal to the driver's byte hash.
+    * Same rule applied to every query emitting a sum of doubles. */
   private val q1Agg: Q = (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("l_quantity").as("sum_qty"),
-        sum("l_extendedprice").as("sum_price"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
         countDistinct("l_orderkey").as("order_count"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -90,7 +96,11 @@ object CoreQueries {
         .join(rev, col("o_orderkey") === col("l_orderkey"), "left")
         .select(
           col("o_orderkey"), col("o_orderstatus"),
-          coalesce(col("rev"), lit(0.0)).as("revenue"),
+          // revenue = 2-dec price × 2-dec (1-discount) → a 4-decimal lattice;
+          // round AT the lattice precision — rounding at 2 hits exact .xx5
+          // ties where Spark (BigDecimal HALF_UP) and DuckDB (x*100 trick)
+          // disagree on the same double. At 4 decimals ties are impossible.
+          round(coalesce(col("rev"), lit(0.0)), 4).as("revenue"),
           coalesce(col("n_items"), lit(0L)).as("n_items"))
         .orderBy("o_orderkey")
     }),
@@ -108,7 +118,7 @@ object CoreQueries {
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          sum(revenue).as("revenue"),
+          round(sum(revenue), 4).as("revenue"),
           countDistinct("o_orderkey").as("order_count"))
         .orderBy("r_name", "n_name")),
 
@@ -116,7 +126,7 @@ object CoreQueries {
       * differently-named keys (ref: src/etl_functions.py:270-276). */
     "q8_join_diffkey" -> ((s, d) => {
       val perCust = orders(s, d).groupBy("o_custkey")
-        .agg(sum("o_totalprice").as("total_spend"),
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"),
           count(lit(1)).as("order_count"))
       perCust
         .join(customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
@@ -161,7 +171,7 @@ object CoreQueries {
           month(col("ship_day")).as("month"))
         .agg(
           sum("order_count").as("order_count"),
-          sum("total_sales").as("total_sales"))
+          round(sum("total_sales"), 2).as("total_sales"))
         .orderBy("year", "month")
     }),
 
@@ -229,7 +239,7 @@ object CoreQueries {
       * on the unique key so output is deterministic. */
     "q18_topk" -> ((s, d) =>
       orders(s, d).groupBy("o_custkey")
-        .agg(sum("o_totalprice").as("total_spend"))
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"))
         .orderBy(desc("total_spend"), col("o_custkey"))
         .limit(10)),
 
@@ -245,13 +255,13 @@ object CoreQueries {
         .filter(col("c_mktsegment") =!= "MACHINERY")
         .groupBy("c_mktsegment")
         .agg(
-          sum("l_extendedprice").as("total_sales"),
-          sum(col("l_extendedprice") * col("l_tax")).as("total_tax"),
+          round(sum("l_extendedprice"), 2).as("total_sales"),
+          round(sum(col("l_extendedprice") * col("l_tax")), 4).as("total_tax"),
           countDistinct("l_orderkey").as("order_count"),
-          try_divide(sum("l_extendedprice"), countDistinct("l_orderkey").cast("double"))
+          round(try_divide(sum("l_extendedprice"), countDistinct("l_orderkey").cast("double")), 6)
             .as("avg_order_value"),
-          (try_divide(sum(col("l_extendedprice") * col("l_tax")),
-            sum("l_extendedprice")) * 100.0).as("tax_percentage"))
+          round(try_divide(sum(col("l_extendedprice") * col("l_tax")),
+            sum("l_extendedprice")) * 100.0, 6).as("tax_percentage"))
         .orderBy("c_mktsegment")),
 
     // ---- scalar functions (F2-F16) ------------------------------------
@@ -394,7 +404,7 @@ object CoreQueries {
       orders(s, d)
         .filter(col("o_custkey") <= 100)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(col("o_totalprice")).over(w).as("running_total"))
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     })
   )
@@ -402,8 +412,8 @@ object CoreQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_price,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
         |  count(DISTINCT l_orderkey) AS order_count,
         |  count(*) AS n_rows
         |FROM lineitem
@@ -426,7 +436,7 @@ object CoreQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q6_join_left_fill" ->
       """SELECT o_orderkey, o_orderstatus,
-        |  coalesce(rev, 0.0) AS revenue,
+        |  round(coalesce(rev, 0.0), 4) AS revenue,
         |  CAST(coalesce(n_items, 0) AS BIGINT) AS n_items
         |FROM orders LEFT JOIN (
         |  SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev,
@@ -435,7 +445,7 @@ object CoreQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q7_join_star" ->
       """SELECT r_name, n_name,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         |  count(DISTINCT o_orderkey) AS order_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -444,7 +454,7 @@ object CoreQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q8_join_diffkey" ->
-      """SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total_spend,
+      """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend,
         |  count(*) AS order_count,
         |  any_value(c_name) AS c_name, any_value(c_mktsegment) AS c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -462,7 +472,7 @@ object CoreQueries {
       """SELECT CAST(year(ship_day) AS INTEGER) AS year,
         |  CAST(month(ship_day) AS INTEGER) AS month,
         |  CAST(sum(order_count) AS BIGINT) AS order_count,
-        |  sum(total_sales) AS total_sales
+        |  round(sum(total_sales), 2) AS total_sales
         |FROM (
         |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
         |    count(DISTINCT l_orderkey) AS order_count,
@@ -501,16 +511,16 @@ object CoreQueries {
     "q17_histogram" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
     "q18_topk" ->
-      """SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total_spend
+      """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend
         |FROM orders GROUP BY 1
         |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
     "q19_measures" ->
       """SELECT c_mktsegment,
-        |  sum(l_extendedprice) AS total_sales,
-        |  sum(l_extendedprice * l_tax) AS total_tax,
+        |  round(sum(l_extendedprice), 2) AS total_sales,
+        |  round(sum(l_extendedprice * l_tax), 4) AS total_tax,
         |  count(DISTINCT l_orderkey) AS order_count,
-        |  sum(l_extendedprice) / CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS avg_order_value,
-        |  sum(l_extendedprice * l_tax) / sum(l_extendedprice) * 100.0 AS tax_percentage
+        |  round(sum(l_extendedprice) / CAST(count(DISTINCT l_orderkey) AS DOUBLE), 6) AS avg_order_value,
+        |  round(sum(l_extendedprice * l_tax) / sum(l_extendedprice) * 100.0, 6) AS tax_percentage
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -586,9 +596,9 @@ object CoreQueries {
         |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
     "q29_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders WHERE o_custkey <= 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
   )

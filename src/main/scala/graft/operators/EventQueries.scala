@@ -37,7 +37,7 @@ object EventQueries {
     "q31_time_window" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
         .select(
           col("w.start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
@@ -60,7 +60,7 @@ object EventQueries {
         .groupBy("user_id", "session_id")
         .agg(
           count(lit(1)).as("n_events"),
-          sum("value").as("session_value"),
+          round(sum("value"), 4).as("session_value"),
           min("ts").as("session_start"),
           max("ts").as("session_end"))
         .orderBy("user_id", "session_id")
@@ -73,7 +73,7 @@ object EventQueries {
         .cube("l_returnflag", "l_linestatus")
         .agg(
           grouping_id().cast("long").as("gid"),
-          sum("l_quantity").as("sum_qty"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("gid"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
@@ -84,7 +84,7 @@ object EventQueries {
         .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
           col("o_totalprice"))
         .rollup("y", "m")
-        .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"))
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
         .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)),
 
     /** PIVOT: hourly activity matrix, one column per event type (fixed
@@ -143,7 +143,7 @@ object EventQueries {
       events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .withColumn("n_recent", count(lit(1)).over(w))
-        .withColumn("recent_value", sum("value").over(w))
+        .withColumn("recent_value", round(sum("value").over(w), 4))
         .orderBy("event_id")
     }),
 
@@ -170,7 +170,8 @@ object EventQueries {
       orders(s, d)
         .crossJoin(broadcast(avgPrice))
         .filter(col("o_totalprice") > col("avg_price"))
-        .select("o_orderkey", "o_totalprice", "avg_price")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("avg_price"), 6).as("avg_price"))
         .orderBy("o_orderkey")
     })
   )
@@ -184,7 +185,7 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_time_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n, sum(value) AS total_value
+        |  count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q32_sessionize" ->
       """WITH marked AS (
@@ -200,13 +201,13 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events, sum(value) AS session_value,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q47_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q48_rollup_op" ->
@@ -214,7 +215,7 @@ object EventQueries {
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
         |    CAST(month(o_orderdate) AS INTEGER) AS m, o_totalprice
         |  FROM orders)
-        |SELECT y, m, CAST(sum(o_totalprice) AS DOUBLE) AS total, count(*) AS n
+        |SELECT y, m, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total, count(*) AS n
         |FROM t GROUP BY ROLLUP (y, m)
         |ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin,
     "q49_pivot" ->
@@ -236,7 +237,7 @@ object EventQueries {
     "q54_range_window" ->
       """SELECT event_id, user_id, ts, value,
         |  count(*) OVER w AS n_recent,
-        |  sum(value) OVER w AS recent_value
+        |  round(sum(value) OVER w, 4) AS recent_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -260,7 +261,7 @@ object EventQueries {
         |ORDER BY hour_of_day, event_type""".stripMargin,
     "q55_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice,
-        |  (SELECT avg(o_totalprice) FROM orders) AS avg_price
+        |  round((SELECT avg(o_totalprice) FROM orders), 6) AS avg_price
         |FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin

@@ -42,16 +42,18 @@ object FunctionQueries {
         .orderBy("l_returnflag")),
 
     /** Statistical aggregates: sample stddev/variance, correlation,
-      * covariance. */
+      * covariance. Emitted rounded to 6 places — moment-merge order differs
+      * between Spark's partial aggregation and DuckDB's scan, so raw
+      * doubles land ulps apart (same portability rule as the money sums). */
     "q57_stats" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_linestatus")
         .agg(
-          stddev_samp(col("l_extendedprice")).as("sd_price"),
-          var_samp(col("l_quantity")).as("var_qty"),
-          corr(col("l_extendedprice"), col("l_quantity")).as("corr_price_qty"),
-          covar_samp(col("l_extendedprice"), col("l_discount")).as("cov_price_disc"),
-          avg("l_tax").as("avg_tax"))
+          round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_price_qty"),
+          round(covar_samp(col("l_extendedprice"), col("l_discount")), 6).as("cov_price_disc"),
+          round(avg("l_tax"), 6).as("avg_tax"))
         .orderBy("l_linestatus")),
 
     /** String function suite + levenshtein edit distance (the fuzzy-match
@@ -125,11 +127,11 @@ object FunctionQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_stats" ->
       """SELECT l_linestatus,
-        |  stddev_samp(l_extendedprice) AS sd_price,
-        |  var_samp(l_quantity) AS var_qty,
-        |  corr(l_extendedprice, l_quantity) AS corr_price_qty,
-        |  covar_samp(l_extendedprice, l_discount) AS cov_price_disc,
-        |  avg(l_tax) AS avg_tax
+        |  round(stddev_samp(l_extendedprice), 6) AS sd_price,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+        |  round(covar_samp(l_extendedprice, l_discount), 6) AS cov_price_disc,
+        |  round(avg(l_tax), 6) AS avg_tax
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_strings" ->
       """SELECT c_custkey,

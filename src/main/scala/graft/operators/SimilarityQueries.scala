@@ -159,7 +159,7 @@ object SimilarityQueries {
       .select(col("label"), posexplode(col("embedding")))
       .toDF("label", "dim", "v")
       .groupBy("label", "dim")
-      .agg(avg(col("v").cast("double")).as("centroid_val"), count(lit(1)).as("n"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
   val oracleSql: Map[String, String] = Map(
@@ -189,7 +189,7 @@ object SimilarityQueries {
         |    CAST(embedding[g.i] AS DOUBLE) AS v
         |  FROM embeddings
         |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(i))
-        |SELECT label, dim, avg(v) AS centroid_val, count(*) AS n
+        |SELECT label, dim, round(avg(v), 6) AS centroid_val, count(*) AS n
         |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
