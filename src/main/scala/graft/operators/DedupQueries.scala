@@ -98,15 +98,24 @@ object DedupQueries {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** doc_id + 64-bit simhash over term-frequency-weighted token hashes. */
+  /** Signature width: 60 bits = top 15 hex digits of md5(token). The token
+    * hash is md5-derived (not xxhash64) so the DuckDB oracle can compute
+    * the *identical* integer — seeded xxhash64 has no DuckDB equivalent,
+    * and 15 digits keep the value positive in a signed 64-bit lane on both
+    * engines. Any uniform 64-bit-ish hash serves simhash equally. */
+  private[graft] val SimhashBits = 60
+  private[graft] val SimhashBlocks = 4 // pigeonhole: hamming<=3 => some 15-bit block equal
+
+  /** doc_id + 60-bit simhash over term-frequency-weighted token hashes. */
   private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h",
+        conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -155,14 +164,15 @@ object DedupQueries {
         .orderBy("doc1", "doc2")
     }),
 
-    /** SimHash near-dup: 64-bit fingerprints, candidates via 4×16-bit
+    /** SimHash near-dup: 60-bit fingerprints, candidates via 4×15-bit
       * pigeonhole blocks (any pair within hamming ≤ 3 shares a block),
-      * verified with bit_count(xor). Rows-only + spec-tested. */
+      * verified with bit_count(xor). Oracle recomputes signatures all-pairs
+      * in DuckDB — same md5-derived token hash, identical output. */
     "d40_dedup_simhash" -> ((s, d) => {
       val sigs = simhashSignatures(s, d)
       val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(
-        array((0 until 4).map(bl =>
-          shiftright(col("sig"), bl * 16).bitwiseAND(0xFFFFL)): _*)))
+        array((0 until SimhashBlocks).map(bl =>
+          shiftright(col("sig"), bl * 15).bitwiseAND(0x7FFFL)): _*)))
         .toDF("doc_id", "sig", "block", "block_val")
       val cand = blocks.toDF("id1", "sig1", "block", "block_val")
         .join(blocks.toDF("id2", "sig2", "block", "block_val"), Seq("block", "block_val"))
@@ -256,7 +266,39 @@ object DedupQueries {
     })
   )
 
+  /** DuckDB replica of the 60-bit simhash pipeline: same md5-prefix token
+    * hash, same ±1 bit sums, all-pairs hamming filter (equivalent output —
+    * the Spark side's pigeonhole blocking is exact for hamming ≤ 3). */
+  private def simhashOracle: String = {
+    val bitCols = (0 until SimhashBits)
+      .map(i => s"sum(CASE WHEN ((hv >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val sigExpr = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 15), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5(token), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+       |        << CAST(4 * (14 - i) AS INTEGER))) AS BIGINT) AS hv
+       |  FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitCols
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM bits)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d40_dedup_simhash" -> simhashOracle,
     "d37_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -106,8 +106,9 @@ object TextQueries {
     /** Rolling-hash document fingerprints (Rabin-Karp / winnowing style):
       * min polynomial hash over 16-byte windows via the codegen'd
       * rolling_min_hash expression, O(n) per doc, plus a bucket for
-      * grouping candidates. Rows-only (JVM-wraparound arithmetic isn't
-      * portable SQL); the spec pins collision semantics. */
+      * grouping candidates. The DuckDB oracle emulates the JVM's mod-2^64
+      * wraparound with HUGEINT (see [[rollingOracle]]); the spec
+      * additionally pins collision semantics. */
     "t66_fingerprint_rolling" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       documents(s, d)
@@ -159,12 +160,55 @@ object TextQueries {
     })
   )
 
+  /** DuckDB replica of [[graft.functions.RollingMinHash]]: min over all
+    * 16-byte windows of the polynomial hash Σ byte·Base^(w-1-j) mod 2^64,
+    * signed-Long min. JVM wraparound is emulated with HUGEINT (% 2^64 then
+    * re-signed); bytes come from hex(encode(text)) so multi-byte UTF-8
+    * matches the expression's byte-level view. Wrapped powers Base^t are
+    * precomputed here and inlined as unsigned literals. */
+  private def rollingOracle: String = {
+    val base = 1000003L
+    val pows = Iterator.iterate(1L)(_ * base).take(16).toSeq // Base^0..Base^15, JVM-wrapped
+    val powList = pows.map(java.lang.Long.toUnsignedString).map(p => s"CAST('$p' AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s"""WITH raw AS (
+       |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents),
+       |bts AS (
+       |  SELECT doc_id, n,
+       |    CAST(least(16, greatest(n, 1)) AS INTEGER) AS w,
+       |    list_transform(range(0, n), p ->
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2 * p + 1 AS INTEGER), 1)) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2 * p + 2 AS INTEGER), 1)) - 1)) AS bl
+       |  FROM raw),
+       |wins AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(0, w), j ->
+       |      CAST(bl[CAST(i + j + 1 AS INTEGER)] AS HUGEINT) *
+       |        ($powList)[CAST(w - j AS INTEGER)])) % $two64 AS hv
+       |  FROM bts CROSS JOIN unnest(generate_series(0, n - w)) AS g(i)
+       |  WHERE n > 0),
+       |fp AS (
+       |  SELECT doc_id,
+       |    min(CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+       |             THEN hv - $two64 ELSE hv END AS BIGINT)) AS rolling_fp
+       |  FROM wins GROUP BY doc_id
+       |  UNION ALL
+       |  SELECT doc_id, 0 AS rolling_fp FROM raw WHERE n = 0)
+       |SELECT doc_id, rolling_fp,
+       |  ((rolling_fp % 1024) + 1024) % 1024 AS fp_bucket
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
   private def duckMarkerCount(markers: Seq[String]): String = {
     val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> list_contains($lst, t)))"
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t66_fingerprint_rolling" -> rollingOracle,
     "t33_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
