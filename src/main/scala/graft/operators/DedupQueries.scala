@@ -252,17 +252,28 @@ object DedupQueries {
     }),
 
     /** Embedding-cosine near-dup pairs (≥ 0.4 on this synthetic data; the
-      * threshold is a parameter). Exact all-pairs with the codegen'd
-      * cosine expression — the LSH-bucketed scale path is s43_ann_lsh. */
+      * threshold is a parameter). Hybrid, mirroring d62's union-find gate:
+      * corpora at or below `spark.graft.dedup.embedding.exactLimit`
+      * (default 10k vectors → ≤5·10⁷ pair evaluations) use the exact
+      * all-pairs join — oracle-identical output; larger corpora switch to
+      * the banded random-hyperplane LSH prefilter + exact-cosine verify
+      * (same machinery family as s43), whose plan has no O(n²) join:
+      * candidates come from an equi-join on (band, band_val). Precision
+      * stays 1.0 (every candidate is exactly verified); recall is the LSH
+      * banding bound — ≥ 1-(1-(1-θ/π)⁴)⁸, e.g. ≈0.998 at cosine 0.9. */
     "d41_dedup_embedding" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
-      val e1 = embeddings(s, d).select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      val e2 = embeddings(s, d).select(col("vec_id").as("id2"), col("embedding").as("v2"))
-      e1.join(e2, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
-        .filter(col("cosine") >= 0.4)
-        .orderBy("id1", "id2")
+      val limit = s.conf.get("spark.graft.dedup.embedding.exactLimit",
+        ExactPairLimit.toString).toLong
+      val pairs =
+        if (embeddings(s, d).count() <= limit) {
+          val e1 = embeddings(s, d).select(col("vec_id").as("id1"), col("embedding").as("v1"))
+          val e2 = embeddings(s, d).select(col("vec_id").as("id2"), col("embedding").as("v2"))
+          e1.join(e2, col("id1") < col("id2"))
+            .select(col("id1"), col("id2"),
+              call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
+        } else embeddingPairsLsh(s, d)
+      pairs.filter(col("cosine") >= 0.4).orderBy("id1", "id2")
     })
   )
 
@@ -295,6 +306,48 @@ object DedupQueries {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
        |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  /** Exact-vs-LSH gate for d41: at 10k vectors the all-pairs join evaluates
+    * 5·10⁷ cosines (fine on one executor wave); past it the quadratic term
+    * dominates and the banded prefilter takes over. */
+  private val ExactPairLimit = 10000L
+  private val DedupPlanes = 32
+  private val DedupBandBits = 4
+  private val DedupBands = DedupPlanes / DedupBandBits // 8 bands of 4 sign bits
+
+  /** Deterministic hyperplanes for the dedup LSH tier (seed-offset from the
+    * s43 family so the two indexes are independent). */
+  private lazy val dedupPlanes: Array[Array[Double]] =
+    Array.tabulate(DedupPlanes, 64)((p, i) =>
+      splitmix64(4096L + p * 64L + i).toDouble / Long.MaxValue.toDouble)
+
+  /** LSH-prefiltered near-dup candidate pairs with exact cosine attached:
+    * sign-bit signatures over 32 hyperplanes, candidates share any of 8
+    * 4-bit bands (equi-join — no nested loop), then the codegen'd
+    * cosine_sim verifies each candidate exactly. */
+  private def embeddingPairsLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bandCols = (0 until DedupBands).map { b =>
+      (0 until DedupBandBits).map { r =>
+        val p = b * DedupBandBits + r
+        val dot = aggregate(
+          zip_with(col("embedding"), array(dedupPlanes(p).map(lit): _*),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0.0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+    }
+    val banded = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))
+      .toDF("vec_id", "embedding", "band", "band_val")
+    banded.toDF("id1", "v1", "band", "band_val")
+      .join(banded.toDF("id2", "v2", "band", "band_val"), Seq("band", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"),
+        call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
   }
 
   val oracleSql: Map[String, String] = Map(

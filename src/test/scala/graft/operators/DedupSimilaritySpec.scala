@@ -47,6 +47,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L), "unrelated doc must not pair")
   }
 
+  test("d41: above the exact-pair gate the LSH path runs quadratic-free with precision 1.0") {
+    // exact tier (default gate: corpus ≤ 10k vectors uses all-pairs)
+    val exact = SparkEntry.queries("d41_dedup_embedding")(spark, sf)
+      .select("id1", "id2", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // force the scale tier by dropping the gate below the corpus size
+    spark.conf.set("spark.graft.dedup.embedding.exactLimit", "1")
+    try {
+      val df = SparkEntry.queries("d41_dedup_embedding")(spark, sf)
+      df.collect() // materialize so the executed plan is final
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"LSH tier must not contain an O(n^2) join:\n$plan")
+      val lsh = df.select("id1", "id2", "cosine").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // precision 1.0 with identical exact cosines: every LSH pair is a true pair
+      lsh.foreach { case (k, c) =>
+        assert(exact.contains(k), s"LSH emitted non-pair $k")
+        assert(math.abs(exact(k) - c) < 1e-12)
+      }
+      // identical vectors share every band deterministically → any exact
+      // duplicate pair in the corpus must be recalled; also demand nonzero
+      // overall recall so the tier isn't vacuously precise
+      assert(lsh.nonEmpty && exact.nonEmpty)
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall $recall collapsed (missed ${exact.keySet -- lsh.keySet})")
+    } finally spark.conf.unset("spark.graft.dedup.embedding.exactLimit")
+  }
+
   test("cosine_sim expression matches manual computation and handles zero vectors") {
     graft.functions.VectorFunctions.register(spark)
     val df = Seq(
