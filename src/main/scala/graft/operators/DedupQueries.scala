@@ -49,15 +49,40 @@ object DedupQueries {
     * more than the count-based aggregation. On a natural-text corpus with
     * zipfian shingle frequencies the prefix variant wins; it should be
     * selected by a corpus-statistics heuristic (distinct-shingle ratio),
-    * not unconditionally. */
+    * not unconditionally.
+    *
+    * Hot-shingle guard: a corpus-frequent shingle (df docs carrying it)
+    * contributes df² co-shingle rows that land in ONE task of the
+    * self-join — the skew killer at web scale, where stopword 3-grams
+    * reach df ~10⁶. Shingles with df above
+    * `spark.graft.dedup.jaccard.hotShingleDf` (default 1000) are routed
+    * through a salted join (`spark.graft.dedup.jaccard.salts` tasks per
+    * shingle, default 16) so the inherent quadratic work spreads instead
+    * of serializing; the salt only routes rows, output is identical. The
+    * hot set is ≤ |shingle rows|/df — a zipfian head, always
+    * broadcastable. */
+  private[graft] val HotShingleDfConf = "spark.graft.dedup.jaccard.hotShingleDf"
+  private[graft] val JaccardSaltsConf = "spark.graft.dedup.jaccard.salts"
+
   private def jaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
+    val hotDf = s.conf.get(HotShingleDfConf, "1000").toLong
+    val nSalt = s.conf.get(JaccardSaltsConf, "16").toInt
     val sh = shingleRows(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id1", "shingle")
       .join(broadcast(sizes.toDF("id1", "sz1")), "id1")
     val b = sh.toDF("id2", "shingle")
       .join(broadcast(sizes.toDF("id2", "sz2")), "id2")
-    val inter = a.join(b, "shingle")
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf).select("shingle")
+    val cold = a.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .join(b.join(broadcast(hot), Seq("shingle"), "left_anti"), "shingle")
+    val aHot = a.join(broadcast(hot), Seq("shingle"), "left_semi")
+      .withColumn("__salt", pmod(xxhash64(col("id1")), lit(nSalt.toLong)))
+    val bHot = b.join(broadcast(hot), Seq("shingle"), "left_semi")
+      .withColumn("__salt", explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+    val hotPairs = aHot.join(bHot, Seq("shingle", "__salt")).drop("__salt")
+    val inter = cold.unionByName(hotPairs)
       .filter(col("id1") < col("id2") &&
         col("sz1") >= col("sz2") * minJac && col("sz2") >= col("sz1") * minJac)
       .groupBy("id1", "id2", "sz1", "sz2").agg(count(lit(1)).as("n_common"))

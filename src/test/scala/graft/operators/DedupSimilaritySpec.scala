@@ -47,6 +47,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L), "unrelated doc must not pair")
   }
 
+  test("d38: hot-shingle guard salts frequent shingles without changing output") {
+    // 120 docs share one 3-gram ("alpha beta gamma"); each doc also has
+    // unique shingles so sizes differ and real pairs exist among clones
+    val docs = (0L until 120L).map { i =>
+      val uniq = if (i < 60) s"clone body text shared tail run $i" // near-dups in pairs
+      else s"totally distinct payload ${i}a ${i}b ${i}c ${i}d"
+      (i, s"alpha beta gamma $uniq")
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("hotshingle").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def run() = SparkEntry.queries("d38_dedup_jaccard")(spark, tmp)
+    // baseline: guard disabled (threshold above any df)
+    spark.conf.set("spark.graft.dedup.jaccard.hotShingleDf", "1000000")
+    val plain = run().collect().map(_.toSeq).toSet
+    // guard active: the shared shingle (df=120) is salted across 4 tasks
+    spark.conf.set("spark.graft.dedup.jaccard.hotShingleDf", "50")
+    spark.conf.set("spark.graft.dedup.jaccard.salts", "4")
+    try {
+      val guarded = run()
+      val got = guarded.collect().map(_.toSeq).toSet
+      assert(got == plain, "salting changed the Jaccard output")
+      assert(got.nonEmpty, "crafted corpus should contain near-dup pairs")
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), "hot branch did not take the salted join:\n" + plan)
+      // routing bound: hash(id1) spreads the hot shingle's 120 index rows
+      // over the 4 salt buckets — no bucket may hoard the quadratic work
+      val perSalt = docs.select(pmod(xxhash64(col("doc_id")), lit(4L)).as("s"))
+        .groupBy("s").count().collect().map(_.getLong(1))
+      assert(perSalt.length == 4 && perSalt.max <= (120 * 0.6).toLong,
+        s"salt routing degenerate: ${perSalt.mkString(",")}")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.jaccard.hotShingleDf")
+      spark.conf.unset("spark.graft.dedup.jaccard.salts")
+    }
+  }
+
   test("d41: above the exact-pair gate the LSH path runs quadratic-free with precision 1.0") {
     // exact tier (default gate: corpus ≤ 10k vectors uses all-pairs)
     val exact = SparkEntry.queries("d41_dedup_embedding")(spark, sf)
