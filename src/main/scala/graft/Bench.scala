@@ -51,13 +51,14 @@ object Bench {
     }
 
     // ETL end-to-end on the reference's own raw data (the BASELINE.md
-    // 0.255 s row): extract → transform → model → aggregate → export all
-    // 28 files, measured as one wall-clock unit.
+    // 0.255 s row): extract → transform → model → aggregate → export every
+    // transformed table, measured as one wall-clock unit. Reported under
+    // its own key, NOT inside "queries", so value == sum(queries) holds.
     val etlSecs = {
+      val etlOut = java.nio.file.Files.createTempDirectory("graft_bench_etl")
       val t0 = System.nanoTime()
-      try {
-        graft.etl.Pipeline.run(spark, "/root/reference/data/raw",
-          s"/tmp/graft_bench_etl_${System.nanoTime()}") match {
+      val secs = try {
+        graft.etl.Pipeline.run(spark, "/root/reference/data/raw", etlOut.toString) match {
           case Left(err) => System.err.println(s"[bench] etl failed: $err"); -1.0
           case Right(_) => (System.nanoTime() - t0) / 1e9
         }
@@ -65,13 +66,19 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] etl failed: ${e.getMessage}"); -1.0
       }
+      // clean up the throwaway output tree
+      try {
+        java.nio.file.Files.walk(etlOut)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      secs
     }
 
-    val all = results :+ ("etl_pipeline_golden" -> etlSecs)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"etl_pipeline_golden_sec":$etlSecs%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

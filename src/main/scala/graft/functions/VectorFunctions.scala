@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
 sealed trait VectorPairExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  /** Malformed pairs (length mismatch) and null array slots yield NULL
+    * rather than a plausible-but-wrong score from silent truncation —
+    * mirroring DuckDB's list_cosine_similarity, which errors on mismatch.
+    * Parquet reads arrays as containsNull=true even for dense data, so
+    * null slots are a runtime check, not a type rejection. */
+  override def nullable: Boolean = true
+
   protected def elemIsFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -44,18 +51,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-    if (elemIsFloat) {
-      while (i < n) {
-        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
-        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
-      }
-    } else {
-      while (i < n) {
-        val xi = x.getDouble(i); val yi = y.getDouble(i)
-        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
-      }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (elemIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
   }
@@ -67,14 +70,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.$get($i);
-         |  double $yi = (double) $y.$get($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = (double) $x.$get($i);
+         |    double $yi = (double) $y.$get($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+         |  }
          |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
        """.stripMargin
     })
   }
@@ -90,12 +100,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
-    if (elemIsFloat) {
-      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot +=
+        (if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)) *
+        (if (elemIsFloat) y.getFloat(i).toDouble else y.getDouble(i))
+      i += 1
     }
     dot
   }
@@ -105,12 +118,17 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $x.$get($i) * (double) $y.$get($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += (double) $x.$get($i) * (double) $y.$get($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
   }
@@ -120,30 +138,28 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  @volatile private var registered: Set[SparkSession] = Set.empty
 
-  /** Idempotently register the vector expressions with the session's
-    * function registry so they're callable from both the Column DSL
-    * (via call_function) and plain SQL. */
-  def register(spark: SparkSession): Unit = synchronized {
-    if (!registered.contains(spark)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-      // xxhash64 with an explicit seed (the functions._ wrapper pins seed
-      // 42); the seed argument must be a foldable literal. Used for the
-      // MinHash permutation family — ANSI-safe, unlike affine (a*h+b)
-      // permutations which overflow LongType under ANSI mode.
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "rolling_min_hash", exprs => RollingMinHash(exprs(0), exprs(1)), "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "xxhash64_seed", exprs =>
-          org.apache.spark.sql.catalyst.expressions.XxHash64(
-            exprs.init, exprs.last.eval(null).asInstanceOf[Number].longValue()),
-        "built-in")
-      registered += spark
-    }
+  /** Register the vector expressions with the session's function registry
+    * so they're callable from both the Column DSL (via call_function) and
+    * plain SQL. createOrReplaceTempFunction is itself idempotent (a map
+    * put), so no caching — a session cache would pin SparkSessions
+    * strongly for the JVM's lifetime. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // xxhash64 with an explicit seed (the functions._ wrapper pins seed
+    // 42); the seed argument must be a foldable literal. Used for the
+    // MinHash permutation family — ANSI-safe, unlike affine (a*h+b)
+    // permutations which overflow LongType under ANSI mode.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_min_hash", exprs => RollingMinHash(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xxhash64_seed", exprs =>
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          exprs.init, exprs.last.eval(null).asInstanceOf[Number].longValue()),
+      "built-in")
   }
 
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {

@@ -226,11 +226,17 @@ object DedupQueries {
           // the edge list and run exact union-find on the driver (the
           // labels, not the documents, come to the driver — ~16 B/pair)
           val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+          pairs.unpersist()
           val parent = scala.collection.mutable.Map[Long, Long]()
-          def find(x: Long): Long = {
-            val p = parent.getOrElse(x, x)
-            if (p == x) x
-            else { val r = find(p); parent(x) = r; r }
+          // iterative find with full path compression — union-by-min can
+          // build long parent chains on adversarial edge orders near the
+          // 1M-pair threshold, and recursion would overflow the stack
+          def find(x0: Long): Long = {
+            var r = x0
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var x = x0
+            while (parent.getOrElse(x, x) != x) { val nx = parent(x); parent(x) = r; x = nx }
+            r
           }
           edges.foreach { case (a, b) =>
             val (ra, rb) = (find(a), find(b))
@@ -267,6 +273,10 @@ object DedupQueries {
             converged = changed == 0
             iter += 1
           }
+          // labels is materialized (the convergence count ran it); edges
+          // and pairs can recompute from lineage if evicted
+          edges.unpersist()
+          pairs.unpersist()
           labels
         }
       labeled

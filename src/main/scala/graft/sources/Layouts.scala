@@ -23,12 +23,17 @@ object Layouts {
     * deterministic-per-row salt in [0, n); the right side is replicated n
     * times, one copy per salt value, and the join key becomes (key, salt).
     * Hot keys spread across n reducers instead of one. Result is
-    * row-identical to the plain join for any salt assignment — the salt
-    * only routes rows. (AQE skew-join handles most cases automatically;
-    * this is the explicit tool for when it can't, e.g. a skewed aggregate
-    * above the join.) */
+    * row-identical to the plain join for inner and left joins — the salt
+    * only routes rows. Right/full outer are rejected: every unmatched
+    * right row would surface once per replica. (AQE skew-join handles
+    * most cases automatically; this is the explicit tool for when it
+    * can't, e.g. a skewed aggregate above the join.) */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, n: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter").contains(
+      joinType.toLowerCase.replaceAll("[_ ]", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(right/full would replicate unmatched right rows n times)")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(n.toLong)))
     val replicated = right.withColumn("__salt",

@@ -95,14 +95,23 @@ object EventStream {
                   closed += emit(s)
                   cur = Some(SessState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(s.copy(lastMs = t, n = s.n + 1, total = s.total + e.value))
+                  // a straggler from an earlier micro-batch can arrive with
+                  // t below the open session's bounds (the 2h watermark
+                  // admits it); merge by min/max so session_end never
+                  // regresses and session_start covers the straggler
+                  cur = Some(s.copy(startMs = math.min(t, s.startMs),
+                    lastMs = math.max(t, s.lastMs), n = s.n + 1, total = s.total + e.value))
                 case None =>
                   cur = Some(SessState(t, t, 1, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // clamp: a timeout at/below the current watermark throws and
+              // kills the query (possible when lastMs+gap lags the
+              // watermark after a merge of late data)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.lastMs + gapMs))
             }
             closed.result().iterator
           }

@@ -128,6 +128,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(1) == 0.0)
     assert(got(2) == 0.0) // zero-norm convention
     assert(math.abs(got(3) - 1.0 / math.sqrt(2)) < 1e-12)
+    // malformed input: length mismatch and null slots yield NULL, not a
+    // silently-truncated score (DuckDB's list_cosine_similarity errors)
+    val bad = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))),
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(
+        call_function("cosine_sim", col("a"), col("b")).as("c"),
+        call_function("dot_product", col("a"), col("b")).as("d"))
+      .collect()
+    bad.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1), s"expected nulls, got $r") }
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.sources.Layouts.saltedJoin(df, df, "k", "k", 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Layouts.saltedJoin(df, df, "k", "k", 4, "full_outer")
+    }
   }
 
   test("s43/s44: approximate ANN neighbors are a subset of the corpus with exact scores") {
