@@ -19,10 +19,12 @@ object Pipeline {
       Result(star, aggs)
     }
 
-  /** Build + write all 28 files (14 CSV + 14 Parquet). */
+  /** Build + write every table as CSV + Parquet, plus the S9 instructions
+    * side output (`reports/dashboard/power_bi_instructions.md`). */
   def run(spark: SparkSession, rawPath: String, outDir: String): Either[String, Result] =
     build(spark, rawPath).map { r =>
       Load.writeAll(r.star, r.aggs, outDir)
+      Instructions.write(outDir)
       r
     }
 
