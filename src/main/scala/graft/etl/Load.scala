@@ -37,21 +37,28 @@ object Load {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    // the fact feeds 7 of the 14 outputs (itself + 6 aggregates) and each
-    // CSV+parquet pair re-executes its plan — cache it once for the export
-    star.factSales.persist()
+    // the fact feeds 7 of the outputs (itself + 6 aggregates) and each
+    // CSV+parquet pair re-executes its plan — cache it once for the
+    // export, and MATERIALIZE before the parallel writers launch:
+    // persist() alone is lazy, so the concurrent futures would race to
+    // compute the same cached partitions and duplicate the work
+    star.factSales.persist().count()
     try {
       // independent output tables write concurrently; Spark schedules the
-      // jobs side by side (28 tiny jobs serially = pure scheduling latency)
+      // jobs side by side (26 tiny jobs serially = pure scheduling latency)
       val jobs = allTables(star, aggs).toSeq.map { case (name, df) =>
         Future {
-          val ordered = df.orderBy(sortKeys(name).map(col): _*).coalesce(1)
-          ordered.write.mode("overwrite").option("header", "true")
-            // default CSV writer prints ms precision; golden carries ns
-            // (we keep µs — the max Spark holds)
-            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .csv(s"$outDir/csv/$name")
-          ordered.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
+          // cache the sorted single-partition form so the CSV and parquet
+          // writers don't each re-run the table's plan + sort
+          val ordered = df.orderBy(sortKeys(name).map(col): _*).coalesce(1).persist()
+          try {
+            ordered.write.mode("overwrite").option("header", "true")
+              // default CSV writer prints ms precision; golden carries ns
+              // (we keep µs — the max Spark holds)
+              .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .csv(s"$outDir/csv/$name")
+            ordered.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
+          } finally ordered.unpersist()
         }
       }
       Await.result(Future.sequence(jobs), Duration.Inf)

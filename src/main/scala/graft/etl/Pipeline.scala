@@ -40,11 +40,15 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
     Pipeline.run(spark, rawPath, outDir) match {
       case Left(err) => System.err.println(s"pipeline failed: $err"); sys.exit(1)
       case Right(r) =>
+        // in-process ETL seconds (extract→export), excluding JVM/session
+        // startup — the number comparable across engines at scale
+        val runSecs = (System.nanoTime() - t0) / 1e9
         val report = Quality.check(r.star, r.aggs)
-        println(s"pipeline ok=${report.ok} fk=${report.fkViolations} " +
+        println(f"pipeline ok=${report.ok} run_sec=$runSecs%.2f fk=${report.fkViolations} " +
           s"nulls=${report.nullCounts} fact=${report.factTotalSales} agg=${report.aggTotalSales}")
     }
     spark.stop()

@@ -16,7 +16,12 @@ object Quality {
       aggTotalSales: Double) {
     def fkOk: Boolean = fkViolations.values.forall(_ == 0L)
     def nullsOk: Boolean = nullCounts.values.forall(_ == 0L)
-    def reconciled: Boolean = math.abs(factTotalSales - aggTotalSales) < 1e-6
+    // np.isclose semantics (the notebook's comparison): rtol 1e-5 + atol
+    // 1e-8. An absolute epsilon is wrong here — the aggregate rounds each
+    // group to cents, so fact-vs-agg drift grows with group count and
+    // total magnitude (observed ~0.7 on a 1.6e8 total at 1000x scale).
+    def reconciled: Boolean =
+      math.abs(factTotalSales - aggTotalSales) <= 1e-8 + 1e-5 * math.abs(aggTotalSales)
     def ok: Boolean = fkOk && nullsOk && reconciled
   }
 

@@ -87,14 +87,21 @@ object Transform {
       reviews = parseDates(raw.reviews, Schemas.dateColumns("reviews")),
       categoryTranslation = raw.categoryTranslation)
 
-    val imputed = RawTables(
-      customers = impute(parsed.customers),
-      orders = impute(parsed.orders),
-      orderItems = impute(parsed.orderItems),
-      products = impute(parsed.products),
-      sellers = impute(parsed.sellers),
-      reviews = impute(parsed.reviews),
-      categoryTranslation = parsed.categoryTranslation.map(impute))
+    // each impute() ends in a one-row median collect — an independent
+    // driver barrier per table. Run them concurrently so the wall cost is
+    // the slowest table's median job, not the sum of seven
+    val imputed = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val Seq(cus, ord, oit, prd, sel, rev) = Await.result(
+        Future.sequence(Seq(
+          parsed.customers, parsed.orders, parsed.orderItems,
+          parsed.products, parsed.sellers, parsed.reviews).map(t => Future(impute(t)))),
+        Duration.Inf)
+      RawTables(cus, ord, oit, prd, sel, rev,
+        categoryTranslation = parsed.categoryTranslation.map(impute))
+    }
 
     val withDerived = imputed.copy(orders = deriveOrderColumns(imputed.orders))
 
