@@ -156,6 +156,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_min_hash", exprs => RollingMinHash(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "xxhash64_seed", exprs =>
         org.apache.spark.sql.catalyst.expressions.XxHash64(
           exprs.init, exprs.last.eval(null).asInstanceOf[Number].longValue()),

@@ -107,18 +107,19 @@ object DedupQueries {
     z ^ (z >>> 31)
   }
 
-  /** doc_id + minhash signature array (length NumPerms). One aggregation
-    * pass: NumPerms independently-seeded xxhash64 values per shingle,
-    * min-reduced per doc. Seeds come from splitmix64 so the family is
-    * deterministic across runs and engines. */
+  /** doc_id + minhash signature array (length NumPerms), via the
+    * [[graft.functions.MinHashSignature]] expression: collect the doc's
+    * distinct shingles (one shuffle, same as the min-agg shape) and
+    * compute the whole signature in one projection — each shingle is
+    * string-hashed ONCE and the 48 permutation values derive from cheap
+    * integer mixes, vs 48 full string hashes per shingle in the
+    * aggregate-per-permutation formulation (the measured hot spot). */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val sh = shingleRows(s, d)
-    val mins = (0 until NumPerms).map { i =>
-      min(call_function("xxhash64_seed", col("shingle"), lit(splitmix64(i)))).as(s"m$i")
-    }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+    shingleRows(s, d)
+      .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
+      .select(col("doc_id"),
+        call_function("minhash_signature", col("shingles"), lit(NumPerms)).as("sig"))
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -304,7 +305,12 @@ object DedupQueries {
         if (embeddings(s, d).count() <= limit) {
           val e1 = embeddings(s, d).select(col("vec_id").as("id1"), col("embedding").as("v1"))
           val e2 = embeddings(s, d).select(col("vec_id").as("id2"), col("embedding").as("v2"))
-          e1.join(e2, col("id1") < col("id2"))
+          // threshold INSIDE the join condition: the nested-loop join then
+          // emits only surviving pairs instead of materializing all n²/2
+          // wide (id, 64-float, id, 64-float) rows through a projection;
+          // cosine recomputes only for the survivors
+          e1.join(e2, col("id1") < col("id2") &&
+              call_function("cosine_sim", col("v1"), col("v2")) >= 0.4)
             .select(col("id1"), col("id2"),
               call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
         } else embeddingPairsLsh(s, d)
