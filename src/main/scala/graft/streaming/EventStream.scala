@@ -118,6 +118,30 @@ object EventStream {
       }
   }
 
+  /** Stream-stream inner join with event-time bounds: each purchase event
+    * joins the same user's click events from the preceding 30 minutes
+    * (click-to-purchase attribution). Both sides carry a watermark and the
+    * range condition bounds state retention on BOTH sides — the planner
+    * derives "a click older than watermark+30min can never match a future
+    * purchase" and evicts it, so state is O(recent events), not O(stream).
+    * This is the canonical scalable shape for streaming joins at
+    * 1000-executor scale: state shards by user_id, eviction by time. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes") &&
+        col("click_ts") < col("purchase_ts"))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** Streaming exact dedup: drop replayed events by event_id, with state
     * bounded by the watermark (an id older than the watermark can no
     * longer collide, so its state is evicted — the streaming twin of

@@ -98,6 +98,30 @@ class EventStreamSpec extends SparkSpec {
       s"expected $expected unique events, got ${deduped.count()}")
   }
 
+  test("stream-stream time-bounded join matches its batch twin exactly") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.purchaseAttribution(EventStream.readEvents(spark, eventsDir)),
+      "attribution_test")
+    // batch twin: identical join over the static table (all events arrive
+    // in batch 0, so the watermark drops nothing and the sets must match)
+    // cast ntz → ltz (UTC session) to match the stream reader's types
+    val ev = graft.Tables.events(spark, sf)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes") &&
+        col("click_ts") < col("purchase_ts"))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    assert(streamed.count() > 0, "attribution join should produce matches on testdata")
+    assertSameRows(batch, streamed)
+  }
+
   test("flatMapGroupsWithState sessions agree with the batch sessionization (q32)") {
     val emitted = EventStream.runToMemory(spark,
       EventStream.statefulSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
