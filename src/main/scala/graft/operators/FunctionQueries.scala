@@ -16,15 +16,22 @@ object FunctionQueries {
 
   val queries: Map[String, Q] = Map(
     /** Exact interpolating percentiles per group (Spark percentile ==
-      * DuckDB quantile_cont). */
+      * DuckDB quantile_cont). The three price fractions share ONE
+      * percentile aggregate via the array form — separate aggregates each
+      * buffer the whole column per group, tripling memory and merge cost
+      * for the same answer. */
     "q56_percentiles" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("price_ps"),
           expr("percentile(l_quantity, 0.25)").as("qty_p25"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("price_ps"), 1).as("p50"),
+          element_at(col("price_ps"), 2).as("p90"),
+          element_at(col("price_ps"), 3).as("p99"),
+          col("qty_p25"))
         .orderBy("l_returnflag")),
 
     /** Approximate percentiles — the 100 TB path for q56: a mergeable
