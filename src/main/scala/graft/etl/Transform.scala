@@ -113,7 +113,7 @@ object Transform {
       case Some(tr) =>
         val joined = withDerived.products.join(
           broadcast(tr), Seq("product_category_name"), "left")
-        joined.select((withDerived.products.columns :+
+        joined.select((withDerived.products.columns.toIndexedSeq :+
           "product_category_name_english").map(col): _*)
       case None => withDerived.products
     }

@@ -373,7 +373,7 @@ object DedupQueries {
       (0 until DedupBandBits).map { r =>
         val p = b * DedupBandBits + r
         val dot = aggregate(
-          zip_with(col("embedding"), array(dedupPlanes(p).map(lit): _*),
+          zip_with(col("embedding"), array(dedupPlanes(p).toIndexedSeq.map(lit): _*),
             (x, y) => x.cast("double") * y),
           lit(0.0), (acc, v) => acc + v)
         when(dot >= 0.0, lit(1 << r)).otherwise(lit(0))

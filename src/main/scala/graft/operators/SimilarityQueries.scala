@@ -66,7 +66,7 @@ object SimilarityQueries {
         val bits = planes.indices.map { p =>
           val dot = aggregate(
             zip_with(col("embedding"),
-              array(planes(p).map(v => lit(v)): _*),
+              array(planes(p).toIndexedSeq.map(v => lit(v)): _*),
               (x, y) => x.cast("double") * y),
             lit(0.0), (acc, v) => acc + v)
           when(dot >= 0.0, lit(1 << p)).otherwise(lit(0))
