@@ -126,7 +126,13 @@ object EventStream {
     * purchase" and evicts it, so state is O(recent events), not O(stream).
     * This is the canonical scalable shape for streaming joins at
     * 1000-executor scale: state shards by user_id, eviction by time. */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
+  /** With joinType "left_outer", purchases with no qualifying click emit
+    * (with null click columns) once the watermark proves no match can
+    * still arrive — the streaming form of "unattributed conversions".
+    * Outer emission is watermark-gated: it happens in a LATER micro-batch
+    * than the purchase itself, after event time advances past
+    * purchase_ts + the join's tolerable lateness. */
+  def purchaseAttribution(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -138,7 +144,8 @@ object EventStream {
     purchases.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes") &&
-        col("click_ts") < col("purchase_ts"))
+        col("click_ts") < col("purchase_ts"),
+      joinType)
       .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
   }
 

@@ -122,6 +122,73 @@ class EventStreamSpec extends SparkSpec {
     assertSameRows(batch, streamed)
   }
 
+  test("left-outer stream-stream join emits unattributed purchases after the watermark") {
+    // stage the real events plus a far-future sentinel file; with
+    // maxFilesPerTrigger=1 the sentinel arrives as a SECOND micro-batch,
+    // advancing both sides' watermarks so outer (null-click) rows for the
+    // main data can actually emit — outer emission is watermark-gated and
+    // needs a later batch
+    val dir = java.nio.file.Files.createTempDirectory("events_outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    val maxTs = graft.Tables.events(spark, sf).agg(max("ts")).first().getAs[Any](0)
+    val maxMs = millis(maxTs)
+    import spark.implicits._
+    // two sentinel files: the first advances the watermark past the main
+    // data; the second exists so that eviction with the advanced watermark
+    // happens inside a DATA batch — processAllAvailable doesn't wait for
+    // trailing no-data batches, which would race the last outer emissions
+    def sentinelFile(name: String, hoursClick: Long, hoursPurchase: Long, idBase: Long): Unit = {
+      val df = Seq(
+        (idBase, (maxMs + hoursClick * 3600 * 1000) * 1000000L, 999999L, "click", 0.0, "{}"),
+        (idBase + 1, (maxMs + hoursPurchase * 3600 * 1000) * 1000000L, 999998L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val stage = dir.resolve(name + "_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get(), dir.resolve(name + ".parquet"))
+    }
+    sentinelFile("b", 10, 20, 1000000001L)
+    sentinelFile("c", 30, 40, 1000000003L)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = spark.readStream.schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val outer = EventStream.runToMemory(spark,
+      EventStream.purchaseAttribution(staged, "left_outer"), "attr_outer_test").collect()
+      .filter(_.getLong(1) < 1000000000L) // main-data purchases only
+
+    // batch twins over the static table
+    val ev = graft.Tables.events(spark, sf).withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    val matchedBatch = purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes") &&
+        col("click_ts") < col("purchase_ts"))
+      .select("purchase_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val allPurchases = purchases.select("purchase_id").collect().map(_.getLong(0)).toSet
+
+    val (matched, unmatched) = outer.partition(!_.isNullAt(3))
+    assert(matched.nonEmpty && unmatched.nonEmpty,
+      s"expected both matched and null-click rows, got ${matched.length}/${unmatched.length}")
+    // every null-click purchase truly has no qualifying click
+    unmatched.foreach { r =>
+      assert(!matchedBatch.contains(r.getLong(1)),
+        s"purchase ${r.getLong(1)} emitted as unattributed but has a click")
+    }
+    // completeness: every main-data purchase appears (sentinel pushed the
+    // watermark far past all of them)
+    val emittedIds = outer.map(_.getLong(1)).toSet
+    assert(emittedIds == allPurchases,
+      s"missing ${allPurchases -- emittedIds}, extra ${emittedIds -- allPurchases}")
+  }
+
   test("flatMapGroupsWithState sessions agree with the batch sessionization (q32)") {
     val emitted = EventStream.runToMemory(spark,
       EventStream.statefulSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
