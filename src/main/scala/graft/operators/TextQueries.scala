@@ -120,6 +120,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    /** Deterministic train/val/test split assignment — the reproducible-
+      * split primitive a training-data pipeline needs: bucket =
+      * first-16-bits of md5(doc_id), thresholds at 80/10/10. Hash-bucket
+      * (not random) assignment is stable across runs, engines, partition
+      * counts, and corpus growth — a doc's split never changes when data
+      * is added, which rowwise rand() cannot guarantee. Shuffle-free scan;
+      * the md5 prefix is portable so the oracle hash-matches. */
+    "t69_split_assign" -> ((s, d) => {
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+      documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 52429L, "train")     // 52429/65536 ≈ 80%
+            .when(bucket < 58982L, "val")    // +6553/65536 ≈ 10%
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    /** Weighted source mixture — the corpus-mixing primitive: each source
+      * contributes at its own sampling rate (here derived deterministically
+      * from md5(source): rate = (first-hex-digit+1)/16, i.e. 6%..100%),
+      * membership decided by the doc's own hash bucket. All-integer
+      * threshold arithmetic (doc_bucket·16 < (rate16+1)·65536) so the
+      * sample is exactly reproducible on any engine, partitioning, or
+      * corpus growth. Shuffle-free scan. */
+    "t70_source_mixture" -> ((s, d) => {
+      val docBucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
+      val rate16 = conv(substring(md5(col("source").cast("binary")), 1, 1), 16, 10)
+        .cast("long")
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          docBucket.as("doc_bucket"), rate16.as("rate_16"))
+        .filter(col("doc_bucket") * 16L < (col("rate_16") + 1L) * 65536L)
+        .orderBy("doc_id")
+    }),
+
     /** Corpus-level n-gram statistics: top-20 word bigrams. Explode is a
       * generator inside the scan stage; one shuffle for the count, then
       * TakeOrdered — linear in corpus size. */
@@ -208,6 +246,31 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t69_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 4), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << CAST(4 * (3 - i) AS INTEGER))) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 52429 THEN 'train'
+        |       WHEN bucket < 58982 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "t70_source_mixture" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(list_sum(list_transform(range(0, 4), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << CAST(4 * (3 - i) AS INTEGER))) AS BIGINT) AS doc_bucket,
+        |    CAST(strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1 AS BIGINT) AS rate_16
+        |  FROM documents)
+        |SELECT doc_id, source, doc_bucket, rate_16
+        |FROM b WHERE doc_bucket * 16 < (rate_16 + 1) * 65536
+        |ORDER BY doc_id""".stripMargin,
     "t66_fingerprint_rolling" -> rollingOracle,
     "t33_token_count" ->
       """SELECT doc_id,
