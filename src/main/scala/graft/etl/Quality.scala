@@ -26,7 +26,15 @@ object Quality {
   }
 
   def check(star: StarSchema, aggs: AggTables): Report = {
-    val fact = star.factSales
+    // the checks below run ~8 independent jobs over the fact (5 FK
+    // anti-joins, a null scan, a sum); materialize it once
+    val fact = star.factSales.persist()
+    fact.count()
+    try checkImpl(fact, star, aggs) finally fact.unpersist()
+  }
+
+  private def checkImpl(fact: org.apache.spark.sql.DataFrame,
+      star: StarSchema, aggs: AggTables): Report = {
 
     // cell 21:5-13 — every fact FK resolves in its dimension (anti-join empty)
     val fks = Seq(
