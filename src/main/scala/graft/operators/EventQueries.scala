@@ -163,6 +163,23 @@ object EventQueries {
         .orderBy("hour_of_day", "event_type")
     }),
 
+    /** GROUPING SETS — the general form CUBE/ROLLUP specialize, via the
+      * SQL surface (the DataFrame API deliberately doesn't expose it):
+      * per-flag totals, per-status totals, and the grand total in one
+      * pass, disambiguated by grouping_id. */
+    "q71_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id() AS BIGINT) AS gid,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  count(1) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -259,6 +276,14 @@ object EventQueries {
         |  UNION ALL SELECT hour_of_day, 'signup', signup FROM m
         |  UNION ALL SELECT hour_of_day, 'view', "view" FROM m)
         |ORDER BY hour_of_day, event_type""".stripMargin,
+    "q71_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q55_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice,
         |  round((SELECT avg(o_totalprice) FROM orders), 6) AS avg_price

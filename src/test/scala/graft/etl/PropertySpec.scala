@@ -36,6 +36,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lattice rounding of double sums is invariant to partitioning") {
+    // the class of bug behind round-1's q1_agg hash failure: double
+    // summation is non-associative, so partial-aggregation order shifts
+    // sums by ulps. Rounding AT the data's decimal lattice (here 2, for
+    // cent-valued prices) must give byte-identical results regardless of
+    // how the rows are partitioned.
+    samples(factGen, 10).foreach { rows =>
+      val df = rows.toDF("order_id", "item", "price", "score")
+      def roundedSums(parts: Int): Map[Long, Double] =
+        df.repartition(parts).groupBy("score")
+          .agg(round(sum("price"), 2).as("s"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val one = roundedSums(1)
+      Seq(3, 7, 32).foreach { p =>
+        val m = roundedSums(p)
+        assert(m == one, s"round-2 sums differ between 1 and $p partitions")
+        // byte-identical, not just numerically close
+        m.foreach { case (k, v) =>
+          assert(java.lang.Double.doubleToLongBits(v) ==
+            java.lang.Double.doubleToLongBits(one(k)))
+        }
+      }
+    }
+  }
+
   test("NPS stays in [-100, 100] for any score distribution") {
     samples(factGen, 10).foreach { rows =>
       val fact = rows.toDF("order_id", "order_item_id", "price", "review_score")
