@@ -158,6 +158,65 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    /** Document chunking into overlapping token windows (size 50, stride
+      * 40) — the context-window prep step for LLM training / retrieval
+      * corpora. Window starts come from sequence(0, n-1, stride), the
+      * chunk is a slice of the token array — generator + higher-order
+      * functions inside the scan stage, no shuffle, linear in corpus
+      * bytes. Trailing chunks may be shorter than the window. */
+    "t72_chunk_windows" -> ((s, d) => {
+      val W = 50
+      val S = 40
+      documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(S))).as("start"))
+        .select(
+          col("doc_id"),
+          (col("start") / S).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_token"),
+          least(lit(W), size(col("t")) - col("start")).cast("long").as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("t"), col("start") + 1, lit(W))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    /** Sentence segmentation: split on sentence-final punctuation runs,
+      * drop empties, one row per (doc, sentence) with its token count —
+      * the unit-of-text operator upstream of chunking/quality filters.
+      * The split pattern avoids lookbehind so it means the same thing
+      * under Java regex (Spark) and RE2 (DuckDB). Scan-stage generator,
+      * no shuffle. */
+    "t73_sentences" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          filter(transform(split(col("text"), "[.!?]+"), x => trim(x)),
+            x => length(x) > 0).as("sents"))
+        .select(col("doc_id"), posexplode(col("sents")))
+        .select(
+          col("doc_id"),
+          col("pos").cast("long").as("sentence_idx"),
+          col("col").as("sentence"),
+          size(split(col("col"), "\\s+")).cast("long").as("n_sentence_tokens"))
+        .orderBy("doc_id", "sentence_idx")),
+
+    /** PII redaction — the scrub step before corpus publication: mask
+      * email addresses and long digit runs (ids/phones), and count the
+      * redactions per doc so downstream filters can drop PII-heavy
+      * documents. Patterns avoid lookbehind (Java regex and RE2 agree).
+      * Shuffle-free scan of codegen'd regexp expressions. */
+    "t74_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val longDigits = "[0-9]{6,}"
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(longDigits)).cast("long").as("n_long_numbers"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            longDigits, "<NUM>").as("redacted_text"))
+        .orderBy("doc_id")
+    }),
+
     /** Corpus-level n-gram statistics: top-20 word bigrams. Explode is a
       * generator inside the scan stage; one shuffle for the count, then
       * TakeOrdered — linear in corpus size. */
@@ -271,6 +330,40 @@ object TextQueries {
         |SELECT doc_id, source, doc_bucket, rate_16
         |FROM b WHERE doc_bucket * 16 < (rate_16 + 1) * 65536
         |ORDER BY doc_id""".stripMargin,
+    "t72_chunk_windows" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, t, CAST(g.s AS INTEGER) AS s1
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t), 40)) AS g(s))
+        |SELECT doc_id,
+        |  CAST((s1 - 1) / 40 AS BIGINT) AS chunk_idx,
+        |  CAST(s1 - 1 AS BIGINT) AS start_token,
+        |  CAST(least(50, len(t) - s1 + 1) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(t[s1:s1 + 49], ' ') AS chunk_text
+        |FROM win ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t73_sentences" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> length(x) > 0) AS sents
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(g.i - 1 AS BIGINT) AS sentence_idx,
+        |  sents[CAST(g.i AS INTEGER)] AS sentence,
+        |  CAST(len(regexp_split_to_array(sents[CAST(g.i AS INTEGER)], '\s+')) AS BIGINT)
+        |    AS n_sentence_tokens
+        |FROM sp CROSS JOIN unnest(generate_series(1, len(sents))) AS g(i)
+        |ORDER BY doc_id, sentence_idx""".stripMargin,
+    "t74_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t66_fingerprint_rolling" -> rollingOracle,
     "t33_token_count" ->
       """SELECT doc_id,
