@@ -140,6 +140,28 @@ object SimilarityQueries {
       * exercised internally (d39/s43 signatures are array-typed). */
     "s53_label_centroids" -> labelCentroids,
 
+    /** Int8 scalar quantization — the 4× storage compression an ANN index
+      * applies before sharding billions of vectors: per-vector min/max
+      * affine map onto 0..255. Long form (vec_id, dim, qval) for the
+      * comparator; scale/offset ride along so dequantization is
+      * self-contained. Per-row IEEE arithmetic is identical across
+      * engines, so the oracle hash-matches exactly. */
+    "s75_quantize_int8" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          array_min(transform(col("embedding"), x => x.cast("double"))).as("vmin"),
+          array_max(transform(col("embedding"), x => x.cast("double"))).as("vmax"),
+          posexplode(col("embedding")))
+        .toDF("vec_id", "vmin", "vmax", "dim", "v")
+        .select(
+          col("vec_id"), col("dim").cast("long").as("dim"),
+          when(col("vmax") === col("vmin"), 0L)
+            .otherwise(floor((col("v").cast("double") - col("vmin")) /
+              (col("vmax") - col("vmin")) * 255.0).cast("long")).as("qval"),
+          round(col("vmin"), 6).as("offset"),
+          round((col("vmax") - col("vmin")) / 255.0, 9).as("scale"))
+        .orderBy("vec_id", "dim")),
+
     /** Vector norms & component stats — the normalization primitives an
       * embedding pipeline applies before indexing, via the codegen'd
       * dot_product expression + array higher-order functions. */
@@ -190,6 +212,24 @@ object SimilarityQueries {
         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2_norm,
         |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "s75_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_min(list_transform(CAST(embedding AS DOUBLE[]), x -> x)) AS vmin,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> x)) AS vmax,
+        |    embedding
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT vec_id, vmin, vmax,
+        |    CAST(g.i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[g.i] AS DOUBLE) AS v
+        |  FROM base CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(i))
+        |SELECT vec_id, dim,
+        |  CASE WHEN vmax = vmin THEN 0
+        |       ELSE CAST(floor((v - vmin) / (vmax - vmin) * 255.0) AS BIGINT) END AS qval,
+        |  round(vmin, 6) AS "offset",
+        |  round((vmax - vmin) / 255.0, 9) AS scale
+        |FROM flat ORDER BY vec_id, dim""".stripMargin,
     "s53_label_centroids" ->
       """WITH flat AS (
         |  SELECT label, CAST(g.i - 1 AS INTEGER) AS dim,

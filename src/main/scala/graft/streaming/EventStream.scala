@@ -149,6 +149,19 @@ object EventStream {
       .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
   }
 
+  /** Stream-static join: enrich the live event stream with a dimension
+    * table (here the customer dimension keyed by user_id). Stateless —
+    * the static side is re-planned per micro-batch (picking up dimension
+    * updates between batches) and broadcast when small, so the stream
+    * side never shuffles. The standard dimension-enrichment shape at
+    * cluster scale. */
+  def enrichedEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("c_mktsegment").as("segment"))
+
   /** Streaming exact dedup: drop replayed events by event_id, with state
     * bounded by the watermark (an id older than the watermark can no
     * longer collide, so its state is evicted — the streaming twin of

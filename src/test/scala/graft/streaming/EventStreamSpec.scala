@@ -189,6 +189,19 @@ class EventStreamSpec extends SparkSpec {
       s"missing ${allPurchases -- emittedIds}, extra ${emittedIds -- allPurchases}")
   }
 
+  test("stream-static dimension enrichment matches the batch join") {
+    val customers = graft.Tables.customer(spark, sf)
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.enrichedEvents(EventStream.readEvents(spark, eventsDir), customers),
+      "enrich_test")
+    val batch = EventStream.enrichedEvents(
+      graft.Tables.events(spark, sf).withColumn("ts", col("ts").cast("timestamp")),
+      customers)
+    assert(streamed.count() == graft.Tables.events(spark, sf).count(),
+      "left enrichment must preserve stream cardinality")
+    assertSameRows(batch, streamed)
+  }
+
   test("flatMapGroupsWithState sessions agree with the batch sessionization (q32)") {
     val emitted = EventStream.runToMemory(spark,
       EventStream.statefulSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
