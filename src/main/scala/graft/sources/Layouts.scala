@@ -19,6 +19,31 @@ object Layouts {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction — the operational fix for streaming/append
+    * sinks that accrete thousands of KB-scale parquet files (each costs a
+    * task + a footer read per query). Rewrites a directory to
+    * ceil(bytes/targetBytes) files: read (footer-only size scan first),
+    * repartition, write to a sibling temp dir, then atomically swap.
+    * Returns the new file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    fs.delete(bak, true)
+    require(fs.rename(path, bak), s"could not stage $dir")
+    require(fs.rename(tmp, path), s"could not swap compacted files into $dir")
+    fs.delete(bak, true)
+    fs.listStatus(path).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Skew-resistant equi-join: the (possibly skewed) left side gets a
     * deterministic-per-row salt in [0, n); the right side is replicated n
     * times, one copy per salt value, and the join key becomes (key, salt).

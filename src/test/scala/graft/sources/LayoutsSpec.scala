@@ -50,4 +50,21 @@ class LayoutsSpec extends SparkSpec {
     assert(out.count() == li.count())
     assert(out.filter(col("o_orderstatus").isNotNull).count() == 0)
   }
+
+  test("compaction collapses a many-small-files directory preserving rows") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    df.repartition(50).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 50)
+    val before = df.collect().map(_.toSeq).toSet
+    val n = Layouts.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1, s"expected a single compacted file, got $n")
+    assert(parquetFiles == 1)
+    val after = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed the data")
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_old").exists())
+  }
 }
