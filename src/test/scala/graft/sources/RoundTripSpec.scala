@@ -46,4 +46,22 @@ class RoundTripSpec extends SparkSpec {
       assertSameRows(sample, spark.read.parquet(path))
     }
   }
+
+  test("schema evolution: mergeSchema reads old and new file generations together") {
+    import org.apache.spark.sql.functions._
+    val path = tmp("parquet_evolve")
+    // generation 1: (l_orderkey, l_quantity); generation 2 adds a column
+    val v1 = sample.select("l_orderkey", "l_quantity")
+    v1.write.mode("overwrite").parquet(path)
+    val v2 = sample.select(col("l_orderkey") + 1000000L, col("l_quantity"))
+      .toDF("l_orderkey", "l_quantity")
+      .withColumn("priority_band", lit("new"))
+    v2.write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("l_orderkey", "l_quantity", "priority_band"))
+    assert(merged.count() == v1.count() * 2)
+    // old-generation rows surface the new column as null
+    assert(merged.filter(col("priority_band").isNull).count() == v1.count())
+    assert(merged.filter(col("priority_band") === "new").count() == v1.count())
+  }
 }
