@@ -219,10 +219,12 @@ object DedupQueries {
       * the loop breaks at fixpoint. Oracle: DuckDB recursive CTE closure. */
     "d62_dedup_clusters" -> ((s, d) => {
       import s.implicits._
+      val unionFindLimit = s.conf.get(
+        "spark.graft.dedup.clusters.unionFindLimit", "1000000").toLong
       val pairs = jaccardPairs(s, d, 0.5).select("doc1", "doc2").persist()
       val nPairs = pairs.count()
       val labeled =
-        if (nPairs <= 1000000L) {
+        if (nPairs <= unionFindLimit) {
           // near-dup pair sets are tiny relative to the corpus; collect
           // the edge list and run exact union-find on the driver (the
           // labels, not the documents, come to the driver — ~16 B/pair)

@@ -114,6 +114,23 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.embedding.exactLimit")
   }
 
+  test("d62: distributed label propagation agrees with driver union-find") {
+    // same corpus, both tiers: the default gate picks driver union-find at
+    // this scale; forcing the limit to 0 exercises the distributed
+    // min-label propagation loop, whose output must be identical
+    val viaUnionFind = SparkEntry.queries("d62_dedup_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.dedup.clusters.unionFindLimit", "0")
+    try {
+      val viaPropagation = SparkEntry.queries("d62_dedup_clusters")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(viaUnionFind.nonEmpty)
+      assert(viaPropagation == viaUnionFind,
+        s"tier mismatch: only-uf=${viaUnionFind -- viaPropagation} " +
+          s"only-prop=${viaPropagation -- viaUnionFind}")
+    } finally spark.conf.unset("spark.graft.dedup.clusters.unionFindLimit")
+  }
+
   test("cosine_sim expression matches manual computation and handles zero vectors") {
     graft.functions.VectorFunctions.register(spark)
     val df = Seq(
