@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, RollingMinHash, TopKByScore}
 
 /** Session-extension entry point: makes the custom expressions available
   * in every session created with
@@ -48,5 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.XxHash64(
           exprs.init, exprs.last.eval(null).asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_min_hash"),
+      info("rolling_min_hash",
+        "rolling_min_hash(text, k) - min Rabin-Karp hash over k-byte windows"),
+      (exprs: Seq[Expression]) => RollingMinHash(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(shingles, n) - n-permutation MinHash signature in one pass"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0), exprs(1))))
   }
 }
