@@ -63,4 +63,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, // only the final rangepartition sort
       s"unexpected shuffles in scan-shaped query:\n$p")
   }
+
+  test("sampling/chunking/redaction operators stay scan-shaped (no pre-sort shuffle)") {
+    for (q <- Seq("t69_split_assign", "t70_source_mixture", "t72_chunk_windows",
+        "t73_sentences", "t74_redact", "s75_quantize_int8")) {
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q: unexpected shuffles in scan-shaped query:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q: interpreted UDF in plan:\n$p")
+    }
+  }
 }
