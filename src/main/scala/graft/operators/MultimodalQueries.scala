@@ -82,6 +82,37 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** Batch resize: every "image" payload downsampled to a 32×32 target —
+      * the normalization step before a vision encoder. The stub "resize"
+      * stride-samples the payload bytes to ≤1024 output bytes (a real
+      * deployment swaps in a codec's scaler; the batch loop, binary-in/
+      * binary-out schema, and partition locality are the real plumbing).
+      * Emits source/target dims, resized length, and the resized payload's
+      * sha256 so determinism is spec-checkable. */
+    "m76_resize_batch" -> ((s, d) => {
+      import s.implicits._
+      val images = documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+          lit("image").as("media_type"))
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the fake "image" modality
+        .as[MediaRecord]
+      val (dstW, dstH) = (32L, 32L)
+      images
+        .mapPartitions(_.map { r =>
+          val f = FakeDecoder.decode(r.doc_id, r.media, r.media_type)
+          val target = (dstW * dstH).toInt
+          val stride = math.max(1, r.media.length / target)
+          val resized = r.media.indices.by(stride).take(target)
+            .map(r.media).toArray
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(resized).map("%02x".format(_)).mkString
+          (r.doc_id, f.width, f.height, dstW, dstH, resized.length.toLong, sha)
+        })
+        .toDF("doc_id", "src_width", "src_height", "dst_width", "dst_height",
+          "resized_len", "resized_sha")
+        .orderBy("doc_id")
+    }),
+
     /** Frame sampling: one row per sampled frame of each "video" payload
       * (every 4th frame, deterministic) with its byte-range offsets — the
       * shape a video-training pipeline feeds to a decoder fleet: the

@@ -222,6 +222,19 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("m76: batch resize is deterministic, bounded, and image-only") {
+    val a = SparkEntry.queries("m76_resize_batch")(spark, sf).collect()
+    val b = SparkEntry.queries("m76_resize_batch")(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "resize not deterministic")
+    a.foreach { r =>
+      assert(r.getLong(0) % 3 == 0, "non-image doc resized")
+      assert(r.getLong(3) == 32L && r.getLong(4) == 32L)
+      assert(r.getLong(5) > 0 && r.getLong(5) <= 1024, s"resized_len ${r.getLong(5)}")
+      assert(r.getString(6).length == 64) // sha256 hex
+    }
+  }
+
   test("q65: approx percentiles within 1% relative error of exact") {
     val exact = SparkEntry.queries("q56_percentiles")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
