@@ -48,15 +48,18 @@ case class RollingMinHash(left: Expression, right: Expression)
   override def prettyName: String = "rolling_min_hash"
 }
 
-/** minhash_signature(shingles, n): the n-permutation MinHash signature of
-  * a document's shingle set in ONE pass — each shingle is string-hashed
-  * once (xxhash64, seed 42) and the n permutation values derive from that
-  * base via splitmix64 finalizer mixes (~3 integer ops each), instead of
-  * n full string hashes per shingle. For n=48 that removes ~47/48 of the
-  * string-hashing work, which dominates MinHash signature cost. The mixed
-  * family (h, i) → splitmix64(h ⊕ seed_i) is pairwise-independent enough
-  * for the LSH banding bound; candidates are exactly verified downstream,
-  * so family quality only moves recall, never precision.
+/** minhash_signature(hashes, n): the n-permutation MinHash signature of a
+  * document's pre-hashed shingle set in ONE pass — the n permutation
+  * values per shingle derive from its base hash via splitmix64 finalizer
+  * mixes (~3 integer ops each), instead of n full string hashes per
+  * shingle. For n=48 that removes ~47/48 of the hashing work, which
+  * dominates MinHash signature cost. Taking `array<long>` (not the raw
+  * strings) keeps the base-hash choice in the query layer — d39 feeds the
+  * top-60-bits-of-md5 value both engines can compute, so the whole
+  * pipeline is DuckDB-replicable. The mixed family (h, i) →
+  * splitmix64(h ⊕ seed_i) is pairwise-independent enough for the LSH
+  * banding bound; candidates are exactly verified downstream, so family
+  * quality only moves recall, never precision.
   */
 case class MinHashSignature(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -65,7 +68,7 @@ case class MinHashSignature(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
         val n = right.eval(null).asInstanceOf[Int]
         if (n >= 1 && n <= MinHashSignature.MaxPerms)
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -73,7 +76,7 @@ case class MinHashSignature(left: Expression, right: Expression)
           s"numPerms must be in [1, ${MinHashSignature.MaxPerms}], got $n")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"expects (array<string>, foldable int), got $other")
+          s"expects (array<long>, foldable int), got $other")
     }
 
   override def nullSafeEval(arr: Any, nAny: Any): Any =
@@ -94,27 +97,27 @@ case class MinHashSignature(left: Expression, right: Expression)
 object MinHashSignature {
   val MaxPerms = 64
 
-  private def splitmix64(seed: Long): Long = {
+  def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d4a2965f57d6e3L
     z ^ (z >>> 31)
   }
 
-  /** Per-permutation xor seeds, fixed for determinism across runs. */
-  private val seeds: Array[Long] = Array.tabulate(MaxPerms)(i => splitmix64(0x5eedL + i))
+  /** Per-permutation xor seeds, fixed for determinism across runs (and
+    * inlined as constants into the DuckDB oracle). */
+  val seeds: Array[Long] = Array.tabulate(MaxPerms)(i => splitmix64(0x5eedL + i))
 
-  /** Signature = per-permutation min over the shingle array. Empty arrays
-    * yield all-Long.MaxValue (no shingles → no collisions). */
-  def sig(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+  /** Signature = per-permutation min over the pre-hashed shingle array.
+    * Empty arrays yield all-Long.MaxValue (no shingles → no collisions). */
+  def sig(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
       n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val mins = Array.fill(n)(Long.MaxValue)
     var j = 0
-    val m = shingles.numElements()
+    val m = hashes.numElements()
     while (j < m) {
-      if (!shingles.isNullAt(j)) {
-        val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(shingles.getUTF8String(j), StringType, 42L)
+      if (!hashes.isNullAt(j)) {
+        val base = hashes.getLong(j)
         var i = 0
         while (i < n) {
           val v = splitmix64(base ^ seeds(i))

@@ -108,18 +108,22 @@ object DedupQueries {
   }
 
   /** doc_id + minhash signature array (length NumPerms), via the
-    * [[graft.functions.MinHashSignature]] expression: collect the doc's
-    * distinct shingles (one shuffle, same as the min-agg shape) and
-    * compute the whole signature in one projection — each shingle is
-    * string-hashed ONCE and the 48 permutation values derive from cheap
-    * integer mixes, vs 48 full string hashes per shingle in the
-    * aggregate-per-permutation formulation (the measured hot spot). */
+    * [[graft.functions.MinHashSignature]] expression: each shingle is
+    * base-hashed ONCE (top 15 hex digits of md5 — the same portable
+    * 60-bit value d40 uses, so DuckDB computes it identically) and the 48
+    * permutation values derive from cheap splitmix64 mixes, vs 48 full
+    * string hashes per shingle in the aggregate-per-permutation
+    * formulation (the measured hot spot). One shuffle (group per doc),
+    * signature in one projection. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     shingleRows(s, d)
-      .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
       .select(col("doc_id"),
-        call_function("minhash_signature", col("shingles"), lit(NumPerms)).as("sig"))
+        conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy("doc_id").agg(collect_list("hv").as("hvs"))
+      .select(col("doc_id"),
+        call_function("minhash_signature", col("hvs"), lit(NumPerms)).as("sig"))
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -163,18 +167,22 @@ object DedupQueries {
       jaccardPairs(s, d, 0.5).orderBy("doc1", "doc2")),
 
     /** MinHash+LSH near-dup: 48 perms, 12 bands × 4 rows, bucket join on
-      * (band, band-signature-hash), then exact-Jaccard verification of
-      * candidates (precision 1.0; recall governed by banding). Rows-only
-      * check — the LSH candidate set is not SQL-replicable; the spec
-      * asserts recall ≥ 0.95 against d38's exact pairs. */
+      * (band, raw 4-value band key) — joining on the values themselves
+      * instead of a hash of them removes cross-band collisions AND makes
+      * the candidate set DuckDB-replicable, so the whole pipeline is
+      * oracle-checked (signatures via the portable md5-60bit base hash +
+      * splitmix64 mixes, which the oracle emulates with HUGEINT mod-2^64
+      * arithmetic). Exact-Jaccard verification of candidates keeps
+      * precision at 1.0; the spec additionally pins recall vs d38. */
     "d39_dedup_minhash_lsh" -> ((s, d) => {
       val sigs = minhashSignatures(s, d)
       val bands = sigs.select(col("doc_id"), posexplode(
         array((0 until NumBands).map(bd =>
-          hash(lit(bd) +: (0 until BandRows).map(r => col("sig")(bd * BandRows + r)): _*)): _*)))
-        .toDF("doc_id", "band", "band_hash")
-      val cand = bands.toDF("id1", "band", "band_hash")
-        .join(bands.toDF("id2", "band", "band_hash"), Seq("band", "band_hash"))
+          struct((0 until BandRows).map(r =>
+            col("sig")(bd * BandRows + r).as(s"v$r")): _*)): _*)))
+        .toDF("doc_id", "band", "band_key")
+      val cand = bands.toDF("id1", "band", "band_key")
+        .join(bands.toDF("id2", "band", "band_key"), Seq("band", "band_key"))
         .filter(col("id1") < col("id2"))
         .select("id1", "id2").distinct()
       // exact verification of candidates against shingle sets
@@ -393,7 +401,82 @@ object DedupQueries {
         call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
   }
 
+  /** DuckDB replica of the full MinHash+LSH pipeline. The JVM's wrapping
+    * 64-bit arithmetic is emulated with HUGEINT: unsigned conversion,
+    * mod-2^64 addition, limb-decomposed multiplication
+    * ((a·b) mod 2^64 = (alo·b mod 2^64 + (ahi·(b mod 2^32) mod 2^32)·2^32)
+    * mod 2^64), logical shifts as integer division in the unsigned
+    * domain, xors on the re-signed BIGINT (bit-identical to JVM). The
+    * per-permutation seeds are inlined constants — identical to
+    * [[graft.functions.MinHashSignature.seeds]]. */
+  private def minhashLshOracle: String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    def u(c: Long) = s"CAST('${java.lang.Long.toUnsignedString(c)}' AS HUGEINT)"
+    val c0 = u(0x9e3779b97f4a7c15L)
+    val c1 = u(0xbf58476d1ce4e5b9L)
+    val c2 = u(0x94d4a2965f57d6e3L)
+    val seedList = graft.functions.MinHashSignature.seeds.take(NumPerms)
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
+    def toU(x: String) =
+      s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $two64 ELSE CAST($x AS HUGEINT) END)"
+    def toS(ux: String) =
+      s"CAST(CASE WHEN $ux >= $two63 THEN $ux - $two64 ELSE $ux END AS BIGINT)"
+    def mulWrapU(ux: String, c: String) =
+      s"((($ux % 4294967296) * $c % $two64 + " +
+        s"(($ux // 4294967296) * ($c % 4294967296) % 4294967296) * 4294967296) % $two64)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |         ELSE array_to_string(t, ' ') END AS shingle
+       |  FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+       |hv AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 15), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5(shingle), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+       |        << CAST(4 * (14 - i) AS INTEGER))) AS BIGINT) AS h
+       |  FROM sh),
+       |perms AS (
+       |  SELECT doc_id, xor(h, ($seedList)[CAST(g.i + 1 AS INTEGER)]) AS x,
+       |    CAST(g.i AS INTEGER) AS perm
+       |  FROM hv CROSS JOIN unnest(generate_series(0, ${NumPerms - 1})) AS g(i)),
+       |m1 AS (SELECT doc_id, perm, (${toU("x")} + $c0) % $two64 AS z1u FROM perms),
+       |m2 AS (SELECT doc_id, perm,
+       |  ${toU(s"xor(${toS("z1u")}, CAST(z1u // 1073741824 AS BIGINT))")} AS x1u FROM m1),
+       |m3 AS (SELECT doc_id, perm, ${mulWrapU("x1u", c1)} AS z2u FROM m2),
+       |m4 AS (SELECT doc_id, perm,
+       |  ${toU(s"xor(${toS("z2u")}, CAST(z2u // 134217728 AS BIGINT))")} AS x2u FROM m3),
+       |m5 AS (SELECT doc_id, perm, ${mulWrapU("x2u", c2)} AS z3u FROM m4),
+       |vals AS (SELECT doc_id, perm,
+       |  xor(${toS("z3u")}, CAST(z3u // 2147483648 AS BIGINT)) AS v FROM m5),
+       |sig AS (SELECT doc_id, perm, min(v) AS m FROM vals GROUP BY 1, 2),
+       |bandkeys AS (
+       |  SELECT doc_id, CAST(perm // $BandRows AS INTEGER) AS band,
+       |    list(m ORDER BY perm) AS bk
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM bandkeys a JOIN bandkeys b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc1, c.doc2,
+       |  CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+       |FROM cand c
+       |JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
+       |JOIN sz s1 ON c.doc1 = s1.doc_id
+       |JOIN sz s2 ON c.doc2 = s2.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
+       |ORDER BY c.doc1, c.doc2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d39_dedup_minhash_lsh" -> minhashLshOracle,
     "d40_dedup_simhash" -> simhashOracle,
     "d37_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,

@@ -191,7 +191,85 @@ object SimilarityQueries {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** DuckDB replica of the full random-hyperplane LSH pipeline: the 16×64
+    * plane constants are inlined as shortest-round-trip double literals
+    * (both engines then hold bit-identical doubles), sign bits come from
+    * the same in-order dot products, candidates from the same 4-bit band
+    * join, ranking from the same (cosine DESC, neighbor_id) order. */
+  private def annLshOracle: String = {
+    val planes2d = Hyperplanes.planes
+      .map(row => row.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]"))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, e,
+       |    CAST(list_sum(list_transform(range(0, 16), p ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
+       |          e[CAST(j + 1 AS INTEGER)] *
+       |            ($planes2d)[CAST(p + 1 AS INTEGER)][CAST(j + 1 AS INTEGER)])) >= 0.0
+       |        THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER) ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM emb),
+       |banded AS (
+       |  SELECT vec_id, e, CAST(g.b AS INTEGER) AS band,
+       |    (sig >> CAST(g.b * 4 AS INTEGER)) & 15 AS band_val
+       |  FROM sig CROSS JOIN unnest(generate_series(0, 3)) AS g(b)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.band_val = c.band_val AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(qe.e, ne.e) AS cosine
+       |  FROM cand
+       |  JOIN emb qe ON cand.query_id = qe.vec_id
+       |  JOIN emb ne ON cand.neighbor_id = ne.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of the IVF pipeline: same fixed coarse centroids
+    * (vec_id < 8), same cosine-argmax assignment with centroid_id
+    * tie-break, nprobe=2 probes, same final ranking. A neighbor lives in
+    * exactly one list and a query probes two, so no pair dedup is needed
+    * on either engine. */
+  private def annIvfOracle: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT emb.vec_id, emb.e, cents.centroid_id,
+       |    row_number() OVER (PARTITION BY emb.vec_id
+       |      ORDER BY list_cosine_similarity(emb.e, cents.ce) DESC, cents.centroid_id)
+       |      AS c_rank
+       |  FROM emb CROSS JOIN cents),
+       |lists AS (
+       |  SELECT vec_id AS neighbor_id, e AS ne, centroid_id
+       |  FROM assign WHERE c_rank <= 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, centroid_id
+       |  FROM assign WHERE c_rank <= 2 AND vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.query_id, l.neighbor_id, list_cosine_similarity(p.qe, l.ne) AS cosine
+       |  FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+       |  WHERE p.query_id <> l.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "s43_ann_lsh" -> annLshOracle,
+    "s44_ann_ivf" -> annIvfOracle,
     "s42_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
