@@ -35,7 +35,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val dot = graft.functions.DotProduct(arr, arr)
     assert(math.abs(dot.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
     val sig = graft.functions.MinHashSignature(
-      Literal.create(Array("a b c", "b c d"), ArrayType(StringType, containsNull = false)),
+      Literal.create(Array(123456789L, 987654321L), ArrayType(LongType, containsNull = false)),
       Literal(4))
     val out = sig.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.numElements() == 4)
