@@ -78,10 +78,14 @@ object CoreQueries {
 
     // ---- joins (J1-J7) ------------------------------------------------
 
-    /** J2: inner equi-join on the fact grain (ref: src/etl_functions.py:215-220). */
+    /** J2: inner equi-join on the fact grain (ref: src/etl_functions.py:215-220).
+      * No broadcast hint: orders grows with the fact table, so a pinned
+      * broadcast OOMs executors at 100× (r2 verdict). AQE still *chooses*
+      * broadcast when the projected orders side fits under the threshold —
+      * the local-scale win without the cluster-scale cliff. */
     "q5_join_inner" -> ((s, d) =>
       lineitem(s, d)
-        .join(broadcast(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")),
+        .join(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"), "inner")
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
@@ -288,10 +292,11 @@ object CoreQueries {
         .orderBy("order_day")),
 
     /** F7: timestamp difference in fractional days via epoch-second cast
-      * (ref: src/etl_functions.py:104-113). */
+      * (ref: src/etl_functions.py:104-113). Like q5, no broadcast hint on
+      * the corpus-scaling orders side — AQE decides per actual size. */
     "q21_date_diff" -> ((s, d) =>
       lineitem(s, d)
-        .join(broadcast(orders(s, d).select("o_orderkey", "o_orderdate")),
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .select(
           col("l_orderkey"), col("l_linenumber"),

@@ -232,8 +232,11 @@ object TextQueries {
 
     /** TF-IDF: the highest-scoring term per document (tf = term count /
       * doc tokens; idf = ln(N / df); ties break toward the lexicographically
-      * smaller term). Two aggregations + a broadcast of the tiny df table —
-      * the standard scalable shape. */
+      * smaller term). Two aggregations; only the vocabulary-sized df table
+      * and the 1-row doc count are broadcast — doc_len is one row per
+      * DOCUMENT, so it travels by shuffle on doc_id (a pinned broadcast of
+      * a corpus-scaling table is the r2-flagged 100× OOM; AQE may still
+      * choose broadcast when it actually fits). */
     "t52_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val tokens = documents(s, d)
@@ -243,7 +246,7 @@ object TextQueries {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = documents(s, d).select(countDistinct("doc_id").as("n_docs"))
       val scored = tf
-        .join(broadcast(docLen), "doc_id")
+        .join(docLen, "doc_id")
         .join(broadcast(dfreq), "term")
         .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("term"),

@@ -64,6 +64,28 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected shuffles in scan-shaped query:\n$p")
   }
 
+  test("no forced broadcast of corpus-scaling relations (q5/q21/t52/d38)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // A broadcast() hint FORCES the build side at any size — fine for
+    // provably-bounded relations (dimension tables, the df-capped hot
+    // shingle set, vocabulary/1-row aggregates), a 100×-scale OOM for
+    // anything that grows with the corpus (orders, per-doc sizes/lengths).
+    // Corpus-scaling relations all carry a per-row identity column; a hint
+    // whose subtree outputs one is the defect. AQE choosing broadcast at
+    // sf0.1 is fine — the *hint* is what must not exist.
+    val perRowIds = Set("doc_id", "id1", "id2", "doc_len", "sz", "sz1", "sz2",
+      "o_orderkey", "l_orderkey", "vec_id", "event_id")
+    for (q <- Seq("q5_join_inner", "q21_date_diff", "t52_tfidf", "d38_dedup_jaccard")) {
+      val analyzed = SparkEntry.queries(q)(spark, sf).queryExecution.analyzed
+      val hintedOutputs = analyzed.collect {
+        case h: ResolvedHint => h.child.output.map(_.name.toLowerCase)
+      }
+      for (out <- hintedOutputs)
+        assert(!out.exists(perRowIds),
+          s"$q: forced broadcast of a corpus-scaling relation (outputs: ${out.mkString(", ")})")
+    }
+  }
+
   test("sampling/chunking/redaction operators stay scan-shaped (no pre-sort shuffle)") {
     for (q <- Seq("t69_split_assign", "t70_source_mixture", "t72_chunk_windows",
         "t73_sentences", "t74_redact", "s75_quantize_int8")) {
