@@ -87,8 +87,11 @@ object MultimodalQueries {
       * stride-samples the payload bytes to ≤1024 output bytes (a real
       * deployment swaps in a codec's scaler; the batch loop, binary-in/
       * binary-out schema, and partition locality are the real plumbing).
-      * Emits source/target dims, resized length, and the resized payload's
-      * sha256 so determinism is spec-checkable. */
+      * Emits source/target dims, resized length, and a sha256 fingerprint
+      * of the resized payload's lowercase-hex encoding (hex, not raw
+      * bytes, so the DuckDB oracle can recompute it — its sha256 only
+      * accepts VARCHAR, and stride-sampled bytes need not be valid
+      * UTF-8). */
     "m76_resize_batch" -> ((s, d) => {
       import s.implicits._
       val images = documents(s, d)
@@ -104,8 +107,9 @@ object MultimodalQueries {
           val stride = math.max(1, r.media.length / target)
           val resized = r.media.indices.by(stride).take(target)
             .map(r.media).toArray
+          val hexPayload = resized.map(b => "%02x".format(b & 0xff)).mkString
           val sha = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(resized).map("%02x".format(_)).mkString
+            .digest(hexPayload.getBytes("UTF-8")).map("%02x".format(_)).mkString
           (r.doc_id, f.width, f.height, dstW, dstH, resized.length.toLong, sha)
         })
         .toDF("doc_id", "src_width", "src_height", "dst_width", "dst_height",
@@ -139,12 +143,79 @@ object MultimodalQueries {
     })
   )
 
+  /** Shared DuckDB CTE: per-document byte list of encode(text) (same
+    * hex-pair decomposition as the t66 rolling-hash oracle, so multi-byte
+    * UTF-8 matches the JVM's byte-level view) plus the FakeDecoder header
+    * fields — width/height from the first two bytes (& 0x7f == % 128,
+    * bytes are 0..255). */
+  private val decodeCte: String =
+    """WITH raw AS (
+      |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+      |    octet_length(encode(text)) AS n,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, media_type, n,
+      |    list_transform(range(0, n), p ->
+      |      (strpos('0123456789ABCDEF', substr(hx, CAST(2 * p + 1 AS INTEGER), 1)) - 1) * 16 +
+      |      (strpos('0123456789ABCDEF', substr(hx, CAST(2 * p + 2 AS INTEGER), 1)) - 1)) AS bl
+      |  FROM raw),
+      |dec AS (
+      |  SELECT doc_id, media_type, n, bl,
+      |    CAST(64 + CASE WHEN n > 0 THEN bl[1] % 128 ELSE 0 END AS BIGINT) AS width,
+      |    CAST(64 + CASE WHEN n > 1 THEN bl[2] % 128 ELSE 0 END AS BIGINT) AS height,
+      |    CAST(CASE WHEN media_type = 'video' THEN 1 + n % 16 ELSE 1 END AS BIGINT) AS n_frames,
+      |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bl) AS DOUBLE) / n END AS mean_byte
+      |  FROM b)""".stripMargin
+
+  /** DuckDB replicas of the deterministic FakeDecoder arithmetic — the
+    * stub is pure byte math over encode(text) (header bytes → dims,
+    * len%16 → frames, stride sampling → resize), so the oracle recomputes
+    * it exactly and these rows get the driver's hard hash gate instead of
+    * a rows-only check. A real codec swap would demote them back to
+    * spec-gated determinism checks. */
   val oracleSql: Map[String, String] = Map(
     "m45_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 4096.0) AS BIGINT) AS n_chunks,
         |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m46_media_features" ->
+      s"""$decodeCte
+         |SELECT doc_id, media_type, CAST(n AS BIGINT) AS byte_len,
+         |  width, height, n_frames, mean_byte
+         |FROM dec ORDER BY doc_id""".stripMargin,
+    "m47_frame_sample" ->
+      s"""$decodeCte,
+         |v AS (
+         |  SELECT doc_id, n, width, height, n_frames,
+         |    greatest(CAST(n // n_frames AS BIGINT), 1) AS frame_bytes
+         |  FROM dec WHERE media_type = 'video'),
+         |f AS (
+         |  SELECT doc_id, CAST(g.i AS BIGINT) AS frame_idx, frame_bytes, n, width, height
+         |  FROM v CROSS JOIN unnest(generate_series(0, n_frames - 1, 4)) AS g(i))
+         |SELECT doc_id, frame_idx,
+         |  frame_idx * frame_bytes AS byte_start,
+         |  least(CAST(n AS BIGINT), (frame_idx + 1) * frame_bytes) AS byte_end,
+         |  width, height
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "m76_resize_batch" ->
+      s"""$decodeCte,
+         |img AS (
+         |  SELECT doc_id, n, bl, width AS src_width, height AS src_height,
+         |    greatest(n // 1024, 1) AS stride
+         |  FROM dec WHERE media_type = 'image'),
+         |rs AS (
+         |  SELECT doc_id, src_width, src_height, stride,
+         |    list_transform(range(0, least(1024, (n + stride - 1) // stride)),
+         |      i -> bl[CAST(1 + i * stride AS INTEGER)]) AS rb
+         |  FROM img)
+         |SELECT doc_id, src_width, src_height,
+         |  CAST(32 AS BIGINT) AS dst_width, CAST(32 AS BIGINT) AS dst_height,
+         |  CAST(len(rb) AS BIGINT) AS resized_len,
+         |  sha256(lower(array_to_string(list_transform(rb,
+         |    x -> lpad(to_hex(x), 2, '0')), ''))) AS resized_sha
+         |FROM rs ORDER BY doc_id""".stripMargin
   )
 }
