@@ -42,13 +42,22 @@ object Bench {
 
     // warm-up: JVM + codegen + parquet footer caches — touch every table
     // so the alphabetically-first query of each family doesn't absorb its
-    // cold footer/statistics reads into its timing
+    // cold footer/statistics reads into its timing. NonFatal only: an OOM
+    // or corrupted data dir must fail loudly here, not resurface later as
+    // confusing per-query -1 timings (ADVICE r2).
     runOnce("q1_agg")
-    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-      Tables.region, Tables.nation, Tables.customer, Tables.supplier,
-      Tables.part, Tables.orders, Tables.lineitem, Tables.events,
-      Tables.documents, Tables.embeddings)
-      .foreach(t => try t(spark, sfDir).count() catch { case _: Throwable => () })
+    Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "region" -> Tables.region, "nation" -> Tables.nation,
+      "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+      "part" -> Tables.part, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+      "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+      .foreach { case (name, t) =>
+        try t(spark, sfDir).count() catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up of table $name failed: ${e.getMessage}")
+        }
+      }
 
     // best-of-2 per query to damp co-tenant noise on the bench host;
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (iteration aid)

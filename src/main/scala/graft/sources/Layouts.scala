@@ -21,27 +21,77 @@ object Layouts {
 
   /** Small-file compaction — the operational fix for streaming/append
     * sinks that accrete thousands of KB-scale parquet files (each costs a
-    * task + a footer read per query). Rewrites a directory to
-    * ceil(bytes/targetBytes) files: read (footer-only size scan first),
-    * repartition, write to a sibling temp dir, then atomically swap.
-    * Returns the new file count. */
+    * task + a footer read per query). Rewrites a snapshot of the
+    * directory's files into ceil(bytes/targetBytes) files IN PLACE — the
+    * directory is never renamed or removed, so readers never observe a
+    * missing path (the r2-flagged defect of the rename-swap version).
+    *
+    * Contract and crash safety:
+    *  - single COMPACTOR at a time (one manifest slot); concurrent
+    *    APPENDS are safe — a file that appears after the snapshot is
+    *    listed is not read, not deleted, and survives the compaction;
+    *  - concurrent READERS always see a complete copy of the data, but
+    *    during the final hand-over may transiently see old and new files
+    *    together (duplicate rows) — quiesce readers if exactly-once
+    *    visibility matters;
+    *  - the compacted output's ROW COUNT is verified against the snapshot
+    *    before any original file is deleted — a bad write aborts with the
+    *    directory untouched;
+    *  - ordering: delete-manifest first, then new files move in, then the
+    *    snapshot files are deleted, then the manifest. A crash at any
+    *    point loses nothing, and the next invocation replays the manifest
+    *    (deleting exactly the listed originals) before compacting.
+    *
+    * Returns the directory's data-file count after compaction. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val path = new org.apache.hadoop.fs.Path(dir)
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(path).filter(f =>
+    def dataFiles = fs.listStatus(path).filter(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val totalBytes = dataFiles.map(_.getLen).sum
+
+    // Replay an interrupted run: the manifest exists only after its
+    // compacted replacement files were verified and moved in, so
+    // completing the pending deletes is always safe.
+    val manifest = new Path(path, "_compact_manifest")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val pending = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      pending.foreach(p => fs.delete(new Path(p), false))
+      fs.delete(manifest, false)
+    }
+
+    val snapshot = dataFiles
+    if (snapshot.isEmpty) return 0
+    val snapshotPaths = snapshot.map(_.getPath.toString)
+    val totalBytes = snapshot.map(_.getLen).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
-    spark.read.parquet(dir).repartition(parts)
+    val tmp = new Path(dir + "__compact_tmp")
+    // read the snapshot FILE LIST, not the directory — concurrent appends
+    // between list and read must not leak into (or be dropped from) the
+    // compacted output
+    spark.read.parquet(snapshotPaths: _*).repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(dir + "__compact_old")
-    fs.delete(bak, true)
-    require(fs.rename(path, bak), s"could not stage $dir")
-    require(fs.rename(tmp, path), s"could not swap compacted files into $dir")
-    fs.delete(bak, true)
-    fs.listStatus(path).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val inRows = spark.read.parquet(snapshotPaths: _*).count()
+    val outRows = spark.read.parquet(tmp.toString).count()
+    require(inRows == outRows,
+      s"compacted output has $outRows rows vs $inRows in the snapshot; " +
+        s"aborting with $dir untouched")
+
+    val out = fs.create(manifest, true)
+    try out.write(snapshotPaths.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f.getPath, new Path(path, s"compact-$uuid-$i.parquet")),
+          s"could not move ${f.getPath} into $dir")
+      }
+    snapshot.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(manifest, false)
+    fs.delete(tmp, true)
+    dataFiles.length
   }
 
   /** Skew-resistant equi-join: the (possibly skewed) left side gets a

@@ -131,6 +131,32 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.clusters.unionFindLimit")
   }
 
+  test("d62: distributed tier converges on a diameter-16 chain (lineage checkpointing)") {
+    // 17 docs in a token-window chain: doc i covers tokens [10i, 10i+40),
+    // so consecutive docs share 30 tokens → 28 of 38 shingles → jaccard
+    // 28/48 ≈ 0.58 ≥ 0.5, while distance-2 docs share only 20 tokens →
+    // 18/58 ≈ 0.31 < 0.5. The pair graph is a pure path of diameter 16:
+    // min-label propagation needs 16 join rounds, which without the
+    // every-5-rounds localCheckpoint() nests 16 joins in one logical plan
+    // (the analyzer blowup this spec pins the fix for).
+    val docs = (0 until 17).map { i =>
+      (i.toLong, (10 * i until 10 * i + 40).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("chain").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    spark.conf.set("spark.graft.dedup.clusters.unionFindLimit", "0") // force distributed tier
+    try {
+      val out = SparkEntry.queries("d62_dedup_clusters")(spark, tmp).collect()
+      assert(out.length == 17, s"expected all 17 chain docs labeled, got ${out.length}")
+      out.foreach { r =>
+        assert(r.getLong(1) == 0L, s"doc ${r.getLong(0)} labeled ${r.getLong(1)}, not the chain min")
+        assert(r.getLong(2) == 17L, s"cluster_size ${r.getLong(2)}")
+      }
+    } finally spark.conf.unset("spark.graft.dedup.clusters.unionFindLimit")
+  }
+
   test("cosine_sim expression matches manual computation and handles zero vectors") {
     graft.functions.VectorFunctions.register(spark)
     val df = Seq(

@@ -66,5 +66,27 @@ class LayoutsSpec extends SparkSpec {
     assert(after == before, "compaction changed the data")
     assert(!new java.io.File(dir + "__compact_tmp").exists())
     assert(!new java.io.File(dir + "__compact_old").exists())
+    assert(!new java.io.File(dir + "/_compact_manifest").exists())
+  }
+
+  test("compaction replays an interrupted run's delete-manifest before compacting") {
+    val dir = java.nio.file.Files.createTempDirectory("compact2").toString + "/t"
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    df.repartition(4).write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    // simulate a crash after the hand-over: the manifest lists one original
+    // whose compacted replacement is (notionally) already in place
+    val victim = files.head
+    val victimRows = spark.read.parquet(victim.getPath).count()
+    val total = df.count()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compact_manifest"),
+      victim.getPath.getBytes("UTF-8"))
+    val n = Layouts.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1)
+    assert(!victim.exists(), "manifest replay did not delete the pending original")
+    assert(spark.read.parquet(dir).count() == total - victimRows)
+    assert(!new java.io.File(dir + "/_compact_manifest").exists())
   }
 }
