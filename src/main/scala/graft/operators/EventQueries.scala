@@ -180,6 +180,67 @@ object EventQueries {
           |""".stripMargin)
     }),
 
+    /** Click-to-purchase attribution with NULL emission — the batch twin
+      * of the stream-stream LEFT OUTER join
+      * ([[graft.streaming.EventStream.purchaseAttribution]] with
+      * joinType="left_outer", whose outer rows are watermark-gated):
+      * every purchase joins the same user's clicks from the preceding 30
+      * minutes; purchases with no qualifying click emit once as
+      * "unattributed conversions". The no-match sentinel is click_id = -1
+      * / click_ts = epoch rather than NULL because the driver's
+      * pandas-hash comparator treats NaT like NaN (NaT != NaT), so
+      * nullable timestamp outputs can never hash-match; the streaming
+      * twin emits real NULLs and its spec checks them. Equi-join on
+      * user_id carries the range condition — one shuffle, no n² blowup. */
+    "q77_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes") &&
+            col("click_ts") < col("purchase_ts"), "left")
+        .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_ts"),
+            lit("1970-01-01 00:00:00").cast("timestamp_ntz")).as("click_ts"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
+    /** Value-dependent-gap sessionization — the batch twin of the
+      * arbitrary-state streaming escape hatch
+      * ([[graft.streaming.EventStream.valueGapSessions]]): a session stays
+      * open for 60 minutes after a high-value event (value ≥ 50), 30
+      * minutes otherwise — per-event gap logic session_window cannot
+      * express. Batch form: the gap threshold for each boundary check
+      * derives from lag(value). */
+    "q78_value_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("prev_val", lag("value", 1).over(byUser))
+        .withColumn("gap_sec",
+          when(col("prev_val") >= 50.0, 3600.0).otherwise(1800.0))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double")) > col("gap_sec"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("session_value"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -284,6 +345,33 @@ object EventQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q77_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  coalesce(c.event_id, -1) AS click_id,
+        |  coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q78_value_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >
+        |              (CASE WHEN lag(value) OVER w >= 50.0 THEN 3600.0 ELSE 1800.0 END)
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q55_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice,
         |  round((SELECT avg(o_totalprice) FROM orders), 6) AS avg_price

@@ -118,6 +118,71 @@ object EventStream {
       }
   }
 
+  final case class ValueSessState(
+      startMs: Long, lastMs: Long, lastValue: Double, n: Long, total: Double)
+
+  /** Value-dependent-gap sessionization — the per-event state logic
+    * session_window cannot express (the reason flatMapGroupsWithState
+    * exists): a session stays open for 60 minutes after a high-value
+    * event (value ≥ threshold), 30 minutes otherwise, so the inactivity
+    * gap is a function of the session's LAST event. Batch twin:
+    * q78_value_sessions (driver-oracle-gated); the agreement spec pins
+    * stream == batch. State per key is O(1); timeout clamping and
+    * straggler merging follow [[statefulSessions]]. */
+  def valueGapSessions(events: DataFrame, threshold: Double = 50.0)
+      : org.apache.spark.sql.Dataset[SessionAgg] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def gapMs(lastValue: Double): Long =
+      if (lastValue >= threshold) 60L * 60 * 1000 else 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ValueSessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[ValueSessState]) =>
+          def emit(s: ValueSessState): SessionAgg = SessionAgg(user,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n, s.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionAgg]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs > gapMs(s.lastValue) =>
+                  closed += emit(s)
+                  cur = Some(ValueSessState(t, t, e.value, 1, e.value))
+                case Some(s) =>
+                  // straggler merge as in statefulSessions; the session's
+                  // "last value" only advances when the event really is
+                  // the new latest one
+                  val isNewLatest = t >= s.lastMs
+                  cur = Some(s.copy(
+                    startMs = math.min(t, s.startMs),
+                    lastMs = math.max(t, s.lastMs),
+                    lastValue = if (isNewLatest) e.value else s.lastValue,
+                    n = s.n + 1, total = s.total + e.value))
+                case None =>
+                  cur = Some(ValueSessState(t, t, e.value, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.lastMs + gapMs(s.lastValue)))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds: each purchase event
     * joins the same user's click events from the preceding 30 minutes
     * (click-to-purchase attribution). Both sides carry a watermark and the

@@ -202,6 +202,41 @@ class EventStreamSpec extends SparkSpec {
     assertSameRows(batch, streamed)
   }
 
+  test("value-gap stateful sessions agree with the batch q78 result") {
+    val emitted = EventStream.runToMemory(spark,
+      EventStream.valueGapSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
+      "value_sessions_test").collect()
+    assert(emitted.nonEmpty, "gap-closed value sessions should be emitted")
+    val batch = graft.SparkEntry.queries("q78_value_sessions")(spark, sf).collect()
+      .map(r => (r.getLong(0), millis(r.get(4))) -> (r.getLong(2), r.getDouble(3), millis(r.get(5))))
+      .toMap
+    emitted.foreach { r =>
+      val key = (r.getLong(0), millis(r.get(1)))
+      assert(batch.contains(key), s"unknown value session $key")
+      val (n, v, endMs) = batch(key)
+      assert(r.getLong(3) == n, s"n_events mismatch for $key")
+      assert(math.abs(r.getDouble(4) - v) <= 1e-9 * math.max(math.abs(v), 1.0) + 1e-4,
+        s"session_value mismatch for $key: ${r.getDouble(4)} vs $v")
+      assert(millis(r.get(2)) == endMs)
+    }
+    // the variable gap must actually bite: q78 and q32 session sets differ
+    val fixedGap = graft.SparkEntry.queries("q32_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), millis(r.get(4)))).toSet
+    assert(batch.keySet != fixedGap,
+      "value-dependent gap produced the same sessions as the fixed 30-min gap")
+  }
+
+  test("q77 batch attribution twin matches the streaming inner join on attributed rows") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.purchaseAttribution(EventStream.readEvents(spark, eventsDir)),
+      "attr_q77_test")
+    val q77Matched = graft.SparkEntry.queries("q77_attribution")(spark, sf)
+      .filter(col("click_id") =!= -1L) // drop the unattributed-sentinel rows
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp"))
+      .withColumn("click_ts", col("click_ts").cast("timestamp"))
+    assertSameRows(q77Matched, streamed)
+  }
+
   test("flatMapGroupsWithState sessions agree with the batch sessionization (q32)") {
     val emitted = EventStream.runToMemory(spark,
       EventStream.statefulSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
