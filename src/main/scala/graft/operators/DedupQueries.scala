@@ -53,14 +53,20 @@ object DedupQueries {
     * the quadratic definition — the DuckDB oracle recomputes it all-pairs
     * at verify scale.
     *
-    * PPJoin-style prefix filtering (index only the |x|−⌈t·|x|⌉+1 rarest
-    * shingles per doc) was benchmarked here and loses ~14× on this
-    * corpus: with a tiny token vocabulary every shingle is hot, so the
-    * "rare" prefix stays dense while the per-candidate set-verify costs
-    * more than the count-based aggregation. On a natural-text corpus with
-    * zipfian shingle frequencies the prefix variant wins; it should be
-    * selected by a corpus-statistics heuristic (distinct-shingle ratio),
-    * not unconditionally.
+    * Two candidate-generation strategies, selected per corpus by
+    * `spark.graft.dedup.jaccard.strategy` (`count` | `prefix` | `auto`,
+    * default auto — see [[jaccardPairsPrefix]] and the heuristic below):
+    * the count-aggregation inverted index (this method's body) wins on
+    * tiny-vocabulary corpora where every shingle is dense; the
+    * PPJoin-style prefix filter wins on natural zipfian corpora where
+    * most shingles are rare (the round-1 measurement: prefix loses 14×
+    * on the synthetic small-vocab testdata but is the standard winner on
+    * web text). `auto` measures the corpus's distinct-shingle ratio
+    * (distinct shingles / shingle rows, one aggregation over the cached
+    * frame): a high ratio means the df distribution has the long rare
+    * tail prefix filtering feeds on. The chosen strategy is reported in
+    * the session conf key `spark.graft.dedup.jaccard.chosenStrategy`.
+    * Both strategies verify candidates exactly — output identical.
     *
     * Hot-shingle guard: a corpus-frequent shingle (df docs carrying it)
     * contributes df² co-shingle rows that land in ONE task of the
@@ -74,6 +80,15 @@ object DedupQueries {
     * broadcastable. */
   private[graft] val HotShingleDfConf = "spark.graft.dedup.jaccard.hotShingleDf"
   private[graft] val JaccardSaltsConf = "spark.graft.dedup.jaccard.salts"
+  private[graft] val JaccardStrategyConf = "spark.graft.dedup.jaccard.strategy"
+  private[graft] val JaccardChosenConf = "spark.graft.dedup.jaccard.chosenStrategy"
+
+  /** Ratio above which `auto` picks the prefix filter: at ≥ 0.5 the
+    * majority of shingle occurrences are globally unique-ish, so rare-
+    * first prefixes prune most of the inverted index; below it the corpus
+    * is dense-vocabulary and count aggregation is cheaper (measured 14×
+    * on the synthetic testdata). */
+  private val PrefixRatioThreshold = 0.5
 
   private def jaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
     val hotDf = s.conf.get(HotShingleDfConf, "1000").toLong
@@ -87,6 +102,17 @@ object DedupQueries {
       .select(col("doc_id"), size(col("shingles")).cast("long").as("sz"),
         explode(col("shingles")).as("shingle"))
       .persist()
+    val chosen = s.conf.get(JaccardStrategyConf, "auto") match {
+      case "count" => "count"
+      case "prefix" => "prefix"
+      case _ =>
+        val ratio = sh.agg(
+          (countDistinct("shingle").cast("double") / count(lit(1))).as("r"))
+          .first().getDouble(0)
+        if (ratio >= PrefixRatioThreshold) "prefix" else "count"
+    }
+    s.conf.set(JaccardChosenConf, chosen)
+    if (chosen == "prefix") return jaccardPairsPrefix(s, d, minJac, sh)
     val a = sh.toDF("id1", "sz1", "shingle")
     val b = sh.toDF("id2", "sz2", "shingle")
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -106,6 +132,43 @@ object DedupQueries {
       .select(col("id1").as("doc1"), col("id2").as("doc2"),
         (col("n_common").cast("double") /
           (col("sz1") + col("sz2") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJac)
+  }
+
+  /** PPJoin/AllPairs-style prefix-filtered candidate generation. Under a
+    * global shingle order (df ascending, shingle ascending — rarest
+    * first), a pair with jaccard ≥ t shares at least ⌈t·|x|⌉ shingles
+    * (size filter gives |y| ≥ t·|x|, so the required overlap
+    * t/(1+t)·(|x|+|y|) ≥ t·|x|); if none of x's first
+    * |x| − ⌈t·|x|⌉ + 1 ordered shingles were shared, all common shingles
+    * would sit in the remaining ⌈t·|x|⌉ − 1 — contradiction. So indexing
+    * only each doc's prefix is lossless, and on zipfian corpora prunes
+    * the inverted index to its rare tail (hot shingles land in nobody's
+    * prefix — the skew guard comes built in). Candidates verify exactly
+    * against the per-doc distinct shingle arrays; output is identical to
+    * the count strategy. One extra shuffle (the df join + per-doc
+    * row_number) buys candidate sets ~|prefix|² instead of ~df². */
+  private def jaccardPairsPrefix(s: SparkSession, d: String, minJac: Double,
+      sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * minJac) + 1)
+      .select("doc_id", "sz", "shingle")
+    val cand = prefix.toDF("id1", "sz1", "shingle")
+      .join(prefix.toDF("id2", "sz2", "shingle"), "shingle")
+      .filter(col("id1") < col("id2") &&
+        col("sz1") >= col("sz2") * minJac && col("sz2") >= col("sz1") * minJac)
+      .select("id1", "id2").distinct()
+    val arrs = shingleArrays(s, d)
+    cand
+      .join(arrs.toDF("id1", "sh1"), "id1")
+      .join(arrs.toDF("id2", "sh2"), "id2")
+      .select(col("id1").as("doc1"), col("id2").as("doc2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
       .filter(col("jaccard") >= minJac)
   }
 

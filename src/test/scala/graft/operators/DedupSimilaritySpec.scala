@@ -85,6 +85,70 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d38: prefix strategy is output-identical to count; auto selects by corpus statistics") {
+    import DedupQueries.{JaccardStrategyConf, JaccardChosenConf}
+    def run() = SparkEntry.queries("d38_dedup_jaccard")(spark, sf)
+    try {
+      spark.conf.set(JaccardStrategyConf, "count")
+      val viaCount = run().collect().map(_.toSeq).toSet
+      spark.conf.set(JaccardStrategyConf, "prefix")
+      val viaPrefix = run().collect().map(_.toSeq).toSet
+      assert(viaCount.nonEmpty)
+      assert(viaPrefix == viaCount,
+        s"prefix filter changed the output: only-count=${viaCount -- viaPrefix} " +
+          s"only-prefix=${viaPrefix -- viaCount}")
+      // auto picks per measured ratio (scale-dependent on the testdata:
+      // 0.62 at sf0.01, 0.10 at sf0.1 — vocabulary saturates with corpus
+      // growth); either branch must reproduce the count output exactly
+      spark.conf.set(JaccardStrategyConf, "auto")
+      assert(run().collect().map(_.toSeq).toSet == viaCount)
+      assert(Set("count", "prefix").contains(spark.conf.get(JaccardChosenConf)))
+
+      import spark.implicits._
+      // dense corpus: every doc is a cyclic shift over a 10-token
+      // vocabulary → ~10 distinct shingles across 1120 shingle rows →
+      // ratio ≈ 0.01 → auto must pick count
+      val vocab = (0 until 10).map(j => s"tok$j")
+      val dense = (0 until 40).map { i =>
+        (i.toLong, (0 until 30).map(j => vocab((i + j) % 10)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val tmpD = java.nio.file.Files.createTempDirectory("dense").toString
+      dense.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmpD/documents.parquet")
+      spark.conf.set(JaccardStrategyConf, "auto")
+      val dAuto = SparkEntry.queries("d38_dedup_jaccard")(spark, tmpD)
+        .collect().map(_.toSeq).toSet
+      assert(spark.conf.get(JaccardChosenConf) == "count",
+        "auto should pick count aggregation on a dense-vocabulary corpus")
+      spark.conf.set(JaccardStrategyConf, "prefix")
+      assert(SparkEntry.queries("d38_dedup_jaccard")(spark, tmpD)
+        .collect().map(_.toSeq).toSet == dAuto && dAuto.nonEmpty)
+
+      // zipfian-ish corpus: per-pair-unique tokens → most shingles rare →
+      // auto must pick prefix, with output identical to count
+      val docs = (0 until 20).flatMap { i =>
+        val base = (0 until 30).map(j => s"u${i}_$j")
+        Seq((2L * i, base.mkString(" ")),
+          (2L * i + 1, (base.dropRight(1) :+ s"alt$i").mkString(" ")))
+      }.toDF("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+      docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      def runZ() = SparkEntry.queries("d38_dedup_jaccard")(spark, tmp)
+      spark.conf.set(JaccardStrategyConf, "count")
+      val zCount = runZ().collect().map(_.toSeq).toSet
+      spark.conf.set(JaccardStrategyConf, "auto")
+      val zAuto = runZ().collect().map(_.toSeq).toSet
+      assert(spark.conf.get(JaccardChosenConf) == "prefix",
+        "auto should pick the prefix filter on a rare-shingle corpus")
+      assert(zAuto == zCount && zCount.nonEmpty,
+        s"strategy mismatch on zipfian corpus: only-count=${zCount -- zAuto} " +
+          s"only-prefix=${zAuto -- zCount}")
+    } finally spark.conf.unset(JaccardStrategyConf)
+  }
+
   test("d41: above the exact-pair gate the LSH path runs quadratic-free with precision 1.0") {
     // exact tier (default gate: corpus ≤ 10k vectors uses all-pairs)
     val exact = SparkEntry.queries("d41_dedup_embedding")(spark, sf)
