@@ -48,31 +48,85 @@ object Load {
       // jobs side by side (26 tiny jobs serially = pure scheduling latency)
       val jobs = allTables(star, aggs).toSeq.map { case (name, df) =>
         Future {
-          // The sort runs DISTRIBUTED (range-partitioned, 32 tasks) and is
-          // cached; coalesce(1) then merely concatenates the cached sorted
-          // partitions in order inside the single writer task. The former
-          // orderBy(...).coalesce(1) collapsed the sort itself into that
-          // one task — minutes of single-core spill-sort per GB-scale
-          // table at the 100,000x baseline scale (measured: the first
-          // 9.5 GB pipeline run spent most of its 36 min there), vs ~40 s
-          // of pure single-file write IO once the sort is parallel. The
-          // output keys are unique per table, so the distributed sort is
-          // byte-identical to the single-task sort (no tie reordering).
-          val sorted = df.orderBy(sortKeys(name).map(col): _*).persist()
-          sorted.count()
-          val ordered = sorted.coalesce(1)
-          try {
-            ordered.write.mode("overwrite").option("header", "true")
-              // default CSV writer prints ms precision; golden carries ns
-              // (we keep µs — the max Spark holds)
-              .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-              .csv(s"$outDir/csv/$name")
-            ordered.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
-          } finally sorted.unpersist()
+          // Both sinks run the range-partitioned sort fully DISTRIBUTED
+          // and write in parallel; nothing is cached and no task ever
+          // holds a whole table. History of this path (both prior
+          // formulations measured on the BASELINE.md scale ladder):
+          //  - orderBy(...).coalesce(1) collapsed the SORT itself into
+          //    the single writer task — minutes of single-core spill-sort
+          //    per GB-scale table at 100,000× (most of that run's 36 min);
+          //  - sorting into a persisted cache and coalescing only for the
+          //    write fixed 100,000× but thrashed at 10,000×: fourteen
+          //    concurrent full-table caches exceed storage memory and the
+          //    single writer task re-reads spilled blocks (282 s vs 55 s).
+          // The ordered SINGLE-FILE artifact (S4/T2 golden contract) is
+          // produced by byte-concatenating the sorted CSV parts in
+          // partition order — pure sequential IO, no parse, no sort, no
+          // cache. The sort keys are unique per table, so the distributed
+          // sort is row-identical to a single-task sort. Parquet stays a
+          // directory of sorted parts: Spark writers always emit
+          // directories, and parquet has no cross-file read-order
+          // contract a single part could provide.
+          val t0 = System.nanoTime()
+          val sorted = df.orderBy(sortKeys(name).map(col): _*)
+          sorted.write.mode("overwrite").parquet(s"$outDir/parquet/$name")
+          val t1 = System.nanoTime()
+          // The CSV derives from the parquet just written, not from the
+          // table's plan: each sink otherwise re-executes the table's
+          // full upstream DAG (scan+joins over the whole raw input — at
+          // the 9.5 GB baseline scale that redundancy was most of the
+          // load stage), while re-reading the columnar output costs a
+          // fraction of that. Types round-trip exactly (timestamps are
+          // already µs-truncated), so the CSV bytes are unchanged; the
+          // re-sort is needed because parquet reads carry no cross-file
+          // order guarantee.
+          val back = df.sparkSession.read.parquet(s"$outDir/parquet/$name")
+            .orderBy(sortKeys(name).map(col): _*)
+          writeOrderedCsv(back, df.columns.toSeq, s"$outDir/csv/$name")
+          // per-table cost itemization (stderr keeps the stdout report
+          // line contract clean)
+          System.err.println(f"[load] $name%-22s parquet=${(t1 - t0) / 1e9}%6.1fs " +
+            f"csv=${(System.nanoTime() - t1) / 1e9}%6.1fs")
         }
       }
       Await.result(Future.sequence(jobs), Duration.Inf)
     } finally star.factSales.unpersist()
+  }
+
+  /** Ordered single-file CSV without any single-task sort: the sorted
+    * frame writes as headerless parts (each part a contiguous key range —
+    * range partitioning — and part file names carry the partition index),
+    * which then byte-concatenate in name order under a generated header
+    * line. Sequential IO is the only serial step; at 100 TB the concat
+    * itself is the thing to drop, not the sort (and `writeAtScale` below
+    * does exactly that). */
+  private def writeOrderedCsv(sorted: DataFrame, columns: Seq[String], dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = sorted.sparkSession.sparkContext.hadoopConfiguration
+    val tmp = new Path(dest + "__parts")
+    val fs = tmp.getFileSystem(conf)
+    sorted.write.mode("overwrite")
+      .option("header", "false")
+      // default CSV writer prints ms precision; golden carries ns
+      // (we keep µs — the max Spark holds)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(tmp.toString)
+    val destPath = new Path(dest)
+    fs.delete(destPath, true)
+    fs.mkdirs(destPath)
+    val parts = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val out = fs.create(new Path(destPath, "part-00000-ordered.csv"), true)
+    try {
+      out.write((columns.mkString(",") + "\n").getBytes("UTF-8"))
+      parts.foreach { p =>
+        val in = fs.open(p.getPath)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+        finally in.close()
+      }
+    } finally out.close()
+    fs.delete(tmp, true)
   }
 
   /** Cluster-scale layout: the fact partitions by month (date_id prefix) so

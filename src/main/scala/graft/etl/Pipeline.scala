@@ -41,14 +41,26 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    Pipeline.run(spark, rawPath, outDir) match {
+    Pipeline.build(spark, rawPath) match {
       case Left(err) => System.err.println(s"pipeline failed: $err"); sys.exit(1)
       case Right(r) =>
+        // build_sec captures the eager fraction of plan construction —
+        // essentially the per-table imputation-median barriers (each
+        // forces a scan); load_sec is everything the 26 exports execute.
+        // The split plus Load's per-table [load] stderr lines itemize
+        // where a scaled run's wall goes (round-3 9.5 GB finding: the
+        // single-task sorts hid there).
+        val buildSecs = (System.nanoTime() - t0) / 1e9
+        val tL = System.nanoTime()
+        Load.writeAll(r.star, r.aggs, outDir)
+        Instructions.write(outDir)
+        val loadSecs = (System.nanoTime() - tL) / 1e9
         // in-process ETL seconds (extract→export), excluding JVM/session
         // startup — the number comparable across engines at scale
         val runSecs = (System.nanoTime() - t0) / 1e9
         val report = Quality.check(r.star, r.aggs)
-        println(f"pipeline ok=${report.ok} run_sec=$runSecs%.2f fk=${report.fkViolations} " +
+        println(f"pipeline ok=${report.ok} run_sec=$runSecs%.2f " +
+          f"build_sec=$buildSecs%.2f load_sec=$loadSecs%.2f fk=${report.fkViolations} " +
           s"nulls=${report.nullCounts} fact=${report.factTotalSales} agg=${report.aggTotalSales}")
     }
     spark.stop()
