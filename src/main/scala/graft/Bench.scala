@@ -70,7 +70,8 @@ object Bench {
     // tightens the tail cheaply
     val heavy = Set("q56_percentiles", "q14_median", "d38_dedup_jaccard",
       "d39_dedup_minhash_lsh", "d40_dedup_simhash", "d41_dedup_embedding",
-      "d62_dedup_clusters")
+      "d62_dedup_clusters", "d81_jaccard_prefix", "d82_embedding_lsh",
+      "d83_clusters_distributed")
     val results = names.map { n =>
       val runs = Seq.fill(if (heavy(n)) 3 else 2)(runOnce(n))
       val good = runs.filter(_ >= 0)

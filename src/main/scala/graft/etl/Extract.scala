@@ -26,9 +26,28 @@ final case class RawTables(
 
 object Extract {
 
+  /** Decimal money mode (SURVEY §1.3 north star; VERDICT r3 #8): when
+    * `spark.graft.etl.decimalMoney=true`, the order-items money columns
+    * (price, freight_value) read as DECIMAL(12,2) instead of double, so
+    * every downstream sum is exact and order-independent — the choice an
+    * exact-money workload makes at 100 TB. Default OFF: the reference is
+    * double-typed and the golden parquet schemas must match
+    * bit-identically. Gated by TransformSpec's decimal-mode case and the
+    * q84_decimal_money driver oracle (same semantics over testdata). */
+  private[etl] val DecimalMoneyConf = "spark.graft.etl.decimalMoney"
+
   private def readCsv(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  private def maybeDecimal(spark: SparkSession, items: DataFrame): DataFrame =
+    if (spark.conf.get(DecimalMoneyConf, "false").toBoolean)
+      items
+        .withColumn("price", org.apache.spark.sql.functions.col("price")
+          .cast("decimal(12,2)"))
+        .withColumn("freight_value", org.apache.spark.sql.functions.col("freight_value")
+          .cast("decimal(12,2)"))
+    else items
 
   /** Load the 7 raw tables; FileNotFound on a required table surfaces as a
     * Left (typed error), matching the reference's None-return (S3). */
@@ -45,7 +64,8 @@ object Extract {
     else Right(RawTables(
       customers = readCsv(spark, s"$basePath/olist_customers_dataset.csv", Schemas.customers),
       orders = readCsv(spark, s"$basePath/olist_orders_dataset.csv", Schemas.orders),
-      orderItems = readCsv(spark, s"$basePath/olist_order_items_dataset.csv", Schemas.orderItems),
+      orderItems = maybeDecimal(spark,
+        readCsv(spark, s"$basePath/olist_order_items_dataset.csv", Schemas.orderItems)),
       products = readCsv(spark, s"$basePath/olist_products_dataset.csv", Schemas.products),
       sellers = readCsv(spark, s"$basePath/olist_sellers_dataset.csv", Schemas.sellers),
       reviews = readCsv(spark, s"$basePath/olist_order_reviews_dataset.csv", Schemas.reviews),

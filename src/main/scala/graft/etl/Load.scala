@@ -37,12 +37,22 @@ object Load {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    // the fact feeds 7 of the outputs (itself + 6 aggregates) and each
-    // CSV+parquet pair re-executes its plan — cache it once for the
-    // export, and MATERIALIZE before the parallel writers launch:
-    // persist() alone is lazy, so the concurrent futures would race to
-    // compute the same cached partitions and duplicate the work
-    star.factSales.persist().count()
+    // Share the transformed frames across the 14 exports (the round-3
+    // 100,000× lever — BASELINE.md's [load] itemization showed every
+    // parquet sink re-running its joins over the raw input): the fact
+    // feeds 7 outputs (itself + 6 aggregates) and each DIMENSION feeds
+    // its own sink plus every aggregate that joins it, so all seven
+    // upstream frames persist for the export's lifetime. The aggregates
+    // themselves write exactly once each — caching them too is the
+    // measured 10,000× cache-thrash trap (fourteen concurrent full-table
+    // caches exceed storage memory; BASELINE.md round-3 finding #2).
+    // MATERIALIZE before the parallel writers launch: persist() alone is
+    // lazy, so the concurrent futures would race to compute the same
+    // cached partitions and duplicate the work. Dims materialize
+    // concurrently — each count is an independent job.
+    val shared = star.dims.values.toSeq :+ star.factSales
+    shared.foreach(_.persist())
+    Await.result(Future.sequence(shared.map(df => Future(df.count()))), Duration.Inf)
     try {
       // independent output tables write concurrently; Spark schedules the
       // jobs side by side (26 tiny jobs serially = pure scheduling latency)
@@ -90,7 +100,7 @@ object Load {
         }
       }
       Await.result(Future.sequence(jobs), Duration.Inf)
-    } finally star.factSales.unpersist()
+    } finally shared.foreach(_.unpersist())
   }
 
   /** Ordered single-file CSV without any single-task sort: the sorted
@@ -114,9 +124,17 @@ object Load {
     val destPath = new Path(dest)
     fs.delete(destPath, true)
     fs.mkdirs(destPath)
+    // order parts by their NUMERIC partition index, not the file name:
+    // Spark pads the index to 5 digits, so a lexicographic sort silently
+    // misorders part-100000 before part-99999 beyond 10^5 partitions
+    // (ADVICE r3) — parse the index and fail loudly on an unparseable name
+    val partIdx = "part-(\\d+)".r
     val parts = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
+      .sortBy { f =>
+        partIdx.findFirstMatchIn(f.getPath.getName).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"unparseable part file name: ${f.getPath.getName}"))
+      }
     val out = fs.create(new Path(destPath, "part-00000-ordered.csv"), true)
     try {
       out.write((columns.mkString(",") + "\n").getBytes("UTF-8"))

@@ -143,7 +143,8 @@ object DedupQueries {
     val hotPairs = aHot.join(bHot, Seq("shingle", "__salt")).drop("__salt")
     val inter = cold.unionByName(hotPairs)
       .filter(col("id1") < col("id2") &&
-        col("sz1") >= col("sz2") * minJac && col("sz2") >= col("sz1") * minJac)
+        col("sz1") >= col("sz2") * minJac - lit(1e-9) &&
+        col("sz2") >= col("sz1") * minJac - lit(1e-9))
       .groupBy("id1", "id2", "sz1", "sz2").agg(count(lit(1)).as("n_common"))
     inter
       .select(col("id1").as("doc1"), col("id2").as("doc2"),
@@ -170,14 +171,23 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // ceil guards against binary-float round-up: sz*t for t without an
+    // exact binary representation (0.1, 0.3, ...) can land one ulp above
+    // the true product (30*0.1 → 3.0000000000000004, ceil → 4), which
+    // would shorten the prefix below the lossless bound and silently drop
+    // pairs whose overlap is exactly t·|x| — candidates the exact-verify
+    // stage can never recover. The epsilon only ever lengthens the prefix
+    // (adds candidates), so it cannot lose pairs; same tolerance guards
+    // the size-ratio comparisons here and in the count strategy.
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * minJac) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * minJac - lit(1e-9)) + 1)
       .select("doc_id", "sz", "shingle")
     val cand = prefix.toDF("id1", "sz1", "shingle")
       .join(prefix.toDF("id2", "sz2", "shingle"), "shingle")
       .filter(col("id1") < col("id2") &&
-        col("sz1") >= col("sz2") * minJac && col("sz2") >= col("sz1") * minJac)
+        col("sz1") >= col("sz2") * minJac - lit(1e-9) &&
+        col("sz2") >= col("sz1") * minJac - lit(1e-9))
       .select("id1", "id2").distinct()
     val arrs = shingleArrays(s, d)
     cand
@@ -425,6 +435,54 @@ object DedupQueries {
         if (embeddingCount(s, d) <= limit) exactAllPairs(s, d)
         else embeddingPairsLsh(s, d)
       pairs.filter(col("cosine") >= 0.4).orderBy("id1", "id2")
+    }),
+
+    // ---- forced scale-tier variants (VERDICT r3 #1) ------------------
+    // The sf0.01 verify corpus sits below every auto-gate, so the driver's
+    // DuckDB hash gate otherwise only ever exercises the small tiers. Each
+    // variant pins the session conf that selects the 100 TB code path and
+    // shares the small-tier query's oracle SQL VERBATIM — the scale path
+    // must produce the same bytes, not just satisfy a spec. Confs are
+    // read at plan-construction time, so restoring them in `finally`
+    // cannot race the query's execution.
+
+    /** d38's PPJoin prefix-filter strategy (the zipfian-corpus path; auto
+      * picks `count` on this dense-vocab testdata). */
+    "d81_jaccard_prefix" -> ((s, d) => {
+      val prev = s.conf.get(JaccardStrategyConf, "auto")
+      s.conf.set(JaccardStrategyConf, "prefix")
+      try jaccardPairs(s, d, 0.5).orderBy("doc1", "doc2")
+      finally s.conf.set(JaccardStrategyConf, prev)
+    }),
+
+    /** d41's banded random-hyperplane LSH prefilter tier (auto uses the
+      * exact block-pair join below 10k vectors). Oracle: an inlined-plane
+      * DuckDB replica of the banded pipeline itself (the s43 pattern) —
+      * NOT d41's exact all-pairs SQL, because at this corpus's cosine
+      * threshold (0.4 ≈ 66°, barely off orthogonal) the 8×4 sign-LSH
+      * banding bound gives recall ≈ 0.75 (measured at sf0.01: 46 of 59
+      * exact pairs), and no banding configuration reaches recall 1.0
+      * there without admitting ~all n² pairs as candidates. What the
+      * hash gate pins instead: the banding signatures, candidate set,
+      * and exact-cosine verification are computed identically — i.e.
+      * precision 1.0 and the implementation, byte-for-byte. Recall vs
+      * exact stays the spec-pinned contract (DedupSimilaritySpec: ≥ 0.5
+      * at 0.4; the analytic bound is ≈ 0.998 at the 0.9-cosine near-dup
+      * threshold the tier is designed for). */
+    "d82_embedding_lsh" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      embeddingPairsLsh(s, d)
+        .filter(col("cosine") >= 0.4).orderBy("id1", "id2")
+    }),
+
+    /** d62's distributed min-label-propagation tier (auto collects the
+      * edge list for driver union-find below 1M pairs). */
+    "d83_clusters_distributed" -> ((s, d) => {
+      val key = "spark.graft.dedup.clusters.unionFindLimit"
+      val prev = s.conf.get(key, "1000000")
+      s.conf.set(key, "0")
+      try queries("d62_dedup_clusters")(s, d)
+      finally s.conf.set(key, prev)
     })
   )
 
@@ -462,21 +520,44 @@ object DedupQueries {
   /** Exact-vs-LSH gate for d41: at 10k vectors the block-pair equi-join
     * ([[exactAllPairs]]) evaluates 5·10⁷ codegen'd cosines — one executor
     * wave of work; past it the quadratic term dominates any constant and
-    * the banded prefilter takes over (output-identical at this corpus and
-    * threshold — the LSH-vs-exact agreement is spec-pinned). */
+    * the banded prefilter takes over (precision 1.0 always; recall is the
+    * banding bound — ≈0.998 at the 0.9-cosine near-dup design point,
+    * ≈0.75 at this corpus's low 0.4 threshold, measured 46/59 at sf0.01 —
+    * spec-pinned in DedupSimilaritySpec and hash-gated via d82's
+    * banded-pipeline replica oracle). */
   private val ExactPairLimit = 10000L
   private val DedupPlanes = 32
   private val DedupBandBits = 4
   private val DedupBands = DedupPlanes / DedupBandBits // 8 bands of 4 sign bits
 
-  /** Per-directory embedding row count, computed once per JVM — d41's tier
-    * gate. Re-running the gating count() on every invocation adds a full
-    * scan job exactly at the scale where the LSH tier matters (ADVICE r2);
-    * the count is metadata-cheap (parquet footers, no column IO) but the
-    * cache makes repeat invocations (bench best-of-3, verify) free. */
+  /** Per-(application, directory) embedding row count, computed once —
+    * d41's tier gate. Re-running the gating count() on every invocation
+    * adds a full scan job exactly at the scale where the LSH tier matters
+    * (ADVICE r2); the count is metadata-cheap (parquet footers, no column
+    * IO) but the cache makes repeat invocations (bench best-of-3, verify)
+    * free. Keyed like [[shCache]] so a new application never inherits a
+    * stale count (ADVICE r3); in-application rewrites of a directory must
+    * call [[invalidateCaches]]. */
   private val embCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def embeddingCount(s: SparkSession, d: String): Long =
-    embCountCache.computeIfAbsent(d, _ => embeddings(s, d).count())
+    embCountCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
+      _ => embeddings(s, d).count())
+
+  /** Cache-lifecycle contract (ADVICE r3): the shared shingle frame and
+    * the embedding tier-gate count are cached per (application,
+    * directory) for the life of the application — correct for the
+    * bench/verify lifecycle where a data directory is immutable once
+    * read. A long-lived session that REWRITES a directory in place
+    * (append, compaction, regenerated testdata) must call this hook for
+    * that directory before re-querying it: it unpersists the pinned
+    * shingle frame and drops both cache entries, so the next query
+    * re-reads and re-gates from the current files. Covered by
+    * DedupCacheSpec (rewrite → invalidate → fresh results). */
+  def invalidateCaches(s: SparkSession, d: String): Unit = {
+    val key = s.sparkContext.applicationId + "|" + d
+    Option(shCache.remove(key)).foreach(_.sh.unpersist())
+    embCountCache.remove(key)
+  }
 
   /** Exact all-pairs cosine via a BLOCK-PAIR EQUI-JOIN, not a nested-loop
     * cross join. Each vector lands in block vec_id mod B; the B·(B+1)/2
@@ -639,7 +720,20 @@ object DedupQueries {
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-    "d38_dedup_jaccard" ->
+    // forced scale-tier variants: d81/d83 share their small-tier query's
+    // oracle verbatim (same bytes from the 100 TB code path); d82's LSH
+    // tier is recall-bounded by construction at this corpus's threshold,
+    // so its oracle replicates the banded pipeline itself (see the query
+    // scaladoc)
+    "d81_jaccard_prefix" -> jaccardOracle,
+    "d82_embedding_lsh" -> lshReplicaOracle,
+    "d83_clusters_distributed" -> clustersOracle,
+    "d38_dedup_jaccard" -> jaccardOracle,
+    "d62_dedup_clusters" -> clustersOracle,
+    "d41_dedup_embedding" -> embeddingOracle
+  )
+
+  private lazy val jaccardOracle =
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
         |sh AS (
@@ -658,8 +752,9 @@ object DedupQueries {
         |JOIN sz s1 ON doc1 = s1.doc_id
         |JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
-        |ORDER BY doc1, doc2""".stripMargin,
-    "d62_dedup_clusters" ->
+        |ORDER BY doc1, doc2""".stripMargin
+
+  private lazy val clustersOracle =
       """WITH RECURSIVE pairs AS (
         |  SELECT doc1, doc2 FROM (
         |    WITH toks AS (
@@ -691,8 +786,52 @@ object DedupQueries {
         |  CAST(count(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS cluster_size
         |FROM nodes c
         |JOIN (SELECT s, min(t) AS cluster_id FROM closure GROUP BY s) m ON c.s = m.s
-        |ORDER BY doc_id""".stripMargin,
-    "d41_dedup_embedding" ->
+        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replica of the d82 LSH tier (the s43 inlined-plane pattern):
+    * the 32×64 gaussian plane constants serialize as shortest-round-trip
+    * double literals (bit-identical on parse), dots sum in the same
+    * ascending index order as the codegen'd dot_product, bands are the
+    * same 8×4 sign-bit groups, and candidates verify with the same exact
+    * cosine — so the two engines compute the identical pair set. */
+  private lazy val lshReplicaOracle: String = {
+    // planes as a VALUES relation, not a literal indexed inside a lambda:
+    // the in-lambda form rebuilds the 32×64 nested list per evaluation
+    // (measured: minutes for the whole oracle); the join form computes
+    // 64k in-order dot products in seconds
+    val planeRows = dedupPlanes.zipWithIndex
+      .map { case (row, p) =>
+        row.map(v => s"CAST($v AS DOUBLE)").mkString(s"($p, [", ", ", "])")
+      }
+      .mkString(",\n      ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |planes(p, pv) AS (SELECT * FROM (VALUES
+       |      $planeRows) AS t(p, pv)),
+       |dots AS (
+       |  SELECT e.vec_id, pl.p,
+       |    list_sum(list_transform(range(0, 64), j ->
+       |      e.e[CAST(j + 1 AS INTEGER)] * pl.pv[CAST(j + 1 AS INTEGER)])) AS d
+       |  FROM emb e CROSS JOIN planes pl),
+       |sig AS (
+       |  SELECT vec_id, CAST(p // $DedupBandBits AS INTEGER) AS band,
+       |    CAST(sum(CASE WHEN d >= 0.0
+       |      THEN (CAST(1 AS BIGINT) << CAST(p % $DedupBandBits AS INTEGER))
+       |      ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+       |SELECT c.id1, c.id2, list_cosine_similarity(e1.e, e2.e) AS cosine
+       |FROM cand c
+       |JOIN emb e1 ON c.id1 = e1.vec_id
+       |JOIN emb e2 ON c.id2 = e2.vec_id
+       |WHERE list_cosine_similarity(e1.e, e2.e) >= 0.4
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  private lazy val embeddingOracle =
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])) AS cosine
@@ -700,5 +839,4 @@ object DedupQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id1, id2""".stripMargin
-  )
 }

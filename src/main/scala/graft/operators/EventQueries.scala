@@ -241,6 +241,84 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    /** Streaming exact dedup under the driver's DuckDB hash gate (VERDICT
+      * r3 #5): the REAL Structured Streaming pipeline runs inside the
+      * builder — the events file staged TWICE into a stream directory (a
+      * full at-least-once replay), read with readStream,
+      * dropDuplicatesWithinWatermark on event_id, drained through the
+      * memory sink. Every replayed event must be dropped, so the result
+      * hash-matches `SELECT * FROM events`. Replayed rows are
+      * byte-identical to their originals, so which copy survives is
+      * immaterial and the output is deterministic. */
+    "q79_stream_dedup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q79_dup")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("b.parquet"))
+      val sink = "q79_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val deduped = graft.streaming.EventStream.runToMemory(s,
+        graft.streaming.EventStream.dedupedEvents(
+          graft.streaming.EventStream.readEvents(s, dir.toString)), sink)
+      deduped
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    }),
+
+    /** The foreachBatch production sink under the driver's hash gate
+      * (VERDICT r3 #5): the full streaming path — readStream →
+      * watermarked hourly aggregate → foreachBatch appending
+      * event_type-partitioned parquet — runs in the builder, and the
+      * PARQUET OUTPUT (read back from disk) is what the oracle compares,
+      * so partition-column round-tripping and the append contract are
+      * gated too, not just the aggregate values. Append-mode windows only
+      * emit once the watermark passes them, so two far-future sentinel
+      * files (filtered from the output) drive the watermark past every
+      * real window; maxFilesPerTrigger=1 makes them later micro-batches,
+      * and the second sentinel makes the final eviction happen inside a
+      * DATA batch (processAllAvailable does not wait for trailing no-data
+      * batches). Oracle: identical SQL to q31 — the sink must land
+      * exactly the batch answer. */
+    "q80_stream_hourly_sink" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q80_sink")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("a.parquet"))
+      val maxMs = events(s, d)
+        .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
+        .ceil.toLong * 1000L
+      def sentinelFile(name: String, hours: Long, id: Long): Unit = {
+        val df = Seq((id, (maxMs + hours * 3600 * 1000) * 1000000L, 999999L,
+          "zzsentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val stage = dir.resolve(name + "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        java.nio.file.Files.move(
+          java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
+            .findFirst().get(), dir.resolve(name + ".parquet"))
+      }
+      sentinelFile("b", 10, 900000001L)
+      sentinelFile("c", 20, 900000002L)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = s.readStream.schema(graft.streaming.EventStream.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // the sink must live OUTSIDE the stream source directory — the file
+      // source re-lists its tree each trigger and would discover the
+      // sink's freshly-written parts as conflicting input
+      val outDir = java.nio.file.Files.createTempDirectory("q80_out")
+        .resolve("agg_out").toString
+      graft.streaming.EventStream.runToParquet(
+        graft.streaming.EventStream.hourlyAggregates(src), outDir)
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "zzsentinel")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -255,6 +333,14 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q79_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the sink must land exactly the batch hourly aggregate — same SQL as q31
+    "q80_stream_hourly_sink" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q30_json_extract" ->
       """SELECT event_type,
         |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,

