@@ -24,6 +24,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // 84 distinct queries in one session hold far more than 100 generated
+      // classes; the default static codegen cache would recompile across
+      // queries (round-4 finding — see etl.Pipeline and PERFORMANCE.md)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.buffer.pageSize", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -50,13 +50,26 @@ object Load {
     // lazy, so the concurrent futures would race to compute the same
     // cached partitions and duplicate the work. Dims materialize
     // concurrently — each count is an independent job.
-    val shared = star.dims.values.toSeq :+ star.factSales
+    val share = sys.env.getOrElse("SPARK_GRAFT_ETL_SHARE", "on") != "off"
+    val shared = if (share) star.dims.values.toSeq :+ star.factSales else Nil
     shared.foreach(_.persist())
     Await.result(Future.sequence(shared.map(df => Future(df.count()))), Duration.Inf)
+    if (share) {
+      val sc = star.factSales.sparkSession.sparkContext
+      sc.getRDDStorageInfo.foreach { i =>
+        System.err.println(s"[load] cached ${i.name} parts=${i.numCachedPartitions}/" +
+          s"${i.numPartitions} mem=${i.memSize / 1048576}MB disk=${i.diskSize / 1048576}MB")
+      }
+    }
     try {
       // independent output tables write concurrently; Spark schedules the
       // jobs side by side (26 tiny jobs serially = pure scheduling latency)
-      val jobs = allTables(star, aggs).toSeq.map { case (name, df) =>
+      // builder iteration aid: restrict to named tables (comma-separated)
+      val onlyTables = sys.env.get("SPARK_GRAFT_ETL_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val jobs = allTables(star, aggs).toSeq
+        .filter { case (name, _) => onlyTables.forall(_.contains(name)) }
+        .map { case (name, df) =>
         Future {
           // Both sinks run the range-partitioned sort fully DISTRIBUTED
           // and write in parallel; nothing is cached and no task ever

@@ -38,6 +38,20 @@ object Pipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false") // parity mode (H5)
       .config("spark.ui.enabled", "false")
+      // The 14 output tables export CONCURRENTLY, and their distinct plans
+      // carry well over 100 generated classes between them — the default
+      // codegen cache (spark.sql.codegen.cache.maxEntries=100, static)
+      // then misses on nearly every task and Janino recompiles per task:
+      // measured 343 s → 51 s at the 10,000× scale rung from this one
+      // setting (round-4 finding, PERFORMANCE.md). Harmless when unneeded
+      // (it is an upper bound, not a reservation).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Executor heaps ≥ 64 GiB auto-derive 64 MiB Tungsten pages, which
+      // are humongous allocations for G1 (max 32 MiB regions) — concurrent
+      // sorts then drive G1 into continuous concurrent-mark churn with
+      // multi-second pauses (measured 4-15× slowdowns, nondeterministic).
+      // Capping the page size keeps pages region-sized at any heap.
+      .config("spark.buffer.pageSize", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()

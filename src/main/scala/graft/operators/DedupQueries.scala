@@ -483,6 +483,77 @@ object DedupQueries {
       s.conf.set(key, "0")
       try queries("d62_dedup_clusters")(s, d)
       finally s.conf.set(key, prev)
+    }),
+
+    /** Corpus-level exact CHUNK dedup (the sub-document granularity the
+      * doc-level d37 can't reach — boilerplate shared across otherwise
+      * distinct documents): split each doc into non-overlapping 30-token
+      * chunks, keep the corpus-wide FIRST occurrence of each distinct
+      * chunk (ordered by doc_id, then chunk position), flag the rest.
+      *
+      * Scale shape: the shuffle key is md5(chunk) — 32 bytes instead of
+      * the chunk text, so shuffle rows stay small and the equivalence
+      * classes are identical (a 128-bit collision needs ~2^64 chunks).
+      * One shuffle for the count+first window, linear in corpus bytes,
+      * no driver-side path. A pathological boilerplate chunk shared by
+      * millions of docs makes one hot partition; that partition's work
+      * is a linear count + rank, so the straggler is IO-bound, not
+      * quadratic (same bound SkewSpec pins for sessionization). */
+    "d86_chunk_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(30))).as("start"),
+          col("t"))
+        .select(col("doc_id"), (col("start") / 30).cast("long").as("chunk_idx"),
+          md5(concat_ws(" ", slice(col("t"), col("start") + 1, lit(30)))
+            .cast("binary")).as("chunk_key"))
+      val byChunk = Window.partitionBy("chunk_key")
+      chunks
+        .withColumn("n_copies", count(lit(1)).over(byChunk).cast("long"))
+        .withColumn("rn",
+          row_number().over(byChunk.orderBy("doc_id", "chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_copies"),
+          (col("rn") === 1).as("is_kept"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    /** Benchmark decontamination (the overlap check every pretraining
+      * pipeline runs before training: GPT-3 §C / PaLM-style 13-gram
+      * collision against the eval set): a deterministic ~1% slice of the
+      * corpus (doc_id % 29 == 0) stands in for the benchmark set; every
+      * TRAINING doc reports how many of its distinct 13-grams appear
+      * anywhere in the eval set, plus the resulting contaminated verdict.
+      *
+      * Scale shape: eval sets are benchmark-sized (MBs — bounded, not
+      * corpus-scaling), so their distinct-gram table broadcasts; the
+      * training side is one linear explode scan joined hash-to-broadcast,
+      * then one shuffle on doc_id for the per-doc count. Grams travel as
+      * md5 keys (32 bytes, identical equivalence classes — see d86). At
+      * 100 TB the broadcast could be replaced by a bloom filter with an
+      * exact-verify join behind it; the plan shape is otherwise unchanged. */
+    "d88_decontaminate" -> ((s, d) => {
+      val G = 13
+      val tok = documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      def grams(df: DataFrame) = df
+        .filter(size(col("t")) >= G)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(t)-$G), i -> " +
+            "array_join(slice(t, i+1, " + G + "), ' '))")).as("g"))
+        .select(col("doc_id"), md5(col("g").cast("binary")).as("gk"))
+      val isEval = col("doc_id") % 29 === 0
+      val evalGrams = grams(tok.filter(isEval)).select("gk").distinct()
+      val hits = grams(tok.filter(!isEval)).distinct()
+        .join(broadcast(evalGrams), "gk")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      tok.filter(!isEval)
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_shared_13grams"),
+          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
     })
   )
 
@@ -730,7 +801,44 @@ object DedupQueries {
     "d83_clusters_distributed" -> clustersOracle,
     "d38_dedup_jaccard" -> jaccardOracle,
     "d62_dedup_clusters" -> clustersOracle,
-    "d41_dedup_embedding" -> embeddingOracle
+    "d41_dedup_embedding" -> embeddingOracle,
+    // chunk text (not md5) keys the DuckDB window — identical equivalence
+    // classes, so the kept/dropped flags hash-match the Spark side
+    "d86_chunk_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST((gs.s - 1) / 30 AS BIGINT) AS chunk_idx,
+        |    array_to_string(t[gs.s:gs.s + 29], ' ') AS chunk
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t), 30)) AS gs(s)),
+        |st AS (
+        |  SELECT doc_id, chunk_idx,
+        |    count(*) OVER (PARTITION BY chunk) AS n_copies,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx, CAST(n_copies AS BIGINT) AS n_copies,
+        |  rn = 1 AS is_kept
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // gram text (not md5) keys the DuckDB join — identical equivalence
+    // classes, so per-doc distinct-shared-gram counts match exactly
+    "d88_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |eg AS (
+        |  SELECT DISTINCT array_to_string(t[gs.i:gs.i + 12], ' ') AS g
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 12)) AS gs(i)
+        |  WHERE doc_id % 29 = 0 AND len(t) >= 13),
+        |tg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[gs.i:gs.i + 12], ' ') AS g
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 12)) AS gs(i)
+        |  WHERE doc_id % 29 <> 0 AND len(t) >= 13),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n FROM tg JOIN eg USING (g) GROUP BY 1)
+        |SELECT tok.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_shared_13grams,
+        |  coalesce(n, 0) > 0 AS contaminated
+        |FROM tok LEFT JOIN hits ON tok.doc_id = hits.doc_id
+        |WHERE tok.doc_id % 29 <> 0
+        |ORDER BY tok.doc_id""".stripMargin
   )
 
   private lazy val jaccardOracle =

@@ -162,6 +162,64 @@ object SimilarityQueries {
           round((col("vmax") - col("vmin")) / 255.0, 9).as("scale"))
         .orderBy("vec_id", "dim")),
 
+    /** Two-stage quantized search + exact rerank — the memory-bounded
+      * serving pattern for billion-vector indexes: stage 1 scores the
+      * whole corpus with int8-quantized vectors (4× smaller than float32;
+      * integer dot products), keeps the top 3k candidates per query via
+      * the bounded-heap [[graft.functions.TopKByScore]]; stage 2 rescores
+      * ONLY those candidates with exact float cosine and emits the top k.
+      * Quantization is per-vector symmetric max-abs (q = floor(v/max·127),
+      * exact integer arithmetic thereafter), so approximate scores — and
+      * therefore the candidate set and the final ranking — are
+      * bit-identical across engines and the whole two-stage pipeline
+      * hash-matches its DuckDB replica.
+      *
+      * Scale shape: stage 1 is the same broadcast-queries scan as s42 but
+      * on int8 payloads; stage 2 touches 3k·|queries| rows (a broadcast
+      * semi-filter of the corpus). The rerank never rescans more than the
+      * candidate set. */
+    "s87_ann_rerank" -> ((s, d) => {
+      VectorFunctions.register(s)
+      graft.functions.TopKAggregate.register(s)
+      val Cand = 3 * K
+      val emb = embeddings(s, d)
+      def quantized(idAs: String, scaleAs: String, qvAs: String) = {
+        val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        emb.select(col("vec_id").as(idAs), col("embedding"), maxabs.as(scaleAs))
+          .select(col(idAs), col("embedding"), col(scaleAs),
+            transform(col("embedding"), x =>
+              when(col(scaleAs) === 0.0, 0L)
+                .otherwise(floor(x.cast("double") / col(scaleAs) * 127.0).cast("long")))
+              .as(qvAs))
+      }
+      val corpus = quantized("neighbor_id", "c_scale", "cq")
+      val q = quantized("query_id", "q_scale", "qq")
+        .filter(col("query_id") < NumQueries)
+        .select(col("query_id"), col("embedding").as("qv"), col("q_scale"), col("qq"))
+      val intDot = aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      val approx = (intDot.cast("double") * col("q_scale") * col("c_scale")) / 16129.0
+      val cands = corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
+        .groupBy("query_id")
+        .agg(call_function("topk_by_score", col("approx"), col("neighbor_id"), lit(Cand))
+          .as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      cands
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+          "neighbor_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          call_function("cosine_sim", col("qv"), col("nv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     /** Vector norms & component stats — the normalization primitives an
       * embedding pipeline applies before indexing, via the codegen'd
       * dot_product expression + array higher-order functions. */
@@ -267,9 +325,55 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB replica of the two-stage quantized-rerank pipeline: same
+    * per-vector max-abs int8 quantization, same integer dot products and
+    * double rescale (identical operation order, so scores are
+    * bit-identical), same top-3k candidate cut (row_number on approx
+    * DESC, neighbor_id — the TopKByScore heap's exact order), same exact
+    * cosine rerank. */
+  private def annRerankOracle: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) AS scale,
+       |    list_transform(e, x ->
+       |      CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0.0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(floor(x / list_max(list_transform(e, y -> abs(y))) * 127.0)
+       |                AS BIGINT) END) AS q
+       |  FROM emb),
+       |scored AS (
+       |  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+       |    (CAST(CAST(list_sum(list_transform(range(1, len(qs.q) + 1), j ->
+       |        qs.q[CAST(j AS INTEGER)] * cs.q[CAST(j AS INTEGER)])) AS BIGINT) AS DOUBLE)
+       |      * qs.scale * cs.scale) / 16129.0 AS approx
+       |  FROM qz qs JOIN qz cs ON qs.vec_id <> cs.vec_id
+       |  WHERE qs.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY approx DESC, neighbor_id) AS crn
+       |        FROM scored)
+       |  WHERE crn <= ${3 * K}),
+       |rer AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(qe.e, ne.e) AS cosine
+       |  FROM cand
+       |  JOIN emb qe ON cand.query_id = qe.vec_id
+       |  JOIN emb ne ON cand.neighbor_id = ne.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "s43_ann_lsh" -> annLshOracle,
     "s44_ann_ivf" -> annIvfOracle,
+    "s87_ann_rerank" -> annRerankOracle,
     "s42_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

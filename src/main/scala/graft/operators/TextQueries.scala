@@ -230,6 +230,50 @@ object TextQueries {
         .orderBy(desc("n"), col("bigram"))
         .limit(20)),
 
+    /** Repetition-based quality signals (the MassiveText/Gopher-style
+      * filters a pretraining pipeline applies before mixing): per doc,
+      * the share of the most common bigram among all bigram occurrences,
+      * the fraction of trigram occurrences that are repeats of an earlier
+      * trigram in the same doc, and the distinct-token ratio — plus a
+      * keep/drop verdict at fixed thresholds. All three are ratios of
+      * exact integer counts, so the doubles (and the boolean) are
+      * bit-identical across engines.
+      *
+      * Shape at scale: the n-gram stats shuffle on (doc_id, gram) then
+      * (doc_id) — two partial+final aggregations, linear in corpus bytes,
+      * nothing corpus-sized on one node. (The pure-array formulation
+      * `array_max(transform(array_distinct(g), x -> size(filter(g, ...))))`
+      * would be shuffle-free but O(distinct·len) per doc — quadratic on a
+      * repetitive doc, i.e. worst exactly where this filter matters.) */
+    "t85_repetition" -> ((s, d) => {
+      val tok = documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+      val bg = tok.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("g"))
+      val bstat = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bg"), sum("c").as("tot_bg"))
+      val tg = tok.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+          .as("g"))
+      val tstat = tg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("tot_tg"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tg"))
+      val topBigramFrac = col("top_bg").cast("double") / col("tot_bg")
+      val dupTrigramFrac = col("dup_tg").cast("double") / col("tot_tg")
+      tok.select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("t"))).cast("double") / size(col("t")))
+            .as("distinct_token_ratio"))
+        .join(bstat, "doc_id").join(tstat, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("distinct_token_ratio"),
+          topBigramFrac.as("top_bigram_frac"),
+          dupTrigramFrac.as("dup_trigram_frac"),
+          (topBigramFrac <= 0.06 && dupTrigramFrac <= 0.2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     /** TF-IDF: the highest-scoring term per document (tf = term count /
       * doc tokens; idf = ln(N / df); ties break toward the lexicographically
       * smaller term). Two aggregations; only the vocabulary-sized df table
@@ -431,6 +475,33 @@ object TextQueries {
         |  WHERE len(t) >= 2)
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "t85_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM tok CROSS JOIN unnest(generate_series(1, greatest(len(t)-1, 0))) AS gs(i)
+        |  WHERE len(t) >= 2),
+        |bstat AS (
+        |  SELECT doc_id, max(c) AS top_bg, sum(c) AS tot_bg
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM tok CROSS JOIN unnest(generate_series(1, greatest(len(t)-2, 0))) AS gs(i)
+        |  WHERE len(t) >= 3),
+        |tstat AS (
+        |  SELECT doc_id, sum(c) AS tot_tg,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tg
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT tok.doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio,
+        |  CAST(top_bg AS DOUBLE) / tot_bg AS top_bigram_frac,
+        |  CAST(dup_tg AS DOUBLE) / tot_tg AS dup_trigram_frac,
+        |  CAST(top_bg AS DOUBLE) / tot_bg <= 0.06
+        |    AND CAST(dup_tg AS DOUBLE) / tot_tg <= 0.2 AS keep
+        |FROM tok JOIN bstat USING (doc_id) JOIN tstat USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t52_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

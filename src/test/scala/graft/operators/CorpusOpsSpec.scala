@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Behavioral contracts for the round-4 corpus operators beyond their
+  * DuckDB hash gates: t85's keep verdict matches its own fractions, d86
+  * keeps exactly the corpus-wide first occurrence per duplicated chunk,
+  * and s87's quantized-rerank stage recovers the exact top neighbor.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("t85_repetition: verdict is consistent and a pathological doc is dropped") {
+    val rows = graft.TextQueries.queries("t85_repetition")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val topBg = r.getAs[Double]("top_bigram_frac")
+      val dupTg = r.getAs[Double]("dup_trigram_frac")
+      assert(topBg >= 0.0 && topBg <= 1.0 && dupTg >= 0.0 && dupTg <= 1.0)
+      assert(r.getAs[Boolean]("keep") == (topBg <= 0.06 && dupTg <= 0.2),
+        s"keep flag disagrees with its own fractions for doc ${r.get(0)}")
+    }
+    // a synthetic one-phrase-forever doc must fail both filters
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq((1L, Seq.fill(40)("buy cheap pills now").mkString(" ")),
+        (2L, (1 to 120).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.TextQueries.queries("t85_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!m(1L), "fully repetitive doc must be dropped")
+    assert(m(2L), "all-distinct doc must be kept")
+  }
+
+  test("d86_chunk_dedup: exactly one kept copy per chunk, and it is the first") {
+    val rows = graft.DedupQueries.queries("d86_chunk_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // every dropped chunk has n_copies > 1; kept rows with n_copies == 1
+    // are singletons
+    rows.filter(!_._4).foreach { case (d, c, n, _) =>
+      assert(n > 1, s"dropped chunk ($d,$c) claims $n copies")
+    }
+    // rebuild the chunk text to verify keep-first per equivalence class
+    import org.apache.spark.sql.functions._
+    val chunks = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(30))).as("start"), col("t"))
+      .select(col("doc_id"), (col("start") / 30).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("t"), col("start") + 1, lit(30))).as("chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val byChunk = rows.groupBy { case (d, c, _, _) => chunks((d, c)) }
+    byChunk.foreach { case (_, group) =>
+      val kept = group.filter(_._4)
+      assert(kept.size == 1, s"expected exactly one kept copy, got ${kept.size}")
+      val first = group.map(g => (g._1, g._2)).min
+      assert((kept.head._1, kept.head._2) == first,
+        "kept copy is not the (doc_id, chunk_idx)-first occurrence")
+      assert(group.forall(_._3 == group.size.toLong), "n_copies mismatch")
+    }
+  }
+
+  test("d88_decontaminate: eval docs excluded, overlap flagged, clean doc kept") {
+    val rows = graft.DedupQueries.queries("d88_decontaminate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 29 != 0), "eval docs must not appear in the output")
+    assert(rows.exists(_._3), "the corpus's known near-dup pairs must contaminate")
+    rows.foreach { case (id, n, c) => assert(c == (n > 0), s"flag/count disagree for $id") }
+    // synthetic: doc 29 is eval; doc 1 copies 13 of its tokens verbatim
+    // (one shared 13-gram), doc 2 is disjoint
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    Seq((29L, evalText),
+        (1L, "lead " + (3 to 15).map(i => s"ev$i").mkString(" ") + " tail"),
+        (2L, (1 to 30).map(i => s"tr$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.DedupQueries.queries("d88_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(1L) == ((1L, true)), "doc sharing one 13-gram must be contaminated")
+    assert(m(2L) == ((0L, false)), "disjoint doc must be clean")
+    assert(!m.contains(29L))
+  }
+
+  test("s87_ann_rerank: k results per query, exact top neighbor recovered") {
+    val rerank = graft.SimilarityQueries.queries("s87_ann_rerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = graft.SimilarityQueries.queries("s42_ann_brute")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val queries = rerank.map(_._1).distinct
+    assert(queries.length == 5)
+    queries.foreach { q =>
+      assert(rerank.count(_._1 == q) == 10, s"query $q did not return k=10 rows")
+      val top1Rerank = rerank.find(r => r._1 == q && r._3 == 1L).get._2
+      val top1Brute = brute.find(r => r._1 == q && r._3 == 1L).get._2
+      assert(top1Rerank == top1Brute,
+        s"query $q: rerank top-1 $top1Rerank != exact top-1 $top1Brute")
+    }
+  }
+}
