@@ -28,7 +28,10 @@ object Bench {
       // classes; the default static codegen cache would recompile across
       // queries (round-4 finding — see etl.Pipeline and PERFORMANCE.md)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.buffer.pageSize", "16m")
+      // sub-humongous Tungsten pages for G1 (see etl.Pipeline: 16m is
+      // ≥ half a G1 region at any heap ≤ 64 GiB and lands in old gen)
+      .config("spark.buffer.pageSize", "2m")
+      .config("spark.hadoop.io.file.buffer.size", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -50,10 +50,13 @@ object Load {
     // lazy, so the concurrent futures would race to compute the same
     // cached partitions and duplicate the work. Dims materialize
     // concurrently — each count is an independent job.
+    val tAll = System.nanoTime()
     val share = sys.env.getOrElse("SPARK_GRAFT_ETL_SHARE", "on") != "off"
     val shared = if (share) star.dims.values.toSeq :+ star.factSales else Nil
     shared.foreach(_.persist())
     Await.result(Future.sequence(shared.map(df => Future(df.count()))), Duration.Inf)
+    if (share) System.err.println(
+      f"[load] cache materialization ${(System.nanoTime() - tAll) / 1e9}%.1fs")
     if (share) {
       val sc = star.factSales.sparkSession.sparkContext
       sc.getRDDStorageInfo.foreach { i =>
@@ -61,6 +64,25 @@ object Load {
           s"${i.numPartitions} mem=${i.memSize / 1048576}MB disk=${i.diskSize / 1048576}MB")
       }
     }
+    // Bounded export concurrency, sized by the MEASURED data scale
+    // (SPARK_GRAFT_ETL_POOL overrides): at golden scale the 26 exports
+    // are sub-second jobs and wall time is pure scheduling latency, so
+    // run them all side by side; at GB scale the same concurrency is the
+    // measured wall-killer — 13 concurrent global sorts split the
+    // executor-memory pool 13 ways and saturate one disk, so the three
+    // GB-scale tables' CSV exports took ~980 s EACH under contention vs
+    // 13 s isolated (round-4 timeline, PERFORMANCE.md); two-wide was the
+    // measured optimum (221 s vs 420 s four-wide, 1045 s serial includes
+    // the pre-fix concat). The switch reads the just-materialized cache
+    // footprint from the block manager — metadata, no extra job; with
+    // sharing disabled (debug path) it falls back to wide.
+    val cachedBytes =
+      star.factSales.sparkSession.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+    val poolSize = sys.env.get("SPARK_GRAFT_ETL_POOL").map(_.toInt)
+      .getOrElse(if (cachedBytes > (2L << 30)) 2 else 13)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    val poolEc: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       // independent output tables write concurrently; Spark schedules the
       // jobs side by side (26 tiny jobs serially = pure scheduling latency)
@@ -107,13 +129,19 @@ object Load {
             .orderBy(sortKeys(name).map(col): _*)
           writeOrderedCsv(back, df.columns.toSeq, s"$outDir/csv/$name")
           // per-table cost itemization (stderr keeps the stdout report
-          // line contract clean)
+          // line contract clean); start/end are seconds since writeAll
+          // entry so concurrent-phase overlap is reconstructible from the
+          // log (per-table durations alone hide queueing)
           System.err.println(f"[load] $name%-22s parquet=${(t1 - t0) / 1e9}%6.1fs " +
-            f"csv=${(System.nanoTime() - t1) / 1e9}%6.1fs")
-        }
+            f"csv=${(System.nanoTime() - t1) / 1e9}%6.1fs " +
+            f"start=${(t0 - tAll) / 1e9}%6.1fs end=${(System.nanoTime() - tAll) / 1e9}%6.1fs")
+        }(poolEc)
       }
       Await.result(Future.sequence(jobs), Duration.Inf)
-    } finally shared.foreach(_.unpersist())
+    } finally {
+      shared.foreach(_.unpersist())
+      pool.shutdown()
+    }
   }
 
   /** Ordered single-file CSV without any single-task sort: the sorted
@@ -128,15 +156,28 @@ object Load {
     val conf = sorted.sparkSession.sparkContext.hadoopConfiguration
     val tmp = new Path(dest + "__parts")
     val fs = tmp.getFileSystem(conf)
+    val tw = System.nanoTime()
     sorted.write.mode("overwrite")
       .option("header", "false")
       // default CSV writer prints ms precision; golden carries ns
       // (we keep µs — the max Spark holds)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(tmp.toString)
+    val tc = System.nanoTime()
     val destPath = new Path(dest)
     fs.delete(destPath, true)
     fs.mkdirs(destPath)
+    // Concat through the RAW local filesystem with a 1 MiB copy buffer.
+    // The default path (ChecksumFileSystem + io.file.buffer.size=4096)
+    // CRC-checksums every 512-byte chunk and issues 4 KiB write syscalls:
+    // measured 355 s (~11 MB/s, one core pegged in writeChunk) to concat
+    // dim_order's 4 GB at the 100,000× rung — the single largest cost in
+    // the whole scaled export. Raw FS + big buffer is pure sequential IO
+    // (the golden artifact carries no .crc sidecar anyone reads).
+    val rawFs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     // order parts by their NUMERIC partition index, not the file name:
     // Spark pads the index to 5 digits, so a lexicographic sort silently
     // misorders part-100000 before part-99999 beyond 10^5 partitions
@@ -148,16 +189,19 @@ object Load {
         partIdx.findFirstMatchIn(f.getPath.getName).map(_.group(1).toLong)
           .getOrElse(sys.error(s"unparseable part file name: ${f.getPath.getName}"))
       }
-    val out = fs.create(new Path(destPath, "part-00000-ordered.csv"), true)
+    val out = rawFs.create(new Path(destPath, "part-00000-ordered.csv"), true)
     try {
       out.write((columns.mkString(",") + "\n").getBytes("UTF-8"))
       parts.foreach { p =>
-        val in = fs.open(p.getPath)
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+        val in = rawFs.open(p.getPath)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
         finally in.close()
       }
     } finally out.close()
+    val td = System.nanoTime()
     fs.delete(tmp, true)
+    System.err.println(f"[csv] $dest parts=${(tc - tw) / 1e9}%.1fs " +
+      f"concat=${(td - tc) / 1e9}%.1fs del=${(System.nanoTime() - td) / 1e9}%.1fs")
   }
 
   /** Cluster-scale layout: the fact partitions by month (date_id prefix) so

@@ -46,12 +46,22 @@ object Pipeline {
       // setting (round-4 finding, PERFORMANCE.md). Harmless when unneeded
       // (it is an upper bound, not a reservation).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // Executor heaps ≥ 64 GiB auto-derive 64 MiB Tungsten pages, which
-      // are humongous allocations for G1 (max 32 MiB regions) — concurrent
-      // sorts then drive G1 into continuous concurrent-mark churn with
-      // multi-second pauses (measured 4-15× slowdowns, nondeterministic).
-      // Capping the page size keeps pages region-sized at any heap.
-      .config("spark.buffer.pageSize", "16m")
+      // Tungsten pages must stay BELOW half a G1 region or every sort
+      // page is a humongous allocation (G1 regions: heap/2048, so 16 MiB
+      // at a 31 GiB heap, 32 MiB at 64 GiB; humongous = ≥ half region).
+      // Spark's auto page (up to 64 MiB on big heaps) and the first
+      // attempt at a fix (16m — still ≥ half of any region ≤ 32 MiB) both
+      // land humongous: old-gen fills with page allocations and G1 churns
+      // concurrent marks (measured: old gen pinned at 99.9% during sorts,
+      // nondeterministic multi-minute stalls). 2m is sub-humongous for
+      // every heap ≥ 8 GiB and sorters address 8192 pages × 2 MiB = 16 GiB
+      // per consumer — far above any task's need.
+      .config("spark.buffer.pageSize", "2m")
+      // All local-FS streams (CSV/parquet part writes, the golden concat's
+      // source reads) default to io.file.buffer.size=4096 — 4 KiB write
+      // syscalls under the CRC layer (measured 11 MB/s on the golden
+      // concat). 1 MiB buffers make every stream sequential-IO-sized.
+      .config("spark.hadoop.io.file.buffer.size", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()

@@ -330,9 +330,11 @@ object DedupQueries {
     /** Dup-cluster assignment: connected components over the near-dup
       * pair graph (d38's output), labels = min doc_id per component —
       * the step that turns pairwise dedup into keep/drop decisions.
-      * Distributed min-label propagation, one broadcast-join round per
-      * graph-diameter step (near-dup components are tiny, so 2-3 rounds);
-      * the loop breaks at fixpoint. Oracle: DuckDB recursive CTE closure. */
+      * Distributed min-label propagation with pointer jumping (each round
+      * takes the min over neighbor labels AND the label's own label), so
+      * convergence is O(log diameter) rounds — near-dup components are
+      * tiny, so 2-3 rounds; the loop breaks at fixpoint. Oracle: DuckDB
+      * recursive CTE closure. */
     "d62_dedup_clusters" -> ((s, d) => {
       import s.implicits._
       val unionFindLimit = s.conf.get(
@@ -372,6 +374,7 @@ object DedupQueries {
             .toDF("src", "dst").persist()
           var labels = edges.select(col("src").as("doc_id")).distinct()
             .withColumn("cluster_id", col("doc_id")).persist()
+          var cached = labels // the persisted frame backing `labels`
           var converged = false
           var iter = 0
           while (!converged && iter < 30) {
@@ -379,26 +382,42 @@ object DedupQueries {
               .join(labels.toDF("dst", "nbr_lbl"), "dst")
               .groupBy(col("src").as("doc_id"))
               .agg(min("nbr_lbl").as("nbr_min"))
-            val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-              .select(col("doc_id"),
+            val hop = labels.join(nbrMin, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("cluster_id"),
                 least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-                  .as("cluster_id"))
+                  .as("lbl1"))
+            // pointer jumping: a label is itself a node id of the same
+            // component, so also adopt THAT node's freshly-hopped label.
+            // Labels stay within the component and only decrease, so the
+            // min-label fixpoint is unchanged — but chains collapse in
+            // O(log diameter) rounds instead of O(diameter) (each round
+            // now looks two hops back). The changed flag rides in-row, so
+            // fixpoint detection reuses the materializing count instead
+            // of a second join against the previous labels.
+            val upd = hop
+              .join(hop.select(col("doc_id").as("lbl1"), col("lbl1").as("jump")),
+                Seq("lbl1"), "left")
+              .withColumn("new_lbl", least(col("lbl1"), coalesce(col("jump"), col("lbl1"))))
+              .select(col("doc_id"), col("new_lbl"),
+                (col("new_lbl") =!= col("cluster_id")).as("chg"))
               .persist()
-            val changed = updated.toDF("doc_id", "new_lbl")
-              .join(labels, "doc_id")
-              .filter(col("new_lbl") =!= col("cluster_id")).count()
-            labels.unpersist()
-            labels = updated
+            val changed = upd.filter(col("chg")).count()
+            cached.unpersist()
+            cached = upd
+            labels = upd.select(col("doc_id"), col("new_lbl").as("cluster_id"))
             converged = changed == 0
             iter += 1
             // persist() caches row data but the logical plan still nests
-            // one join deeper per round — a high-diameter component graph
-            // (chained near-dups in templated web text) blows up the
-            // analyzer/optimizer long before memory. localCheckpoint()
-            // truncates lineage to the materialized blocks every 5 rounds.
-            if (!converged && iter % 5 == 0) {
+            // per round — and the pointer-jump self-join references `hop`
+            // twice, so the tree QUADRUPLES per round (4^k between
+            // checkpoints; the 16-diameter chain spec OOMed the explain
+            // string at every-5). localCheckpoint() truncates lineage to
+            // the materialized blocks every 2 rounds — jumping halves the
+            // round count, so total checkpoint work is unchanged.
+            if (!converged && iter % 2 == 0) {
               val truncated = labels.localCheckpoint()
-              labels.unpersist()
+              cached.unpersist()
+              cached = truncated
               labels = truncated
             }
           }
@@ -553,6 +572,32 @@ object DedupQueries {
         .select(col("doc_id"),
           coalesce(col("n"), lit(0L)).cast("long").as("n_shared_13grams"),
           (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    /** Keep-best fuzzy dedup — the decision step production pipelines run
+      * AFTER near-dup detection: within each near-dup cluster (d62's
+      * connected components), keep the single highest-quality member
+      * (t34's quality score; ties break to the smaller doc_id) and drop
+      * the rest. Composes two already-gated operators, so the oracle is
+      * their SQL composed verbatim.
+      *
+      * Scale shape: both inputs are the gated pipelines (banded/blocked
+      * candidate generation, distributed label propagation); the
+      * composition adds one join on doc_id + one window over cluster_id —
+      * cluster-sized partitions, no new driver path, no broadcast of
+      * anything corpus-scaling. */
+    "d89_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val clusters = queries("d62_dedup_clusters")(s, d)
+      val quality = TextQueries.queries("t34_quality")(s, d)
+        .select(col("doc_id"), col("quality_score"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("quality_score"), col("doc_id"))
+      clusters.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("quality_score"), (col("rn") === 1).as("is_kept"))
         .orderBy("doc_id")
     })
   )
@@ -838,7 +883,20 @@ object DedupQueries {
         |  coalesce(n, 0) > 0 AS contaminated
         |FROM tok LEFT JOIN hits ON tok.doc_id = hits.doc_id
         |WHERE tok.doc_id % 29 <> 0
-        |ORDER BY tok.doc_id""".stripMargin
+        |ORDER BY tok.doc_id""".stripMargin,
+    // composes the two gated oracles verbatim: d62's recursive-CTE closure
+    // and t34's quality formula (bit-identical doubles, so the window
+    // order — and therefore is_kept — matches exactly)
+    "d89_keep_best" ->
+      s"""WITH clusters AS (SELECT * FROM (${clustersOracle})),
+         |q AS (SELECT doc_id, quality_score FROM (${TextQueries.oracleSql("t34_quality")})),
+         |j AS (
+         |  SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_id, cluster_size, quality_score, rn = 1 AS is_kept
+         |FROM j ORDER BY doc_id""".stripMargin
   )
 
   private lazy val jaccardOracle =
