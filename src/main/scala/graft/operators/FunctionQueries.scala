@@ -79,6 +79,25 @@ object FunctionQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    /** HyperLogLog distinct-count sketch with the q65-style hash gate:
+      * the mergeable HLL (Spark's approx_count_distinct, rsd 2%) is what
+      * replaces count(DISTINCT) at 100 TB — one pass, fixed memory,
+      * partial-merge instead of a distinct shuffle. The raw estimate is
+      * engine-internal, so the gated claim is the accuracy contract:
+      * exact count alongside, |approx−exact|/exact ≤ 5% emitted as a
+      * boolean the oracle asserts true. */
+    "q91_hll_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("hll_ok"))
+        .orderBy("event_type")),
+
     /** Statistical aggregates: sample stddev/variance, correlation,
       * covariance. Emitted rounded to 6 places — moment-merge order differs
       * between Spark's partial aggregation and DuckDB's scan, so raw
@@ -169,6 +188,14 @@ object FunctionQueries {
         |  CAST(sum(CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_tax,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sketch value is engine-internal (q65 pattern); the oracle
+    // recomputes the exact side and asserts the accuracy booleans
+    "q91_hll_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,

@@ -162,6 +162,63 @@ object SimilarityQueries {
           round((col("vmax") - col("vmin")) / 255.0, 9).as("scale"))
         .orderBy("vec_id", "dim")),
 
+    /** Integer-exact quantized k-means (Lloyd) — the centroid trainer an
+      * IVF index needs (s44 uses fixed coarse lists; this learns them).
+      * Vectors quantize to int8 (per-vector max-abs, the s87 scheme), and
+      * EVERY subsequent operation is integer-exact: L2² distances are
+      * integer sums, centroid updates are floor(sum/count) per dimension,
+      * ties in the argmin break to the smallest centroid id — so three
+      * Lloyd rounds produce bit-identical centroids and assignments on
+      * any engine, and the whole iterative pipeline hash-matches a DuckDB
+      * replica with the rounds unrolled as CTE stages. Seeds = the K
+      * lowest vec_ids' vectors; a cluster that loses all members keeps
+      * its previous centroid.
+      *
+      * Scale shape: the classic distributed k-means — centroids are
+      * driver-side metadata (K×dims longs, broadcast each round);
+      * assignment is a broadcast-join scan; the update is one partial+
+      * final aggregation on (cluster, dim). Rounds are Spark jobs, the
+      * corpus never concentrates. */
+    "s90_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val Kc = 8; val Iters = 3
+      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val q0 = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
+        .select(col("vec_id"),
+          transform(col("embedding"), x =>
+            when(col("ma") === 0.0, 0L)
+              .otherwise(floor(x.cast("double") / col("ma") * 127.0).cast("long")))
+            .as("q"))
+        .persist()
+      def assign(cents: Seq[(Long, Seq[Long])]) =
+        q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
+          .withColumn("dist_sq", expr(
+            "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
+      var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
+      for (_ <- 1 to Iters) {
+        val updated = assign(cents).join(q0, "vec_id")
+          .select(col("cid"), posexplode(col("q")))
+          .groupBy("cid", "pos")
+          .agg(floor(sum("col").cast("double") / count(lit(1))).cast("long").as("c"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toList
+          }
+        cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+      }
+      val out = assign(cents)
+        .select(col("vec_id"), col("cid").as("cluster"), col("dist_sq"))
+        .orderBy("vec_id")
+      q0.unpersist()
+      out
+    }),
+
     /** Two-stage quantized search + exact rerank — the memory-bounded
       * serving pattern for billion-vector indexes: stage 1 scores the
       * whole corpus with int8-quantized vectors (4× smaller than float32;
@@ -370,10 +427,68 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB replica of the integer-exact quantized k-means: the three
+    * Lloyd rounds unroll as CTE stages (d/a = distances+argmin, m/c =
+    * floor-divided centroid update with empty-cluster carry-over), all
+    * arithmetic integer after the same int8 quantization as s87, so
+    * centroids and assignments are bit-identical across engines. */
+  private def kmeansOracle: String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      s"""d$r AS (
+         |  SELECT qz.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, len(qz.q) + 1), j ->
+         |      (qz.q[CAST(j AS INTEGER)] - c.cv[CAST(j AS INTEGER)])
+         |      * (qz.q[CAST(j AS INTEGER)] - c.cv[CAST(j AS INTEGER)]))) AS dist
+         |  FROM qz CROSS JOIN $prev c),
+         |a$r AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$r) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT a.cid, gs.j,
+         |    CAST(floor(CAST(sum(qz.q[CAST(gs.j AS INTEGER)]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM a$r a JOIN qz USING (vec_id)
+         |  CROSS JOIN unnest(range(1, len(qz.q) + 1)) AS gs(j)
+         |  GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(c ORDER BY j) AS cv FROM m$r GROUP BY cid) n USING (cid))"""
+    }
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0.0
+       |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(CAST(embedding AS DOUBLE[]), x ->
+       |        CAST(floor(x / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+       |          * 127.0) AS BIGINT)) END AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS cv FROM qz ORDER BY vec_id LIMIT 8),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |df AS (
+       |  SELECT qz.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, len(qz.q) + 1), j ->
+       |      (qz.q[CAST(j AS INTEGER)] - c.cv[CAST(j AS INTEGER)])
+       |      * (qz.q[CAST(j AS INTEGER)] - c.cv[CAST(j AS INTEGER)]))) AS dist
+       |  FROM qz CROSS JOIN c3 c),
+       |af AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM df) WHERE rn = 1)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist_sq
+       |FROM af ORDER BY vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "s43_ann_lsh" -> annLshOracle,
     "s44_ann_ivf" -> annIvfOracle,
     "s87_ann_rerank" -> annRerankOracle,
+    "s90_kmeans" -> kmeansOracle,
     "s42_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -87,6 +87,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!m.contains(29L))
   }
 
+  test("s90_kmeans: every vector assigned once to a seed cluster, distances sane") {
+    val rows = graft.SimilarityQueries.queries("s90_kmeans")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one assignment per vector")
+    val seedIds = rows.map(_._1).distinct.sorted.take(8).toSet
+    assert(rows.map(_._2).toSet.subsetOf(seedIds), "cluster ids are seed vec_ids")
+    assert(rows.map(_._2).distinct.length > 1, "k-means must not collapse to one cluster")
+    rows.foreach { case (v, _, d) => assert(d >= 0, s"negative distance for $v") }
+  }
+
+  test("q91_hll_distinct: accuracy contract holds on every group") {
+    val rows = graft.FunctionQueries.queries("q91_hll_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hll_ok"), s"HLL off by >5% for ${r.get(0)}")
+      assert(r.getAs[Long]("exact_users") > 0)
+    }
+  }
+
   test("s87_ann_rerank: k results per query, exact top neighbor recovered") {
     val rerank = graft.SimilarityQueries.queries("s87_ann_rerank")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
