@@ -274,6 +274,54 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    /** End-to-end preprocessing pipeline — the whole LLM-data flow
+      * composed as ONE query over the corpus: per-doc language-ID (t35's
+      * argmax), quality scoring (t34), repetition filtering (t85), exact
+      * dedup keep-first (d37's content-hash window), and train/val/test
+      * assignment (t69), conjoined into a final keep verdict with the
+      * split materialized only for kept docs. Every stage is individually
+      * hash-gated; this gates the COMPOSITION (join alignment, verdict
+      * logic, null semantics of the split column).
+      *
+      * Scale shape: all joins are on doc_id (co-partitioned shuffles at
+      * one key), the dedup window partitions by content hash, and the
+      * lang/quality/split stages are shuffle-free scans — nothing
+      * corpus-sized concentrates anywhere. */
+    "t92_pipeline_e2e" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scores = langMarkers.map { case (l, ms) =>
+        l -> size(filter(col("t"), x => x.isin(ms.map(lit): _*))).cast("long")
+      }
+      val best = scores.tail.foldLeft(
+        struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+        case (acc, (l, sc)) =>
+          when(sc > acc.getField("score"),
+            struct(sc.as("score"), lit(l).as("lang"))).otherwise(acc)
+      }
+      val lang = documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), best.getField("lang").as("predicted_lang"))
+      val quality = queries("t34_quality")(s, d)
+        .select(col("doc_id"), col("quality_score"))
+      val rep = queries("t85_repetition")(s, d)
+        .select(col("doc_id"), col("keep").as("rep_keep"))
+      val canon = documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .withColumn("is_canonical",
+          col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+        .select("doc_id", "is_canonical")
+      val split = queries("t69_split_assign")(s, d)
+        .select(col("doc_id"), col("split"))
+      val keep = col("predicted_lang") === "en" &&
+        col("quality_score") >= 40.0 && col("rep_keep") && col("is_canonical")
+      lang.join(quality, "doc_id").join(rep, "doc_id")
+        .join(canon, "doc_id").join(split, "doc_id")
+        .select(col("doc_id"), col("predicted_lang"), col("quality_score"),
+          col("rep_keep"), col("is_canonical"), keep.as("keep"),
+          when(keep, col("split")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     /** TF-IDF: the highest-scoring term per document (tf = term count /
       * doc tokens; idf = ln(N / df); ties break toward the lexicographically
       * smaller term). Two aggregations; only the vocabulary-sized df table
@@ -351,8 +399,59 @@ object TextQueries {
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> list_contains($lst, t)))"
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "t69_split_assign" ->
+  // shared by their own map entries AND the t92 end-to-end composition
+  // (a map literal cannot reference itself during construction)
+  private lazy val qualityOracle: String = {
+    val stop = duckMarkerCount(Seq("the", "a", "of", "and", "is", "to", "in"))
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+       |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
+       |    CAST($stop AS DOUBLE) AS stop_hits,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_nonspace
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_tok AS BIGINT) AS n_tokens,
+       |  CAST(n_punct AS BIGINT) AS n_punct,
+       |  CAST(stop_hits AS BIGINT) AS stopword_hits,
+       |  n_nonspace / n_tok AS mean_word_len,
+       |  least(40.0, CAST(n_chars AS DOUBLE) / 10.0)
+       |    + least(20.0, n_punct * 4.0)
+       |    + least(20.0, stop_hits / n_tok * 100.0)
+       |    + CASE WHEN n_nonspace / n_tok BETWEEN 3.0 AND 8.0 THEN 20.0 ELSE 5.0 END
+       |    AS quality_score
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val repetitionOracle: String =
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM tok CROSS JOIN unnest(generate_series(1, greatest(len(t)-1, 0))) AS gs(i)
+        |  WHERE len(t) >= 2),
+        |bstat AS (
+        |  SELECT doc_id, max(c) AS top_bg, sum(c) AS tot_bg
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM tok CROSS JOIN unnest(generate_series(1, greatest(len(t)-2, 0))) AS gs(i)
+        |  WHERE len(t) >= 3),
+        |tstat AS (
+        |  SELECT doc_id, sum(c) AS tot_tg,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tg
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT tok.doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio,
+        |  CAST(top_bg AS DOUBLE) / tot_bg AS top_bigram_frac,
+        |  CAST(dup_tg AS DOUBLE) / tot_tg AS dup_trigram_frac,
+        |  CAST(top_bg AS DOUBLE) / tot_bg <= 0.06
+        |    AND CAST(dup_tg AS DOUBLE) / tot_tg <= 0.2 AS keep
+        |FROM tok JOIN bstat USING (doc_id) JOIN tstat USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
+  private lazy val splitOracle: String =
       """WITH b AS (
         |  SELECT doc_id,
         |    CAST(list_sum(list_transform(range(0, 4), i ->
@@ -364,7 +463,10 @@ object TextQueries {
         |  CASE WHEN bucket < 52429 THEN 'train'
         |       WHEN bucket < 58982 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "t69_split_assign" -> splitOracle,
     "t70_source_mixture" ->
       """WITH b AS (
         |  SELECT doc_id, source,
@@ -419,27 +521,7 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars_measured,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "t34_quality" -> {
-      val stop = duckMarkerCount(Seq("the", "a", "of", "and", "is", "to", "in"))
-      s"""WITH base AS (
-         |  SELECT doc_id, n_chars,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
-         |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
-         |    CAST($stop AS DOUBLE) AS stop_hits,
-         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_nonspace
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(n_tok AS BIGINT) AS n_tokens,
-         |  CAST(n_punct AS BIGINT) AS n_punct,
-         |  CAST(stop_hits AS BIGINT) AS stopword_hits,
-         |  n_nonspace / n_tok AS mean_word_len,
-         |  least(40.0, CAST(n_chars AS DOUBLE) / 10.0)
-         |    + least(20.0, n_punct * 4.0)
-         |    + least(20.0, stop_hits / n_tok * 100.0)
-         |    + CASE WHEN n_nonspace / n_tok BETWEEN 3.0 AND 8.0 THEN 20.0 ELSE 5.0 END
-         |    AS quality_score
-         |FROM base ORDER BY doc_id""".stripMargin
-    },
+    "t34_quality" -> qualityOracle,
     "t35_langid" -> {
       val cases = langMarkers.map { case (l, ms) => s"CAST(${duckMarkerCount(ms)} AS BIGINT) AS score_$l" }
         .mkString(",\n    ")
@@ -475,33 +557,45 @@ object TextQueries {
         |  WHERE len(t) >= 2)
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
-    "t85_repetition" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-        |bg AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
-        |  FROM tok CROSS JOIN unnest(generate_series(1, greatest(len(t)-1, 0))) AS gs(i)
-        |  WHERE len(t) >= 2),
-        |bstat AS (
-        |  SELECT doc_id, max(c) AS top_bg, sum(c) AS tot_bg
-        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
-        |tg AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |  FROM tok CROSS JOIN unnest(generate_series(1, greatest(len(t)-2, 0))) AS gs(i)
-        |  WHERE len(t) >= 3),
-        |tstat AS (
-        |  SELECT doc_id, sum(c) AS tot_tg,
-        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tg
-        |  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1)
-        |SELECT tok.doc_id,
-        |  CAST(len(t) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio,
-        |  CAST(top_bg AS DOUBLE) / tot_bg AS top_bigram_frac,
-        |  CAST(dup_tg AS DOUBLE) / tot_tg AS dup_trigram_frac,
-        |  CAST(top_bg AS DOUBLE) / tot_bg <= 0.06
-        |    AND CAST(dup_tg AS DOUBLE) / tot_tg <= 0.2 AS keep
-        |FROM tok JOIN bstat USING (doc_id) JOIN tstat USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "t85_repetition" -> repetitionOracle,
+    // end-to-end pipeline: the per-stage oracles composed verbatim plus
+    // the inline per-doc langid argmax (t35's pred CTE) and the
+    // content-hash keep-first window
+    "t92_pipeline_e2e" -> {
+      val cases = langMarkers
+        .map { case (l, ms) => s"CAST(${duckMarkerCount(ms)} AS BIGINT) AS score_$l" }
+        .mkString(",\n    ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    $cases
+         |  FROM documents),
+         |pred AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN score_zh > greatest(score_en, score_es, score_de, score_fr) THEN 'zh'
+         |      WHEN score_fr > greatest(score_en, score_es, score_de) THEN 'fr'
+         |      WHEN score_de > greatest(score_en, score_es) THEN 'de'
+         |      WHEN score_es > score_en THEN 'es'
+         |      ELSE 'en' END AS predicted_lang
+         |  FROM scored),
+         |q AS (SELECT doc_id, quality_score FROM ($qualityOracle)),
+         |r AS (SELECT doc_id, keep AS rep_keep FROM ($repetitionOracle)),
+         |c AS (
+         |  SELECT doc_id,
+         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+         |  FROM documents),
+         |sp AS (SELECT doc_id, split FROM ($splitOracle)),
+         |j AS (
+         |  SELECT pred.doc_id, predicted_lang, quality_score, rep_keep, is_canonical,
+         |    predicted_lang = 'en' AND quality_score >= 40.0
+         |      AND rep_keep AND is_canonical AS keep,
+         |    split
+         |  FROM pred JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |    JOIN c USING (doc_id) JOIN sp USING (doc_id))
+         |SELECT doc_id, predicted_lang, quality_score, rep_keep, is_canonical, keep,
+         |  CASE WHEN keep THEN split END AS split
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
     "t52_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

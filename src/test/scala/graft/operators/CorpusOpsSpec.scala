@@ -87,6 +87,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!m.contains(29L))
   }
 
+  test("t92_pipeline_e2e: verdict is the conjunction of its stage flags") {
+    val rows = graft.TextQueries.queries("t92_pipeline_e2e")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      val expected = r.getAs[String]("predicted_lang") == "en" &&
+        r.getAs[Double]("quality_score") >= 40.0 &&
+        r.getAs[Boolean]("rep_keep") && r.getAs[Boolean]("is_canonical")
+      assert(keep == expected, s"verdict mismatch for doc ${r.get(0)}")
+      assert((r.getAs[String]("split") == null) == !keep,
+        s"split must be materialized exactly for kept docs (doc ${r.get(0)})")
+    }
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "pipeline must drop something")
+    assert(rows.count(_.getAs[Boolean]("keep")) > rows.length / 2,
+      "pipeline must not drop most of a normal corpus")
+  }
+
   test("s90_kmeans: every vector assigned once to a seed cluster, distances sane") {
     val rows = graft.SimilarityQueries.queries("s90_kmeans")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
