@@ -412,9 +412,11 @@ object DedupQueries {
             // twice, so the tree QUADRUPLES per round (4^k between
             // checkpoints; the 16-diameter chain spec OOMed the explain
             // string at every-5). localCheckpoint() truncates lineage to
-            // the materialized blocks every 2 rounds — jumping halves the
-            // round count, so total checkpoint work is unchanged.
-            if (!converged && iter % 2 == 0) {
+            // the materialized blocks every other round from round 3 on:
+            // typical near-dup graphs converge in 2-3 rounds (diameter
+            // ≤ 4 with jumping) and never pay the extra materialization,
+            // while long chains stay bounded at ≤ 4³ plan copies.
+            if (!converged && iter >= 3 && iter % 2 == 1) {
               val truncated = labels.localCheckpoint()
               cached.unpersist()
               cached = truncated
@@ -573,6 +575,39 @@ object DedupQueries {
           coalesce(col("n"), lit(0L)).cast("long").as("n_shared_13grams"),
           (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
         .orderBy("doc_id")
+    }),
+
+    /** Incremental (delta-vs-corpus) MinHash dedup — the INGEST-time
+      * shape: a new batch (deterministic 10% slice, doc_id % 10 == 0)
+      * is checked for near-duplicates AGAINST the existing corpus
+      * without ever joining corpus bands to corpus bands. Cost scales
+      * with |delta| × bands, not |corpus|²: in production the corpus
+      * band table is precomputed and stored bucketed by band key, and
+      * each ingest batch computes only its own signatures and probes.
+      * Candidates verify exactly against shingle sets (precision 1.0,
+      * same as d39). Output: (doc_new, doc_corpus, jaccard ≥ 0.5). */
+    "d93_incremental_minhash" -> ((s, d) => {
+      val sigs = minhashSignatures(s, d)
+      val bands = sigs.select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(bd =>
+          struct((0 until BandRows).map(r =>
+            col("sig")(bd * BandRows + r).as(s"v$r")): _*)): _*)))
+        .toDF("doc_id", "band", "band_key")
+      val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+        .toDF("doc_corpus", "band", "band_key")
+      val newBands = bands.filter(col("doc_id") % 10 === 0)
+        .toDF("doc_new", "band", "band_key")
+      val cand = newBands.join(corpusBands, Seq("band", "band_key"))
+        .select("doc_new", "doc_corpus").distinct()
+      val shSets = shingleArrays(s, d)
+      cand
+        .join(shSets.toDF("doc_new", "shN"), "doc_new")
+        .join(shSets.toDF("doc_corpus", "shC"), "doc_corpus")
+        .select(col("doc_new"), col("doc_corpus"),
+          (size(array_intersect(col("shN"), col("shC"))).cast("double") /
+            size(array_union(col("shN"), col("shC")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_new", "doc_corpus")
     }),
 
     /** Keep-best fuzzy dedup — the decision step production pipelines run
@@ -763,7 +798,21 @@ object DedupQueries {
     * domain, xors on the re-signed BIGINT (bit-identical to JVM). The
     * per-permutation seeds are inlined constants — identical to
     * [[graft.functions.MinHashSignature.seeds]]. */
-  private def minhashLshOracle: String = {
+  private def minhashLshOracle: String =
+    minhashLshOracleFor("a.doc_id < b.doc_id", "doc1", "doc2", "c.d1, c.d2")
+
+  /** d93: same replica, but candidates come only from batch-side bands
+    * (doc_id % 10 = 0) probing corpus-side bands, pairs are
+    * (corpus, new), ordered like the Spark output (new first). */
+  private def incrementalMinhashOracle: String =
+    minhashLshOracleFor("a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0",
+      "doc_corpus", "doc_new", "c.d2, c.d1")
+
+  /** Shared DuckDB replica of the MinHash+LSH pipeline, parameterized by
+    * the pair predicate over join sides `a`/`b` (`a` = first output
+    * column's side), the output column names, and the row order. */
+  private def minhashLshOracleFor(pairCond: String,
+      aAs: String, bAs: String, orderBy: String): String = {
     val two64 = "CAST('18446744073709551616' AS HUGEINT)"
     val two63 = "CAST('9223372036854775808' AS HUGEINT)"
     def u(c: Long) = s"CAST('${java.lang.Long.toUnsignedString(c)}' AS HUGEINT)"
@@ -811,26 +860,29 @@ object DedupQueries {
        |    list(m ORDER BY perm) AS bk
        |  FROM sig GROUP BY 1, 2),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bandkeys a JOIN bandkeys b
-       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bk = b.bk
+       |  WHERE $pairCond),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (
-       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE $pairCond
        |  GROUP BY 1, 2)
-       |SELECT c.doc1, c.doc2,
+       |SELECT c.d1 AS $aAs, c.d2 AS $bAs,
        |  CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
        |FROM cand c
-       |JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
-       |JOIN sz s1 ON c.doc1 = s1.doc_id
-       |JOIN sz s2 ON c.doc2 = s2.doc_id
+       |JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+       |JOIN sz s1 ON c.d1 = s1.doc_id
+       |JOIN sz s2 ON c.d2 = s2.doc_id
        |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
-       |ORDER BY c.doc1, c.doc2""".stripMargin
+       |ORDER BY $orderBy""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "d39_dedup_minhash_lsh" -> minhashLshOracle,
+    "d93_incremental_minhash" -> incrementalMinhashOracle,
     "d40_dedup_simhash" -> simhashOracle,
     "d37_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,

@@ -87,6 +87,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!m.contains(29L))
   }
 
+  test("d93_incremental_minhash: delta-only pairs, consistent with full d39") {
+    val inc = graft.DedupQueries.queries("d93_incremental_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.nonEmpty, "the corpus's known near-dups must cross the 10% slice")
+    inc.foreach { case (n, c) =>
+      assert(n % 10 == 0, s"doc_new $n is not in the batch slice")
+      assert(c % 10 != 0, s"doc_corpus $c is not in the corpus slice")
+    }
+    // every incremental pair must appear in the full-corpus d39 output
+    val full = graft.DedupQueries.queries("d39_dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    inc.foreach { case (n, c) =>
+      assert(full.contains((math.min(n, c), math.max(n, c))),
+        s"incremental pair ($n,$c) missing from the full join")
+    }
+  }
+
   test("t92_pipeline_e2e: verdict is the conjunction of its stage flags") {
     val rows = graft.TextQueries.queries("t92_pipeline_e2e")(spark, sfDir).collect()
     assert(rows.nonEmpty)
