@@ -162,6 +162,42 @@ object SimilarityQueries {
           round((col("vmax") - col("vmin")) / 255.0, 9).as("scale"))
         .orderBy("vec_id", "dim")),
 
+    /** kNN graph construction — every vector's top-k cosine neighbors,
+      * the primitive under SemDeDup-style semantic dedup, graph
+      * clustering, and hubness analysis. Exact tier: a BLOCK-GRID
+      * equi-join (vectors tiled by vec_id % B; the B² block-pair grid is
+      * the only broadcast — d41's exact-tier shape, no nested loop, no
+      * corpus broadcast) feeding the bounded-heap
+      * [[graft.functions.TopKByScore]], so no task ever sorts the full
+      * candidate set. At 100 TB the all-pairs tier gives way to LSH/IVF
+      * candidate generation (s43/s44/d82's machinery) with the same
+      * top-k aggregate over candidates — the aggregation shape is
+      * unchanged, only candidate generation narrows. */
+    "s94_knn_graph" -> ((s, d) => {
+      VectorFunctions.register(s)
+      graft.functions.TopKAggregate.register(s)
+      val Kn = 5; val B = 8L
+      val a = embeddings(s, d).select(
+        (col("vec_id") % B).as("bl1"), col("vec_id").as("src"),
+        col("embedding").as("ev1"))
+      val b = embeddings(s, d).select(
+        (col("vec_id") % B).as("bl2"), col("vec_id").as("dst"),
+        col("embedding").as("ev2"))
+      val grid = s.range(B).selectExpr("id AS bl1")
+        .crossJoin(s.range(B).selectExpr("id AS bl2"))
+      a.join(broadcast(grid), "bl1").join(b, "bl2")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          call_function("cosine_sim", col("ev1"), col("ev2")).as("cosine"))
+        .groupBy("src")
+        .agg(call_function("topk_by_score", col("cosine"), col("dst"), lit(Kn))
+          .as("top"))
+        .select(col("src").as("vec_id"), posexplode(col("top")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+        .orderBy("vec_id", "rank")
+    }),
+
     /** Integer-exact quantized k-means (Lloyd) — the centroid trainer an
       * IVF index needs (s44 uses fixed coarse lists; this learns them).
       * Vectors quantize to int8 (per-vector max-abs, the s87 scheme), and
@@ -489,6 +525,20 @@ object SimilarityQueries {
     "s44_ann_ivf" -> annIvfOracle,
     "s87_ann_rerank" -> annRerankOracle,
     "s90_kmeans" -> kmeansOracle,
+    "s94_knn_graph" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.e, b.e) AS cosine
+        |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "s42_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -121,6 +121,21 @@ class CorpusOpsSpec extends SparkSpec {
       "pipeline must not drop most of a normal corpus")
   }
 
+  test("s94_knn_graph: k neighbors per vector, no self-loops, agrees with brute top-1") {
+    val rows = graft.SimilarityQueries.queries("s94_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.values.forall(_.length == 5), "every vector gets exactly k=5 neighbors")
+    rows.foreach { case (v, _, n) => assert(v != n, s"self-loop at $v") }
+    // the query-set top-1 from s42 must match this graph's top-1 rows
+    val brute = graft.SimilarityQueries.queries("s42_ann_brute")(spark, sfDir).collect()
+      .filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    brute.foreach { case (q, n1) =>
+      val g = rows.find(r => r._1 == q && r._2 == 1L).get
+      assert(g._3 == n1, s"graph top-1 for $q (${g._3}) != brute top-1 ($n1)")
+    }
+  }
+
   test("s90_kmeans: every vector assigned once to a seed cluster, distances sane") {
     val rows = graft.SimilarityQueries.queries("s90_kmeans")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
