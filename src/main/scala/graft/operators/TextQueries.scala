@@ -274,6 +274,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    /** Stratified sampling with EXACT per-stratum quotas — the balanced
+      * subsampling primitive (t70's independent per-doc rates give each
+      * source a binomial count; this gives exactly floor(n/5) per
+      * source): docs rank within their source by (md5(doc_id), doc_id)
+      * — a deterministic hash order independent of layout — and the
+      * first fifth of each stratum is in-sample. All-integer quota test
+      * (rn·5 ≤ n), so membership is bit-identical on any engine.
+      *
+      * Shape at scale: one shuffle on source for the window; a skewed
+      * giant source is one linear rank partition (same bound SkewSpec
+      * pins). */
+    "t95_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+      val byHash = w.orderBy("hk", "doc_id")
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+        .withColumn("rn", row_number().over(byHash))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("doc_id"), col("source"),
+          (col("rn") * 5 <= col("n")).as("in_sample"))
+        .orderBy("doc_id")
+    }),
+
     /** End-to-end preprocessing pipeline — the whole LLM-data flow
       * composed as ONE query over the corpus: per-doc language-ID (t35's
       * argmax), quality scoring (t34), repetition filtering (t85), exact
@@ -558,6 +583,15 @@ object TextQueries {
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "t85_repetition" -> repetitionOracle,
+    "t95_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, rn * 5 <= n AS in_sample
+        |FROM r ORDER BY doc_id""".stripMargin,
     // end-to-end pipeline: the per-stage oracles composed verbatim plus
     // the inline per-doc langid argmax (t35's pred CTE) and the
     // content-hash keep-first window

@@ -87,6 +87,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!m.contains(29L))
   }
 
+  test("t95_stratified_sample: exact floor(n/5) quota per source") {
+    val rows = graft.TextQueries.queries("t95_stratified_sample")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.count(_._2) == g.length / 5,
+        s"source $src: ${g.count(_._2)} sampled of ${g.length}")
+    }
+  }
+
   test("d93_incremental_minhash: delta-only pairs, consistent with full d39") {
     val inc = graft.DedupQueries.queries("d93_incremental_minhash")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
