@@ -47,6 +47,14 @@ object Layouts {
     *      2. `_compact_commit` is written only after ALL replacements
     *         renamed in successfully — crash after it rolls FORWARD
     *         (delete the listed originals, which is idempotent).
+    *    Marker teardown deletes `_compact_intent` BEFORE `_compact_commit`
+    *    (ADVICE r4: the reverse order had a crash window after the
+    *    originals were deleted where intent-without-commit remained, and
+    *    the next replay's ROLLBACK branch deleted the replacements — the
+    *    only surviving copy. With intent deleted first, an interrupted
+    *    teardown leaves at worst an orphaned commit marker, which replay
+    *    clears before writing a new intent so a stale commit can never
+    *    roll forward a fresh, incomplete rename set).
     *    Replay resolves the markers FIRST and only then touches
     *    __compact_tmp, so an unresolved hand-over is never overwritten.
     *    At every crash point the directory holds at least one complete
@@ -87,8 +95,15 @@ object Layouts {
         // originals are all still present, so nothing is lost
         reps.map(_.drop(2)).foreach(p => fs.delete(new Path(p), false))
       }
-      fs.delete(commit, false)
+      // intent FIRST: once it is gone, a lingering commit is inert
       fs.delete(intent, false)
+      fs.delete(commit, false)
+    } else if (fs.exists(commit)) {
+      // orphaned commit (crash between the intent and commit deletes of a
+      // COMPLETED hand-over) — harmless on its own, but it must not
+      // survive to pair with the intent we are about to write, or a crash
+      // mid-rename would replay as a roll-forward of an incomplete set
+      fs.delete(commit, false)
     }
     fs.delete(tmp, true)
 
@@ -120,8 +135,9 @@ object Layouts {
     }
     writeLines(commit, Seq("ok"))
     snapshot.foreach(f => fs.delete(f.getPath, false))
-    fs.delete(commit, false)
+    // intent before commit — see the crash-safety note in the scaladoc
     fs.delete(intent, false)
+    fs.delete(commit, false)
     fs.delete(tmp, true)
     dataFiles.length
   }

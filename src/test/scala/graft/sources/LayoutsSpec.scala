@@ -97,6 +97,27 @@ class LayoutsSpec extends SparkSpec {
     assert(!new java.io.File(dir + "/_compact_commit").exists())
   }
 
+  test("compaction clears an orphaned commit marker instead of rolling it forward") {
+    val dir = java.nio.file.Files.createTempDirectory("compact4").toString + "/t"
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    df.repartition(4).write.mode("overwrite").parquet(dir)
+    val total = df.count()
+    // simulate a crash between the intent and commit deletes of a
+    // COMPLETED hand-over: commit present, intent gone (the r4 ADVICE
+    // window — with the old commit-first teardown this state was instead
+    // intent-without-commit, and replay's rollback branch deleted the only
+    // surviving copy of the data). The orphan must be cleared, not paired
+    // with the new intent as a premature roll-forward.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_compact_commit"), "ok".getBytes("UTF-8"))
+    val n = Layouts.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).count() == total,
+      "orphaned commit handling lost or duplicated rows")
+    assert(!new java.io.File(dir + "/_compact_intent").exists())
+    assert(!new java.io.File(dir + "/_compact_commit").exists())
+  }
+
   test("compaction rolls BACK an uncommitted hand-over (the r3 data-loss window)") {
     val dir = java.nio.file.Files.createTempDirectory("compact3").toString + "/t"
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
