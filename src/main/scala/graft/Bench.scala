@@ -114,7 +114,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"etl_pipeline_golden_sec":$etlSecs%.4f,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"etl_pipeline_golden_sec":$etlSecs%.4f,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full per-query map as a file artifact: the
+    // driver's captured stdout tail truncates on long runs (VERDICT r4
+    // #4 — the d/m families' cross-round deltas were unrecoverable from
+    // BENCH_r04 alone). Committed per round as bench_full.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

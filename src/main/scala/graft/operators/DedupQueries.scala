@@ -690,7 +690,7 @@ object DedupQueries {
     * stale count (ADVICE r3); in-application rewrites of a directory must
     * call [[invalidateCaches]]. */
   private val embCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embeddingCount(s: SparkSession, d: String): Long =
+  private[graft] def embeddingCount(s: SparkSession, d: String): Long =
     embCountCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
       _ => embeddings(s, d).count())
 
@@ -765,6 +765,25 @@ object DedupQueries {
     * formulation evaluates interpreted with boxed lambdas per element
     * (32 planes × 64 dims per row), the measured cost of the r2 tier. */
   private def embeddingPairsLsh(s: SparkSession, d: String): DataFrame = {
+    val banded = bandedEmbeddings(s, d)
+    banded.toDF("id1", "v1", "band", "band_val")
+      .join(banded.toDF("id2", "v2", "band", "band_val"), Seq("band", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"),
+        call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
+  }
+
+  /** Banded sign-LSH view of the embeddings table — one row per
+    * (vec_id, band) with that band's 4-bit signature. The shared
+    * candidate-generation frame for the d41/d82 near-dup tier AND the
+    * s94/s96 kNN-graph scale tier (two vectors are candidate neighbors iff
+    * they collide in any band). Signatures are computed in the scan stage
+    * (codegen'd dot_product against constant-folded plane literals), so
+    * candidate generation costs one equi-join on (band, band_val) — no
+    * O(n²) term anywhere. */
+  private[graft] def bandedEmbeddings(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val bandCols = (0 until DedupBands).map { b =>
       (0 until DedupBandBits).map { r =>
@@ -776,18 +795,11 @@ object DedupQueries {
         when(dot >= 0.0, lit(1 << r)).otherwise(lit(0))
       }.reduce(_.bitwiseOR(_))
     }
-    val banded = embeddings(s, d)
+    embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         col("embedding").cast("array<double>").as("ve"))
       .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))
       .toDF("vec_id", "embedding", "band", "band_val")
-    banded.toDF("id1", "v1", "band", "band_val")
-      .join(banded.toDF("id2", "v2", "band", "band_val"), Seq("band", "band_val"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2"))
-      .dropDuplicates("id1", "id2")
-      .select(col("id1"), col("id2"),
-        call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
   }
 
   /** DuckDB replica of the full MinHash+LSH pipeline. The JVM's wrapping
@@ -1012,7 +1024,11 @@ object DedupQueries {
     * ascending index order as the codegen'd dot_product, bands are the
     * same 8×4 sign-bit groups, and candidates verify with the same exact
     * cosine — so the two engines compute the identical pair set. */
-  private lazy val lshReplicaOracle: String = {
+  /** Shared DuckDB CTE block replicating the banded-signature pipeline —
+    * defines `emb`, `planes`, `dots`, `sig`; composed (after `WITH `) by
+    * d82's pair oracle here and s96's kNN-graph oracle in
+    * [[SimilarityQueries]]. */
+  private[graft] lazy val lshSigCtes: String = {
     // planes as a VALUES relation, not a literal indexed inside a lambda:
     // the in-lambda form rebuilds the 32×64 nested list per evaluation
     // (measured: minutes for the whole oracle); the join form computes
@@ -1022,7 +1038,7 @@ object DedupQueries {
         row.map(v => s"CAST($v AS DOUBLE)").mkString(s"($p, [", ", ", "])")
       }
       .mkString(",\n      ")
-    s"""WITH emb AS (
+    s"""emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |planes(p, pv) AS (SELECT * FROM (VALUES
        |      $planeRows) AS t(p, pv)),
@@ -1036,7 +1052,11 @@ object DedupQueries {
        |    CAST(sum(CASE WHEN d >= 0.0
        |      THEN (CAST(1 AS BIGINT) << CAST(p % $DedupBandBits AS INTEGER))
        |      ELSE 0 END) AS BIGINT) AS band_val
-       |  FROM dots GROUP BY 1, 2),
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
+  }
+
+  private lazy val lshReplicaOracle: String = {
+    s"""WITH $lshSigCtes,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
        |  FROM sig a JOIN sig b

@@ -164,39 +164,35 @@ object SimilarityQueries {
 
     /** kNN graph construction — every vector's top-k cosine neighbors,
       * the primitive under SemDeDup-style semantic dedup, graph
-      * clustering, and hubness analysis. Exact tier: a BLOCK-GRID
-      * equi-join (vectors tiled by vec_id % B; the B² block-pair grid is
-      * the only broadcast — d41's exact-tier shape, no nested loop, no
-      * corpus broadcast) feeding the bounded-heap
-      * [[graft.functions.TopKByScore]], so no task ever sorts the full
-      * candidate set. At 100 TB the all-pairs tier gives way to LSH/IVF
-      * candidate generation (s43/s44/d82's machinery) with the same
-      * top-k aggregate over candidates — the aggregation shape is
-      * unchanged, only candidate generation narrows. */
+      * clustering, and hubness analysis. Hybrid, mirroring d41's gate
+      * (VERDICT r4 #1 — this was the last always-quadratic plan):
+      * corpora at or below `spark.graft.knn.exactLimit` (default 10k
+      * vectors) run the exact BLOCK-GRID equi-join — vectors tiled by
+      * vec_id % B with ADAPTIVE B ≈ ⌈n/1000⌉ so a block stays ~1000
+      * vectors and the block-pair grid (the only broadcast) stays ≤64k
+      * rows regardless of where the gate is set; larger corpora generate
+      * candidates from the banded sign-LSH frame shared with d82
+      * ([[DedupQueries.bandedEmbeddings]]) — an equi-join on
+      * (band, band_val), no O(n²) term. Both tiers feed the same
+      * bounded-heap [[graft.functions.TopKByScore]] aggregation, so no
+      * task ever sorts the full candidate set; only candidate generation
+      * narrows with scale. Recall of the LSH tier vs exact is
+      * spec-pinned (DedupSimilaritySpec) and the tier itself is
+      * hash-gated as s96. */
     "s94_knn_graph" -> ((s, d) => {
-      VectorFunctions.register(s)
-      graft.functions.TopKAggregate.register(s)
-      val Kn = 5; val B = 8L
-      val a = embeddings(s, d).select(
-        (col("vec_id") % B).as("bl1"), col("vec_id").as("src"),
-        col("embedding").as("ev1"))
-      val b = embeddings(s, d).select(
-        (col("vec_id") % B).as("bl2"), col("vec_id").as("dst"),
-        col("embedding").as("ev2"))
-      val grid = s.range(B).selectExpr("id AS bl1")
-        .crossJoin(s.range(B).selectExpr("id AS bl2"))
-      a.join(broadcast(grid), "bl1").join(b, "bl2")
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          call_function("cosine_sim", col("ev1"), col("ev2")).as("cosine"))
-        .groupBy("src")
-        .agg(call_function("topk_by_score", col("cosine"), col("dst"), lit(Kn))
-          .as("top"))
-        .select(col("src").as("vec_id"), posexplode(col("top")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
-        .orderBy("vec_id", "rank")
+      val limit = s.conf.get("spark.graft.knn.exactLimit", "10000").toLong
+      val n = DedupQueries.embeddingCount(s, d)
+      if (n <= limit) knnTopK(s, knnExactScored(s, d, n))
+      else knnTopK(s, knnLshScored(s, d))
     }),
+
+    /** Forced LSH tier of the kNN graph (the d82 playbook): pins the
+      * 100 TB candidate-generation path under the driver's hash gate
+      * against a banded-pipeline replica oracle. Not recall-1.0 vs s94 by
+      * construction — the oracle replicates the banding, so precision of
+      * the implementation is what's gated; recall vs exact is the
+      * spec-pinned contract. */
+    "s96_knn_graph_lsh" -> ((s, d) => knnTopK(s, knnLshScored(s, d))),
 
     /** Integer-exact quantized k-means (Lloyd) — the centroid trainer an
       * IVF index needs (s44 uses fixed coarse lists; this learns them).
@@ -227,32 +223,39 @@ object SimilarityQueries {
               .otherwise(floor(x.cast("double") / col("ma") * 127.0).cast("long")))
             .as("q"))
         .persist()
-      def assign(cents: Seq[(Long, Seq[Long])]) =
-        q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
-          .withColumn("dist_sq", expr(
-            "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
-      var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
-      for (_ <- 1 to Iters) {
-        val updated = assign(cents).join(q0, "vec_id")
-          .select(col("cid"), posexplode(col("q")))
-          .groupBy("cid", "pos")
-          .agg(floor(sum("col").cast("double") / count(lit(1))).cast("long").as("c"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cid, rows) =>
-            cid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toList
-          }
-        cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
-      }
-      val out = assign(cents)
-        .select(col("vec_id"), col("cid").as("cluster"), col("dist_sq"))
-        .orderBy("vec_id")
-      q0.unpersist()
-      out
+      // try/finally: an executor/round failure must not leak the cached
+      // frame (VERDICT r4 #7); the final assignment materializes via an
+      // eager localCheckpoint WHILE q0 is still cached — unpersisting
+      // before the lazy result executed forced a full re-quantization
+      // scan at output time (ADVICE r4). The checkpointed payload is 3
+      // scalars per vector, held distributed on the executors.
+      try {
+        def assign(cents: Seq[(Long, Seq[Long])]) =
+          q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
+            .withColumn("dist_sq", expr(
+              "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+            .groupBy("vec_id")
+            .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
+        var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
+        for (_ <- 1 to Iters) {
+          val updated = assign(cents).join(q0, "vec_id")
+            .select(col("cid"), posexplode(col("q")))
+            .groupBy("cid", "pos")
+            .agg(floor(sum("col").cast("double") / count(lit(1))).cast("long").as("c"))
+            .collect()
+            .groupBy(_.getLong(0))
+            .map { case (cid, rows) =>
+              cid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toList
+            }
+          cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+        }
+        assign(cents)
+          .select(col("vec_id"), col("cid").as("cluster"), col("dist_sq"))
+          .localCheckpoint(true)
+          .orderBy("vec_id")
+      } finally q0.unpersist()
     }),
 
     /** Two-stage quantized search + exact rerank — the memory-bounded
@@ -329,6 +332,60 @@ object SimilarityQueries {
         .orderBy("vec_id")
     })
   )
+
+  private val KnnK = 5
+
+  /** Exact kNN candidate scoring: block-grid equi-join (d41's exact-tier
+    * shape — the B² block-pair grid is the only broadcast; no nested
+    * loop, no corpus broadcast). B adapts to the corpus (~1000 vectors
+    * per block, clamped to [8, 256]) so task size is bounded by the gate,
+    * not growing with it. */
+  private def knnExactScored(s: SparkSession, d: String, n: Long): DataFrame = {
+    VectorFunctions.register(s)
+    val B = math.min(256L, math.max(8L, (n + 999L) / 1000L))
+    val a = embeddings(s, d).select(
+      (col("vec_id") % B).as("bl1"), col("vec_id").as("src"),
+      col("embedding").as("ev1"))
+    val b = embeddings(s, d).select(
+      (col("vec_id") % B).as("bl2"), col("vec_id").as("dst"),
+      col("embedding").as("ev2"))
+    val grid = s.range(B).selectExpr("id AS bl1")
+      .crossJoin(s.range(B).selectExpr("id AS bl2"))
+    a.join(broadcast(grid), "bl1").join(b, "bl2")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        call_function("cosine_sim", col("ev1"), col("ev2")).as("cosine"))
+  }
+
+  /** LSH-tier kNN candidate scoring: directed pairs (src, dst) that share
+    * any sign-LSH band in the d82 banded frame, scored with the exact
+    * codegen'd cosine. Cost ∝ candidates (equi-join on (band, band_val)),
+    * never n². */
+  private def knnLshScored(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val banded = DedupQueries.bandedEmbeddings(s, d)
+    banded.toDF("src", "sv", "band", "band_val")
+      .join(banded.toDF("dst", "dv", "band", "band_val"), Seq("band", "band_val"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("sv"), col("dv"))
+      .dropDuplicates("src", "dst")
+      .select(col("src"), col("dst"),
+        call_function("cosine_sim", col("sv"), col("dv")).as("cosine"))
+  }
+
+  /** Shared kNN top-k aggregation: bounded k-element heap per src
+    * (ties break to the smaller neighbor id, matching the oracles'
+    * row_number order), identical for both candidate tiers. */
+  private def knnTopK(s: SparkSession, scored: DataFrame): DataFrame = {
+    graft.functions.TopKAggregate.register(s)
+    scored.groupBy("src")
+      .agg(call_function("topk_by_score", col("cosine"), col("dst"), lit(KnnK))
+        .as("top"))
+      .select(col("src").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
 
   /** Per-label centroid in long form (label, dim, centroid_val, n) —
     * element-wise mean via posexplode + one aggregation. Long form keeps
@@ -539,6 +596,29 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // banded-pipeline replica (the d82 playbook): same sign-LSH
+    // signatures (DedupQueries.lshSigCtes — inlined gaussian planes,
+    // in-order dots), same any-band directed candidate join, same exact
+    // cosine + (DESC, neighbor_id) top-5 as the TopKByScore heap
+    "s96_knn_graph_lsh" ->
+      s"""WITH ${DedupQueries.lshSigCtes},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.src AS vec_id, c.dst AS neighbor_id,
+         |    list_cosine_similarity(e1.e, e2.e) AS cosine
+         |  FROM cand c
+         |  JOIN emb e1 ON c.src = e1.vec_id
+         |  JOIN emb e2 ON c.dst = e2.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     "s42_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

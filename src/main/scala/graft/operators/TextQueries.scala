@@ -301,17 +301,30 @@ object TextQueries {
 
     /** End-to-end preprocessing pipeline — the whole LLM-data flow
       * composed as ONE query over the corpus: per-doc language-ID (t35's
-      * argmax), quality scoring (t34), repetition filtering (t85), exact
-      * dedup keep-first (d37's content-hash window), and train/val/test
-      * assignment (t69), conjoined into a final keep verdict with the
-      * split materialized only for kept docs. Every stage is individually
-      * hash-gated; this gates the COMPOSITION (join alignment, verdict
-      * logic, null semantics of the split column).
+      * argmax), quality scoring (t34's formula), repetition filtering
+      * (t85's fractions), exact dedup keep-first (d37's content-hash
+      * window), and train/val/test assignment (t69), conjoined into a
+      * final keep verdict with the split materialized only for kept docs.
+      * Every stage is individually hash-gated; this gates the COMPOSITION
+      * (join alignment, verdict logic, null semantics of the split column).
       *
-      * Scale shape: all joins are on doc_id (co-partitioned shuffles at
-      * one key), the dedup window partitions by content hash, and the
-      * lang/quality/split stages are shuffle-free scans — nothing
-      * corpus-sized concentrates anywhere. */
+      * SINGLE-PASS shape (VERDICT r4 #3 — the r4 composition built each
+      * stage from its own `documents` scan: 5 corpus scans where 2
+      * suffice): lang-argmax, quality score, content hash, and split
+      * bucket are all per-row derivable, so ONE projection over ONE scan
+      * computes them; the only second scan is the repetition stage, whose
+      * n-gram statistics need their own explode→aggregate path (both gram
+      * kinds ride one explode, so it is exactly one extra scan —
+      * PlanAuditSpec pins ≤2 documents scans in the physical plan).
+      *
+      * Docs with <3 tokens have no trigram stats; they LEFT-join the
+      * repetition stage and fail its keep (rep_keep=false — conservative:
+      * no evidence of non-repetition), rather than silently vanishing
+      * from the end-to-end verdict surface (ADVICE r4).
+      *
+      * Scale shape: joins on doc_id (co-partitioned shuffles at one key),
+      * the dedup window partitions by content hash, everything else lives
+      * in the two scan stages — nothing corpus-sized concentrates. */
     "t92_pipeline_e2e" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val scores = langMarkers.map { case (l, ms) =>
@@ -323,24 +336,61 @@ object TextQueries {
           when(sc > acc.getField("score"),
             struct(sc.as("score"), lit(l).as("lang"))).otherwise(acc)
       }
-      val lang = documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .select(col("doc_id"), best.getField("lang").as("predicted_lang"))
-      val quality = queries("t34_quality")(s, d)
-        .select(col("doc_id"), col("quality_score"))
-      val rep = queries("t85_repetition")(s, d)
-        .select(col("doc_id"), col("keep").as("rep_keep"))
-      val canon = documents(s, d)
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      // scan #1: every per-row signal in one projection (t34's exact
+      // arithmetic, t35's argmax, t69's bucket thresholds, d37's hash)
+      val nTok = size(col("t")).cast("double")
+      val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("double")
+      val stopHits = markerCount(col("t"), Seq("the", "a", "of", "and", "is", "to", "in"))
+        .cast("double")
+      val meanWordLen =
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
+      val derived = documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), toks(col("text")).as("t"))
+        .select(col("doc_id"),
+          best.getField("lang").as("predicted_lang"),
+          (least(lit(40.0), col("n_chars").cast("double") / 10.0) +
+            least(lit(20.0), nPunct * 4.0) +
+            least(lit(20.0), stopHits / nTok * 100.0) +
+            when(meanWordLen.between(3.0, 8.0), 20.0).otherwise(5.0))
+            .as("quality_score"),
+          md5(col("text").cast("binary")).as("h"),
+          when(bucket < 52429L, "train")
+            .when(bucket < 58982L, "val")
+            .otherwise("test").as("split"))
         .withColumn("is_canonical",
           col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
-        .select("doc_id", "is_canonical")
-      val split = queries("t69_split_assign")(s, d)
-        .select(col("doc_id"), col("split"))
+      // scan #2: t85's repetition stats — both gram kinds from one
+      // explode, counted per (doc, kind, gram) then rolled per doc with
+      // conditional aggregates (same integer counts, same fractions)
+      val emptyKg = expr("CAST(array() AS array<struct<kind:string,g:string>>)")
+      val grams = documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), explode(concat(
+          when(size(col("t")) >= 2, expr(
+            "transform(sequence(0, size(t)-2), i -> named_struct('kind', 'bg', 'g', concat(t[i], ' ', t[i+1])))"))
+            .otherwise(emptyKg),
+          when(size(col("t")) >= 3, expr(
+            "transform(sequence(0, size(t)-3), i -> named_struct('kind', 'tg', 'g', concat(t[i], ' ', t[i+1], ' ', t[i+2])))"))
+            .otherwise(emptyKg))).as("kg"))
+        .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.g").as("g"))
+      val rep = grams
+        .groupBy("doc_id", "kind", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max(when(col("kind") === "bg", col("c"))).as("top_bg"),
+          sum(when(col("kind") === "bg", col("c"))).as("tot_bg"),
+          sum(when(col("kind") === "tg", col("c"))).as("tot_tg"),
+          sum(when(col("kind") === "tg",
+            when(col("c") > 1, col("c")).otherwise(0L))).as("dup_tg"))
+        .filter(col("tot_tg").isNotNull) // t85's domain: docs with ≥3 tokens
+        .select(col("doc_id"),
+          (col("top_bg").cast("double") / col("tot_bg") <= 0.06 &&
+            col("dup_tg").cast("double") / col("tot_tg") <= 0.2).as("rep_keep"))
       val keep = col("predicted_lang") === "en" &&
         col("quality_score") >= 40.0 && col("rep_keep") && col("is_canonical")
-      lang.join(quality, "doc_id").join(rep, "doc_id")
-        .join(canon, "doc_id").join(split, "doc_id")
+      derived.join(rep, Seq("doc_id"), "left")
+        .withColumn("rep_keep", coalesce(col("rep_keep"), lit(false)))
         .select(col("doc_id"), col("predicted_lang"), col("quality_score"),
           col("rep_keep"), col("is_canonical"), keep.as("keep"),
           when(keep, col("split")).as("split"))
@@ -349,11 +399,15 @@ object TextQueries {
 
     /** TF-IDF: the highest-scoring term per document (tf = term count /
       * doc tokens; idf = ln(N / df); ties break toward the lexicographically
-      * smaller term). Two aggregations; only the vocabulary-sized df table
-      * and the 1-row doc count are broadcast — doc_len is one row per
-      * DOCUMENT, so it travels by shuffle on doc_id (a pinned broadcast of
-      * a corpus-scaling table is the r2-flagged 100× OOM; AQE may still
-      * choose broadcast when it actually fits). */
+      * smaller term). Two aggregations; NOTHING corpus-derived carries a
+      * broadcast hint: doc_len is one row per DOCUMENT and dfreq is one
+      * row per distinct TERM — vocabulary grows with the corpus (Heaps'
+      * law; web-scale corpora reach 10⁹+ distinct tokens), so a pinned
+      * `broadcast(dfreq)` would override AQE's size check and OOM at
+      * scale, the exact failure class the r2 verdict flagged (VERDICT r4
+      * #2 removed the hint here). Both travel by shuffle join on their
+      * keys; AQE still chooses broadcast at test scale when they fit.
+      * Only the 1-row global doc count is hinted. */
     "t52_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val tokens = documents(s, d)
@@ -364,7 +418,7 @@ object TextQueries {
       val nDocs = documents(s, d).select(countDistinct("doc_id").as("n_docs"))
       val scored = tf
         .join(docLen, "doc_id")
-        .join(broadcast(dfreq), "term")
+        .join(dfreq, "term")
         .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("term"),
           ((col("term_count").cast("double") / col("doc_len")) *
@@ -620,11 +674,12 @@ object TextQueries {
          |  FROM documents),
          |sp AS (SELECT doc_id, split FROM ($splitOracle)),
          |j AS (
-         |  SELECT pred.doc_id, predicted_lang, quality_score, rep_keep, is_canonical,
+         |  SELECT pred.doc_id, predicted_lang, quality_score,
+         |    coalesce(rep_keep, false) AS rep_keep, is_canonical,
          |    predicted_lang = 'en' AND quality_score >= 40.0
-         |      AND rep_keep AND is_canonical AS keep,
+         |      AND coalesce(rep_keep, false) AND is_canonical AS keep,
          |    split
-         |  FROM pred JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |  FROM pred JOIN q USING (doc_id) LEFT JOIN r USING (doc_id)
          |    JOIN c USING (doc_id) JOIN sp USING (doc_id))
          |SELECT doc_id, predicted_lang, quality_score, rep_keep, is_canonical, keep,
          |  CASE WHEN keep THEN split END AS split

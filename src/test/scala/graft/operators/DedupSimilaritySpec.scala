@@ -178,6 +178,37 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.embedding.exactLimit")
   }
 
+  test("s94: kNN graph gates to the LSH tier above the exact limit; recall pinned") {
+    // default gate: this corpus (≤10k vectors) runs the exact block-grid
+    // tier — the all-pairs truth
+    val exact = SparkEntry.queries("s94_knn_graph")(spark, sf)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // force the scale tier via the gate conf (VERDICT r4 #1)
+    spark.conf.set("spark.graft.knn.exactLimit", "1")
+    try {
+      val df = SparkEntry.queries("s94_knn_graph")(spark, sf)
+      df.collect() // materialize so the executed plan is final
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"kNN LSH tier must not contain an O(n^2) join:\n$plan")
+      val lsh = df.select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the forced-tier query (the hash-gated s96) IS the gated scale path
+      val s96 = SparkEntry.queries("s96_knn_graph_lsh")(spark, sf)
+        .select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(s96 == lsh, "s96 must equal s94's forced LSH tier")
+      // top-k edges point at NEAR neighbors, which sign-LSH recalls far
+      // better than low-threshold pairs; pin a conservative floor and
+      // report the measured value
+      assert(exact.nonEmpty && lsh.nonEmpty)
+      val recall = (lsh & exact).size.toDouble / exact.size
+      info(f"kNN LSH tier edge recall vs exact top-5: $recall%.3f")
+      assert(recall >= 0.5, s"kNN LSH recall $recall collapsed")
+    } finally spark.conf.unset("spark.graft.knn.exactLimit")
+  }
+
   test("d62: distributed label propagation agrees with driver union-find") {
     // same corpus, both tiers: the default gate picks driver union-find at
     // this scale; forcing the limit to 0 exercises the distributed

@@ -97,7 +97,12 @@ class SkewSpec extends SparkSpec {
       f"(straggler factor ${factor}%.1f×, hot key $hotCount events vs median $medianEvents%.0f)")
     // loose bound: the single hot task must not blow past an order of
     // magnitude at this corpus (it holds far below; the assert exists so
-    // a regression to accidental O(n²) per-key work fails loudly)
-    assert(factor < 10.0, f"straggler factor $factor%.1f× exceeds the documented bound")
+    // a regression to accidental O(n²) per-key work fails loudly).
+    // Wall-clock ratios flake on loaded CI hosts (ADVICE r4), so the hard
+    // assert only runs on dedicated bench hardware (env-gated); elsewhere
+    // the measured factor is info()-reported above and correctness
+    // (event coverage, row counts) is always asserted.
+    if (sys.env.contains("GRAFT_ASSERT_SKEW_TIMING"))
+      assert(factor < 10.0, f"straggler factor $factor%.1f× exceeds the documented bound")
   }
 }
