@@ -256,4 +256,41 @@ class EventStreamSpec extends SparkSpec {
       assert(millis(r.get(2)) == endMs)
     }
   }
+
+  test("RocksDB state store produces identical stateful-session and dedup outputs") {
+    // The production state backend at north-star scale (VERDICT r4 #5):
+    // sessionization/dedup state at 100 TB (millions of keys × watermark
+    // window) outgrows the default in-memory HDFS-backed provider;
+    // RocksDB keeps state on executor-local disk with the same
+    // exactly-once semantics. One session conf selects it — the outputs
+    // must be identical under both providers.
+    def runBoth(tag: String): (Set[Seq[Any]], Set[Seq[Any]]) = {
+      val sess = EventStream.runToMemory(spark,
+        EventStream.statefulSessions(EventStream.readEvents(spark, eventsDir)).toDF(),
+        s"sess_$tag")
+      val dedup = EventStream.runToMemory(spark,
+        EventStream.dedupedEvents(EventStream.readEvents(spark, eventsDir)),
+        s"dedup_$tag")
+      (sess.collect().map(_.toSeq).toSet, dedup.collect().map(_.toSeq).toSet)
+    }
+    val (sessDefault, dedupDefault) = runBoth("hdfs_default")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (sessRocks, dedupRocks) = runBoth("rocksdb")
+      assert(sessDefault.nonEmpty && dedupDefault.nonEmpty)
+      assert(sessRocks == sessDefault,
+        s"stateful sessions diverge under RocksDB: only-default=" +
+          s"${sessDefault -- sessRocks} only-rocksdb=${sessRocks -- sessDefault}")
+      assert(dedupRocks == dedupDefault,
+        s"streaming dedup diverges under RocksDB: only-default=" +
+          s"${(dedupDefault -- dedupRocks).take(3)} only-rocksdb=" +
+          s"${(dedupRocks -- dedupDefault).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
