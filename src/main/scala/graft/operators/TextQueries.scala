@@ -397,6 +397,77 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    /** Sequence packing — the final layout step before LLM training:
+      * documents concatenate (in deterministic doc_id order) into
+      * fixed-length training sequences of 512 tokens, each doc reporting
+      * the sequences it spans and its offset in the first one. Docs cross
+      * sequence boundaries (GPT-style concat packing, no padding waste).
+      * Packing is PER SOURCE shard: a global token cumsum would serialize
+      * the corpus through one window partition, while per-source packs
+      * are independent and shard across executors (the t95 skew bound
+      * applies to a giant source: one linear window partition). All
+      * arithmetic is integer (token counts, floor division), so sequence
+      * assignments are bit-identical on any engine or partitioning. */
+    "t97_sequence_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val N = 512
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before",
+          sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+          floor(col("cum_before") / N).as("seq_first"),
+          floor((col("cum_before") + col("n_tokens") - 1) / N).as("seq_last"),
+          (col("cum_before") % N).as("offset_in_seq"))
+        .orderBy("doc_id")
+    }),
+
+    /** Unigram-LM quality scoring with CCNet-style perplexity buckets (a
+      * document whose tokens are improbable under the corpus language
+      * model is likely noise; CCNet trains/filters by head/middle/tail
+      * thirds of the score distribution): corpus unigram distribution
+      * from one aggregation, every token scores ln(count/total), docs
+      * report their mean token log-probability (rounded to the 1e-6
+      * lattice — the s53 precedent for cross-engine stability of a
+      * double mean) and their third of the corpus distribution, cut at
+      * the exact interpolating ⅓/⅔ percentiles (the q56-proven
+      * primitive).
+      *
+      * Scale shape: the unigram table is vocabulary-sized and carries NO
+      * broadcast hint (the t52 rule — Heaps' law growth; AQE may still
+      * broadcast when it fits); tokens join it by shuffle on term, then
+      * one shuffle on doc_id for the mean. The two percentile cuts are a
+      * 2-value global aggregate (broadcast — bounded by construction);
+      * at 100 TB the exact sort-based percentile gives way to
+      * approx_percentile or a sampled cut, the plan otherwise unchanged.
+      * Linear in corpus tokens. */
+    "t98_unigram_logprob" -> ((s, d) => {
+      val f1 = 1.0 / 3.0
+      val f2 = 2.0 / 3.0
+      val tokens = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val uni = tokens.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum("cnt").as("total_tokens"))
+      val scored = tokens.join(uni, "term")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("cnt").cast("double") / col("total_tokens"))), 6)
+            .as("avg_logprob"))
+      val cuts = scored.agg(
+        expr(s"percentile(avg_logprob, $f2)").as("t_head"),
+        expr(s"percentile(avg_logprob, $f1)").as("t_mid"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
+          when(col("avg_logprob") >= col("t_head"), "head")
+            .when(col("avg_logprob") >= col("t_mid"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
     /** TF-IDF: the highest-scoring term per document (tf = term count /
       * doc tokens; idf = ln(N / df); ties break toward the lexicographically
       * smaller term). Two aggregations; NOTHING corpus-derived carries a
@@ -685,6 +756,41 @@ object TextQueries {
          |  CASE WHEN keep THEN split END AS split
          |FROM j ORDER BY doc_id""".stripMargin
     },
+    "t97_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(floor(cum_before / 512) AS BIGINT) AS seq_first,
+        |  CAST(floor((cum_before + n_tokens - 1) / 512) AS BIGINT) AS seq_last,
+        |  CAST(cum_before % 512 AS BIGINT) AS offset_in_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t98_unigram_logprob" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |uni AS (SELECT term, count(*) AS cnt FROM tokens GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total_tokens FROM uni),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    round(avg(ln(CAST(cnt AS DOUBLE) / total_tokens)), 6) AS avg_logprob
+         |  FROM tokens JOIN uni USING (term) CROSS JOIN tot
+         |  GROUP BY doc_id),
+         |cuts AS (
+         |  SELECT quantile_cont(avg_logprob, ${2.0 / 3.0}) AS t_head,
+         |    quantile_cont(avg_logprob, ${1.0 / 3.0}) AS t_mid
+         |  FROM scored)
+         |SELECT doc_id, n_tokens, avg_logprob,
+         |  CASE WHEN avg_logprob >= t_head THEN 'head'
+         |       WHEN avg_logprob >= t_mid THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
     "t52_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
