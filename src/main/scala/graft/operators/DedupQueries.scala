@@ -727,7 +727,10 @@ object DedupQueries {
     * and canonicalized with least/greatest (cosine is symmetric). */
   private def exactAllPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val B = 16
+    // adaptive block count (~1000 vectors per block, clamped) — the s94
+    // rule: task size stays bounded wherever the exact-tier gate is set,
+    // and the block-pair table stays ≤ ~33k broadcast rows
+    val B = math.min(256, math.max(16, ((embeddingCount(s, d) + 999L) / 1000L).toInt))
     val bp = broadcast(
       (0 until B).flatMap(i => (i until B).map(j => (i, j))).toDF("b1", "b2"))
     val e1 = embeddings(s, d).select(pmod(col("vec_id"), lit(B.toLong)).cast("int").as("b1"),

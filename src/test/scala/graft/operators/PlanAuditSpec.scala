@@ -92,7 +92,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no forced broadcast of corpus-scaling relations (q5/q21/t52/d38/t51/t85)") {
     for (q <- Seq("q5_join_inner", "q21_date_diff", "t52_tfidf",
-        "d38_dedup_jaccard", "t51_top_bigrams", "t85_repetition", "t92_pipeline_e2e")) {
+        "d38_dedup_jaccard", "t51_top_bigrams", "t85_repetition",
+        "t92_pipeline_e2e", "t98_unigram_logprob")) {
       val bad = hintedCorpusScalingOutputs(SparkEntry.queries(q)(spark, sf))
       assert(bad.isEmpty,
         s"$q: forced broadcast of a corpus-scaling relation " +
