@@ -554,28 +554,18 @@ object DedupQueries {
       * md5 keys (32 bytes, identical equivalence classes — see d86). At
       * 100 TB the broadcast could be replaced by a bloom filter with an
       * exact-verify join behind it; the plan shape is otherwise unchanged. */
-    "d88_decontaminate" -> ((s, d) => {
-      val G = 13
-      val tok = documents(s, d)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      def grams(df: DataFrame) = df
-        .filter(size(col("t")) >= G)
-        .select(col("doc_id"),
-          explode(expr(s"transform(sequence(0, size(t)-$G), i -> " +
-            "array_join(slice(t, i+1, " + G + "), ' '))")).as("g"))
-        .select(col("doc_id"), md5(col("g").cast("binary")).as("gk"))
-      val isEval = col("doc_id") % 29 === 0
-      val evalGrams = grams(tok.filter(isEval)).select("gk").distinct()
-      val hits = grams(tok.filter(!isEval)).distinct()
-        .join(broadcast(evalGrams), "gk")
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      tok.filter(!isEval)
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n"), lit(0L)).cast("long").as("n_shared_13grams"),
-          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
-        .orderBy("doc_id")
-    }),
+    "d88_decontaminate" -> ((s, d) => decontaminate(s, d, bloomTier = false)),
+
+    /** d88's 100 TB tier forced under the hash gate (the d82/s96
+      * playbook): the eval gram set summarizes into ONE Bloom-filter
+      * sketch (`bloom_filter_agg` — KBs of binary, broadcast as a 1-row
+      * frame, vs a hash relation that grows with the eval set); every
+      * training gram probes it with the codegen'd `might_contain` and
+      * only the might-contain survivors take the exact verify join.
+      * Bloom false positives cost only wasted verification — the exact
+      * join restores precision 1.0 — so the output is byte-identical and
+      * d88's oracle is shared VERBATIM. */
+    "d99_decontaminate_bloom" -> ((s, d) => decontaminate(s, d, bloomTier = true)),
 
     /** Incremental (delta-vs-corpus) MinHash dedup — the INGEST-time
       * shape: a new batch (deterministic 10% slice, doc_id % 10 == 0)
@@ -666,6 +656,54 @@ object DedupQueries {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
        |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  /** Shared body of d88/d99: 13-gram benchmark decontamination. The two
+    * tiers differ ONLY in how training grams meet the eval gram set —
+    * d88 joins the (bounded, benchmark-sized) eval gram table directly;
+    * d99 prefilters through a Bloom sketch of it first, the shape that
+    * stays cheap when the eval suite grows — and both end in the same
+    * exact join, so their outputs are identical. */
+  private def decontaminate(s: SparkSession, d: String, bloomTier: Boolean): DataFrame = {
+    val G = 13
+    val tok = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    def grams(df: DataFrame) = df
+      .filter(size(col("t")) >= G)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(t)-$G), i -> " +
+          "array_join(slice(t, i+1, " + G + "), ' '))")).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("gk"))
+    val isEval = col("doc_id") % 29 === 0
+    val evalGrams = grams(tok.filter(isEval)).select("gk").distinct()
+    val trainGrams = grams(tok.filter(!isEval)).distinct()
+    val candidates =
+      if (!bloomTier) trainGrams
+      else {
+        // one binary sketch (~1 MiB at 10^6 grams, fpp ~1%), built by a
+        // distributed aggregation and collected to the driver — the same
+        // build-then-embed shape Catalyst's own runtime-filter injection
+        // uses (might_contain requires a constant/scalar-subquery filter
+        // side). The false-positive survivors are re-checked by the
+        // exact join below, so fpp only costs wasted verification.
+        graft.functions.BloomFunctions.register(s)
+        val sketch = evalGrams.agg(
+          expr("bloom_filter_agg(xxhash64(gk), 1000000L, 8388608L)").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        trainGrams
+          .filter(call_function("might_contain",
+            lit(sketch), xxhash64(col("gk"))))
+          .select("doc_id", "gk")
+      }
+    val hits = candidates
+      .join(broadcast(evalGrams), "gk")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    tok.filter(!isEval)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_shared_13grams"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
   }
 
   /** Exact-vs-LSH gate for d41: at 10k vectors the block-pair equi-join
@@ -932,8 +970,27 @@ object DedupQueries {
         |  rn = 1 AS is_kept
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     // gram text (not md5) keys the DuckDB join — identical equivalence
-    // classes, so per-doc distinct-shared-gram counts match exactly
-    "d88_decontaminate" ->
+    // classes, so per-doc distinct-shared-gram counts match exactly.
+    // d99 = d88's bloom-prefiltered tier; exact-verify makes the output
+    // identical, so the oracle is shared verbatim
+    "d99_decontaminate_bloom" -> decontaminateOracle,
+    "d88_decontaminate" -> decontaminateOracle,
+    // composes the two gated oracles verbatim: d62's recursive-CTE closure
+    // and t34's quality formula (bit-identical doubles, so the window
+    // order — and therefore is_kept — matches exactly)
+    "d89_keep_best" ->
+      s"""WITH clusters AS (SELECT * FROM (${clustersOracle})),
+         |q AS (SELECT doc_id, quality_score FROM (${TextQueries.oracleSql("t34_quality")})),
+         |j AS (
+         |  SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_id, cluster_size, quality_score, rn = 1 AS is_kept
+         |FROM j ORDER BY doc_id""".stripMargin
+  )
+
+  private lazy val decontaminateOracle =
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
         |eg AS (
@@ -950,21 +1007,7 @@ object DedupQueries {
         |  coalesce(n, 0) > 0 AS contaminated
         |FROM tok LEFT JOIN hits ON tok.doc_id = hits.doc_id
         |WHERE tok.doc_id % 29 <> 0
-        |ORDER BY tok.doc_id""".stripMargin,
-    // composes the two gated oracles verbatim: d62's recursive-CTE closure
-    // and t34's quality formula (bit-identical doubles, so the window
-    // order — and therefore is_kept — matches exactly)
-    "d89_keep_best" ->
-      s"""WITH clusters AS (SELECT * FROM (${clustersOracle})),
-         |q AS (SELECT doc_id, quality_score FROM (${TextQueries.oracleSql("t34_quality")})),
-         |j AS (
-         |  SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
-         |    row_number() OVER (PARTITION BY c.cluster_id
-         |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
-         |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
-         |SELECT doc_id, cluster_id, cluster_size, quality_score, rn = 1 AS is_kept
-         |FROM j ORDER BY doc_id""".stripMargin
-  )
+        |ORDER BY tok.doc_id""".stripMargin
 
   private lazy val jaccardOracle =
       """WITH toks AS (
