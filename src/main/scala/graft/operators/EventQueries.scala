@@ -329,10 +329,47 @@ object EventQueries {
         .select(col("o_orderkey"), col("o_totalprice"),
           round(col("avg_price"), 6).as("avg_price"))
         .orderBy("o_orderkey")
+    }),
+
+    /** CORRELATED scalar subquery — the decorrelation surface: for every
+      * order, how many orders the SAME customer has in finished ('F')
+      * status. Written as real correlated SQL so Catalyst's subquery
+      * rewrite turns the per-row subquery into one filtered aggregation
+      * + one equi-join on the correlation key — no per-row re-execution,
+      * no nested loop (PlanAuditSpec pins the plan). Includes the
+      * classic COUNT-bug case: a customer with NO finished orders has an
+      * empty subquery group and must report 0, not null. All-integer
+      * output, so the oracle is hash-exact.
+      *
+      * The correlation is deliberately EQUI-ONLY: a correlated predicate
+      * on an inequality over a high-cardinality outer column (e.g.
+      * `o2.o_totalprice < o.o_totalprice`) decorrelates through a DOMAIN
+      * join — distinct outer values × inner rows through a
+      * BroadcastNestedLoopJoin — which is O(n²) when the domain column
+      * is near-unique (measured here: the plan audit rejected that
+      * variant). Rank-against-peers semantics belong to a window
+      * function (q28/q54), not a correlated subquery.
+      *
+      * Scale shape: one filtered partial+final aggregation on o_custkey,
+      * one shuffle-or-broadcast equi-join — both 1000-executor shapes. */
+    "q100_correlated" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_q100")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  (SELECT count(*) FROM orders_q100 o2
+          |   WHERE o2.o_custkey = o.o_custkey
+          |     AND o2.o_orderstatus = 'F') AS n_finished_same_cust
+          |FROM orders_q100 o ORDER BY o_orderkey""".stripMargin)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q100_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  (SELECT count(*) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey
+        |     AND o2.o_orderstatus = 'F') AS n_finished_same_cust
+        |FROM orders o ORDER BY o_orderkey""".stripMargin,
     "q79_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
