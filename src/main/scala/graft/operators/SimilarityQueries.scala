@@ -330,6 +330,77 @@ object SimilarityQueries {
           array_max(transform(col("embedding"), x => abs(x.cast("double"))))
             .as("max_abs_component"))
         .orderBy("vec_id")
+    }),
+
+    /** Hybrid retrieval — the RAG-serving shape: a BM25 lexical list and a
+      * cosine vector list per query (doc_id ≡ vec_id row index; queries =
+      * ids 0..4), fused by reciprocal-rank fusion (Cormack et al. 2009:
+      * score = Σ 1/(60 + rank), ranks absent from a list contribute 0).
+      *
+      * Engine-stable ranking: each per-term BM25 contribution is rounded
+      * to the 1e-9 lattice and summed as DECIMAL(28,9) — decimal addition
+      * is exact and order-independent, so the lexical ORDER (and thus
+      * every rank this query outputs) cannot drift with partitioning or
+      * engine summation order; the decimal score itself stays internal.
+      * RRF is a fixed two-term double sum — bit-stable by construction.
+      *
+      * Scale shape: the query-term table, its document frequencies, and
+      * the 2-value corpus stats are bounded by the query set — broadcast
+      * by construction (the d88 precedent). The corpus-side vocabulary is
+      * pruned to query terms BEFORE any aggregation (df still counts the
+      * FULL corpus: tf covers every document), so unbounded per-term rows
+      * never shuffle. Per-list top-k is a query-partitioned window over
+      * candidate rows only; the vector side is s42's broadcast shape. */
+    "s103_hybrid_retrieval" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val tokens = documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = docLen.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val qterms = tokens.filter(col("doc_id") < NumQueries)
+        .select(col("doc_id").as("query_id"), col("term")).distinct()
+      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tfQ = tf.join(broadcast(qterms.select("term").distinct()), "term")
+      val dfq = tfQ.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tfQ.join(broadcast(dfq), "term")
+        .join(broadcast(qterms), "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(docLen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          round(
+            log((col("n_docs").cast("double") - col("df") + 0.5) /
+                (col("df").cast("double") + 0.5) + 1.0) *
+              (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") +
+                1.2 * (0.25 + 0.75 * col("dl").cast("double") / col("avgdl"))), 9)
+            .cast("decimal(28,9)").as("c"))
+      val wl = Window.partitionBy("query_id").orderBy(desc("lex_score"), col("doc_id"))
+      val lexTop = contrib.groupBy("query_id", "doc_id").agg(sum("c").as("lex_score"))
+        .withColumn("lex_rank", row_number().over(wl))
+        .filter(col("lex_rank") <= K)
+        .select("query_id", "doc_id", "lex_rank")
+      val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wv = Window.partitionBy("query_id").orderBy(desc("cosine"), col("doc_id"))
+      val vecTop = embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("nv"))
+        .join(broadcast(q), col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          call_function("cosine_sim", col("qv"), col("nv")).as("cosine"))
+        .withColumn("vec_rank", row_number().over(wv))
+        .filter(col("vec_rank") <= K)
+        .select("query_id", "doc_id", "vec_rank")
+      val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))
+      lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          col("lex_rank").cast("long").as("lex_rank"),
+          col("vec_rank").cast("long").as("vec_rank"),
+          (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0))).as("rrf"))
+        .withColumn("fused_rank", row_number().over(wf).cast("long"))
+        .filter(col("fused_rank") <= K)
+        .orderBy("query_id", "fused_rank")
     })
   )
 

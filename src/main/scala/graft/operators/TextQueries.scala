@@ -499,6 +499,88 @@ object TextQueries {
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
         .orderBy("doc_id")
+    }),
+
+    /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+      * for Language Models via Importance Resampling"): score every
+      * document by the log-likelihood ratio of a TARGET-domain unigram LM
+      * (here the src0/src1 shards stand in for the high-quality target)
+      * over the RAW-corpus unigram LM, add-1 smoothed over the union
+      * vocabulary, averaged per token instance; select documents whose
+      * ratio clears the exact interpolating 75th percentile.
+      *
+      * Scale shape: both unigram tables are vocabulary-sized and carry NO
+      * broadcast hint (the t52 rule); token instances join them by shuffle
+      * on term, then one shuffle on doc_id for the mean. The three scalar
+      * totals (vocab size, raw/target token counts) are single-row
+      * broadcasts bounded by construction, and the selection cut is a
+      * 1-value global aggregate — at 100 TB the exact percentile gives
+      * way to approx_percentile or a sampled cut, the plan otherwise
+      * unchanged. Linear in corpus tokens; the ratio is rounded to the
+      * 1e-6 lattice (the s53 precedent) so selection is engine-stable. */
+    "t101_dsir" -> ((s, d) => {
+      val targetSources = Seq("src0", "src1")
+      val tokens = documents(s, d)
+        .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("term"))
+      val raw = tokens.groupBy("term").agg(count(lit(1)).as("raw_cnt"))
+      val tgt = tokens.filter(col("source").isin(targetSources.map(lit): _*))
+        .groupBy("term").agg(count(lit(1)).as("tgt_cnt"))
+      val uni = raw.join(tgt, Seq("term"), "left")
+        .select(col("term"), col("raw_cnt"), coalesce(col("tgt_cnt"), lit(0L)).as("tgt_cnt"))
+      val totals = uni.agg(
+        count(lit(1)).as("vocab"),
+        sum("raw_cnt").as("tot_raw"),
+        sum("tgt_cnt").as("tot_tgt"))
+      val scored = tokens.join(uni, "term")
+        .crossJoin(broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(
+            log((col("tgt_cnt") + 1).cast("double") / (col("tot_tgt") + col("vocab"))) -
+              log((col("raw_cnt") + 1).cast("double") / (col("tot_raw") + col("vocab")))), 6)
+            .as("avg_logratio"))
+      val cut = scored.agg(expr("percentile(avg_logratio, 0.75)").as("t_sel"))
+      scored.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("avg_logratio"),
+          (col("avg_logratio") >= col("t_sel")).as("selected"))
+        .orderBy("doc_id")
+    }),
+
+    /** Cross-document n-gram novelty (the memorization/duplication lens of
+      * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+      * Better"): for each document, the fraction of its DISTINCT 8-grams
+      * that no earlier document (smaller doc_id) contains. Low novelty
+      * flags near-copies that survive exact dedup. Domain: docs with ≥8
+      * tokens (shorter docs have no 8-gram — excluded, like t85's ≥3
+      * rule).
+      *
+      * Scale shape: the gram stream travels ONCE — an explicit
+      * co-partition on the gram alone satisfies both the distinct-pair
+      * aggregation (clustering on (gram, doc_id) is coarsened by gram)
+      * and the first-doc window, so Catalyst inserts no second exchange
+      * between them (asserted in PlanAuditSpec). A corpus-hot gram makes
+      * a large window partition but the min() scan is linear (the t95
+      * skew bound). One final shuffle on doc_id. The ratio is exact
+      * integer/integer so it is bit-stable on any engine. */
+    "t102_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 8
+      val grams = documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))"))
+          .as("gram"))
+      val pairs = grams.repartition(col("gram"))
+        .groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
+      val w = Window.partitionBy("gram")
+      pairs.withColumn("first_doc", min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
+          (sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("novelty"))
+        .orderBy("doc_id")
     })
   )
 
@@ -808,6 +890,48 @@ object TextQueries {
         |        ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term) AS rk
         |  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term AS top_term, tfidf FROM scored
-        |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "t101_dsir" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |raw AS (SELECT term, count(*) AS raw_cnt FROM tokens GROUP BY 1),
+        |tgt AS (SELECT term, count(*) AS tgt_cnt FROM tokens
+        |        WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |uni AS (
+        |  SELECT raw.term, raw_cnt, coalesce(tgt_cnt, 0) AS tgt_cnt
+        |  FROM raw LEFT JOIN tgt USING (term)),
+        |tot AS (
+        |  SELECT count(*) AS vocab, sum(raw_cnt) AS tot_raw, sum(tgt_cnt) AS tot_tgt
+        |  FROM uni),
+        |scored AS (
+        |  SELECT doc_id, source, count(*) AS n_tokens,
+        |    round(avg(
+        |      ln(CAST(tgt_cnt + 1 AS DOUBLE) / (tot_tgt + vocab)) -
+        |      ln(CAST(raw_cnt + 1 AS DOUBLE) / (tot_raw + vocab))), 6) AS avg_logratio
+        |  FROM tokens JOIN uni USING (term) CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |cut AS (SELECT quantile_cont(avg_logratio, 0.75) AS t_sel FROM scored)
+        |SELECT doc_id, source, n_tokens, avg_logratio,
+        |  avg_logratio >= t_sel AS selected
+        |FROM scored CROSS JOIN cut ORDER BY doc_id""".stripMargin,
+    "t102_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS gram
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 7)) AS g(i)
+        |  WHERE len(t) >= 8),
+        |pairs AS (SELECT DISTINCT gram, doc_id FROM grams),
+        |fd AS (
+        |  SELECT gram, doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |  FROM pairs)
+        |SELECT doc_id,
+        |  count(*) AS n_distinct_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS novelty
+        |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

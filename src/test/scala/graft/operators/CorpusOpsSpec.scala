@@ -180,4 +180,56 @@ class CorpusOpsSpec extends SparkSpec {
         s"query $q: rerank top-1 $top1Rerank != exact top-1 $top1Brute")
     }
   }
+
+  test("t101_dsir: target-vocabulary docs outrank off-target docs and get selected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    // src0/src1 are the target domain: give them a distinctive vocabulary;
+    // off-target docs either share it (should score high) or not (low)
+    val mk = (ts: Seq[String]) => ts.mkString(" ")
+    Seq(
+      (1L, mk(Seq.fill(30)("alpha beta gamma").flatMap(_.split(" "))), "en", "src0", 0L),
+      (2L, mk(Seq.fill(30)("alpha beta delta").flatMap(_.split(" "))), "en", "src1", 0L),
+      (3L, mk(Seq.fill(30)("alpha beta gamma").flatMap(_.split(" "))), "en", "src7", 0L),
+      (4L, mk(Seq.fill(30)("omega sigma tau").flatMap(_.split(" "))), "en", "src8", 0L),
+      (5L, mk(Seq.fill(30)("omega sigma rho").flatMap(_.split(" "))), "en", "src9", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.TextQueries.queries("t101_dsir")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("avg_logratio"), r.getAs[Boolean]("selected")))
+      .toMap
+    // doc3 uses exactly the target vocabulary → scores like the target docs;
+    // docs 4/5 use a disjoint vocabulary → strictly lower ratio, not selected
+    assert(rows(3L)._1 > rows(4L)._1 && rows(3L)._1 > rows(5L)._1,
+      s"target-vocab doc must outrank off-target docs: $rows")
+    assert(rows(3L)._2, "target-vocabulary doc must clear the 75th-pct cut")
+    assert(!rows(4L)._2 && !rows(5L)._2, "off-target docs must not be selected")
+    // selection is monotone in the score: once a doc is unselected, no
+    // lower-scoring doc may be selected
+    val sorted = rows.values.toSeq.sortBy(-_._1)
+    assert(!sorted.sliding(2).exists {
+      case Seq((_, s1), (_, s2)) => !s1 && s2; case _ => false
+    }, s"selected flags must be a prefix of the score ordering: $sorted")
+  }
+
+  test("t102_novelty: exact copies score 0, fresh docs score 1, overlap in between") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("novel").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")        // 13 distinct 8-grams
+    val fresh = (1 to 20).map(i => s"x$i").mkString(" ")
+    val half = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"y$i")).mkString(" ")
+    Seq((1L, base, "en", "src0", 0L), (2L, base, "en", "src1", 0L),
+        (3L, fresh, "en", "src2", 0L), (4L, half, "en", "src3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.TextQueries.queries("t102_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_distinct_grams"), r.getAs[Double]("novelty")))
+      .toMap
+    assert(rows(1L) == (13L, 1.0), s"first doc owns all its grams: $rows")
+    assert(rows(2L) == (13L, 0.0), s"exact copy must be 0-novel: $rows")
+    assert(rows(3L) == (13L, 1.0), s"disjoint doc must be fully novel: $rows")
+    // doc4 shares only its first 3 grams (w1..w8 … w3..w10) with doc1
+    assert(rows(4L)._1 == 13L && rows(4L)._2 == 10.0 / 13.0,
+      s"overlap doc must be 10/13 novel: $rows")
+  }
 }

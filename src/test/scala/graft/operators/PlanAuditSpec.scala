@@ -93,7 +93,7 @@ class PlanAuditSpec extends SparkSpec {
   test("no forced broadcast of corpus-scaling relations (q5/q21/t52/d38/t51/t85)") {
     for (q <- Seq("q5_join_inner", "q21_date_diff", "t52_tfidf",
         "d38_dedup_jaccard", "t51_top_bigrams", "t85_repetition",
-        "t92_pipeline_e2e", "t98_unigram_logprob")) {
+        "t92_pipeline_e2e", "t98_unigram_logprob", "t101_dsir", "t102_novelty")) {
       val bad = hintedCorpusScalingOutputs(SparkEntry.queries(q)(spark, sf))
       assert(bad.isEmpty,
         s"$q: forced broadcast of a corpus-scaling relation " +
@@ -119,6 +119,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
       s"correlated subquery executed as a per-row loop:\n$p")
     assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t102: the gram stream shuffles exactly once") {
+    // the explicit gram co-partition must serve BOTH the distinct-pair
+    // aggregation and the first-doc window — a second gram exchange means
+    // the heaviest stream in the query (every 8-gram instance) travels
+    // the network twice at 100 TB
+    val p = plan("t102_novelty")
+    assert("Exchange hashpartitioning\\(gram".r.findAllIn(p).size == 1,
+      s"t102: gram stream shuffled more than once:\n$p")
   }
 
   test("t92: end-to-end pipeline reads the corpus at most twice") {
