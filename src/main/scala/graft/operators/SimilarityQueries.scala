@@ -373,7 +373,8 @@ object SimilarityQueries {
                 (col("df").cast("double") + 0.5) + 1.0) *
               (col("tf").cast("double") * 2.2) /
               (col("tf").cast("double") +
-                1.2 * (0.25 + 0.75 * col("dl").cast("double") / col("avgdl"))), 9)
+                lit(1.2) * (lit(0.25) +
+                  lit(0.75) * col("dl").cast("double") / col("avgdl"))), 9)
             .cast("decimal(28,9)").as("c"))
       val wl = Window.partitionBy("query_id").orderBy(desc("lex_score"), col("doc_id"))
       val lexTop = contrib.groupBy("query_id", "doc_id").agg(sum("c").as("lex_score"))
@@ -649,6 +650,58 @@ object SimilarityQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "s103_hybrid_retrieval" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tokens
+         |       WHERE doc_id < $NumQueries),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+         |tfq AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) q USING (term)),
+         |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         |contrib AS (
+         |  SELECT qt.query_id, tfq.doc_id,
+         |    CAST(round(
+         |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |        * (CAST(tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf AS DOUBLE)
+         |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)), 9)
+         |      AS DECIMAL(28,9)) AS c
+         |  FROM tfq JOIN dfq USING (term) JOIN qt USING (term)
+         |    JOIN dl ON dl.doc_id = tfq.doc_id CROSS JOIN stats
+         |  WHERE tfq.doc_id <> qt.query_id),
+         |lex AS (
+         |  SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY 1, 2),
+         |lext AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS lex_rank
+         |  FROM lex QUALIFY lex_rank <= $K),
+         |vec AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                           CAST(c.embedding AS DOUBLE[])) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |vect AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS vec_rank
+         |  FROM vec QUALIFY vec_rank <= $K),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         |    CAST(v.vec_rank AS BIGINT) AS vec_rank,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), CAST(0.0 AS DOUBLE))
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM lext l FULL OUTER JOIN vect v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+         |    AS BIGINT) AS fused_rank
+         |FROM fused QUALIFY fused_rank <= $K
+         |ORDER BY query_id, fused_rank""".stripMargin,
     "s43_ann_lsh" -> annLshOracle,
     "s44_ann_ivf" -> annIvfOracle,
     "s87_ann_rerank" -> annRerankOracle,

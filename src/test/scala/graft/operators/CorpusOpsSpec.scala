@@ -212,6 +212,33 @@ class CorpusOpsSpec extends SparkSpec {
     }, s"selected flags must be a prefix of the score ordering: $sorted")
   }
 
+  test("s103_hybrid_retrieval: dense fused ranks, RRF arithmetic, vector list = s42") {
+    val rows = graft.SimilarityQueries.queries("s103_hybrid_retrieval")(spark, sfDir)
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L), "one fused list per query id 0..4")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("fused_rank")).sorted.toSeq == (1L to 10L),
+        s"query $q: fused ranks not dense 1..10")
+      rs.foreach { r =>
+        val lex = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        val vec = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        assert(lex.nonEmpty || vec.nonEmpty, "fused row from neither list")
+        val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+        assert(r.getAs[Double]("rrf") == expect,
+          s"query $q doc ${r.getLong(1)}: rrf != 1/(60+rank) sum")
+      }
+    }
+    // the vector half must agree rank-for-rank with the s42 exact baseline
+    val s42 = graft.SimilarityQueries.queries("s42_ann_brute")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      assert(s42((r.getLong(0), r.getLong(1))) == r.getLong(3),
+        s"vector rank disagrees with s42 for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("t102_novelty: exact copies score 0, fresh docs score 1, overlap in between") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("novel").toString
