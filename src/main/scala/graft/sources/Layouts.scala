@@ -142,6 +142,91 @@ object Layouts {
     dataFiles.length
   }
 
+  /** Z-order (Morton) clustering metadata: per-dimension min/max recorded
+    * at write time plus the bits-per-dimension grid resolution. Four longs
+    * + an int of driver-side metadata — the classic bounded-scalar shape
+    * (like s90's centroids), never a data-sized structure. */
+  final case class ZMeta(minX: Long, maxX: Long, minY: Long, maxY: Long,
+      bitsPerDim: Int) {
+    private[sources] def spanX: Long = math.max(1L, maxX - minX + 1)
+    private[sources] def spanY: Long = math.max(1L, maxY - minY + 1)
+    private[sources] def cells: Int = 1 << bitsPerDim
+    private[sources] def cellX(v: Long): Int =
+      (((math.min(math.max(v, minX), maxX) - minX) * cells) / spanX).toInt
+    private[sources] def cellY(v: Long): Int =
+      (((math.min(math.max(v, minY), maxY) - minY) * cells) / spanY).toInt
+  }
+
+  private def interleave(cx: Int, cy: Int, bits: Int): Int =
+    (0 until bits).foldLeft(0) { (z, i) =>
+      z | (((cx >> i) & 1) << (2 * i)) | (((cy >> i) & 1) << (2 * i + 1))
+    }
+
+  /** Write `df` partitioned by a Z-order bucket over two long-typed
+    * dimensions — the lakehouse layout for MULTI-dimensional range
+    * predicates, where any single-column sort or directory partition can
+    * prune only its own dimension. Each dimension is scaled onto a
+    * 2^bitsPerDim grid over its observed min/max and the grid coordinates
+    * are bit-interleaved (Morton order), so a rectangle in (x, y) touches
+    * only the buckets whose cell intersects it: with 4+4 bits a 1/16 ×
+    * 1/16 rectangle reads ~1/256th of the files instead of a full scan.
+    *
+    * Scale notes: the min/max pre-pass is one 4-value aggregate (broadcast
+    * scalar, not data); the write itself shuffles once on the bucket
+    * column. Bucket count (4^bitsPerDim) is chosen by the CALLER to keep
+    * files ≥128 MB at the target corpus — 4 bits = 256 buckets suits
+    * ~32 GB+; the toy default is sized down in the spec, not here. At
+    * petabyte scale the same bucket column feeds `bucketBy` instead of
+    * directory partitioning to dodge small-dir explosion. */
+  def writeZOrdered(df: DataFrame, dir: String, xCol: String, yCol: String,
+      bitsPerDim: Int = 4): ZMeta = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 15, s"bitsPerDim $bitsPerDim out of [1,15]")
+    val Array(mnx, mxx, mny, mxy) = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val meta = ZMeta(mnx, mxx, mny, mxy, bitsPerDim)
+    val cellsL = meta.cells.toLong
+    // exact long arithmetic end-to-end (SQL `div`, not double division —
+    // a double quotient drifts for |values| > 2^53)
+    def cellCol(c: String, lo: Long, span: Long): Column =
+      expr(s"cast(((least(greatest(cast(`$c` as bigint), ${lo}L), " +
+        s"${lo + span - 1}L) - ${lo}L) * ${cellsL}L) div ${span}L as int)")
+    val zb = {
+      val cx = cellCol(xCol, meta.minX, meta.spanX)
+      val cy = cellCol(yCol, meta.minY, meta.spanY)
+      (0 until bitsPerDim).foldLeft(lit(0)) { (z, i) =>
+        z.bitwiseOR(shiftleft(shiftright(cx, i).bitwiseAND(1), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(cy, i).bitwiseAND(1), 2 * i + 1))
+      }
+    }
+    df.withColumn("zb", zb)
+      .repartition(col("zb"))
+      .write.mode("overwrite").partitionBy("zb").parquet(dir)
+    meta
+  }
+
+  /** The Z-order buckets a rectangle query can touch: enumerate the grid
+    * cells intersecting [xLo,xHi] × [yLo,yHi] and interleave each. Bounded
+    * by 4^bitsPerDim driver-side ints (≤ 2^30 at the cap; 256 at the
+    * default) — cheap enough that the litmax/bigmin range-splitting
+    * refinement is unnecessary at these resolutions. */
+  def zBucketsFor(meta: ZMeta, xLo: Long, xHi: Long, yLo: Long, yHi: Long): Seq[Int] =
+    for {
+      cx <- meta.cellX(xLo) to meta.cellX(xHi)
+      cy <- meta.cellY(yLo) to meta.cellY(yHi)
+    } yield interleave(cx, cy, meta.bitsPerDim)
+
+  /** Read back a Z-ordered directory with a rectangle predicate: the
+    * bucket IN-list prunes partitions at planning time (only intersecting
+    * cells are listed/read), the residual column predicates keep
+    * correctness exact within surviving buckets. */
+  def readZOrdered(spark: org.apache.spark.sql.SparkSession, dir: String, meta: ZMeta,
+      xCol: String, yCol: String, xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame =
+    spark.read.parquet(dir)
+      .where(col("zb").isin(zBucketsFor(meta, xLo, xHi, yLo, yHi): _*) &&
+        col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+
   /** Skew-resistant equi-join: the (possibly skewed) left side gets a
     * deterministic-per-row salt in [0, n); the right side is replicated n
     * times, one copy per salt value, and the join key becomes (key, salt).

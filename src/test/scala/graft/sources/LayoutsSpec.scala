@@ -32,6 +32,40 @@ class LayoutsSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout prunes partitions for a 2-D rectangle and stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/events_z"
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value", "event_type")
+    val meta = Layouts.writeZOrdered(ev, dir, "user_id", "event_id", bitsPerDim = 3)
+    // a ~1/8 × 1/8 rectangle in (user_id, event_id)
+    val xLo = meta.minX; val xHi = meta.minX + (meta.maxX - meta.minX) / 8
+    val yLo = meta.minY; val yHi = meta.minY + (meta.maxY - meta.minY) / 8
+    val pruned = Layouts.readZOrdered(spark, dir, meta,
+      "user_id", "event_id", xLo, xHi, yLo, yHi)
+    val expected = ev.filter(col("user_id").between(xLo, xHi) &&
+      col("event_id").between(yLo, yHi))
+    // exactness: same multiset of rows as the brute-force filter
+    assert(pruned.count() == expected.count() && expected.count() > 0)
+    assert(pruned.select("event_id").except(expected.select("event_id")).isEmpty &&
+      expected.select("event_id").except(pruned.select("event_id")).isEmpty)
+    // pruning: the scan must touch a strict subset of the bucket dirs
+    // (with 3+3 bits and a 1/8×1/8 rectangle, ≤4 of up to 64 cells
+    // intersect; partition pruning happens at planning, so the listed
+    // file count drops with it)
+    val allBuckets = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("zb="))
+    val touched = Layouts.zBucketsFor(meta, xLo, xHi, yLo, yHi).toSet
+    assert(touched.size < allBuckets,
+      s"rectangle touches ${touched.size} of $allBuckets buckets — no pruning")
+    pruned.collect()
+    val planFiles = pruned.queryExecution.executedPlan.toString
+    assert(planFiles.contains("PartitionFilters") && planFiles.contains("zb"),
+      s"no partition filter on zb in plan:\n$planFiles")
+    // every kept row really lives in a touched bucket
+    assert(spark.read.parquet(dir).filter(col("user_id").between(xLo, xHi) &&
+        col("event_id").between(yLo, yHi))
+      .select("zb").distinct().collect().map(_.getInt(0)).toSet.subsetOf(touched))
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
