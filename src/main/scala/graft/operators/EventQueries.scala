@@ -360,6 +360,31 @@ object EventQueries {
           |   WHERE o2.o_custkey = o.o_custkey
           |     AND o2.o_orderstatus = 'F') AS n_finished_same_cust
           |FROM orders_q100 o ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    /** CDC latest-wins compaction — the MERGE-INTO/upsert snapshot read
+      * over a changelog: the event stream keyed by user_id, the latest
+      * record per key (event time, event_id tiebreak) is the key's
+      * current state, and a key whose latest record is the tombstone type
+      * ('error' stands in for a delete marker) leaves the snapshot. The
+      * version count rides along for audit.
+      *
+      * Scale shape: ONE shuffle on the key serves both windows (rank and
+      * version count share the partitioning; Catalyst stacks the two
+      * WindowExecs on one exchange). This is the batch dual of the q79
+      * streaming dedup — at 100 TB the same plan compacts a day's
+      * changelog into a snapshot partition. */
+    "q105_upsert_latest" -> ((s, d) => {
+      val byKey = Window.partitionBy("user_id")
+      val latest = byKey.orderBy(desc("ts"), desc("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(latest))
+        .withColumn("n_versions", count(lit(1)).over(byKey))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("n_versions"))
+        .orderBy("user_id")
     })
   )
 
@@ -370,6 +395,18 @@ object EventQueries {
         |   WHERE o2.o_custkey = o.o_custkey
         |     AND o2.o_orderstatus = 'F') AS n_finished_same_cust
         |FROM orders o ORDER BY o_orderkey""".stripMargin,
+    "q105_upsert_latest" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS last_type, value AS last_value,
+        |  CAST(n_versions AS BIGINT) AS n_versions
+        |FROM v WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "q79_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,

@@ -171,10 +171,54 @@ object FunctionQueries {
           lag("o_totalprice", 1).over(w).as("prev_price"),
           lead("o_totalprice", 1).over(w).as("next_price"))
         .orderBy("o_orderkey")
+    }),
+
+    /** Heavy hitters — the frequent-items sketch (Spark 4's approx_top_k,
+      * a DataSketches ItemsSketch) against the exact answer, claim-gated
+      * like q65/q91: the top-20 terms by exact count are joined with the
+      * sketch's list; the gated booleans assert every one is present with
+      * its exact count. maxItemsTracked (10⁴) exceeds this corpus's
+      * vocabulary so the sketch runs eviction-free — which is exactly the
+      * deterministic regime a hash gate needs (an evicting sketch's
+      * estimates depend on partition order). At 100 TB the same plan with
+      * Heaps'-law vocabulary keeps the sketch mergeable and
+      * fixed-memory while the error bound loosens to ±N/maxItemsTracked —
+      * the production trade documented by the sketch; the exact side here
+      * exists only to gate the claim. */
+    "q104_heavy_hitters" -> ((s, d) => {
+      val tokens = documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      val exact = tokens.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      // TakeOrdered top-20 first (no global window over the vocabulary),
+      // THEN a rank window over the 20 surviving rows — bounded by k
+      val wr = Window.orderBy(desc("exact_cnt"), col("term"))
+      val topExact = exact.orderBy(desc("exact_cnt"), col("term")).limit(20)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+      val sketch = tokens
+        .agg(expr("approx_top_k(term, 20, 10000)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("est_cnt"))
+      topExact.join(sketch, Seq("term"), "left")
+        .select(col("rank"), col("term"), col("exact_cnt"),
+          col("est_cnt").isNotNull.as("in_sketch"),
+          coalesce(col("est_cnt") === col("exact_cnt"), lit(false)).as("est_exact"))
+        .orderBy("rank")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q104_heavy_hitters" ->
+      """WITH tokens AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |exact AS (SELECT term, count(*) AS exact_cnt FROM tokens GROUP BY 1),
+        |r AS (
+        |  SELECT term, exact_cnt,
+        |    row_number() OVER (ORDER BY exact_cnt DESC, term) AS rank
+        |  FROM exact)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, exact_cnt,
+        |  TRUE AS in_sketch, TRUE AS est_exact
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q65_percentile_approx" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,

@@ -131,6 +131,18 @@ class PlanAuditSpec extends SparkSpec {
       s"t102: gram stream shuffled more than once:\n$p")
   }
 
+  test("q105: both CDC windows share one exchange on the key") {
+    val p = plan("q105_upsert_latest")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"q105: rank and version-count windows should stack on one key shuffle:\n$p")
+  }
+
+  test("q104: the exact heavy-hitter side is TakeOrdered, not a global window") {
+    val p = plan("q104_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q104: exact top-20 must compile to TakeOrderedAndProject:\n$p")
+  }
+
   test("t92: end-to-end pipeline reads the corpus at most twice") {
     // VERDICT r4 #3: the composition must stay single-pass per signal
     // family — one scan for the per-row projection, one for the n-gram
