@@ -581,8 +581,108 @@ object TextQueries {
           (sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).cast("double") /
             count(lit(1))).as("novelty"))
         .orderBy("doc_id")
+    }),
+
+    /** BPE tokenizer training (Sennrich et al. 2016), 3 greedy merge
+      * rounds: words become character sequences, each round counts
+      * adjacent symbol pairs weighted by word frequency, merges the
+      * most frequent pair corpus-wide (ties break lexicographically),
+      * and rewrites every word left-to-right non-overlapping. Output is
+      * the merge table — the artifact a tokenizer ships.
+      *
+      * Scale shape: the word-count vocabulary and every per-round pair
+      * count are distributed aggregates (vocabulary-sized, no broadcast
+      * hint); the ONLY driver materialization is each round's argmax — a
+      * single (left, right, count) row per round, the bounded-scalar
+      * barrier every iterative trainer has (s90's centroids, the ETL
+      * medians). The left-to-right rewrite is a codegen'd `aggregate`
+      * fold over each word's symbol array — linear in corpus characters
+      * per round, no shuffle beyond the pair count. */
+    "t106_bpe_train" -> ((s, d) => {
+      val rounds = 3
+      def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+      var words = documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms",
+          expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"))
+      val merges = (1 to rounds).map { rank =>
+        // zip_with over offset slices, not sequence(1, size-1): Spark's
+        // sequence DESCENDS for start > stop, so a single-char word would
+        // yield [1, 0] and an element_at(0) error instead of no pairs
+        val top = words
+          .select(col("cnt"), explode(expr(
+            "zip_with(slice(syms, 1, size(syms) - 1), " +
+              "slice(syms, 2, size(syms) - 1), " +
+              "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("wcnt"))
+          .orderBy(desc("wcnt"), col("l"), col("r"))
+          .limit(1).collect()(0)
+        val (l, r, wc) = (top.getString(0), top.getString(1), top.getLong(2))
+        words = words.withColumn("syms", expr(
+          s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' " +
+            s"AND x = '${esc(r)}' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}')) " +
+            s"ELSE concat(acc, array(x)) END)"))
+        (rank.toLong, l, r, l + r, wc)
+      }
+      import s.implicits._
+      merges.toDF("merge_rank", "lhs", "rhs", "merged", "weighted_count")
+        .orderBy("merge_rank")
     })
   )
+
+  /** DuckDB replica of t106: each merge round unrolls to (a) a weighted
+    * adjacent-pair count + argmax CTE and (b) a RECURSIVE left-to-right
+    * non-overlapping rewrite of every word's symbol list (cursor + output
+    * accumulator per word; final state at pos = n + 1) — the s90 unrolled-
+    * rounds playbook applied to a recursive rewrite. */
+  private def bpeOracle: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[CAST(g.i AS INTEGER)] AS l,
+         |         syms[CAST(g.i + 1 AS INTEGER)] AS r,
+         |         sum(cnt) AS wcnt
+         |  FROM $prev CROSS JOIN unnest(generate_series(1, len(syms) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT l, r, wcnt FROM p$r ORDER BY wcnt DESC, l, r LIMIT 1),
+         |m$r(term, cnt, n, pos, out) AS (
+         |  SELECT term, cnt, len(syms), CAST(1 AS BIGINT), CAST([] AS VARCHAR[])
+         |  FROM $prev
+         |  UNION ALL
+         |  SELECT m.term, m.cnt, m.n,
+         |    CASE WHEN m.pos < m.n AND w.syms[CAST(m.pos AS INTEGER)] = t.l
+         |              AND w.syms[CAST(m.pos + 1 AS INTEGER)] = t.r
+         |         THEN m.pos + 2 ELSE m.pos + 1 END,
+         |    CASE WHEN m.pos < m.n AND w.syms[CAST(m.pos AS INTEGER)] = t.l
+         |              AND w.syms[CAST(m.pos + 1 AS INTEGER)] = t.r
+         |         THEN m.out || [t.l || t.r]
+         |         ELSE m.out || [w.syms[CAST(m.pos AS INTEGER)]] END
+         |  FROM m$r m JOIN $prev w USING (term) CROSS JOIN t$r t
+         |  WHERE m.pos <= m.n),
+         |w$r AS (SELECT term, cnt, out AS syms FROM m$r WHERE pos = n + 1)"""
+    }.mkString(",\n")
+    val finalRows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+         |  l || r AS merged, CAST(wcnt AS BIGINT) AS weighted_count FROM t$r"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT term, count(*) AS cnt,
+       |    list_transform(generate_series(1, length(term)),
+       |      i -> substr(term, CAST(i AS INTEGER), 1)) AS syms
+       |  FROM tok GROUP BY term),
+       |$roundCtes
+       |SELECT * FROM (
+       |$finalRows)
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** DuckDB replica of [[graft.functions.RollingMinHash]]: min over all
     * 16-byte windows of the polynomial hash Σ byte·Base^(w-1-j) mod 2^64,
@@ -932,6 +1032,7 @@ object TextQueries {
         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS novelty
-        |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t106_bpe_train" -> bpeOracle
   )
 }

@@ -239,6 +239,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t106_bpe_train: hand-computed merge order on a synthetic corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // words: "aaab"×2, "cd"×1
+    //  round 1: (a,a)=4 wins → aaab = [aa, a, b]
+    //  round 2: (aa,a)=2 vs (a,b)=2 vs (c,d)=1 — lexicographic tie-break
+    //           picks (a,b) → aaab = [aa, ab]
+    //  round 3: (aa,ab)=2 wins
+    // (also exercises single-char words: "a" must yield no pairs, and the
+    // left-to-right non-overlap rule: "aaa" in "aaab" merges once)
+    Seq((1L, "aaab cd a", "en", "src0", 0L), (2L, "aaab a", "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = graft.TextQueries.queries("t106_bpe_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "ab", "aaab", 2L)), s"unexpected merge table: ${merges.toSeq}")
+  }
+
   test("t102_novelty: exact copies score 0, fresh docs score 1, overlap in between") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("novel").toString
