@@ -599,48 +599,92 @@ object TextQueries {
       * fold over each word's symbol array — linear in corpus characters
       * per round, no shuffle beyond the pair count. */
     "t106_bpe_train" -> ((s, d) => {
-      val rounds = 3
-      def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-      var words = documents(s, d)
-        .select(explode(toks(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .withColumn("syms",
-          expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"))
-      val merges = (1 to rounds).map { rank =>
-        // zip_with over offset slices, not sequence(1, size-1): Spark's
-        // sequence DESCENDS for start > stop, so a single-char word would
-        // yield [1, 0] and an element_at(0) error instead of no pairs
-        val top = words
-          .select(col("cnt"), explode(expr(
-            "zip_with(slice(syms, 1, size(syms) - 1), " +
-              "slice(syms, 2, size(syms) - 1), " +
-              "(a, b) -> struct(a AS l, b AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("cnt").as("wcnt"))
-          .orderBy(desc("wcnt"), col("l"), col("r"))
-          .limit(1).collect()(0)
-        val (l, r, wc) = (top.getString(0), top.getString(1), top.getLong(2))
-        words = words.withColumn("syms", expr(
-          s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
-            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' " +
-            s"AND x = '${esc(r)}' " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}')) " +
-            s"ELSE concat(acc, array(x)) END)"))
-        (rank.toLong, l, r, l + r, wc)
-      }
+      val (merges, _) = bpeTrain(s, d)
       import s.implicits._
       merges.toDF("merge_rank", "lhs", "rhs", "merged", "weighted_count")
         .orderBy("merge_rank")
+    }),
+
+    /** BPE encoding: apply the trained merge table to the corpus and
+      * report per-document token statistics (word count, BPE token
+      * count, term characters, chars-per-token compression ratio) — the
+      * "tokenize 100 TB for pretraining" pass.
+      *
+      * Scale shape: the rewrite runs once per DISTINCT term (the
+      * vocabulary), not once per occurrence — the standard
+      * tokenizer-apply optimization; per-document stats are then one
+      * shuffle join on term (vocabulary side carries NO broadcast hint —
+      * the t52 rule, Heaps' law growth; AQE may still broadcast when it
+      * fits) plus one partial+final aggregate on doc_id. */
+    "t107_bpe_encode" -> ((s, d) => {
+      val (_, vocab) = bpeTrain(s, d)
+      val perTerm = vocab.select(col("term"),
+        size(col("syms")).cast("long").as("term_toks"),
+        length(col("term")).cast("long").as("term_chars"))
+      documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .join(perTerm, Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("term_toks").as("n_bpe_tokens"),
+          sum("term_chars").as("n_term_chars"))
+        .withColumn("chars_per_token",
+          col("n_term_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Shared BPE trainer behind t106/t107: `rounds` greedy merge rounds
+    * over the whitespace-token vocabulary. Returns the merge table
+    * (rank, lhs, rhs, merged, weighted count) and the final vocabulary
+    * frame `(term, cnt, syms)` with each term's post-merge symbol
+    * sequence. Only driver materialization: one (l, r, count) argmax row
+    * per round. */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int = 3)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    var words = documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"))
+    val merges = (1 to rounds).map { rank =>
+      // zip_with over offset slices, not sequence(1, size-1): Spark's
+      // sequence DESCENDS for start > stop, so a single-char word would
+      // yield [1, 0] and an element_at(0) error instead of no pairs
+      val top = words
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1), " +
+            "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("wcnt"))
+        .orderBy(desc("wcnt"), col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, wc) = (top.getString(0), top.getString(1), top.getLong(2))
+      words = words.withColumn("syms", expr(
+        s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' " +
+          s"AND x = '${esc(r)}' " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}')) " +
+          s"ELSE concat(acc, array(x)) END)"))
+      (rank.toLong, l, r, l + r, wc)
+    }
+    (merges, words)
+  }
 
   /** DuckDB replica of t106: each merge round unrolls to (a) a weighted
     * adjacent-pair count + argmax CTE and (b) a RECURSIVE left-to-right
     * non-overlapping rewrite of every word's symbol list (cursor + output
     * accumulator per word; final state at pos = n + 1) — the s90 unrolled-
     * rounds playbook applied to a recursive rewrite. */
-  private def bpeOracle: String = {
-    val rounds = 3
+  private val bpeRounds = 3
+
+  /** The shared CTE chain both BPE oracles build on: tok/w0 (vocabulary
+    * with per-character symbol lists) then, per round r, the pair-count
+    * argmax (t_r) and the recursive rewrite producing w_r. */
+  private def bpeCtes: String = {
+    val rounds = bpeRounds
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"w${r - 1}"
       s"""p$r AS (
@@ -666,10 +710,6 @@ object TextQueries {
          |  WHERE m.pos <= m.n),
          |w$r AS (SELECT term, cnt, out AS syms FROM m$r WHERE pos = n + 1)"""
     }.mkString(",\n")
-    val finalRows = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
-         |  l || r AS merged, CAST(wcnt AS BIGINT) AS weighted_count FROM t$r"""
-    }.mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE tok AS (
        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
        |  FROM documents),
@@ -678,11 +718,36 @@ object TextQueries {
        |    list_transform(generate_series(1, length(term)),
        |      i -> substr(term, CAST(i AS INTEGER), 1)) AS syms
        |  FROM tok GROUP BY term),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeOracle: String = {
+    val finalRows = (1 to bpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+         |  l || r AS merged, CAST(wcnt AS BIGINT) AS weighted_count FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$bpeCtes
        |SELECT * FROM (
        |$finalRows)
        |ORDER BY merge_rank""".stripMargin
   }
+
+  /** DuckDB replica of t107: the final vocabulary w_R from the shared
+    * CTE chain joined back to per-document term instances. */
+  private def bpeEncodeOracle: String =
+    s"""$bpeCtes,
+       |doc_tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(term)) AS BIGINT) AS n_term_chars,
+       |  CAST(sum(length(term)) AS DOUBLE) / CAST(sum(len(w.syms)) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM doc_tok JOIN w$bpeRounds w USING (term)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replica of [[graft.functions.RollingMinHash]]: min over all
     * 16-byte windows of the polynomial hash Σ byte·Base^(w-1-j) mod 2^64,
@@ -1033,6 +1098,7 @@ object TextQueries {
         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS novelty
         |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "t106_bpe_train" -> bpeOracle
+    "t106_bpe_train" -> bpeOracle,
+    "t107_bpe_encode" -> bpeEncodeOracle
   )
 }

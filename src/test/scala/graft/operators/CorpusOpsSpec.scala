@@ -258,6 +258,15 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, "a", "a", "aa", 4L),
       (2L, "a", "b", "ab", 2L),
       (3L, "aa", "ab", "aaab", 2L)), s"unexpected merge table: ${merges.toSeq}")
+
+    // encode with the same merges: aaab→[aaab] (1 tok), cd→[c,d] (2), a→[a]
+    //  doc 1 "aaab cd a": 3 words, 4 bpe tokens, 7 chars → 1.75 chars/tok
+    //  doc 2 "aaab a":    2 words, 2 bpe tokens, 5 chars → 2.5
+    val enc = graft.TextQueries.queries("t107_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(enc.toSeq == Seq(
+      (1L, 3L, 4L, 7L, 1.75),
+      (2L, 2L, 2L, 5L, 2.5)), s"unexpected encoding stats: ${enc.toSeq}")
   }
 
   test("t102_novelty: exact copies score 0, fresh docs score 1, overlap in between") {
