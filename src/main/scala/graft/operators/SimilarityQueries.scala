@@ -211,51 +211,42 @@ object SimilarityQueries {
       * assignment is a broadcast-join scan; the update is one partial+
       * final aggregation on (cluster, dim). Rounds are Spark jobs, the
       * corpus never concentrates. */
-    "s90_kmeans" -> ((s, d) => {
-      import s.implicits._
-      val Kc = 8; val Iters = 3
-      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      val q0 = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
-        .select(col("vec_id"),
-          transform(col("embedding"), x =>
-            when(col("ma") === 0.0, 0L)
-              .otherwise(floor(x.cast("double") / col("ma") * 127.0).cast("long")))
-            .as("q"))
-        .persist()
-      // try/finally: an executor/round failure must not leak the cached
-      // frame (VERDICT r4 #7); the final assignment materializes via an
-      // eager localCheckpoint WHILE q0 is still cached — unpersisting
-      // before the lazy result executed forced a full re-quantization
-      // scan at output time (ADVICE r4). The checkpointed payload is 3
-      // scalars per vector, held distributed on the executors.
-      try {
-        def assign(cents: Seq[(Long, Seq[Long])]) =
-          q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
-            .withColumn("dist_sq", expr(
-              "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-            .groupBy("vec_id")
-            .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
-            .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
-        var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
-          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
-        for (_ <- 1 to Iters) {
-          val updated = assign(cents).join(q0, "vec_id")
-            .select(col("cid"), posexplode(col("q")))
-            .groupBy("cid", "pos")
-            .agg(floor(sum("col").cast("double") / count(lit(1))).cast("long").as("c"))
-            .collect()
-            .groupBy(_.getLong(0))
-            .map { case (cid, rows) =>
-              cid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toList
-            }
-          cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
-        }
-        assign(cents)
-          .select(col("vec_id"), col("cid").as("cluster"), col("dist_sq"))
-          .localCheckpoint(true)
-          .orderBy("vec_id")
-      } finally q0.unpersist()
+    "s90_kmeans" -> ((s, d) =>
+      kmeansAssignQ(s, d)
+        .select(col("vec_id"), col("cid").as("cluster"), col("dist_sq"))
+        .orderBy("vec_id")),
+
+    /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+      * k-means clustering + WITHIN-CLUSTER pairwise cosine pruning.
+      * Pairs are only ever formed inside a cluster, so the quadratic
+      * term is bounded by the largest cluster, not the corpus — at the
+      * north star K grows with the corpus (the paper runs 50k clusters
+      * on LAION) to hold cluster width constant while total work stays
+      * Σ cᵢ² ≪ n². Reuses [[kmeansAssignQ]] (s90's integer-exact
+      * trainer), and the τ=0.4 cosine test (d41's design threshold
+      * for this synthetic corpus) is evaluated entirely in
+      * integer arithmetic on the int8-quantized vectors
+      * (dot>0 ∧ 25·dot² ≥ 4·|a|²·|b|² ⟺ cos ≥ 0.4), so the surviving
+      * set is bit-identical on any engine. Keeps the lowest vec_id of
+      * each near-dup pair; emits survivors with their cluster. */
+    "s108_semdedup" -> ((s, d) => {
+      val a = kmeansAssignQ(s, d)
+        .withColumn("n2", expr(
+          "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      val left = a.select(col("vec_id").as("a_id"), col("cid"),
+        col("q").as("qa"), col("n2").as("n2a"))
+      val right = a.select(col("vec_id").as("b_id"), col("cid").as("cid_b"),
+        col("q").as("qb"), col("n2").as("n2b"))
+      val dups = left.join(right,
+          col("cid") === col("cid_b") && col("a_id") < col("b_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .where(col("dot") > 0 &&
+          lit(25L) * col("dot") * col("dot") >= lit(4L) * col("n2a") * col("n2b"))
+        .select(col("b_id").as("dup_id")).distinct()
+      a.join(dups, a("vec_id") === dups("dup_id"), "left_anti")
+        .select(col("vec_id"), col("cid").as("cluster"))
+        .orderBy("vec_id")
     }),
 
     /** Two-stage quantized search + exact rerank — the memory-bounded
@@ -476,6 +467,62 @@ object SimilarityQueries {
     * (both engines then hold bit-identical doubles), sign bits come from
     * the same in-order dot products, candidates from the same 4-bit band
     * join, ranking from the same (cosine DESC, neighbor_id) order. */
+  /** Shared integer-exact k-means (s90/s108): 3 Lloyd rounds over
+    * max-abs int8-quantized vectors, K=8, seeds = lowest vec_ids,
+    * argmin ties to the smallest centroid id. Returns the final
+    * assignment WITH the quantized vector: (vec_id, cid, dist_sq, q),
+    * eagerly localCheckpoint'ed so callers consume it after the cache
+    * is released.
+    *
+    * Scale shape: centroids are driver-side metadata (K×dims longs,
+    * broadcast each round); assignment is a broadcast-join scan; the
+    * update is one partial+final aggregation on (cluster, dim). The
+    * checkpoint holds the quantized corpus distributed on executors —
+    * same footprint as the working cache, never the driver. try/finally:
+    * an executor/round failure must not leak the cached frame
+    * (VERDICT r4 #7); the checkpoint materializes WHILE q0 is cached —
+    * unpersisting before the lazy result executed forced a full
+    * re-quantization scan at output time (ADVICE r4). */
+  private def kmeansAssignQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Kc = 8; val Iters = 3
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val q0 = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("ma") === 0.0, 0L)
+            .otherwise(floor(x.cast("double") / col("ma") * 127.0).cast("long")))
+          .as("q"))
+      .persist()
+    try {
+      def assign(cents: Seq[(Long, Seq[Long])]) =
+        q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
+          .withColumn("dist_sq", expr(
+            "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
+      var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
+      for (_ <- 1 to Iters) {
+        val updated = assign(cents).join(q0, "vec_id")
+          .select(col("cid"), posexplode(col("q")))
+          .groupBy("cid", "pos")
+          .agg(floor(sum("col").cast("double") / count(lit(1))).cast("long").as("c"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toList
+          }
+        cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+      }
+      assign(cents).join(q0, "vec_id")
+        .select(col("vec_id"), col("cid"), col("dist_sq"), col("q"))
+        .localCheckpoint(true)
+    } finally q0.unpersist()
+  }
+
   private def annLshOracle: String = {
     val planes2d = Hyperplanes.planes
       .map(row => row.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]"))
@@ -597,7 +644,10 @@ object SimilarityQueries {
     * floor-divided centroid update with empty-cluster carry-over), all
     * arithmetic integer after the same int8 quantization as s87, so
     * centroids and assignments are bit-identical across engines. */
-  private def kmeansOracle: String = {
+  /** Shared CTE chain for the k-means oracles (s90/s108): quantization
+    * (qz), seeds (c0), three unrolled Lloyd rounds, final distances (df)
+    * and assignment (af). */
+  private def kmeansCtes: String = {
     def round(r: Int): String = {
       val prev = if (r == 1) "c0" else s"c${r - 1}"
       s"""d$r AS (
@@ -644,10 +694,36 @@ object SimilarityQueries {
        |  SELECT vec_id, cid, dist FROM (
        |    SELECT vec_id, cid, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM df) WHERE rn = 1)
+       |    FROM df) WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansOracle: String =
+    s"""$kmeansCtes
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist_sq
        |FROM af ORDER BY vec_id""".stripMargin
-  }
+
+  /** DuckDB replica of s108: the shared k-means chain, then within-
+    * cluster integer-exact cosine pruning (25·dot² ≥ 4·|a|²·|b|²,
+    * dot > 0) keeping the lowest vec_id of each near-dup pair. */
+  private def semdedupOracle: String =
+    s"""$kmeansCtes,
+       |qn AS (
+       |  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qz),
+       |pr AS (
+       |  SELECT b.vec_id AS dup_id,
+       |    list_sum(list_transform(range(1, len(qa.q) + 1), j ->
+       |      qa.q[CAST(j AS INTEGER)] * qb.q[CAST(j AS INTEGER)])) AS dot,
+       |    qa.n2 * qb.n2 AS nn
+       |  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN qn qa ON qa.vec_id = a.vec_id
+       |  JOIN qn qb ON qb.vec_id = b.vec_id),
+       |dups AS (
+       |  SELECT DISTINCT dup_id FROM pr
+       |  WHERE dot > 0 AND 25 * dot * dot >= 4 * nn)
+       |SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster
+       |FROM af LEFT JOIN dups ON af.vec_id = dups.dup_id
+       |WHERE dups.dup_id IS NULL
+       |ORDER BY af.vec_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "s103_hybrid_retrieval" ->
@@ -706,6 +782,7 @@ object SimilarityQueries {
     "s44_ann_ivf" -> annIvfOracle,
     "s87_ann_rerank" -> annRerankOracle,
     "s90_kmeans" -> kmeansOracle,
+    "s108_semdedup" -> semdedupOracle,
     "s94_knn_graph" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

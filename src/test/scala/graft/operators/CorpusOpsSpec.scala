@@ -156,6 +156,28 @@ class CorpusOpsSpec extends SparkSpec {
     rows.foreach { case (v, _, d) => assert(d >= 0, s"negative distance for $v") }
   }
 
+  test("s108_semdedup: prunes within clusters, keep-lowest invariant holds") {
+    val assigned = graft.SimilarityQueries.queries("s90_kmeans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val kept = graft.SimilarityQueries.queries("s108_semdedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keptIds = kept.map(_._1).toSet
+    assert(kept.length < assigned.length,
+      s"semdedup pruned nothing (${kept.length} of ${assigned.length})")
+    assert(keptIds.subsetOf(assigned.map(_._1).toSet), "survivor outside corpus")
+    // survivors carry their s90 cluster unchanged
+    val clusterOf = assigned.toMap
+    kept.foreach { case (v, c) =>
+      assert(clusterOf(v) == c, s"vector $v cluster drifted: $c vs ${clusterOf(v)}")
+    }
+    // keep-lowest: pruning a vector requires a LOWER surviving id in its
+    // cluster, so each cluster's minimum vec_id can never be pruned
+    assigned.groupBy(_._2).foreach { case (c, vs) =>
+      val lowest = vs.map(_._1).min
+      assert(keptIds.contains(lowest), s"cluster $c lost its lowest id $lowest")
+    }
+  }
+
   test("q91_hll_distinct: accuracy contract holds on every group") {
     val rows = graft.FunctionQueries.queries("q91_hll_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
