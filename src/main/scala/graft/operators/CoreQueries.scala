@@ -399,6 +399,35 @@ object CoreQueries {
         .orderBy("c_mktsegment", "rank")
     }),
 
+    /** Column profiling — the data-quality census a pipeline runs before
+      * ingesting a new 100 TB source: per-column null count, exact
+      * distinct count, min/max (string-rendered so heterogeneous types
+      * share one long-format schema).
+      *
+      * Scale shape: ALL per-column aggregates compute in a SINGLE scan
+      * (one partial+final aggregate with 4·n_cols expressions — Catalyst
+      * plans one Exchange of a single 1-row group, not one pass per
+      * column); `stack` pivots the 1-row result to long form driver-free.
+      * Exact distinct on every column is the expensive honest choice at
+      * 100 TB; swap `count_distinct` for `approx_count_distinct`/q91's
+      * HLL sketch when estimates suffice. */
+    "q110_profile" -> ((s, d) => {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+      val one = orders(s, d).agg(aggs.head, aggs.tail: _*)
+      one.select(expr(
+        s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+            .mkString(", ") +
+          ") as (column_name, n_nulls, n_distinct, min_value, max_value)"))
+        .orderBy("column_name")
+    }),
+
     /** Frame window: per-customer running order total (rows between
       * unbounded preceding and current row). */
     "q29_window_running" -> ((s, d) => {
@@ -605,6 +634,18 @@ object CoreQueries {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders WHERE o_custkey <= 100
-        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q110_profile" -> {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+    }
   )
 }

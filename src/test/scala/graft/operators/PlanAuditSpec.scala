@@ -153,6 +153,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"t92 physical plan holds $scans corpus scans (>2):\n$p")
   }
 
+  test("q110: profiling all columns costs exactly one table scan") {
+    // the census must not degrade to one pass per column — 4·n_cols
+    // aggregate expressions share a single scan + single 1-row Exchange
+    val p = plan("q110_profile")
+    val scans = "(?i)FileScan parquet|BatchScan".r.findAllIn(p).size
+    assert(scans == 1, s"q110 physical plan holds $scans scans (want 1):\n$p")
+  }
+
   test("sampling/chunking/redaction operators stay scan-shaped (no pre-sort shuffle)") {
     for (q <- Seq("t69_split_assign", "t70_source_mixture", "t72_chunk_windows",
         "t73_sentences", "t74_redact", "s75_quantize_int8")) {
