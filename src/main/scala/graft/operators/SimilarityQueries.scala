@@ -194,6 +194,51 @@ object SimilarityQueries {
       * spec-pinned contract. */
     "s96_knn_graph_lsh" -> ((s, d) => knnTopK(s, knnLshScored(s, d))),
 
+    /** PageRank (3 damped power iterations, d=0.85) over the s94 kNN
+      * graph — the canonical iterative-graph workload (Page et al. 1999),
+      * here ranking "centrality" of vectors in the similarity graph (a
+      * data-curation signal: high-rank = densely connected regions).
+      *
+      * Everything after the float cosine edge ranking is INTEGER-exact
+      * fixed-point (the s90 playbook): ranks live in 10⁻¹² micro-units,
+      * each iteration is r' = floor(0.15·S/n) + Σ floor(r·17 / (20·deg))
+      * (17/20 = 0.85; floor div on positive longs is identical on every
+      * engine), so three iterations hash-match a DuckDB replica with the
+      * iterations unrolled as CTEs.
+      *
+      * Scale shape: the edge list (n·k rows of 3 longs) is built ONCE and
+      * eagerly localCheckpoint'ed — iterating over a lazy frame would
+      * re-run the kNN scoring every round; each iteration is one join
+      * (edges ⋈ ranks on src) + one shuffle aggregate on dst + one left
+      * join back to the node set. On a cluster, pre-partition edges by
+      * src and ranks by vec_id once and every iteration's join side
+      * reuses that partitioning — the classic Pregel layout. */
+    "s109_pagerank" -> ((s, d) => {
+      val n = DedupQueries.embeddingCount(s, d)
+      val limit = s.conf.get("spark.graft.knn.exactLimit", "10000").toLong
+      val graph = if (n <= limit) knnTopK(s, knnExactScored(s, d, n))
+                  else knnTopK(s, knnLshScored(s, d))
+      val outdeg = graph.groupBy(col("vec_id").as("src"))
+        .agg(count(lit(1)).as("odeg"))
+      val ew = graph.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .join(outdeg, "src")
+        .localCheckpoint(true)
+      val Scale = 1000000000000L
+      val base = (Scale * 15L) / (100L * n)
+      val nodes = embeddings(s, d).select(col("vec_id"))
+      var rank = nodes.withColumn("r", lit(Scale / n))
+      for (_ <- 1 to 3) {
+        val contrib = ew.join(rank, ew("src") === rank("vec_id"))
+          .select(col("dst"), expr("r * 17 div (20 * odeg)").as("c"))
+          .groupBy("dst").agg(sum("c").as("sc"))
+        rank = nodes.join(contrib, nodes("vec_id") === contrib("dst"), "left")
+          .select(nodes("vec_id"), (lit(base) + coalesce(col("sc"), lit(0L))).as("r"))
+      }
+      rank.select(col("vec_id"), col("r").as("rank_micro"),
+          (col("r").cast("double") / 1e12).as("rank"))
+        .orderBy("vec_id")
+    }),
+
     /** Integer-exact quantized k-means (Lloyd) — the centroid trainer an
       * IVF index needs (s44 uses fixed coarse lists; this learns them).
       * Vectors quantize to int8 (per-vector max-abs, the s87 scheme), and
@@ -697,6 +742,47 @@ object SimilarityQueries {
        |    FROM df) WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB replica of s109: the s94 edge CTEs, then the three fixed-
+    * point iterations unrolled (floor division `//`; positive operands,
+    * so `//` and Spark's `div` agree). */
+  private def pagerankOracle: String = {
+    def iter(k: Int): String = {
+      val prev = s"r${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst, sum((r.r * 17) // (20 * od.odeg)) AS sc
+         |  FROM e JOIN od USING (src) JOIN $prev r ON r.vec_id = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT emb.vec_id,
+         |    (15 * 1000000000000) // (100 * nn.n) + coalesce(c$k.sc, 0) AS r
+         |  FROM embeddings emb CROSS JOIN nn
+         |  LEFT JOIN c$k ON emb.vec_id = c$k.dst)"""
+    }
+    s"""WITH emb2 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    list_cosine_similarity(a.e, b.e) AS cosine
+       |  FROM emb2 a JOIN emb2 b ON a.vec_id <> b.vec_id),
+       |e AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= 5),
+       |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |r0 AS (
+       |  SELECT vec_id, 1000000000000 // nn.n AS r
+       |  FROM embeddings CROSS JOIN nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT vec_id, CAST(r AS BIGINT) AS rank_micro,
+       |  CAST(r AS DOUBLE) / 1e12 AS rank
+       |FROM r3 ORDER BY vec_id""".stripMargin
+  }
+
   private def kmeansOracle: String =
     s"""$kmeansCtes
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist_sq
@@ -783,6 +869,7 @@ object SimilarityQueries {
     "s87_ann_rerank" -> annRerankOracle,
     "s90_kmeans" -> kmeansOracle,
     "s108_semdedup" -> semdedupOracle,
+    "s109_pagerank" -> pagerankOracle,
     "s94_knn_graph" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

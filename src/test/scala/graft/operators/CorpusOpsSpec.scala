@@ -178,6 +178,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s109_pagerank: mass conservation and sink-floor invariants") {
+    val rows = graft.SimilarityQueries.queries("s109_pagerank")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = rows.length
+    assert(n > 0 && rows.map(_._1).distinct.length == n, "one rank per vector")
+    val Scale = 1000000000000L
+    val base = Scale * 15L / (100L * n)
+    rows.foreach { case (v, r) =>
+      assert(r >= base, s"vector $v rank $r below the teleport floor $base")
+    }
+    // total mass: starts at ~Scale, each iteration keeps 0.15 + 0.85 of it
+    // minus sub-micro floor losses (< 1 per edge per iteration)
+    val total = rows.map(_._2).sum
+    assert(total <= Scale && total >= (Scale * 97L) / 100L,
+      s"total rank mass $total drifted outside [0.97, 1.0]·$Scale")
+    assert(rows.map(_._2).distinct.length > 1, "ranks must differentiate nodes")
+  }
+
   test("q91_hll_distinct: accuracy contract holds on every group") {
     val rows = graft.FunctionQueries.queries("q91_hll_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
