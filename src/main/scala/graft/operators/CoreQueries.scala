@@ -404,22 +404,30 @@ object CoreQueries {
       * distinct count, min/max (string-rendered so heterogeneous types
       * share one long-format schema).
       *
-      * Scale shape: ALL per-column aggregates compute in a SINGLE scan
-      * (one partial+final aggregate with 4·n_cols expressions — Catalyst
-      * plans one Exchange of a single 1-row group, not one pass per
-      * column); `stack` pivots the 1-row result to long form driver-free.
+      * Scale shape: TWO streaming passes, deliberately not one. A fused
+      * single-agg plan forces SortAggregate end-to-end (min/max over
+      * string columns have immutable agg buffers, which disqualifies
+      * HashAggregate), and the multi-distinct rewrite Expands the corpus
+      * 7× — so the fused shape SORTS a 7×-expanded corpus twice.
+      * Splitting lets each branch take its best shape: the
+      * distinct+null-count branch (long buffers only) runs as a
+      * map-side-deduped HashAggregate over the Expand, and the min/max
+      * branch is a global zero-key aggregate (no sort is ever inserted
+      * for an empty grouping); both are pure partial+final streams.
       * Exact distinct on every column is the expensive honest choice at
       * 100 TB; swap `count_distinct` for `approx_count_distinct`/q91's
       * HLL sketch when estimates suffice. */
     "q110_profile" -> ((s, d) => {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
         "o_orderpriority", "o_orderstatus", "o_totalprice")
-      val aggs = cols.flatMap(c => Seq(
+      val aggsD = cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
+        count_distinct(col(c)).as(s"${c}__distinct")))
+      val aggsM = cols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max")))
-      val one = orders(s, d).agg(aggs.head, aggs.tail: _*)
+      val one = orders(s, d).agg(aggsD.head, aggsD.tail: _*)
+        .crossJoin(orders(s, d).agg(aggsM.head, aggsM.tail: _*))
       one.select(expr(
         s"stack(${cols.length}, " +
           cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")

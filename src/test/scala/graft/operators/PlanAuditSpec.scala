@@ -153,12 +153,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"t92 physical plan holds $scans corpus scans (>2):\n$p")
   }
 
-  test("q110: profiling all columns costs exactly one table scan") {
-    // the census must not degrade to one pass per column — 4·n_cols
-    // aggregate expressions share a single scan + single 1-row Exchange
+  test("q110: profiling all columns costs two streaming scans, no corpus sort") {
+    // two passes by design (distinct/nulls hash branch + zero-key min/max
+    // branch) — NOT one per column, and never a SortAggregate over the
+    // 7×-expanded distinct rewrite (string min/max buffers would force it
+    // in a fused plan)
     val p = plan("q110_profile")
     val scans = "(?i)FileScan parquet|BatchScan".r.findAllIn(p).size
-    assert(scans == 1, s"q110 physical plan holds $scans scans (want 1):\n$p")
+    assert(scans == 2, s"q110 physical plan holds $scans scans (want 2):\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"q110 distinct branch lost its HashAggregate shape:\n$p")
   }
 
   test("sampling/chunking/redaction operators stay scan-shaped (no pre-sort shuffle)") {
