@@ -583,6 +583,57 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    /** Cross-source 8-gram contamination matrix — for every source pair,
+      * the count of shared distinct 8-grams and the Jaccard overlap: the
+      * corpus-design signal for "are these two crawls/snapshots secretly
+      * the same data?" (complements d88's corpus-vs-eval direction).
+      *
+      * Scale shape: ONE shuffle on gram. Distinct (gram, source) pairs
+      * collapse to a per-gram source-SET (bounded by the source count S,
+      * a catalog-sized constant — never corpus-sized), pair expansion is
+      * S²-bounded per gram, and everything downstream operates on
+      * ≤ S²+S rows. No gram self-join: a hot gram costs |sources| set
+      * entries, not candidate² rows. The tiny pair/count aggregate is
+      * localCheckpoint'ed because two outputs consume it — without the
+      * barrier the whole gram pipeline would execute twice. */
+    "t111_source_overlap" -> ((s, d) => {
+      val n = 8
+      val grams = documents(s, d)
+        .select(col("source"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))"))
+          .as("gram"))
+      val perGram = grams.repartition(col("gram"))
+        .groupBy("gram").agg(collect_set("source").as("ss"))
+      // one explode emits both unordered source pairs (a < b) and
+      // singleton (a, null) rows, so pair-overlap counts and per-source
+      // gram counts come out of ONE aggregation
+      val agg = perGram.select(explode(expr(
+          "concat(" +
+            "flatten(transform(ss, a -> transform(filter(ss, b -> a < b), " +
+            "b -> struct(a AS sa, b AS sb)))), " +
+            "transform(ss, a -> struct(a AS sa, CAST(NULL AS STRING) AS sb)))"))
+          .as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val counts = agg.filter(col("sb").isNull).select(col("sa"), col("cnt"))
+      val shared = agg.filter(col("sb").isNotNull)
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("cnt").as("sh"))
+      val px = counts.toDF("source_a", "n_grams_a")
+        .crossJoin(counts.toDF("source_b", "n_grams_b"))
+        .filter(col("source_a") < col("source_b"))
+      px.join(shared, Seq("source_a", "source_b"), "left")
+        .withColumn("shared_grams", coalesce(col("sh"), lit(0L)))
+        .withColumn("jaccard", col("shared_grams").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("shared_grams")).cast("double"))
+        .select("source_a", "source_b", "shared_grams", "n_grams_a",
+          "n_grams_b", "jaccard")
+        .orderBy("source_a", "source_b")
+    }),
+
     /** BPE tokenizer training (Sennrich et al. 2016), 3 greedy merge
       * rounds: words become character sequences, each round counts
       * adjacent symbol pairs weighted by word frequency, merges the
@@ -1099,6 +1150,30 @@ object TextQueries {
         |    AS novelty
         |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t106_bpe_train" -> bpeOracle,
-    "t107_bpe_encode" -> bpeEncodeOracle
+    "t107_bpe_encode" -> bpeEncodeOracle,
+    "t111_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i + 7], ' ') AS gram
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 7)) AS gi(i)
+        |  WHERE len(t) >= 8),
+        |cnt AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |px AS (
+        |  SELECT ca.source AS source_a, cb.source AS source_b,
+        |    ca.n AS n_grams_a, cb.n AS n_grams_b
+        |  FROM cnt ca JOIN cnt cb ON ca.source < cb.source)
+        |SELECT px.source_a, px.source_b,
+        |  CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_grams,
+        |  CAST(n_grams_a AS BIGINT) AS n_grams_a,
+        |  CAST(n_grams_b AS BIGINT) AS n_grams_b,
+        |  CAST(coalesce(sh.shared, 0) AS DOUBLE)
+        |    / (n_grams_a + n_grams_b - coalesce(sh.shared, 0)) AS jaccard
+        |FROM px LEFT JOIN sh USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

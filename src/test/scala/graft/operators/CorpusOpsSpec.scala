@@ -178,6 +178,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t111_source_overlap: hand-computed contamination matrix incl. zero-overlap pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("overlap").toString
+    // srcA and srcB share both 8-grams (identical text); srcC is disjoint
+    val txt = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    Seq((1L, txt, "en", "srcA", 0L), (2L, txt, "en", "srcB", 0L),
+        (3L, "x1 x2 x3 x4 x5 x6 x7 x8", "en", "srcC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.TextQueries.queries("t111_source_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      ("srcA", "srcB", 2L, 2L, 2L, 1.0),
+      ("srcA", "srcC", 0L, 2L, 1L, 0.0),
+      ("srcB", "srcC", 0L, 2L, 1L, 0.0)), s"unexpected matrix: ${rows.toSeq}")
+  }
+
   test("s109_pagerank: mass conservation and sink-floor invariants") {
     val rows = graft.SimilarityQueries.queries("s109_pagerank")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
