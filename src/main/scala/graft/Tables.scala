@@ -22,16 +22,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as raw long nanos (legacy conf) and
-    * convert to a µs TIMESTAMP_NTZ column. The testdata carries no sub-µs
-    * parts, so the conversion is lossless. */
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS). Depending on
+    * the Spark build, that column surfaces either as raw long nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) or as a native
+    * TIMESTAMP_NTZ; normalize both to a µs TIMESTAMP_NTZ column. The
+    * testdata carries no sub-µs parts, so the conversion is lossless. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

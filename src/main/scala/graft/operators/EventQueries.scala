@@ -252,10 +252,8 @@ object EventQueries {
       * immaterial and the output is deterministic. */
     "q79_stream_dedup" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("q79_dup")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("a.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("b.parquet"))
+      graft.streaming.EventStream.stageEvents(s, d, dir, "a")
+      java.nio.file.Files.copy(dir.resolve("a.parquet"), dir.resolve("b.parquet"))
       val sink = "q79_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val deduped = graft.streaming.EventStream.runToMemory(s,
         graft.streaming.EventStream.dedupedEvents(
@@ -283,27 +281,20 @@ object EventQueries {
     "q80_stream_hourly_sink" -> ((s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("q80_sink")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("a.parquet"))
+      graft.streaming.EventStream.stageEvents(s, d, dir, "a")
       val maxMs = events(s, d)
         .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
         .ceil.toLong * 1000L
       def sentinelFile(name: String, hours: Long, id: Long): Unit = {
-        val df = Seq((id, (maxMs + hours * 3600 * 1000) * 1000000L, 999999L,
-          "zzsentinel", 0.0, "{}"))
+        val df = Seq((id, new java.sql.Timestamp(maxMs + hours * 3600 * 1000),
+          999999L, "zzsentinel", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        val stage = dir.resolve(name + "_stage")
-        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        java.nio.file.Files.move(
-          java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
-            .findFirst().get(), dir.resolve(name + ".parquet"))
+        graft.streaming.EventStream.writeEventsFile(df, dir, name)
       }
       sentinelFile("b", 10, 900000001L)
       sentinelFile("c", 20, 900000002L)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = s.readStream.schema(graft.streaming.EventStream.rawSchema)
+      val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // the sink must live OUTSIDE the stream source directory — the file
       // source re-lists its tree each trigger and would discover the
       // sink's freshly-written parts as conflicting input

@@ -18,18 +18,40 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as stored (ts is parquet TIMESTAMP(NANOS) → read as
-    * long nanos, converted after load; see graft.Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Stream-source schema: staged directories always hold NORMALIZED
+    * events files (µs TIMESTAMP ts — see [[stageEvents]]), so the file
+    * source schema is build-independent. The raw table's
+    * TIMESTAMP(NANOS) physical type surfaces differently across Spark
+    * builds (legacy long nanos vs native TIMESTAMP_NTZ); only
+    * [[graft.Tables.events]] deals with that, once. */
+  val streamSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Write `df` as exactly one parquet file `dir/name.parquet` — the
+    * file-at-a-time staging a file stream source consumes (each file is
+    * one discovery unit; maxFilesPerTrigger maps files to micro-batches).
+    * Test/gate plumbing, not an engine path. */
+  def writeEventsFile(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+    val stage = dir.resolve(name + "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    java.nio.file.Files.move(
+      java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get(), dir.resolve(name + ".parquet"))
   }
+
+  /** Stage the events table into `dir/name.parquet` normalized to a µs
+    * TIMESTAMP ts column, so downstream streaming reads are independent
+    * of how the raw TIMESTAMP(NANOS) column surfaces on this build. */
+  def stageEvents(spark: SparkSession, sfDir: String,
+      dir: java.nio.file.Path, name: String): Unit =
+    writeEventsFile(
+      graft.Tables.events(spark, sfDir).withColumn("ts", col("ts").cast("timestamp")),
+      dir, name)
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(streamSchema).parquet(dir)
 
   /** Tumbling 1-hour windowed counts/sums per event type, 2-hour
     * watermark for late data (q31's streaming twin). */

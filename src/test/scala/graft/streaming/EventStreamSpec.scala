@@ -13,9 +13,7 @@ class EventStreamSpec extends SparkSpec {
   // file into one (a real deployment streams a growing directory anyway)
   private lazy val eventsDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      tmp.resolve("part-0.parquet"))
+    EventStream.stageEvents(spark, sf, tmp, "part-0")
     tmp.toString
   }
 
@@ -86,10 +84,8 @@ class EventStreamSpec extends SparkSpec {
   test("streaming dedup by event_id drops replayed events within the watermark") {
     // stage the same parquet file twice — a full replay of every event
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    EventStream.stageEvents(spark, sf, dir, "a")
+    java.nio.file.Files.copy(dir.resolve("a.parquet"), dir.resolve("b.parquet"))
     val deduped = EventStream.runToMemory(spark,
       EventStream.dedupedEvents(EventStream.readEvents(spark, dir.toString)),
       "dedup_test")
@@ -129,8 +125,7 @@ class EventStreamSpec extends SparkSpec {
     // main data can actually emit — outer emission is watermark-gated and
     // needs a later batch
     val dir = java.nio.file.Files.createTempDirectory("events_outer")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    EventStream.stageEvents(spark, sf, dir, "a")
     val maxTs = graft.Tables.events(spark, sf).agg(max("ts")).first().getAs[Any](0)
     val maxMs = millis(maxTs)
     import spark.implicits._
@@ -140,22 +135,18 @@ class EventStreamSpec extends SparkSpec {
     // trailing no-data batches, which would race the last outer emissions
     def sentinelFile(name: String, hoursClick: Long, hoursPurchase: Long, idBase: Long): Unit = {
       val df = Seq(
-        (idBase, (maxMs + hoursClick * 3600 * 1000) * 1000000L, 999999L, "click", 0.0, "{}"),
-        (idBase + 1, (maxMs + hoursPurchase * 3600 * 1000) * 1000000L, 999998L, "purchase", 0.0, "{}"))
+        (idBase, new java.sql.Timestamp(maxMs + hoursClick * 3600 * 1000),
+          999999L, "click", 0.0, "{}"),
+        (idBase + 1, new java.sql.Timestamp(maxMs + hoursPurchase * 3600 * 1000),
+          999998L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      val stage = dir.resolve(name + "_stage")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      java.nio.file.Files.move(
-        java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get(), dir.resolve(name + ".parquet"))
+      EventStream.writeEventsFile(df, dir, name)
     }
     sentinelFile("b", 10, 20, 1000000001L)
     sentinelFile("c", 30, 40, 1000000003L)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = spark.readStream.schema(EventStream.rawSchema)
+    val staged = spark.readStream.schema(EventStream.streamSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val outer = EventStream.runToMemory(spark,
       EventStream.purchaseAttribution(staged, "left_outer"), "attr_outer_test").collect()
       .filter(_.getLong(1) < 1000000000L) // main-data purchases only
