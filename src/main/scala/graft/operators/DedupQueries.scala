@@ -624,6 +624,56 @@ object DedupQueries {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("quality_score"), (col("rn") === 1).as("is_kept"))
         .orderBy("doc_id")
+    }),
+
+    /** Duplicated-span coverage — per document, how many of its token
+      * positions sit inside an 8-gram that also occurs in ANOTHER
+      * document (the per-doc "how much of this text is duplicated
+      * elsewhere" volume metric of Lee et al. 2022's exact-substring
+      * dedup, at fixed n-gram granularity; complements t102, which counts
+      * distinct grams, not covered positions). Overlapping duplicated
+      * grams are merged as intervals: with starts sorted ascending and
+      * every interval 8 long, a start s adds min(8, s − prev_s) covered
+      * tokens — one lag window, no interval self-join.
+      *
+      * Scale shape: one shuffle on gram (the t102 co-partition: the
+      * window min/max over gram and the join ride the same exchange),
+      * one shuffle on doc_id for the lag + final aggregate. A hot gram
+      * costs its occurrence count in window state, never candidate²
+      * rows; nothing is broadcast. */
+    "d112_dup_span_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 8
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"))
+      val grams = tok.filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> struct(cast(i as bigint) AS s, array_join(slice(t, i, $n), ' ') AS gram))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.s").as("s"), col("g.gram").as("gram"))
+      val byGram = Window.partitionBy("gram")
+      val dupStarts = grams.repartition(col("gram"))
+        .withColumn("mn", min("doc_id").over(byGram))
+        .withColumn("mx", max("doc_id").over(byGram))
+        .filter(col("mn") =!= col("doc_id") || col("mx") =!= col("doc_id"))
+        .select(col("doc_id"), col("s"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("s")
+      val perDoc = dupStarts
+        .withColumn("c", coalesce(
+          least(lit(n.toLong), col("s") - lag("s", 1).over(byDoc)), lit(n.toLong)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_grams"), sum("c").as("covered_tokens"))
+      tok.select(col("doc_id"), col("n_tokens"),
+          greatest(col("n_tokens") - (n - 1), lit(0L)).as("n_grams"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_span_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -987,7 +1037,39 @@ object DedupQueries {
          |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
          |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
          |SELECT doc_id, cluster_id, cluster_size, quality_score, rn = 1 AS is_kept
-         |FROM j ORDER BY doc_id""".stripMargin
+         |FROM j ORDER BY doc_id""".stripMargin,
+    // same 8-gram stream, same min/max-over-gram dup test, same
+    // lag-window interval merge
+    "d112_dup_span_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS gram
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 7)) AS gi(i)
+        |  WHERE len(t) >= 8),
+        |marked AS (
+        |  SELECT doc_id, s,
+        |    min(doc_id) OVER (PARTITION BY gram) AS mn,
+        |    max(doc_id) OVER (PARTITION BY gram) AS mx
+        |  FROM g),
+        |ds AS (SELECT doc_id, s FROM marked WHERE mn <> doc_id OR mx <> doc_id),
+        |cov AS (
+        |  SELECT doc_id,
+        |    coalesce(least(8, s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)), 8) AS c
+        |  FROM ds),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+        |    CAST(sum(c) AS BIGINT) AS covered_tokens
+        |  FROM cov GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_grams,
+        |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(covered_tokens, 0) AS covered_tokens,
+        |  CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(t) AS dup_span_frac
+        |FROM tok LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 
   private lazy val decontaminateOracle =

@@ -179,12 +179,7 @@ object SimilarityQueries {
       * narrows with scale. Recall of the LSH tier vs exact is
       * spec-pinned (DedupSimilaritySpec) and the tier itself is
       * hash-gated as s96. */
-    "s94_knn_graph" -> ((s, d) => {
-      val limit = s.conf.get("spark.graft.knn.exactLimit", "10000").toLong
-      val n = DedupQueries.embeddingCount(s, d)
-      if (n <= limit) knnTopK(s, knnExactScored(s, d, n))
-      else knnTopK(s, knnLshScored(s, d))
-    }),
+    "s94_knn_graph" -> ((s, d) => knnGraph(s, d)),
 
     /** Forced LSH tier of the kNN graph (the d82 playbook): pins the
       * 100 TB candidate-generation path under the driver's hash gate
@@ -193,6 +188,55 @@ object SimilarityQueries {
       * the implementation is what's gated; recall vs exact is the
       * spec-pinned contract. */
     "s96_knn_graph_lsh" -> ((s, d) => knnTopK(s, knnLshScored(s, d))),
+
+    /** kNN label classification — majority vote over each vector's top-5
+      * cosine neighbors (the standard embedding-space label-propagation /
+      * weak-supervision primitive: score unlabeled data from its labeled
+      * neighborhood). Ties break to the smaller label id via a
+      * lexicographic struct max, so the vote is deterministic given the
+      * graph, and the graph's top-5 cut is already hash-gated (s94/s96).
+      *
+      * Scale shape: the gated kNN graph (never O(n²) above the tier
+      * gate) plus one shuffle join of the n·k edge list against the
+      * label table on neighbor_id (corpus-sized → NO broadcast hint) and
+      * two key-local aggregations; the vote state per vector is ≤ k
+      * labels. */
+    "s116_knn_classify" -> ((s, d) => {
+      val nbLabels = embeddings(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("nlabel"))
+      val votes = knnGraph(s, d)
+        .join(nbLabels, Seq("neighbor_id"))
+        .groupBy("vec_id", "nlabel")
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy("vec_id")
+        .agg(max(struct(col("cnt"), (-col("nlabel")).as("neg"))).as("b"))
+        .select(col("vec_id"), (-col("b.neg")).as("predicted_label"),
+          col("b.cnt").as("votes"))
+      best.join(embeddings(s, d).select(col("vec_id"),
+          col("label").cast("long").as("label")), Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("predicted_label"), col("votes"))
+        .orderBy("vec_id")
+    }),
+
+    /** Mutual-kNN edge list — pairs where EACH vector ranks the other in
+      * its top-5 (the reciprocal-neighbor graph SemDeDup-style pipelines
+      * and density-based curation use: mutual edges are far stronger
+      * similarity evidence than one-directional ones). Output is the
+      * undirected edge (a < b) with its cosine.
+      *
+      * Scale shape: the gated kNN edge list self-joined on the REVERSED
+      * key pair — an equi-join of two n·k frames on (vec_id,
+      * neighbor_id), never touching the n² space; cosine is reused from
+      * the graph, not recomputed. */
+    "s117_mutual_knn" -> ((s, d) => {
+      val g = knnGraph(s, d).select(
+        col("vec_id").as("a"), col("neighbor_id").as("b"), col("cosine"))
+      val rev = g.select(col("b").as("a"), col("a").as("b"))
+      g.join(rev, Seq("a", "b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }),
 
     /** PageRank (3 damped power iterations, d=0.85) over the s94 kNN
       * graph — the canonical iterative-graph workload (Page et al. 1999),
@@ -215,9 +259,7 @@ object SimilarityQueries {
       * reuses that partitioning — the classic Pregel layout. */
     "s109_pagerank" -> ((s, d) => {
       val n = DedupQueries.embeddingCount(s, d)
-      val limit = s.conf.get("spark.graft.knn.exactLimit", "10000").toLong
-      val graph = if (n <= limit) knnTopK(s, knnExactScored(s, d, n))
-                  else knnTopK(s, knnLshScored(s, d))
+      val graph = knnGraph(s, d)
       val outdeg = graph.groupBy(col("vec_id").as("src"))
         .agg(count(lit(1)).as("odeg"))
       val ew = graph.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
@@ -442,6 +484,16 @@ object SimilarityQueries {
   )
 
   private val KnnK = 5
+
+  /** The gated kNN graph (s94's tier choice — exact block grid at or
+    * below the conf'd corpus gate, banded sign-LSH candidates above) as
+    * a reusable frame for downstream graph consumers (s109/s116/s117). */
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val limit = s.conf.get("spark.graft.knn.exactLimit", "10000").toLong
+    val n = DedupQueries.embeddingCount(s, d)
+    if (n <= limit) knnTopK(s, knnExactScored(s, d, n))
+    else knnTopK(s, knnLshScored(s, d))
+  }
 
   /** Exact kNN candidate scoring: block-grid equi-join (d41's exact-tier
     * shape — the B² block-pair grid is the only broadcast; no nested
@@ -907,6 +959,51 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
          |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+    // s94's exact-graph replica (the driver gates below the tier cut)
+    // extended with the same majority vote: count per neighbor label in
+    // the top-5, argmax ordered (count DESC, label ASC) like the struct max
+    "s116_knn_classify" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nb, CAST(b.label AS BIGINT) AS nlabel,
+         |    list_cosine_similarity(a.e, b.e) AS cosine
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nb, nlabel,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nb) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT vec_id, nlabel, count(*) AS cnt
+         |  FROM ranked WHERE rank <= $KnnK GROUP BY 1, 2),
+         |best AS (
+         |  SELECT vec_id, nlabel, cnt,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cnt DESC, nlabel) AS rk
+         |  FROM votes)
+         |SELECT b.vec_id, CAST(e.label AS BIGINT) AS label,
+         |  b.nlabel AS predicted_label, CAST(b.cnt AS BIGINT) AS votes
+         |FROM best b JOIN embeddings e USING (vec_id)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // s94's exact-graph replica joined with its own reversal: the pair
+    // survives iff both directed top-5 edges exist
+    "s117_mutual_knn" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nb,
+         |    list_cosine_similarity(a.e, b.e) AS cosine
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nb, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nb) AS rank
+         |  FROM scored),
+         |top AS (SELECT vec_id, nb, cosine FROM ranked WHERE rank <= $KnnK)
+         |SELECT f.vec_id AS vec_a, f.nb AS vec_b, f.cosine
+         |FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id
+         |WHERE f.vec_id < f.nb
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "s42_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

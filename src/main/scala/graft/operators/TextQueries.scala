@@ -682,6 +682,125 @@ object TextQueries {
         .withColumn("chars_per_token",
           col("n_term_chars").cast("double") / col("n_bpe_tokens").cast("double"))
         .orderBy("doc_id")
+    }),
+
+    /** Hashed linear quality classifier INFERENCE (the fastText shape,
+      * Joulin et al. 2016: bag of hashed unigram+bigram features → linear
+      * score): each feature hashes into a 2¹⁶ bucket via the first 4 md5
+      * hex chars (portable — the t69 trick), the bucket's fixed weight is
+      * a deterministic integer mix `(bucket·40503 mod 2¹⁶) − 2¹⁵`, and
+      * the doc's score is the mean feature weight. Stands in for a
+      * trained quality model at identical plan shape: model application
+      * at 100 TB is THIS — a shuffle-free codegen'd fold per document
+      * (feature array built once per row, `aggregate` accumulates the
+      * integer score; no explode, no join, no vocabulary table at all —
+      * the hashing trick replaces the embedding lookup). Integer-exact
+      * until the final mean, so it hash-gates cleanly. */
+    "t113_quality_classifier" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .withColumn("feats", expr(
+          "concat(t, zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+            "(a, b) -> concat(a, ' ', b)))"))
+        .select(
+          col("doc_id"),
+          size(col("feats")).cast("long").as("n_feats"),
+          expr("aggregate(feats, 0L, (acc, f) -> acc + " +
+            "(cast(conv(substring(md5(cast(f as binary)), 1, 4), 16, 10) as bigint) " +
+            "* 40503) % 65536 - 32768)").as("score_sum"))
+        .withColumn("score",
+          col("score_sum").cast("double") / (col("n_feats").cast("double") * 32768.0))
+        .withColumn("keep", col("score_sum") > 0L)
+        .orderBy("doc_id")),
+
+    /** Bigram-LM perplexity scoring (the CCNet/KenLM direction, Wenzek
+      * et al. 2020, at n=2): P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V) with
+      * add-1 smoothing over the corpus vocabulary, per-document mean log
+      * probability over bigram instances, tertile-bucketed head/middle/
+      * tail exactly like t98's unigram variant — the conditional model
+      * separates formulaic from surprising text far better than raw
+      * unigram frequency.
+      *
+      * Scale shape: bigram instances are built per-row (zip_with over
+      * offset slices — no self-join); the unigram and bigram count
+      * tables are vocabulary-sized and travel by shuffle join on their
+      * keys with NO broadcast hint (the t52 rule — bigram vocabulary
+      * grows faster than Heaps' law); the only broadcasts are the 1-row
+      * vocabulary size and the 2-value tertile cut (at 100 TB the exact
+      * percentile gives way to approx_percentile, plan unchanged). */
+    "t114_bigram_logprob" -> ((s, d) => {
+      val f1 = 1.0 / 3.0
+      val f2 = 2.0 / 3.0
+      val bg = documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val tokens = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val uni = tokens.groupBy(col("term").as("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val scored = bg
+        .join(big, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c2") + 1L).cast("double") / (col("c1") + col("v")))), 6)
+            .as("avg_logprob"))
+      val cuts = scored.agg(
+        expr(s"percentile(avg_logprob, $f2)").as("t_head"),
+        expr(s"percentile(avg_logprob, $f1)").as("t_mid"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+          when(col("avg_logprob") >= col("t_head"), "head")
+            .when(col("avg_logprob") >= col("t_mid"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    /** Temperature-based source mixture plan (the multilingual-sampling
+      * rule of Conneau & Lample 2019, α = 0.5): per-source sampling
+      * weight ∝ n_tokens^α flattens the size distribution so small
+      * sources are not drowned out; the plan allocates a token budget of
+      * half the corpus across sources by normalized weight and reports
+      * the implied epochs (>1 = source is repeated, the up-sampling
+      * signal). The weight lives on an integer MILLI-lattice
+      * (⌊√n_tokens·1000⌋) before any summation — a float sum's value
+      * depends on accumulation order, which differs between engines and
+      * between partition counts, while integer sums are exact in any
+      * order (the s103 decimal-lattice rule); the divisions after the
+      * sums are single correctly-rounded IEEE ops, deterministic
+      * everywhere.
+      *
+      * Scale shape: one partial+final aggregate on source (catalog-sized,
+      * like t111); the totals row is a legitimate 1-row broadcast. The
+      * per-source table this emits is exactly the sampler config a
+      * training-data loader consumes. */
+    "t115_mixture_temperature" -> ((s, d) => {
+      val perSource = documents(s, d)
+        .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .withColumn("weight_milli",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000.0).cast("long"))
+      val totals = perSource.agg(
+        sum("n_tokens").as("tot_tokens"), sum("weight_milli").as("tot_weight_milli"))
+      perSource.crossJoin(broadcast(totals))
+        .withColumn("sample_prob",
+          col("weight_milli").cast("double") / col("tot_weight_milli").cast("double"))
+        .withColumn("target_tokens",
+          floor(col("sample_prob") * expr("cast(tot_tokens div 2 as double)"))
+            .cast("long"))
+        .withColumn("epochs",
+          round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_milli"),
+          round(col("sample_prob"), 6).as("sample_prob"),
+          col("target_tokens"), col("epochs"))
+        .orderBy("source")
     })
   )
 
@@ -1151,6 +1270,80 @@ object TextQueries {
         |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t106_bpe_train" -> bpeOracle,
     "t107_bpe_encode" -> bpeEncodeOracle,
+    // replica of the hashed-feature fold: same md5-prefix bucket (the
+    // splitOracle hex parse, nested in the per-feature lambda), same
+    // integer weight mix, same mean
+    "t113_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |    t || list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]) AS fs
+        |  FROM tok),
+        |w AS (
+        |  SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+        |    CAST(list_sum(list_transform(fs, x ->
+        |      (CAST(list_sum(list_transform(range(0, 4), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substr(md5(x), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |          << CAST(4 * (3 - i) AS INTEGER))) AS BIGINT)
+        |        * 40503) % 65536 - 32768)) AS BIGINT) AS score_sum
+        |  FROM feats)
+        |SELECT doc_id, n_feats, score_sum,
+        |  CAST(score_sum AS DOUBLE) / (n_feats * 32768.0) AS score,
+        |  score_sum > 0 AS keep
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "t114_bigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+         |  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |  WHERE len(t) >= 2),
+         |tokens AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |uni AS (SELECT term AS w1, count(*) AS c1 FROM tokens GROUP BY 1),
+         |vc AS (SELECT count(*) AS vsz FROM uni),
+         |big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    round(avg(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vsz))), 6) AS avg_logprob
+         |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vc
+         |  GROUP BY doc_id),
+         |cuts AS (
+         |  SELECT quantile_cont(avg_logprob, ${2.0 / 3.0}) AS t_head,
+         |    quantile_cont(avg_logprob, ${1.0 / 3.0}) AS t_mid
+         |  FROM scored)
+         |SELECT doc_id, n_bigrams, avg_logprob,
+         |  CASE WHEN avg_logprob >= t_head THEN 'head'
+         |       WHEN avg_logprob >= t_mid THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+    "t115_mixture_temperature" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS weight_milli
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    CAST(sum(weight_milli) AS BIGINT) AS tot_weight_milli
+        |  FROM w),
+        |s AS (
+        |  SELECT source, n_docs, n_tokens, weight_milli,
+        |    CAST(weight_milli AS DOUBLE) / CAST(tot_weight_milli AS DOUBLE) AS p,
+        |    CAST(floor((CAST(weight_milli AS DOUBLE) / CAST(tot_weight_milli AS DOUBLE))
+        |      * CAST(tot_tokens // 2 AS DOUBLE)) AS BIGINT) AS target_tokens
+        |  FROM w CROSS JOIN tot)
+        |SELECT source, n_docs, n_tokens, weight_milli,
+        |  round(p, 6) AS sample_prob, target_tokens,
+        |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM s ORDER BY source""".stripMargin,
     "t111_source_overlap" ->
       """WITH tok AS (
         |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -347,4 +347,126 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(4L)._1 == 13L && rows(4L)._2 == 10.0 / 13.0,
       s"overlap doc must be 10/13 novel: $rows")
   }
+
+  test("d112_dup_span_coverage: interval merge on hand-built overlap cases") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spancov").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 20).map(i => s"x$i").mkString(" ")
+    // shares w1..w10 with doc1 → dup 8-gram starts {1,2,3}, merged
+    // interval [1,10] → 10 covered tokens of 20
+    val half = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"z$i")).mkString(" ")
+    val short = "s1 s2 s3"                                     // < 8 tokens, no grams
+    Seq((1L, base, "en", "src0", 0L), (2L, base, "en", "src1", 0L),
+        (3L, fresh, "en", "src2", 0L), (4L, half, "en", "src3", 0L),
+        (5L, short, "en", "src4", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.DedupQueries.queries("d112_dup_span_coverage")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+        r.getAs[Long]("covered_tokens"), r.getAs[Double]("dup_span_frac")))
+      .toMap
+    assert(rows(1L) == (13L, 13L, 20L, 1.0), s"verbatim copy covers everything: $rows")
+    assert(rows(2L) == (13L, 13L, 20L, 1.0), s"other copy covers everything: $rows")
+    assert(rows(3L) == (13L, 0L, 0L, 0.0), s"disjoint doc has no coverage: $rows")
+    assert(rows(4L) == (13L, 3L, 10L, 0.5),
+      s"overlapping starts must merge to one 10-token interval: $rows")
+    assert(rows(5L) == (0L, 0L, 0L, 0.0), s"sub-gram doc has zero grams: $rows")
+  }
+
+  test("t113_quality_classifier: feature count, score bounds, determinism") {
+    val rows = graft.TextQueries.queries("t113_quality_classifier")(spark, sfDir)
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nf, ss, score, keep) = (r.getAs[Long]("n_feats"), r.getAs[Long]("score_sum"),
+        r.getAs[Double]("score"), r.getAs[Boolean]("keep"))
+      assert(score >= -1.0 && score <= 1.0, s"score out of [-1,1]: $score")
+      assert(keep == (ss > 0), "keep flag disagrees with its own sum")
+      assert(math.abs(score - ss.toDouble / (nf * 32768.0)) < 1e-12)
+    }
+    // identical text ⇒ identical score (pure function of content)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cls").toString
+    Seq((1L, "alpha beta gamma", "en", "s", 0L), (2L, "alpha beta gamma", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val two = graft.TextQueries.queries("t113_quality_classifier")(spark, dir).collect()
+    assert(two.length == 2 && two(0).getAs[Long]("score_sum") == two(1).getAs[Long]("score_sum"))
+    // 3 tokens → 3 unigrams + 2 bigrams
+    assert(two(0).getAs[Long]("n_feats") == 5L)
+  }
+
+  test("t114_bigram_logprob: formulaic text outranks novel text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bglm").toString
+    // doc1 repeats one bigram; doc2 is all unique bigrams over the same corpus
+    val formulaic = Seq.fill(15)("p q").mkString(" ")
+    val novel = (1 to 30).map(i => s"u$i").mkString(" ")
+    Seq((1L, formulaic, "en", "s", 0L), (2L, novel, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.TextQueries.queries("t114_bigram_logprob")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))
+      .toMap
+    assert(m(1L)._1 == 29L && m(2L)._1 == 29L)
+    assert(m(1L)._2 > m(2L)._2,
+      s"repeated bigrams must be more probable than unique ones: $m")
+    // probabilities are < 1, so the mean log must be negative
+    m.values.foreach { case (_, lp) => assert(lp < 0.0) }
+  }
+
+  test("t115_mixture_temperature: sqrt flattening boosts small sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mix").toString
+    // small = 100 tokens, big = 400 → sqrt weights 1:2, naive share 1:4
+    val small = (1 to 100).map(_ => "s").mkString(" ")
+    val big = (1 to 400).map(_ => "b").mkString(" ")
+    Seq((1L, small, "en", "srcS", 0L), (2L, big, "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.TextQueries.queries("t115_mixture_temperature")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("sample_prob"),
+          r.getAs[Long]("target_tokens"), r.getAs[Double]("epochs"))).toMap
+    assert(rows("srcS")._1 == 100L && rows("srcB")._1 == 400L)
+    assert(math.abs(rows("srcS")._2 - 1.0 / 3.0) < 1e-4, s"sqrt share: $rows")
+    assert(math.abs(rows("srcB")._2 - 2.0 / 3.0) < 1e-4, s"sqrt share: $rows")
+    // budget = 250 tokens → 83 / 166 target split
+    assert(rows("srcS")._3 + rows("srcB")._3 <= 250L)
+    // the small source is UP-sampled relative to the big one
+    assert(rows("srcS")._4 > rows("srcB")._4,
+      s"temperature sampling must boost the small source: $rows")
+  }
+
+  test("s116_knn_classify: vote recomputed from the s94 graph matches") {
+    val graph = graft.SimilarityQueries.queries("s94_knn_graph")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")))
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val expected = graph.groupBy(_._1).map { case (v, edges) =>
+      val counts = edges.map(e => labels(e._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length.toLong) }
+      val (bl, bc) = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      v -> (bl, bc)
+    }
+    val got = graft.SimilarityQueries.queries("s116_knn_classify")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("predicted_label"), r.getAs[Long]("votes"))).toMap
+    assert(got.size == 500, "one prediction per vector")
+    assert(got == expected, "vote must equal the recomputed majority over s94's edges")
+    got.values.foreach { case (_, v) => assert(v >= 1L && v <= 5L) }
+  }
+
+  test("s117_mutual_knn: exactly the reciprocal s94 edges, a < b") {
+    val edges = graft.SimilarityQueries.queries("s94_knn_graph")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val expected = edges.filter { case (a, b) => a < b && edges.contains((b, a)) }
+    val got = graft.SimilarityQueries.queries("s117_mutual_knn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (a, b) => a < b }, "pairs must be ordered a < b")
+    assert(got.toSet == expected, "mutual pairs must match the reciprocal edge set")
+    assert(got.length == got.distinct.length, "no duplicate pairs")
+  }
 }
