@@ -93,7 +93,8 @@ class PlanAuditSpec extends SparkSpec {
   test("no forced broadcast of corpus-scaling relations (q5/q21/t52/d38/t51/t85)") {
     for (q <- Seq("q5_join_inner", "q21_date_diff", "t52_tfidf",
         "d38_dedup_jaccard", "t51_top_bigrams", "t85_repetition",
-        "t92_pipeline_e2e", "t98_unigram_logprob", "t101_dsir", "t102_novelty")) {
+        "t92_pipeline_e2e", "t98_unigram_logprob", "t101_dsir", "t102_novelty",
+        "t114_bigram_logprob", "d112_dup_span_coverage", "s116_knn_classify")) {
       val bad = hintedCorpusScalingOutputs(SparkEntry.queries(q)(spark, sf))
       assert(bad.isEmpty,
         s"$q: forced broadcast of a corpus-scaling relation " +
@@ -129,6 +130,21 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("t102_novelty")
     assert("Exchange hashpartitioning\\(gram".r.findAllIn(p).size == 1,
       s"t102: gram stream shuffled more than once:\n$p")
+  }
+
+  test("t113: hashed classifier is a single scan with no pre-sort shuffle") {
+    // the whole point of the hashing trick: model application without a
+    // vocabulary join — any Exchange besides the presentation sort means
+    // a join/aggregate crept into the per-row fold
+    val p = plan("t113_quality_classifier")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"t113 must stay scan-shaped:\n$p")
+  }
+
+  test("d112: the 8-gram stream shuffles exactly once (t102's co-partition)") {
+    val p = plan("d112_dup_span_coverage")
+    assert("Exchange hashpartitioning\\(gram".r.findAllIn(p).size == 1,
+      s"d112: gram stream shuffled more than once:\n$p")
   }
 
   test("q105: both CDC windows share one exchange on the key") {
