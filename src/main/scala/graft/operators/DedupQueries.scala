@@ -674,6 +674,49 @@ object DedupQueries {
           (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
             col("n_tokens").cast("double")).as("dup_span_frac"))
         .orderBy("doc_id")
+    }),
+
+    /** Train→eval split leakage — for every val/test document (t69's
+      * deterministic hash-bucket split), how many of its distinct 8-grams
+      * also occur in ANY train-split document. This is the within-corpus
+      * leakage direction d88/d99 do NOT cover: they decontaminate the
+      * corpus against an external eval set, while held-out splits carved
+      * from the corpus itself leak through near-duplicates that hash into
+      * different buckets — the contamination the split designer must
+      * measure before trusting a validation loss.
+      *
+      * Scale shape: ONE shuffle on gram (the t102 co-partition — the
+      * has-train window rides the explicit repartition); the train side
+      * is corpus-sized so nothing is broadcast, and a gram shared by many
+      * docs costs its occurrence rows in window state, never a pairwise
+      * join. Output is val/test-sized. */
+    "d118_split_leakage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 8
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
+      val splitCol = when(bucket < 52429L, "train")
+        .when(bucket < 58982L, "val").otherwise("test")
+      val pairs = documents(s, d)
+        .select(col("doc_id"), splitCol.as("split"),
+          split(trim(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), col("split"), explode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
+        .distinct()
+      val byGram = Window.partitionBy("gram")
+      pairs.repartition(col("gram"))
+        .withColumn("has_train",
+          max(when(col("split") === "train", 1L).otherwise(0L)).over(byGram))
+        .filter(col("split") =!= "train")
+        .groupBy("doc_id", "split")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum("has_train").as("n_leaked"))
+        .withColumn("leak_frac",
+          col("n_leaked").cast("double") / col("n_distinct_grams").cast("double"))
+        .withColumn("contaminated", col("n_leaked") > 0L)
+        .orderBy("doc_id")
     })
   )
 
@@ -1069,7 +1112,32 @@ object DedupQueries {
         |  coalesce(covered_tokens, 0) AS covered_tokens,
         |  CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(t) AS dup_span_frac
         |FROM tok LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // t69's split oracle composed with the same distinct-gram stream and
+    // has-train window
+    "d118_split_leakage" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, split FROM (${TextQueries.oracleSql("t69_split_assign")})),
+         |tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT tok.doc_id, sp.split,
+         |    array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS gram
+         |  FROM tok JOIN sp USING (doc_id)
+         |  CROSS JOIN unnest(generate_series(1, len(t) - 7)) AS gi(i)
+         |  WHERE len(t) >= 8),
+         |m AS (
+         |  SELECT doc_id, split,
+         |    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY gram) AS has_train
+         |  FROM g)
+         |SELECT doc_id, split,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_grams,
+         |  CAST(sum(has_train) AS BIGINT) AS n_leaked,
+         |  CAST(sum(has_train) AS DOUBLE) / count(*) AS leak_frac,
+         |  sum(has_train) > 0 AS contaminated
+         |FROM m WHERE split <> 'train'
+         |GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
   )
 
   private lazy val decontaminateOracle =

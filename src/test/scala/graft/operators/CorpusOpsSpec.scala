@@ -459,6 +459,25 @@ class CorpusOpsSpec extends SparkSpec {
     got.values.foreach { case (_, v) => assert(v >= 1L && v <= 5L) }
   }
 
+  test("d118_split_leakage: leaked val doc flagged, clean test doc not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    // t69 buckets: doc 1 → train, doc 5 → val, doc 3 → test
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 20).map(i => s"x$i").mkString(" ")
+    Seq((1L, shared, "en", "s", 0L),   // train
+        (5L, shared, "en", "s", 0L),   // val — verbatim copy of train
+        (3L, fresh, "en", "s", 0L))    // test — disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.DedupQueries.queries("d118_split_leakage")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Long]("n_distinct_grams"),
+        r.getAs[Long]("n_leaked"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(!rows.contains(1L), "train docs are not scored")
+    assert(rows(5L) == (("val", 13L, 13L, true)), s"val copy fully leaked: $rows")
+    assert(rows(3L) == (("test", 13L, 0L, false)), s"disjoint test doc clean: $rows")
+  }
+
   test("s117_mutual_knn: exactly the reciprocal s94 edges, a < b") {
     val edges = graft.SimilarityQueries.queries("s94_knn_graph")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
