@@ -238,6 +238,45 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    /** IVF-tier kNN graph — the THIRD candidate-generation strategy for
+      * the graph (exact block grid / banded sign-LSH / inverted coarse
+      * lists), hash-gated like s96 so the alternative 100 TB path faces
+      * the oracle too. Every vector probes its 3 nearest coarse
+      * centroids (s44's assignment: 8 lowest-id vectors as centroids,
+      * argmax cosine with id tie-break) and candidates are the vectors
+      * whose 1 home list matches a probed list; the same exact-cosine
+      * ranking and TopKByScore heap finish the job.
+      *
+      * Scale shape: the centroid table is the ONLY broadcast (K rows —
+      * driver metadata, the classic IVF layout); candidates come from an
+      * equi-join on centroid_id, so cost is Σ listᵢ·probesᵢ, bounded by
+      * the coarse partition sizes — at the north star K grows with the
+      * corpus (s108's note) to hold list width constant. */
+    "s119_knn_graph_ivf" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
+        val w = Window.partitionBy(idCol).orderBy(desc("c_sim"), col("centroid_id"))
+        df.join(broadcast(cents), lit(true))
+          .select(col(idCol), col(vCol), col("centroid_id"),
+            call_function("cosine_sim", col(vCol), col("cv")).as("c_sim"))
+          .withColumn("c_rank", row_number().over(w))
+          .filter(col("c_rank") <= keep)
+          .drop("c_sim", "c_rank")
+      }
+      val lists = assign(
+        emb.select(col("vec_id").as("dst"), col("embedding").as("nv")), "dst", "nv", 1)
+      val probes = assign(
+        emb.select(col("vec_id").as("src"), col("embedding").as("sv")), "src", "sv", 3)
+      val scored = probes.join(lists, Seq("centroid_id"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          call_function("cosine_sim", col("sv"), col("nv")).as("cosine"))
+      knnTopK(s, scored)
+    }),
+
     /** PageRank (3 damped power iterations, d=0.85) over the s94 kNN
       * graph — the canonical iterative-graph workload (Page et al. 1999),
       * here ranking "centrality" of vectors in the similarity graph (a
@@ -1004,6 +1043,36 @@ object SimilarityQueries {
          |FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id
          |WHERE f.vec_id < f.nb
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // the s44 IVF replica widened to all-vectors-as-probes: same coarse
+    // assignment (argmax cosine, centroid-id tie-break), nprobe=2 vs 1
+    // home list, same exact-cosine (DESC, neighbor_id) top-5
+    "s119_knn_graph_ivf" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, e AS ce FROM emb WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT emb.vec_id, emb.e, cents.centroid_id,
+         |    row_number() OVER (PARTITION BY emb.vec_id
+         |      ORDER BY list_cosine_similarity(emb.e, cents.ce) DESC, cents.centroid_id)
+         |      AS c_rank
+         |  FROM emb CROSS JOIN cents),
+         |lists AS (
+         |  SELECT vec_id AS neighbor_id, e AS ne, centroid_id
+         |  FROM assign WHERE c_rank <= 1),
+         |probes AS (
+         |  SELECT vec_id, e AS qe, centroid_id
+         |  FROM assign WHERE c_rank <= 3),
+         |scored AS (
+         |  SELECT p.vec_id, l.neighbor_id, list_cosine_similarity(p.qe, l.ne) AS cosine
+         |  FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+         |  WHERE p.vec_id <> l.neighbor_id),
+         |ranked AS (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
     "s42_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

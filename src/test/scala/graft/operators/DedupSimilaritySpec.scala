@@ -209,6 +209,25 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.knn.exactLimit")
   }
 
+  test("s119: IVF-tier kNN graph has no O(n^2) join and sane recall vs exact") {
+    val exact = SparkEntry.queries("s94_knn_graph")(spark, sf)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = SparkEntry.queries("s119_knn_graph_ivf")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF tier must not contain an O(n^2) join:\n$plan")
+    val ivf = df.select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    // nprobe=2 of 8 coarse lists: probing a quarter of the space must
+    // still recover a solid share of true top-5 edges on this corpus
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"kNN IVF tier edge recall vs exact top-5: $recall%.3f")
+    assert(recall >= 0.5, s"kNN IVF recall $recall collapsed")
+  }
+
   test("d62: distributed label propagation agrees with driver union-find") {
     // same corpus, both tiers: the default gate picks driver union-find at
     // this scale; forcing the limit to 0 exercises the distributed
