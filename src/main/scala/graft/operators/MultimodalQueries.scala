@@ -140,6 +140,36 @@ object MultimodalQueries {
         })
         .toDF("doc_id", "frame_idx", "byte_start", "byte_end", "width", "height")
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    /** Exact media dedup over the BINARY payload column — d37's
+      * content-hash dedup lifted to multimodal data (re-crawled images /
+      * re-encoded uploads are byte-identical far more often than text):
+      * payloads group by sha256, the lowest doc_id per digest is the
+      * canonical copy, and each item reports its duplicate count. The
+      * hash is computed ON the binary column (no decode needed), so a
+      * real codec swap changes nothing here.
+      *
+      * Scale shape: one shuffle on the 32-byte digest — fixed-width
+      * keys regardless of payload size, and the payload itself never
+      * travels (only doc_id + digest pass the exchange after the
+      * map-side projection). The min/count ride one window over the
+      * digest partition. */
+    "m120_media_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("sha256")
+      documents(s, d)
+        .select(col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("sha256"))
+        .repartition(col("sha256"))
+        .withColumn("dup_count", count(lit(1)).over(w))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .select(col("doc_id"), col("media_type"), col("sha256"),
+          col("dup_count"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("doc_id")
     })
   )
 
@@ -216,6 +246,21 @@ object MultimodalQueries {
          |  CAST(len(rb) AS BIGINT) AS resized_len,
          |  sha256(lower(array_to_string(list_transform(rb,
          |    x -> lpad(to_hex(x), 2, '0')), ''))) AS resized_sha
-         |FROM rs ORDER BY doc_id""".stripMargin
+         |FROM rs ORDER BY doc_id""".stripMargin,
+    "m120_media_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+        |    sha256(text) AS sha256
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, media_type, sha256,
+        |    count(*) OVER (PARTITION BY sha256) AS dup_count,
+        |    min(doc_id) OVER (PARTITION BY sha256) AS canonical_id
+        |  FROM h)
+        |SELECT doc_id, media_type, sha256,
+        |  CAST(dup_count AS BIGINT) AS dup_count, canonical_id,
+        |  doc_id = canonical_id AS is_canonical
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

@@ -478,6 +478,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(3L) == (("test", 13L, 0L, false)), s"disjoint test doc clean: $rows")
   }
 
+  test("m120_media_dedup: byte-identical payloads collapse to the first copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mdedup").toString
+    Seq((1L, "same payload", "en", "s", 0L), (4L, "same payload", "en", "s", 0L),
+        (2L, "unique payload", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.MultimodalQueries.queries("m120_media_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dup_count"), r.getAs[Long]("canonical_id"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    assert(rows(1L) == ((2L, 1L, true)), s"first copy canonical: $rows")
+    assert(rows(4L) == ((2L, 1L, false)), s"replay not canonical: $rows")
+    assert(rows(2L) == ((1L, 2L, true)), s"unique payload canonical: $rows")
+  }
+
   test("s117_mutual_knn: exactly the reciprocal s94 edges, a < b") {
     val edges = graft.SimilarityQueries.queries("s94_knn_graph")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
