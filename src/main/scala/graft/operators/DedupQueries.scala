@@ -717,6 +717,33 @@ object DedupQueries {
           col("n_leaked").cast("double") / col("n_distinct_grams").cast("double"))
         .withColumn("contaminated", col("n_leaked") > 0L)
         .orderBy("doc_id")
+    }),
+
+    /** Per-source dedup report — the ops-facing rollup a curation run
+      * publishes: for every source, how many docs sit in a near-dup
+      * cluster (d62's connected components), how many a keep-first
+      * policy would drop (cluster_id is the cluster's min doc_id, so
+      * non-canonical = doc_id ≠ cluster_id), how many distinct clusters
+      * the source touches, and the drop rate. The "which source is
+      * polluting the corpus" signal that decides crawl exclusions.
+      *
+      * Scale shape: the gated d62 pipeline plus one left join on doc_id
+      * and one catalog-sized aggregate on source — no new quadratic or
+      * driver path; the report is |sources| rows. */
+    "d122_dedup_report" -> ((s, d) => {
+      val clusters = queries("d62_dedup_clusters")(s, d)
+        .select(col("doc_id"), col("cluster_id"))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(clusters, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_near_dup_docs"),
+          sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+            .otherwise(0L)).as("n_dropped_keep_first"),
+          countDistinct("cluster_id").as("n_clusters"))
+        .withColumn("drop_rate",
+          col("n_dropped_keep_first").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")
     })
   )
 
@@ -1137,7 +1164,23 @@ object DedupQueries {
          |  CAST(sum(has_train) AS DOUBLE) / count(*) AS leak_frac,
          |  sum(has_train) > 0 AS contaminated
          |FROM m WHERE split <> 'train'
-         |GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id, split ORDER BY doc_id""".stripMargin,
+    // d62's recursive-CTE closure composed with the documents catalog
+    "d122_dedup_report" ->
+      s"""WITH clusters AS (SELECT * FROM (${clustersOracle})),
+         |j AS (
+         |  SELECT d.doc_id, d.source, c.cluster_id
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_near_dup_docs,
+         |  CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_keep_first,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+         |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_rate
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
   )
 
   private lazy val decontaminateOracle =

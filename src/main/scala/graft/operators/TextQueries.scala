@@ -801,6 +801,36 @@ object TextQueries {
           round(col("sample_prob"), 6).as("sample_prob"),
           col("target_tokens"), col("epochs"))
         .orderBy("source")
+    }),
+
+    /** Per-document token entropy — the information-theoretic quality
+      * signal (low entropy = keyword-stuffed/templated text even when
+      * t85's ratio filters pass): Shannon entropy of the doc's own token
+      * distribution, its ceiling-normalized variant (÷ ln n_types), and
+      * the type-token ratio. Identity used: −Σ (c/n)·ln(c/n) =
+      * −(1/n)·Σ c·ln(c/n), all from one (doc, term, count) aggregate.
+      *
+      * Scale shape: two key-local aggregations (doc×term, then doc) and
+      * one join on doc_id — per-doc state only, nothing corpus-global at
+      * all (unlike t98/t114 there is no vocabulary table); rounds to the
+      * 1e-6 lattice per the t98 precedent. */
+    "t121_token_entropy" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val dl = tf.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_types"))
+      tf.join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(max("n").as("n_tokens"), max("n_types").as("n_types"),
+          (-sum(col("c").cast("double") * log(col("c").cast("double") / col("n")))
+            / max("n")).as("h"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          round(col("h"), 6).as("entropy"),
+          when(col("n_types") > 1L, round(col("h") / log(col("n_types").cast("double")), 6))
+            .otherwise(0.0).as("norm_entropy"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1344,6 +1374,22 @@ object TextQueries {
         |  round(p, 6) AS sample_prob, target_tokens,
         |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
         |FROM s ORDER BY source""".stripMargin,
+    "t121_token_entropy" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tokens GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(c) AS n, count(*) AS n_types FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(n_types AS DOUBLE) / n AS ttr,
+        |  round(-sum(c * ln(CAST(c AS DOUBLE) / n)) / n, 6) AS entropy,
+        |  CASE WHEN n_types > 1
+        |       THEN round(-sum(c * ln(CAST(c AS DOUBLE) / n)) / n / ln(n_types), 6)
+        |       ELSE 0.0 END AS norm_entropy
+        |FROM tf JOIN dl USING (doc_id)
+        |GROUP BY doc_id, n, n_types ORDER BY doc_id""".stripMargin,
     "t111_source_overlap" ->
       """WITH tok AS (
         |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -478,6 +478,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(3L) == (("test", 13L, 0L, false)), s"disjoint test doc clean: $rows")
   }
 
+  test("t121_token_entropy: uniform doc scores 0, all-distinct doc scores ln(n)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ent").toString
+    Seq((1L, Seq.fill(16)("same").mkString(" "), "en", "s", 0L),
+        (2L, (1 to 16).map(i => s"w$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.TextQueries.queries("t121_token_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_types"), r.getAs[Double]("entropy"),
+        r.getAs[Double]("norm_entropy"), r.getAs[Double]("ttr"))).toMap
+    assert(m(1L) == ((1L, -0.0, 0.0, 1.0 / 16.0)) || m(1L) == ((1L, 0.0, 0.0, 1.0 / 16.0)),
+      s"uniform doc must have zero entropy: $m")
+    assert(m(2L)._1 == 16L && math.abs(m(2L)._2 - math.log(16.0)) < 1e-5,
+      s"all-distinct doc entropy must be ln(16): $m")
+    assert(math.abs(m(2L)._3 - 1.0) < 1e-9, s"normalized entropy at ceiling: $m")
+  }
+
+  test("d122_dedup_report: per-source rates from a cross-source duplicate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drep").toString
+    val same = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"x$i").mkString(" ")
+    Seq((1L, same, "en", "srcA", 0L),
+        (2L, same, "en", "srcB", 0L),     // near-dup of doc1, dropped by keep-first
+        (3L, other, "en", "srcB", 0L))    // unique
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.DedupQueries.invalidateCaches(spark, dir)
+    try {
+      val rows = graft.DedupQueries.queries("d122_dedup_report")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_near_dup_docs"), r.getAs[Long]("n_dropped_keep_first"),
+          r.getAs[Long]("n_clusters"), r.getAs[Double]("drop_rate"))).toMap
+      assert(rows("srcA") == ((1L, 1L, 0L, 1L, 0.0)), s"canonical stays: $rows")
+      assert(rows("srcB") == ((2L, 1L, 1L, 1L, 0.5)), s"copy dropped: $rows")
+    } finally graft.DedupQueries.invalidateCaches(spark, dir)
+  }
+
   test("m120_media_dedup: byte-identical payloads collapse to the first copy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mdedup").toString
