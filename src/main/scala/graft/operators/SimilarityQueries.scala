@@ -277,6 +277,33 @@ object SimilarityQueries {
       knnTopK(s, scored)
     }),
 
+    /** ANN index recall evaluation AS a query — per vector, how many of
+      * the exact top-5 the banded-LSH tier recovers (the index-quality
+      * report every ANN deployment runs before trusting the
+      * approximation; here it gates the evaluation harness itself, not
+      * just the tiers). Composes the two already-gated pipelines: the
+      * exact graph is truth, the LSH edge set is the candidate, hits
+      * join on (vec_id, neighbor_id).
+      *
+      * Scale shape: at evaluation time the exact side runs on a SAMPLE
+      * of query vectors (the standard recall protocol — here the whole
+      * toy corpus stands in for the sample); the join is n·k vs n·k
+      * edge lists on their composite key. Nothing new shuffles beyond
+      * the two tiers themselves. */
+    "s123_ann_recall_eval" -> ((s, d) => {
+      val n = DedupQueries.embeddingCount(s, d)
+      val exact = knnTopK(s, knnExactScored(s, d, n))
+        .select(col("vec_id"), col("neighbor_id"))
+      val lsh = knnTopK(s, knnLshScored(s, d))
+        .select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("vec_id", "neighbor_id"), "left")
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("vec_id"), col("k"), col("n_hits"),
+          (col("n_hits").cast("double") / col("k").cast("double")).as("recall_at_k"))
+        .orderBy("vec_id")
+    }),
+
     /** PageRank (3 damped power iterations, d=0.85) over the s94 kNN
       * graph — the canonical iterative-graph workload (Page et al. 1999),
       * here ranking "centrality" of vectors in the similarity graph (a
@@ -1043,6 +1070,42 @@ object SimilarityQueries {
          |FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id
          |WHERE f.vec_id < f.nb
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // both gated replicas composed: the exact all-pairs top-5 as truth,
+    // the banded sign-LSH pipeline as candidate, hits counted per vector
+    "s123_ann_recall_eval" ->
+      s"""WITH ${DedupQueries.lshSigCtes},
+         |ex_scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nb,
+         |    list_cosine_similarity(a.e, b.e) AS cosine
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |ex_ranked AS (
+         |  SELECT vec_id, nb,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nb) AS rank
+         |  FROM ex_scored),
+         |ex_top AS (SELECT vec_id, nb FROM ex_ranked WHERE rank <= $KnnK),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id <> b.vec_id),
+         |l_scored AS (
+         |  SELECT c.src AS vec_id, c.dst AS nb,
+         |    list_cosine_similarity(e1.e, e2.e) AS cosine
+         |  FROM cand c
+         |  JOIN emb e1 ON c.src = e1.vec_id
+         |  JOIN emb e2 ON c.dst = e2.vec_id),
+         |l_ranked AS (
+         |  SELECT vec_id, nb,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nb) AS rank
+         |  FROM l_scored),
+         |l_top AS (SELECT vec_id, nb, 1 AS hit FROM l_ranked WHERE rank <= $KnnK)
+         |SELECT e.vec_id,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(coalesce(l.hit, 0)) AS BIGINT) AS n_hits,
+         |  CAST(sum(coalesce(l.hit, 0)) AS DOUBLE) / count(*) AS recall_at_k
+         |FROM ex_top e LEFT JOIN l_top l ON e.vec_id = l.vec_id AND e.nb = l.nb
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
     // the s44 IVF replica widened to all-vectors-as-probes: same coarse
     // assignment (argmax cosine, centroid-id tie-break), nprobe=2 vs 1
     // home list, same exact-cosine (DESC, neighbor_id) top-5

@@ -831,6 +831,30 @@ object TextQueries {
           when(col("n_types") > 1L, round(col("h") / log(col("n_types").cast("double")), 6))
             .otherwise(0.0).as("norm_entropy"))
         .orderBy("doc_id")
+    }),
+
+    /** Out-of-vocabulary rate — per document, the fraction of token
+      * instances whose corpus frequency is below a min-count threshold
+      * (5, the classic word2vec/fastText vocabulary cut): high OOV =
+      * noisy/garbled text, and the aggregate OOV mass is exactly what a
+      * tokenizer's <unk> budget must absorb. All-integer counts until
+      * the final rate.
+      *
+      * Scale shape: one vocabulary-sized unigram aggregate joined back
+      * to token instances by shuffle on term (NO broadcast hint — the
+      * t52 rule), then one partial+final aggregate on doc_id. */
+    "t124_oov_rate" -> ((s, d) => {
+      val tokens = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val uni = tokens.groupBy("term").agg(count(lit(1)).as("cnt"))
+      tokens.join(uni, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cnt") < 5L, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("high_oov", col("oov_rate") > 0.2)
+        .orderBy("doc_id")
     })
   )
 
@@ -1390,6 +1414,21 @@ object TextQueries {
         |       ELSE 0.0 END AS norm_entropy
         |FROM tf JOIN dl USING (doc_id)
         |GROUP BY doc_id, n, n_types ORDER BY doc_id""".stripMargin,
+    "t124_oov_rate" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |uni AS (SELECT term, count(*) AS cnt FROM tokens GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tokens JOIN uni USING (term) GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate,
+        |  CAST(n_oov AS DOUBLE) / n_tokens > 0.2 AS high_oov
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "t111_source_overlap" ->
       """WITH tok AS (
         |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -516,6 +516,43 @@ class CorpusOpsSpec extends SparkSpec {
     } finally graft.DedupQueries.invalidateCaches(spark, dir)
   }
 
+  test("s123_ann_recall_eval: per-vector recall matches the s94/s96 edge sets") {
+    val exact = graft.SimilarityQueries.queries("s94_knn_graph")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = graft.SimilarityQueries.queries("s96_knn_graph_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val rows = graft.SimilarityQueries.queries("s123_ann_recall_eval")(spark, sfDir)
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (v, k, hits, rec) = (r.getLong(0), r.getAs[Long]("k"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"))
+      assert(k == 5L)
+      val expected = exact.filter(_._1 == v).count(lsh.contains)
+      assert(hits == expected.toLong, s"vector $v: $hits hits, expected $expected")
+      assert(math.abs(rec - hits / 5.0) < 1e-12)
+    }
+    val mean = rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    info(f"mean LSH recall@5 over the corpus: $mean%.3f")
+    assert(mean >= 0.5, s"aggregate recall $mean collapsed")
+  }
+
+  test("t124_oov_rate: rare tokens counted, frequent tokens pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("oov").toString
+    // "common" appears 10 times corpus-wide (>= 5); rare tokens once each
+    Seq((1L, Seq.fill(5)("common").mkString(" "), "en", "s", 0L),
+        (2L, Seq.fill(5)("common").mkString(" ") + " rare1 rare2 rare3 rare4 rare5",
+          "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.TextQueries.queries("t124_oov_rate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate"),
+        r.getAs[Boolean]("high_oov"))).toMap
+    assert(m(1L) == ((0L, 0.0, false)), s"all-frequent doc is clean: $m")
+    assert(m(2L) == ((5L, 0.5, true)), s"half-rare doc flags high OOV: $m")
+  }
+
   test("m120_media_dedup: byte-identical payloads collapse to the first copy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mdedup").toString
