@@ -448,6 +448,48 @@ object CoreQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    /** Incremental aggregate maintenance — the warehouse "merge the
+      * nightly delta into the materialized aggregate" algebra, gated by
+      * EQUALITY TO THE FULL RECOMPUTE: the per-customer aggregate over
+      * pre-cutoff orders (the materialized base) full-outer-merges with
+      * the same aggregate over post-cutoff orders (the delta), combining
+      * count/sum by addition and min/max by least/greatest. The oracle
+      * is the plain one-pass aggregate over ALL orders, so the merge
+      * algebra itself is what the hash gate checks. Money sums round at
+      * the cent lattice on both sides — partial sums add in a different
+      * order than the one-pass sum, and only the data's own lattice
+      * makes that associativity-free (the q1 lesson; countDistinct is
+      * deliberately absent: it does not merge).
+      *
+      * Scale shape: at 100 TB the base side is a stored aggregate (read,
+      * not recomputed — customer-sized, not order-sized) and the delta
+      * scan prunes to the new partition; the merge is one shuffle join
+      * on the group key. Here both sides derive from the same table to
+      * stay self-contained; the cutoff splits mid-range so base and
+      * delta genuinely overlap on keys. */
+    "q125_incremental_agg" -> ((s, d) => {
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      def aggFor(df: DataFrame) = df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"), sum("o_totalprice").as("t"),
+        min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      val base = aggFor(orders(s, d).filter(col("o_orderdate") < cutoff))
+        .select(col("o_custkey"), col("n").as("bn"), col("t").as("bt"),
+          col("lo").as("blo"), col("hi").as("bhi"))
+      val delta = aggFor(orders(s, d).filter(col("o_orderdate") >= cutoff))
+        .select(col("o_custkey"), col("n").as("dn"), col("t").as("dt"),
+          col("lo").as("dlo"), col("hi").as("dhi"))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          round(coalesce(col("bt"), lit(0.0)) + coalesce(col("dt"), lit(0.0)), 2)
+            .as("total_price"),
+          least(coalesce(col("blo"), col("dlo")), coalesce(col("dlo"), col("blo")))
+            .as("first_order"),
+          greatest(coalesce(col("bhi"), col("dhi")), coalesce(col("dhi"), col("bhi")))
+            .as("last_order"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -654,6 +696,15 @@ object CoreQueries {
            |  CAST(max($c) AS VARCHAR) AS max_value
            |FROM orders""".stripMargin)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
-    }
+    },
+    // the FULL one-pass recompute — equality to it is exactly what makes
+    // the incremental merge algebra correct
+    "q125_incremental_agg" ->
+      """SELECT o_custkey,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  min(o_orderdate) AS first_order,
+        |  max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

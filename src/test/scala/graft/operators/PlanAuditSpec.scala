@@ -147,6 +147,17 @@ class PlanAuditSpec extends SparkSpec {
       s"d112: gram stream shuffled more than once:\n$p")
   }
 
+  test("q125: base and delta cutoff filters reach both parquet scans") {
+    // the incremental-maintenance promise is partition pruning on the
+    // delta side — if the cutoff predicate stops reaching the scan, the
+    // "incremental" path quietly re-reads the full table
+    val p = plan("q125_incremental_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"base-side cutoff not pushed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"delta-side cutoff not pushed:\n$p")
+  }
+
   test("q105: both CDC windows share one exchange on the key") {
     val p = plan("q105_upsert_latest")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
