@@ -43,6 +43,45 @@ object EventQueries {
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")),
 
+    /** Pure RANGE JOIN (point-in-interval, no equi key) via hour-bucket
+      * co-partitioning — the pattern that keeps an interval join off the
+      * O(points × intervals) cliff: every 6 hours a 90-minute
+      * "maintenance window" interval is generated over the events time
+      * range, each interval EXPLODES to the hour buckets it overlaps,
+      * each event maps to its single hour bucket, and the join becomes
+      * an equi-join on bucket with the BETWEEN predicate evaluated only
+      * inside matching buckets. Intervals that catch no events still
+      * appear (left completion), so the result is the full window
+      * roster with counts.
+      *
+      * Scale shape: the bucket grid turns the non-equi predicate into a
+      * shuffle-partitionable key — candidate pairs are bounded by
+      * events-per-hour × intervals-per-hour, never |events|·|intervals|;
+      * the interval roster is calendar-bounded (4/day), so its explode
+      * and the final left join are broadcast-sized, while the event side
+      * streams through one bucket shuffle. */
+    "q126_range_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("ts"), col("value"))
+      val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi"))
+      val wins = bounds.select(explode(expr(
+          "sequence(date_trunc('DAY', lo), hi, interval 6 hours)")).as("ws"))
+        .select(col("ws"), (col("ws") + expr("interval 90 minutes")).as("we"))
+      val winBuckets = wins.select(col("ws"), col("we"), explode(expr(
+          "sequence(unix_timestamp(ws) div 3600, (unix_timestamp(we) - 1) div 3600)"))
+          .as("bucket"))
+      val evBuckets = ev.withColumn("bucket", expr("unix_timestamp(ts) div 3600"))
+      val matched = evBuckets.join(winBuckets, Seq("bucket"))
+        .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+        .groupBy("ws", "we")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v"))
+      wins.join(matched, Seq("ws", "we"), "left")
+        .select(col("ws").cast("timestamp_ntz").as("window_start"),
+          col("we").cast("timestamp_ntz").as("window_end"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("v"), lit(0.0)).as("total_value"))
+        .orderBy("window_start")
+    }),
+
     /** Gap-based sessionization (30-min inactivity) via lag + running
       * conditional sum — the batch equivalent of
       * flatMapGroupsWithState session state. */
@@ -416,6 +455,22 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the same interval roster joined by the BETWEEN predicate directly —
+    // DuckDB's planner handles the non-equi join at oracle scale; the
+    // Spark side's bucket grid must produce identical rows
+    "q126_range_join" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', min(ts)) AS lo, max(ts) AS hi FROM events),
+        |wins AS (
+        |  SELECT g.ws AS ws, g.ws + INTERVAL 90 MINUTE AS we
+        |  FROM b CROSS JOIN unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS g(ws)),
+        |agg AS (
+        |  SELECT w.ws, w.we, count(e.ts) AS n, round(sum(e.value), 4) AS v
+        |  FROM wins w LEFT JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+        |  GROUP BY 1, 2)
+        |SELECT ws AS window_start, we AS window_end,
+        |  CAST(n AS BIGINT) AS n_events, coalesce(v, 0.0) AS total_value
+        |FROM agg ORDER BY window_start""".stripMargin,
     "q32_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, value,

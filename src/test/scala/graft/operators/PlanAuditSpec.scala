@@ -147,6 +147,19 @@ class PlanAuditSpec extends SparkSpec {
       s"d112: gram stream shuffled more than once:\n$p")
   }
 
+  test("q126: the range join runs as a bucket equi-join, not a nested loop") {
+    // the bucket grid exists precisely so the point-in-interval predicate
+    // never evaluates as an O(points × intervals) nested-loop join over
+    // the EVENT side; the only nested-loop allowed is the calendar-sized
+    // interval roster completion
+    val df = SparkEntry.queries("q126_range_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian range join:\n$p")
+    assert(p.contains("hashpartitioning(bucket") || p.contains("BroadcastHashJoin"),
+      s"bucket key must drive a hash join:\n$p")
+  }
+
   test("q125: base and delta cutoff filters reach both parquet scans") {
     // the incremental-maintenance promise is partition pruning on the
     // delta side — if the cutoff predicate stops reaching the scan, the
