@@ -285,16 +285,16 @@ object SimilarityQueries {
       * exact graph is truth, the LSH edge set is the candidate, hits
       * join on (vec_id, neighbor_id).
       *
-      * Scale shape: at evaluation time the exact side runs on a SAMPLE
-      * of query vectors (the standard recall protocol — here the whole
-      * toy corpus stands in for the sample); the join is n·k vs n·k
-      * edge lists on their composite key. Nothing new shuffles beyond
-      * the two tiers themselves. */
+      * Scale shape: the exact truth side runs on a deterministic 1-in-5
+      * QUERY SAMPLE (vec_id % 5 — the standard recall protocol: truth
+      * cost is sample × corpus, not corpus²), the approximate side
+      * prunes to the same sample before its top-k heaps; the final join
+      * is sample·k vs sample·k edge lists on their composite key. */
     "s123_ann_recall_eval" -> ((s, d) => {
       val n = DedupQueries.embeddingCount(s, d)
-      val exact = knnTopK(s, knnExactScored(s, d, n))
+      val exact = knnTopK(s, knnExactScored(s, d, n).filter(col("src") % 5 === 0))
         .select(col("vec_id"), col("neighbor_id"))
-      val lsh = knnTopK(s, knnLshScored(s, d))
+      val lsh = knnTopK(s, knnLshScored(s, d).filter(col("src") % 5 === 0))
         .select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit"))
       exact.join(lsh, Seq("vec_id", "neighbor_id"), "left")
         .groupBy("vec_id")
@@ -1077,7 +1077,8 @@ object SimilarityQueries {
          |ex_scored AS (
          |  SELECT a.vec_id, b.vec_id AS nb,
          |    list_cosine_similarity(a.e, b.e) AS cosine
-         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 5 = 0),
          |ex_ranked AS (
          |  SELECT vec_id, nb,
          |    row_number() OVER (PARTITION BY vec_id
@@ -1093,7 +1094,8 @@ object SimilarityQueries {
          |    list_cosine_similarity(e1.e, e2.e) AS cosine
          |  FROM cand c
          |  JOIN emb e1 ON c.src = e1.vec_id
-         |  JOIN emb e2 ON c.dst = e2.vec_id),
+         |  JOIN emb e2 ON c.dst = e2.vec_id
+         |  WHERE c.src % 5 = 0),
          |l_ranked AS (
          |  SELECT vec_id, nb,
          |    row_number() OVER (PARTITION BY vec_id

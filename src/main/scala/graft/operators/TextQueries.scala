@@ -855,6 +855,38 @@ object TextQueries {
           col("n_oov").cast("double") / col("n_tokens").cast("double"))
         .withColumn("high_oov", col("oov_rate") > 0.2)
         .orderBy("doc_id")
+    }),
+
+    /** Deterministic corpus shuffle into training shards — the "global
+      * shuffle before sharding" step every pretraining pipeline runs so
+      * no shard is biased by ingestion order: shuffle key = md5 of the
+      * doc id with a version salt (reshuffling = bump the salt, exactly
+      * like t69's stable splits), shard = hash-bucket of the key,
+      * position within the shard = rank by the key. Every assignment is
+      * a pure function of (doc_id, salt) — reproducible across runs,
+      * engines, and partition counts, which rand() shuffles cannot
+      * promise.
+      *
+      * Scale shape: hash-assigning shards directly (instead of a global
+      * rank mod-ed into shards) means there is NO total order anywhere —
+      * a global row_number would funnel the corpus through one window
+      * partition; here each shard sorts independently under a
+      * shard-partitioned window, and real deployments use thousands of
+      * shards, so parallelism scales with the output. */
+    "t127_shuffle_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shards = 16
+      val key = md5(concat(col("doc_id").cast("string"), lit(":shuffle-v1"))
+        .cast("binary"))
+      val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), key.as("shuffle_key"))
+        .withColumn("shard",
+          pmod(conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"),
+            lit(shards.toLong)))
+        .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shuffle_key", "shard", "pos_in_shard")
+        .orderBy("doc_id")
     })
   )
 
@@ -1429,6 +1461,22 @@ object TextQueries {
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate,
         |  CAST(n_oov AS DOUBLE) / n_tokens > 0.2 AS high_oov
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "t127_shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':shuffle-v1') AS shuffle_key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shuffle_key,
+        |    CAST(list_sum(list_transform(range(0, 4), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(shuffle_key, CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << CAST(4 * (3 - i) AS INTEGER))) AS BIGINT) % 16 AS shard
+        |  FROM k)
+        |SELECT doc_id, shuffle_key, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos_in_shard
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t111_source_overlap" ->
       """WITH tok AS (
         |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -517,13 +517,16 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("s123_ann_recall_eval: per-vector recall matches the s94/s96 edge sets") {
+    // the eval samples queries at vec_id % 5 == 0 (the recall protocol)
     val exact = graft.SimilarityQueries.queries("s94_knn_graph")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")))
+      .filter(_._1 % 5 == 0).toSet
     val lsh = graft.SimilarityQueries.queries("s96_knn_graph_lsh")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
     val rows = graft.SimilarityQueries.queries("s123_ann_recall_eval")(spark, sfDir)
       .collect()
-    assert(rows.length == 500)
+    assert(rows.length == 100)
+    assert(rows.forall(_.getLong(0) % 5 == 0), "only sampled queries appear")
     rows.foreach { r =>
       val (v, k, hits, rec) = (r.getLong(0), r.getAs[Long]("k"),
         r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"))
