@@ -556,6 +556,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m(2L) == ((5L, 0.5, true)), s"half-rare doc flags high OOV: $m")
   }
 
+  test("t127_shuffle_shards: total cover, dense per-shard positions, stable") {
+    val rows = graft.TextQueries.queries("t127_shuffle_shards")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500,
+      "every doc assigned exactly once")
+    rows.foreach { case (_, sh, _) => assert(sh >= 0 && sh < 16) }
+    // positions within each shard are dense 0..n-1 (a pack-ready layout)
+    rows.groupBy(_._2).foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // determinism: a second run is identical
+    val again = graft.TextQueries.queries("t127_shuffle_shards")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
+    assert(rows.toSeq == again.toSeq, "shuffle must be a pure function of (doc_id, salt)")
+  }
+
   test("m120_media_dedup: byte-identical payloads collapse to the first copy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mdedup").toString
