@@ -730,6 +730,47 @@ object DedupQueries {
       * Scale shape: the gated d62 pipeline plus one left join on doc_id
       * and one catalog-sized aggregate on source — no new quadratic or
       * driver path; the report is |sources| rows. */
+    /** LSH design-curve measurement — the b×r banding THEORY gated
+      * against the pipeline's MEASURED behavior: over a deterministic
+      * 1-in-7 document sample, every pair's exact shingle Jaccard lands
+      * in a decile, the measured fraction of pairs sharing ≥1 MinHash
+      * band sits next to the closed-form capture probability
+      * 1−(1−s^r)^b at the decile midpoint. This is the table an engineer
+      * reads to pick b and r before a 100 TB dedup run — and here the
+      * measurement machinery itself faces the hash gate.
+      *
+      * Scale shape: the exact-Jaccard side is quadratic IN THE SAMPLE
+      * only (the s123 protocol — curve estimation never needs the full
+      * corpus; the sample side broadcasts), and the band test evaluates
+      * pairwise on the sampled signatures, not via the full band join. */
+    "d128_lsh_design_curve" -> ((s, d) => {
+      val r = BandRows
+      val bands = NumPerms / r
+      val side = shingleArrays(s, d).filter(col("doc_id") % 7 === 0)
+        .join(minhashSignatures(s, d).filter(col("doc_id") % 7 === 0), "doc_id")
+      val a = side.toDF("d1", "sh1", "sig1")
+      val b = side.toDF("d2", "sh2", "sig2")
+      a.join(broadcast(b), col("d1") < col("d2"))
+        .select(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+          size(col("sh1")).cast("long").as("s1"),
+          size(col("sh2")).cast("long").as("s2"),
+          expr(s"exists(sequence(0, ${bands - 1}), bi -> " +
+            s"slice(sig1, bi * $r + 1, $r) = slice(sig2, bi * $r + 1, $r))").as("cand"))
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("s1") + col("s2") - col("inter")).cast("double"))
+        .withColumn("decile", least(floor(col("jacc") * 10).cast("long"), lit(9L)))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"))
+        .withColumn("candidate_frac",
+          round(col("n_candidates").cast("double") / col("n_pairs").cast("double"), 6))
+        .withColumn("theory_p", round(lit(1.0) -
+          pow(lit(1.0) - pow((col("decile").cast("double") + 0.5) / 10.0, r.toDouble),
+            bands.toDouble), 6))
+        .orderBy("decile")
+    }),
+
     "d122_dedup_report" -> ((s, d) => {
       val clusters = queries("d62_dedup_clusters")(s, d)
         .select(col("doc_id"), col("cluster_id"))
@@ -981,11 +1022,12 @@ object DedupQueries {
     minhashLshOracleFor("a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0",
       "doc_corpus", "doc_new", "c.d2, c.d1")
 
-  /** Shared DuckDB replica of the MinHash+LSH pipeline, parameterized by
-    * the pair predicate over join sides `a`/`b` (`a` = first output
-    * column's side), the output column names, and the row order. */
-  private def minhashLshOracleFor(pairCond: String,
-      aAs: String, bAs: String, orderBy: String): String = {
+  /** Shared DuckDB CTE chain replicating the MinHash pipeline through
+    * the per-band key lists (toks → distinct shingles → 60-bit md5 hash
+    * → 48 splitmix64 permutations with HUGEINT mod-2⁶⁴ wraparound →
+    * per-perm min → bandkeys). No leading WITH so callers append their
+    * own tails (the LSH pair join, or d128's design-curve measurement). */
+  private def minhashPrefixCtes: String = {
     val two64 = "CAST('18446744073709551616' AS HUGEINT)"
     val two63 = "CAST('9223372036854775808' AS HUGEINT)"
     def u(c: Long) = s"CAST('${java.lang.Long.toUnsignedString(c)}' AS HUGEINT)"
@@ -1001,7 +1043,7 @@ object DedupQueries {
     def mulWrapU(ux: String, c: String) =
       s"((($ux % 4294967296) * $c % $two64 + " +
         s"(($ux // 4294967296) * ($c % 4294967296) % 4294967296) * 4294967296) % $two64)"
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -1031,7 +1073,15 @@ object DedupQueries {
        |bandkeys AS (
        |  SELECT doc_id, CAST(perm // $BandRows AS INTEGER) AS band,
        |    list(m ORDER BY perm) AS bk
-       |  FROM sig GROUP BY 1, 2),
+       |  FROM sig GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Shared DuckDB replica of the MinHash+LSH pipeline, parameterized by
+    * the pair predicate over join sides `a`/`b` (`a` = first output
+    * column's side), the output column names, and the row order. */
+  private def minhashLshOracleFor(pairCond: String,
+      aAs: String, bAs: String, orderBy: String): String =
+    s"""WITH $minhashPrefixCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bandkeys a JOIN bandkeys b
@@ -1051,9 +1101,49 @@ object DedupQueries {
        |JOIN sz s2 ON c.d2 = s2.doc_id
        |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
        |ORDER BY $orderBy""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
+    // the shared MinHash CTE chain + the sampled pairwise measurement:
+    // same jaccard deciles, same any-band-equal test from the bandkeys
+    // lists, same closed-form 1-(1-s^r)^b at the midpoint
+    "d128_lsh_design_curve" -> {
+      val r = BandRows
+      val bands = NumPerms / r
+      s"""WITH $minhashPrefixCtes,
+         |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |bm AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.bk = b.bk
+         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id),
+         |inters AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |allp AS (
+         |  SELECT sa.doc_id AS d1, sb.doc_id AS d2, sa.sz AS s1, sb.sz AS s2
+         |  FROM szs sa JOIN szs sb ON sa.doc_id < sb.doc_id
+         |  WHERE sa.doc_id % 7 = 0 AND sb.doc_id % 7 = 0),
+         |p AS (
+         |  SELECT allp.d1, allp.d2,
+         |    CAST(coalesce(i.inter, 0) AS DOUBLE)
+         |      / (s1 + s2 - coalesce(i.inter, 0)) AS jacc,
+         |    bm.d1 IS NOT NULL AS cand
+         |  FROM allp LEFT JOIN inters i ON allp.d1 = i.d1 AND allp.d2 = i.d2
+         |  LEFT JOIN bm ON allp.d1 = bm.d1 AND allp.d2 = bm.d2),
+         |agg AS (
+         |  SELECT least(CAST(floor(jacc * 10) AS BIGINT), 9) AS decile,
+         |    count(*) AS n_pairs,
+         |    sum(CASE WHEN cand THEN 1 ELSE 0 END) AS n_candidates
+         |  FROM p GROUP BY 1)
+         |SELECT decile, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  round(CAST(n_candidates AS DOUBLE) / n_pairs, 6) AS candidate_frac,
+         |  round(1.0 - pow(1.0 - pow((CAST(decile AS DOUBLE) + 0.5) / 10.0, $r),
+         |    $bands), 6) AS theory_p
+         |FROM agg ORDER BY decile""".stripMargin
+    },
     "d39_dedup_minhash_lsh" -> minhashLshOracle,
     "d93_incremental_minhash" -> incrementalMinhashOracle,
     "d40_dedup_simhash" -> simhashOracle,

@@ -556,6 +556,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m(2L) == ((5L, 0.5, true)), s"half-rare doc flags high OOV: $m")
   }
 
+  test("d128_lsh_design_curve: full sample coverage, theory matches closed form") {
+    val sampleN = graft.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+    val rows = graft.DedupQueries.queries("d128_lsh_design_curve")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == sampleN * (sampleN - 1) / 2,
+      "every sampled pair lands in exactly one decile")
+    rows.foreach { r =>
+      val (dec, np, nc, frac, theory) = (r.getLong(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_candidates"), r.getAs[Double]("candidate_frac"),
+        r.getAs[Double]("theory_p"))
+      assert(nc <= np && frac >= 0.0 && frac <= 1.0)
+      val s = (dec + 0.5) / 10.0
+      val expected = 1.0 - math.pow(1.0 - math.pow(s, 4.0), 12.0)
+      assert(math.abs(theory - expected) < 1e-6,
+        s"decile $dec theory $theory != closed form $expected")
+    }
+    // the curve must actually rise when more than one decile is
+    // populated (at sf0.001 the 1-in-7 sample may catch no near-dup
+    // pair, leaving only decile 0)
+    val sorted = rows.sortBy(_.getLong(0))
+    if (sorted.length > 1) {
+      assert(sorted.last.getAs[Double]("theory_p") > sorted.head.getAs[Double]("theory_p"))
+    }
+  }
+
   test("t127_shuffle_shards: total cover, dense per-shard positions, stable") {
     val rows = graft.TextQueries.queries("t127_shuffle_shards")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
