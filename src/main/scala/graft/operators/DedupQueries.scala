@@ -730,6 +730,37 @@ object DedupQueries {
       * Scale shape: the gated d62 pipeline plus one left join on doc_id
       * and one catalog-sized aggregate on source — no new quadratic or
       * driver path; the report is |sources| rows. */
+    /** SEMANTIC decontamination — the embedding-space complement of
+      * d88/d99's n-gram direction (paraphrased eval leakage shares no
+      * 13-gram but sits next to the eval item in embedding space; cf.
+      * the contamination analyses in recent LLM eval audits): every
+      * corpus vector reports its nearest eval-slice vector by cosine
+      * (eval = vec_id % 29, d88's convention), flagged at the 0.4
+      * threshold d41 uses on this synthetic data.
+      *
+      * Scale shape: the eval set is bounded by construction (d88's
+      * broadcast argument) — the scan is |corpus| × |eval| inside one
+      * codegen'd broadcast join, no shuffle at all until the per-vector
+      * argmax, which is a key-local aggregate. A growing eval suite
+      * flips to the banded-LSH candidate path (d82) unchanged. */
+    "d129_semantic_decontamination" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val isEval = col("vec_id") % 29 === 0
+      val eval = embeddings(s, d).filter(isEval)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+      embeddings(s, d).filter(!isEval)
+        .select(col("vec_id"), col("embedding"))
+        .join(broadcast(eval), lit(true))
+        .select(col("vec_id"), col("eval_id"),
+          call_function("cosine_sim", col("embedding"), col("ev")).as("c"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("c").as("c"), (-col("eval_id")).as("ne"))).as("b"))
+        .select(col("vec_id"), (-col("b.ne")).as("nearest_eval_id"),
+          col("b.c").as("max_cosine"),
+          (col("b.c") >= 0.4).as("contaminated"))
+        .orderBy("vec_id")
+    }),
+
     /** LSH design-curve measurement — the b×r banding THEORY gated
       * against the pipeline's MEASURED behavior: over a deterministic
       * 1-in-7 document sample, every pair's exact shingle Jaccard lands
@@ -1146,6 +1177,23 @@ object DedupQueries {
     },
     "d39_dedup_minhash_lsh" -> minhashLshOracle,
     "d93_incremental_minhash" -> incrementalMinhashOracle,
+    "d129_semantic_decontamination" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, e AS ee FROM emb WHERE vec_id % 29 = 0),
+        |corpus AS (SELECT vec_id, e FROM emb WHERE vec_id % 29 <> 0),
+        |scored AS (
+        |  SELECT c.vec_id, ev.eval_id,
+        |    list_cosine_similarity(c.e, ev.ee) AS cos
+        |  FROM corpus c CROSS JOIN ev),
+        |r AS (
+        |  SELECT vec_id, eval_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, eval_id) AS rk
+        |  FROM scored)
+        |SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cosine,
+        |  cos >= 0.4 AS contaminated
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "d40_dedup_simhash" -> simhashOracle,
     "d37_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,

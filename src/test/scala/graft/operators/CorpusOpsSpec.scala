@@ -556,6 +556,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m(2L) == ((5L, 0.5, true)), s"half-rare doc flags high OOV: $m")
   }
 
+  test("d129_semantic_decontamination: one row per corpus vector, flags consistent") {
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    val evalN = graft.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 29 === 0).count()
+    val rows = graft.DedupQueries.queries("d129_semantic_decontamination")(spark, sfDir)
+      .collect()
+    assert(rows.length == total - evalN, "every non-eval vector scored exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 29 != 0, "eval vectors must not be scored")
+      assert(r.getAs[Long]("nearest_eval_id") % 29 == 0,
+        "nearest neighbor must come from the eval slice")
+      assert(r.getAs[Boolean]("contaminated") == (r.getAs[Double]("max_cosine") >= 0.4))
+    }
+  }
+
   test("d128_lsh_design_curve: full sample coverage, theory matches closed form") {
     val sampleN = graft.Tables.documents(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
