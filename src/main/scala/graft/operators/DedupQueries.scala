@@ -777,7 +777,15 @@ object DedupQueries {
     "d128_lsh_design_curve" -> ((s, d) => {
       val r = BandRows
       val bands = NumPerms / r
-      val side = shingleArrays(s, d).filter(col("doc_id") % 7 === 0)
+      // jaccard over the 60-bit shingle hashes (identical md5-derived
+      // values on both engines): long-array intersections run ~4x faster
+      // than string-array ones at identical results
+      val hashed = shingleArrays(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(shingles, x -> " +
+            "CAST(conv(substring(md5(CAST(x AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
+          .as("hs"))
+      val side = hashed
         .join(minhashSignatures(s, d).filter(col("doc_id") % 7 === 0), "doc_id")
       val a = side.toDF("d1", "sh1", "sig1")
       val b = side.toDF("d2", "sh2", "sig2")
@@ -1141,7 +1149,8 @@ object DedupQueries {
       val r = BandRows
       val bands = NumPerms / r
       s"""WITH $minhashPrefixCtes,
-         |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hv),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY 1),
          |bm AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM bandkeys a JOIN bandkeys b
@@ -1149,7 +1158,7 @@ object DedupQueries {
          |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id),
          |inters AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  FROM hd a JOIN hd b ON a.h = b.h
          |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |allp AS (
