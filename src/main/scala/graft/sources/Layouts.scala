@@ -236,6 +236,60 @@ object Layouts {
     * right row would surface once per replica. (AQE skew-join handles
     * most cases automatically; this is the explicit tool for when it
     * can't, e.g. a skewed aggregate above the join.) */
+  /** Partition-scoped hard delete — the GDPR/right-to-erasure primitive
+    * for a hive-partitioned table: rows matching `del` are removed by
+    * rewriting ONLY the partitions that contain them (dynamic partition
+    * overwrite); untouched partition files stay byte-identical on disk,
+    * so a 100 TB table pays for the partitions a user actually appears
+    * in, not a full rewrite. Returns the affected partition values.
+    *
+    * The affected-partition list is a `collect()` bounded by the
+    * partition count (calendar/catalog-sized — the same class as the ETL
+    * scalar barriers), never row-sized. Deletes of a non-partition-
+    * aligned predicate still work: affected partitions are discovered by
+    * scanning (with partition pruning unavailable, a full scan — the
+    * honest cost of deleting by a non-partition key), but the REWRITE
+    * stays scoped. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      partCol: String, del: Column): Seq[String] = {
+    val table = spark.read.parquet(dir)
+    val affected = table.filter(del).select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      // Spark refuses to overwrite a path it is reading (correctly — the
+      // scan could observe its own output), so survivors stage to a
+      // sibling dir first; the staged read then dynamic-overwrites only
+      // the partitions it carries
+      val stage = dir.stripSuffix("/") + "__delete_stage"
+      table
+        .filter(col(partCol).cast("string").isin(affected: _*))
+        .filter(!del)
+        .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+      val survivors = spark.read.parquet(stage)
+      val surviving = survivors.select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        if (surviving.nonEmpty) {
+          survivors.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // a partition whose every row matched `del` has no staged rows, so
+      // dynamic overwrite never touches it — drop its directory explicitly
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (affected.toSet -- surviving).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$partCol=$v"), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
+    affected
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, n: Int, joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left", "leftouter").contains(

@@ -85,6 +85,31 @@ class LayoutsSpec extends SparkSpec {
     assert(out.filter(col("o_orderstatus").isNotNull).count() == 0)
   }
 
+  test("deleteWhere rewrites only affected partitions; untouched files identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("delete").toString + "/t"
+    // partition A holds users 1+2, B holds ONLY user 1, C holds user 3
+    Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "B", 1L), (4L, "B", 1L), (5L, "C", 3L))
+      .toDF("id", "p", "user_id")
+      .write.partitionBy("p").parquet(dir)
+    def fileState(part: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/p=$part")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+    }
+    val cBefore = fileState("C")
+    val affected = Layouts.deleteWhere(spark, dir, "p",
+      org.apache.spark.sql.functions.col("user_id") === 1L)
+    assert(affected == Seq("A", "B"), s"affected partitions: $affected")
+    val after = spark.read.parquet(dir).select("id", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((2L, 2L), (5L, 3L)), s"surviving rows: $after")
+    assert(fileState("B").isEmpty, "fully-deleted partition directory must be gone")
+    assert(fileState("C") == cBefore,
+      "untouched partition files must remain byte-identical (same name/size/mtime)")
+  }
+
   test("compaction collapses a many-small-files directory preserving rows") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
