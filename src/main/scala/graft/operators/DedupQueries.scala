@@ -244,21 +244,44 @@ object DedupQueries {
   private[graft] val SimhashBits = 60
   private[graft] val SimhashBlocks = 4 // pigeonhole: hamming<=3 => some 15-bit block equal
 
-  /** doc_id + 60-bit simhash over term-frequency-weighted token hashes. */
-  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
-      .withColumn("h",
-        conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
+  /** (doc_id, h) feature-hash frame → (doc_id, sig) 60-bit simhash.
+    * Feature-frequency weighting falls out of summing per occurrence.
+    * Shared by d40 (token features) and m136 (binary chunk features). */
+  private[graft] def simhashFromHashes(hashed: DataFrame): DataFrame = {
     val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val sig = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("sig"))
   }
+
+  /** (doc_id, sig) → near-dup pairs within hamming ≤ 3 via the 4×15-bit
+    * pigeonhole block join (any such pair has ≥1 unchanged block).
+    * Shared candidate machinery for d40 and m136. */
+  private[graft] def simhashNearDupPairs(sigs: DataFrame): DataFrame = {
+    val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until SimhashBlocks).map(bl =>
+        shiftright(col("sig"), bl * 15).bitwiseAND(0x7FFFL)): _*)))
+      .toDF("doc_id", "sig", "block", "block_val")
+    val cand = blocks.toDF("id1", "sig1", "block", "block_val")
+      .join(blocks.toDF("id2", "sig2", "block", "block_val"), Seq("block", "block_val"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sig1", "sig2").distinct()
+    cand
+      .select(col("id1").as("doc1"), col("id2").as("doc2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** doc_id + 60-bit simhash over term-frequency-weighted token hashes. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    simhashFromHashes(documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .withColumn("h",
+        conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long")))
 
   val queries: Map[String, Q] = Map(
     /** Exact dedup: group on content hash, keep lowest doc_id per group
@@ -310,22 +333,8 @@ object DedupQueries {
       * pigeonhole blocks (any pair within hamming ≤ 3 shares a block),
       * verified with bit_count(xor). Oracle recomputes signatures all-pairs
       * in DuckDB — same md5-derived token hash, identical output. */
-    "d40_dedup_simhash" -> ((s, d) => {
-      val sigs = simhashSignatures(s, d)
-      val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(
-        array((0 until SimhashBlocks).map(bl =>
-          shiftright(col("sig"), bl * 15).bitwiseAND(0x7FFFL)): _*)))
-        .toDF("doc_id", "sig", "block", "block_val")
-      val cand = blocks.toDF("id1", "sig1", "block", "block_val")
-        .join(blocks.toDF("id2", "sig2", "block", "block_val"), Seq("block", "block_val"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2", "sig1", "sig2").distinct()
-      cand
-        .select(col("id1").as("doc1"), col("id2").as("doc2"),
-          bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("doc1", "doc2")
-    }),
+    "d40_dedup_simhash" -> ((s, d) =>
+      simhashNearDupPairs(simhashSignatures(s, d)).orderBy("doc1", "doc2")),
 
     /** Dup-cluster assignment: connected components over the near-dup
       * pair graph (d38's output), labels = min doc_id per component —
@@ -830,21 +839,31 @@ object DedupQueries {
   /** DuckDB replica of the 60-bit simhash pipeline: same md5-prefix token
     * hash, same ±1 bit sums, all-pairs hamming filter (equivalent output —
     * the Spark side's pigeonhole blocking is exact for hamming ≤ 3). */
+  /** DuckDB SQL fragments for the 60-bit simhash fold over a CTE exposing
+    * (doc_id, hv) — shared by the d40 and m136 oracles. */
+  private[graft] val simhashBitColsSql: String = (0 until SimhashBits)
+    .map(i => s"sum(CASE WHEN ((hv >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+    .mkString(",\n    ")
+  private[graft] val simhashSigExprSql: String = (0 until SimhashBits)
+    .map(i => s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+
+  /** DuckDB replica of the md5-derived 60-bit feature hash (first 15 hex
+    * digits of md5, big-endian) applied to column `$col`. */
+  private[graft] def md5Hash60Sql(column: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 15), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5($column), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+       |        << CAST(4 * (14 - i) AS INTEGER))) AS BIGINT)""".stripMargin
+
   private def simhashOracle: String = {
-    val bitCols = (0 until SimhashBits)
-      .map(i => s"sum(CASE WHEN ((hv >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
-      .mkString(",\n    ")
-    val sigExpr = (0 until SimhashBits)
-      .map(i => s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
+    val bitCols = simhashBitColsSql
+    val sigExpr = simhashSigExprSql
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
        |  FROM documents),
        |h AS (
        |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(0, 15), i ->
-       |      CAST(strpos('0123456789abcdef', substr(md5(token), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
-       |        << CAST(4 * (14 - i) AS INTEGER))) AS BIGINT) AS hv
+       |    ${md5Hash60Sql("token")} AS hv
        |  FROM tok),
        |bits AS (
        |  SELECT doc_id,

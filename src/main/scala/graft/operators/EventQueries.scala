@@ -392,6 +392,125 @@ object EventQueries {
           |FROM orders_q100 o ORDER BY o_orderkey""".stripMargin)
     }),
 
+    /** Multi-step funnel (signup → click → purchase, each step within 24
+      * hours after the user's previous step): the conversion-analysis
+      * primitive. Stated as a chain of per-user min-timestamp
+      * aggregations — step k's frame is "first qualifying event inside
+      * step k-1's conversion window" — so the plan is three
+      * partial+final aggregations and two equi-joins, ALL keyed on
+      * user_id (one partitioning serves every hop; AQE handles the
+      * shrinking right sides). No window over the raw event stream, no
+      * per-user sort: at 100 TB the funnel costs three user-keyed
+      * shuffles of ever-smaller frames. */
+    "q130_funnel" -> ((s, d) => {
+      val deadline = expr("interval 24 hours")
+      val ev = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val step1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val step2 = ev.filter(col("event_type") === "click")
+        .join(step1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + deadline)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val step3 = ev.filter(col("event_type") === "purchase")
+        .join(step2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + deadline)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def level(df: DataFrame, step: Long, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("step_name"), col("n_users"))
+      level(step1, 1L, "signup")
+        .unionByName(level(step2, 2L, "click_after_signup"))
+        .unionByName(level(step3, 3L, "purchase_after_click"))
+        .orderBy("step")
+    }),
+
+    /** Cohort retention matrix: users bucketed by first-activity day,
+      * counted once per (cohort_day, day_offset) they return on. Two
+      * user-keyed aggregations (first day, distinct active days) and one
+      * user-keyed join — the (user, day) dedup happens BEFORE the join,
+      * so the retention count is a plain count, not a count-distinct over
+      * the joined fact. Day grain keeps the output calendar-bounded
+      * (cohorts × offsets), independent of event volume. */
+    "q131_cohort_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    /** SLIDING event-time windows (2-hour length, 30-minute slide) — the
+      * overlapping-window twin of q31's tumbling windows and of the
+      * streaming hourly job. Spark's window() expands each event to its
+      * (length / slide) = 4 covering windows BEFORE the aggregation
+      * shuffle, so overlap costs a bounded row multiplier on the map
+      * side, never a self-join or range join; partial aggregation then
+      * collapses each partition's expansion back down. Oracle states the
+      * same expansion arithmetically (epoch-aligned slide floor minus
+      * k slides, k = 0..3). */
+    "q132_sliding_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    /** First-order Markov transition matrix over the per-user event
+      * sequence: P(next event type | current type). One lead() window on
+      * the user partitioning (the same single shuffle sessionization
+      * pays), then a 25-row aggregate; the normalizing sum runs over the
+      * AGGREGATED matrix, so the second window touches type² rows, not
+      * the corpus. Probabilities divide exact longs in IEEE double on
+      * both engines, so the hash gate covers them too. */
+    "q133_transition_matrix" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val agg = events(s, d)
+        .withColumn("to_type", lead("event_type", 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = Window.partitionBy("from_type")
+      agg
+        .withColumn("p",
+          round(col("n").cast("double") / sum("n").over(byFrom).cast("double"), 9))
+        .select("from_type", "to_type", "n", "p")
+        .orderBy("from_type", "to_type")
+    }),
+
+    /** Rolling 24-hour active users per hour (the rolling-DAU shape) —
+      * count-distinct over a sliding time window WITHOUT a non-equi
+      * self-join: dedup (user, hour) once, explode each active hour to
+      * the 24 hour-buckets it keeps the user "active" in, dedup (user,
+      * target) again, and count per bucket. Both dedups and the count are
+      * plain hash shuffles; the ×24 expansion runs on the already-deduped
+      * user-hour frame (≤ users × hours rows), which is the bounded term
+      * at any corpus size. The hour roster (calendar-bounded) completes
+      * empty buckets. */
+    "q134_rolling_active" -> ((s, d) => {
+      val ev = events(s, d)
+      val userHours = ev
+        .select(col("user_id"), date_trunc("HOUR", col("ts")).as("hr"))
+        .distinct()
+      val contrib = userHours
+        .select(col("user_id"), explode(expr(
+          "sequence(hr, hr + interval 23 hours, interval 1 hour)")).as("target_hr"))
+        .distinct()
+      val counts = contrib.groupBy("target_hr").agg(count(lit(1)).as("n_active"))
+      val roster = ev
+        .agg(date_trunc("HOUR", min("ts")).as("lo"), date_trunc("HOUR", max("ts")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("target_hr"))
+      roster.join(counts, Seq("target_hr"), "left")
+        .select(col("target_hr").cast("timestamp_ntz").as("hour"),
+          coalesce(col("n_active"), lit(0L)).as("n_active_24h"))
+        .orderBy("hour")
+    }),
+
     /** CDC latest-wins compaction — the MERGE-INTO/upsert snapshot read
       * over a changelog: the event stream keyed by user_id, the latest
       * record per key (event time, event_id tiebreak) is the key's
@@ -419,6 +538,71 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q130_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click_after_signup', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "q131_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM ev e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event expands to its 4 covering slide-aligned windows — the
+    // same epoch alignment Spark's window(ts, len, slide) uses
+    "q132_sliding_window" ->
+      """WITH slides AS (
+        |  SELECT event_type, value,
+        |    time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE AS ws
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k))
+        |SELECT ws AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM slides GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q133_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |agg AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 9) AS p
+        |FROM agg ORDER BY 1, 2""".stripMargin,
+    // the window membership test hr in (hour-23h, hour] is the join form
+    // of the Spark side's explode-to-24-buckets expansion
+    "q134_rolling_active" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |roster AS (
+        |  SELECT g.h AS hour FROM b
+        |  CROSS JOIN unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(h))
+        |SELECT r.hour, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active_24h
+        |FROM roster r LEFT JOIN uh u
+        |  ON u.hr > r.hour - INTERVAL 24 HOUR AND u.hr <= r.hour
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q100_correlated" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  (SELECT count(*) FROM orders o2

@@ -170,6 +170,36 @@ object MultimodalQueries {
           col("dup_count"), col("canonical_id"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
         .orderBy("doc_id")
+    }),
+
+    /** NEAR-dup media pairs via a perceptual-hash-shaped sketch — the
+      * fuzzy complement of m120's exact digest dedup (re-encoded or
+      * lightly-corrupted payloads share most content bytes but no
+      * sha256). The payload is chunked into fixed 16-byte features
+      * (content-agnostic — no decode, no tokenization), each chunk
+      * md5-hashed to 60 bits, and the chunk multiset folded into d40's
+      * 60-bit simhash; candidates come from the same 4×15-bit pigeonhole
+      * block join, verified by hamming ≤ 3. A production system swaps
+      * the chunk features for codec-aware ones (pHash DCT bits, audio
+      * chroma frames) — the sketch fold, block join, and verify are the
+      * engine-side machinery and identical either way.
+      *
+      * Scale shape: one scan computes signatures (map-side fold to ONE
+      * 8-byte sig per item), the block join shuffles 4 fixed-width rows
+      * per item, and verification touches candidates only — m120's
+      * scale story with a 4× key constant. */
+    "m136_media_near_dup" -> ((s, d) => {
+      val hashed = documents(s, d)
+        .select(col("doc_id"), lower(hex(encode(col("text"), "UTF-8"))).as("hx"))
+        .filter(length(col("hx")) > 0)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast((length(hx) - 1) div 32 as int)), " +
+            "i -> substring(hx, i * 32 + 1, 32))")).as("chunk"))
+        .withColumn("h",
+          conv(substring(md5(col("chunk").cast("binary")), 1, 15), 16, 10).cast("long"))
+      DedupQueries.simhashNearDupPairs(DedupQueries.simhashFromHashes(hashed))
+        .select(col("doc1").as("media1"), col("doc2").as("media2"), col("hamming"))
+        .orderBy("media1", "media2")
     })
   )
 
@@ -261,6 +291,32 @@ object MultimodalQueries {
         |SELECT doc_id, media_type, sha256,
         |  CAST(dup_count AS BIGINT) AS dup_count, canonical_id,
         |  doc_id = canonical_id AS is_canonical
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // same 16-byte hex chunking, md5-60bit feature hash, simhash fold,
+    // and hamming test as the Spark side (fold fragments shared with the
+    // d40 oracle via DedupQueries)
+    "m136_media_near_dup" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+         |  WHERE octet_length(encode(text)) > 0),
+         |ch AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(0, CAST((len(hx) - 1) // 32 AS BIGINT) + 1),
+         |    i -> substr(hx, CAST(i * 32 + 1 AS INTEGER), 32))) AS chunk
+         |  FROM raw),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${DedupQueries.md5Hash60Sql("chunk")} AS hv
+         |  FROM ch),
+         |bits AS (
+         |  SELECT doc_id,
+         |    ${DedupQueries.simhashBitColsSql}
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ${DedupQueries.simhashSigExprSql} AS sig FROM bits)
+         |SELECT a.doc_id AS media1, b.doc_id AS media2,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY media1, media2""".stripMargin
   )
 }

@@ -238,6 +238,42 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    /** Per-vertex triangle counting + degree over the MUTUAL kNN graph —
+      * the local-density signal (a vertex whose neighbors also neighbor
+      * each other sits inside a tight semantic clump; triangle-free
+      * vertices are hubs or noise). Classic edge-iterator algorithm on
+      * the oriented edge list: every undirected edge kept once as
+      * (a < b), wedges built by joining edges on the shared middle
+      * vertex, closed by a second equi-join against the edge list.
+      *
+      * Scale shape: the edge list is ≤ n·k rows (bounded by the gated
+      * graph, never n²); the wedge join fans out by per-vertex mutual
+      * degree (≤ k), so intermediate size is ≤ n·k² — linear in n with
+      * the k² constant, the standard distributed triangle bound. Low-id
+      * orientation means each triangle is formed exactly once, and both
+      * joins are plain hash shuffles on vertex keys. */
+    "s135_knn_triangles" -> ((s, d) => {
+      val g = knnGraph(s, d).select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      val rev = g.select(col("b").as("a"), col("a").as("b"))
+      val mut = g.join(rev, Seq("a", "b")).filter(col("a") < col("b"))
+        .select("a", "b")
+      val wedges = mut.join(mut.toDF("b", "c"), "b").select("a", "b", "c")
+      val tri = wedges.join(mut.toDF("a", "c"), Seq("a", "c")).select("a", "b", "c")
+      val corners = tri.select(col("a").as("v"))
+        .unionAll(tri.select(col("b").as("v")))
+        .unionAll(tri.select(col("c").as("v")))
+      val triCount = corners.groupBy("v").agg(count(lit(1)).as("n_triangles"))
+      val deg = mut.select(col("a").as("v")).unionAll(mut.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("mutual_degree"))
+      embeddings(s, d).select(col("vec_id"))
+        .join(deg.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+        .join(triCount.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .orderBy("vec_id")
+    }),
+
     /** IVF-tier kNN graph — the THIRD candidate-generation strategy for
       * the graph (exact block grid / banded sign-LSH / inverted coarse
       * lists), hash-gated like s96 so the alternative 100 TB path faces
@@ -1070,6 +1106,43 @@ object SimilarityQueries {
          |FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id
          |WHERE f.vec_id < f.nb
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // s117's mutual-edge replica extended by the two wedge/closure joins;
+    // low-id orientation forms each triangle exactly once
+    "s135_knn_triangles" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nb,
+         |    list_cosine_similarity(a.e, b.e) AS cosine
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nb, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nb) AS rank
+         |  FROM scored),
+         |top AS (SELECT vec_id, nb FROM ranked WHERE rank <= $KnnK),
+         |mut AS (
+         |  SELECT f.vec_id AS a, f.nb AS b
+         |  FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id
+         |  WHERE f.vec_id < f.nb),
+         |tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM mut e1 JOIN mut e2 ON e1.b = e2.a
+         |  JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |corners AS (
+         |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri),
+         |tc AS (SELECT v, count(*) AS n_triangles FROM corners GROUP BY 1),
+         |dg AS (
+         |  SELECT v, count(*) AS mutual_degree FROM (
+         |    SELECT a AS v FROM mut UNION ALL SELECT b FROM mut) GROUP BY 1)
+         |SELECT e.vec_id,
+         |  CAST(coalesce(dg.mutual_degree, 0) AS BIGINT) AS mutual_degree,
+         |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles
+         |FROM embeddings e
+         |LEFT JOIN dg ON e.vec_id = dg.v
+         |LEFT JOIN tc ON e.vec_id = tc.v
+         |ORDER BY vec_id""".stripMargin,
     // both gated replicas composed: the exact all-pairs top-5 as truth,
     // the banded sign-LSH pipeline as candidate, hits counted per vector
     "s123_ann_recall_eval" ->

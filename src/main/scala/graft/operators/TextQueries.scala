@@ -887,6 +887,32 @@ object TextQueries {
         .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
         .select("doc_id", "shuffle_key", "shard", "pos_in_shard")
         .orderBy("doc_id")
+    }),
+
+    /** Per-source equi-depth length bands (quartile bucketing) — the
+      * "assign every doc a length band within its source" primitive
+      * behind curriculum mixes and per-band sampling rates. The SCALABLE
+      * shape for exact quantile bucketing: compute each source's three
+      * exact interpolating quartile boundaries with ONE aggregation
+      * (3 doubles per source — bounded metadata, the same barrier q14's
+      * median pays), join the boundary row back on source, and band by
+      * three codegen comparisons. No global sort, no per-source window
+      * rank over the corpus — the corpus-sized side only ever scans and
+      * joins against a source-count-sized frame (no broadcast hint; AQE
+      * picks broadcast at any realistic source count, per the t52 rule). */
+    "t137_length_bands" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bounds = docs.groupBy("source").agg(
+        expr("percentile(n_chars, 0.25D)").as("q1"),
+        expr("percentile(n_chars, 0.5D)").as("q2"),
+        expr("percentile(n_chars, 0.75D)").as("q3"))
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(bounds, "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (lit(1L) + (col("n_chars") > col("q1")).cast("long") +
+            (col("n_chars") > col("q2")).cast("long") +
+            (col("n_chars") > col("q3")).cast("long")).as("band"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1500,6 +1526,22 @@ object TextQueries {
         |  CAST(coalesce(sh.shared, 0) AS DOUBLE)
         |    / (n_grams_a + n_grams_b - coalesce(sh.shared, 0)) AS jaccard
         |FROM px LEFT JOIN sh USING (source_a, source_b)
-        |ORDER BY source_a, source_b""".stripMargin
+        |ORDER BY source_a, source_b""".stripMargin,
+    // quantile_cont = Spark's exact interpolating percentile (the q14
+    // median parity, at 3 cut points); band compares promote long vs
+    // the same double on both engines
+    "t137_length_bands" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.5) AS q2,
+        |    quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(1 + CAST(d.n_chars > b.q1 AS INTEGER)
+        |    + CAST(d.n_chars > b.q2 AS INTEGER)
+        |    + CAST(d.n_chars > b.q3 AS INTEGER) AS BIGINT) AS band
+        |FROM documents d JOIN b ON d.source = b.source
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts for the round-7 operators beyond their DuckDB
+  * hash gates: funnel step monotonicity and the 24-hour deadline, cohort
+  * accounting identities, sliding-window expansion arithmetic, Markov
+  * row-stochasticity, rolling-active bounds, triangle-count equality
+  * with a driver-side recompute from the mutual edge list, media
+  * near-dup vs exact-dup consistency, and per-source band shape.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def eventsFixture(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evfix").toString
+    rows.map { case (id, ts, user, typ) =>
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q130_funnel: step counts are monotone and the 24h deadline binds") {
+    val steps = graft.EventQueries.queries("q130_funnel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(steps.keySet == Set(1L, 2L, 3L))
+    assert(steps(1L) >= steps(2L) && steps(2L) >= steps(3L),
+      s"funnel must narrow: $steps")
+    // fixture: u1 converts fully; u2 signup only; u3's click precedes its
+    // signup; u4's click misses the 24h deadline
+    val dir = eventsFixture(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 00:00:00", 2L, "signup"),
+      (5L, "2024-01-01 00:00:00", 3L, "click"),
+      (6L, "2024-01-01 01:00:00", 3L, "signup"),
+      (7L, "2024-01-01 01:30:00", 3L, "purchase"),
+      (8L, "2024-01-01 00:00:00", 4L, "signup"),
+      (9L, "2024-01-02 06:00:00", 4L, "click")))
+    val m = graft.EventQueries.queries("q130_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m == Map(1L -> 4L, 2L -> 1L, 3L -> 1L), s"fixture funnel: $m")
+  }
+
+  test("q131_cohort_retention: offset-0 row covers the whole cohort") {
+    val rows = graft.EventQueries.queries("q131_cohort_retention")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every user appears in their cohort's offset-0 bucket, so offset-0
+    // counts sum to the distinct-user total and dominate later offsets
+    val users = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val zero = rows.filter(_._2 == 0L).map(x => x._1 -> x._3).toMap
+    assert(zero.values.sum == users,
+      s"offset-0 total ${zero.values.sum} != $users distinct users")
+    rows.filter(_._2 > 0L).foreach { case (c, off, n) =>
+      assert(n <= zero(c), s"cohort $c offset $off count $n exceeds cohort size")
+    }
+    // fixture: u1 active on days 0/1/3, u2 on day 1 only
+    val dir = eventsFixture(Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "view"),
+      (2L, "2024-01-02 09:00:00", 1L, "view"),
+      (3L, "2024-01-04 10:00:00", 1L, "view"),
+      (4L, "2024-01-02 11:00:00", 2L, "view")))
+    val m = graft.EventQueries.queries("q131_cohort_retention")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate.toString,
+        r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L, ("2024-01-02", 0L) -> 1L), s"fixture cohorts: $m")
+  }
+
+  test("q132_sliding_window: every event lands in exactly length/slide windows") {
+    val rows = graft.EventQueries.queries("q132_sliding_window")(spark, sfDir).collect()
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == 4L * nEvents,
+      "2h/30min windows must expand each event exactly 4x")
+    // window starts are slide-aligned
+    rows.foreach { r =>
+      val epochSec = r.getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      assert(epochSec % 1800L == 0L, s"unaligned window start ${r.get(0)}")
+    }
+  }
+
+  test("q133_transition_matrix: rows are stochastic and pair count = n - users") {
+    val rows = graft.EventQueries.queries("q133_transition_matrix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.Tables.events(spark, sfDir)
+    val expectPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expectPairs,
+      s"pair total ${rows.map(_._3).sum} != events - users = $expectPairs")
+    rows.groupBy(_._1).foreach { case (from, grp) =>
+      val p = grp.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-6, s"P($from -> *) sums to $p")
+    }
+  }
+
+  test("q134_rolling_active: bounded by cohort size, dominates hourly actives") {
+    val rolling = graft.EventQueries.queries("q134_rolling_active")(spark, sfDir)
+      .collect().map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(1)).toMap
+    val hourly = graft.Tables.events(spark, sfDir)
+      .select(date_trunc("HOUR", col("ts")).cast("timestamp_ntz").as("hr"),
+        col("user_id")).distinct()
+      .groupBy("hr").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(1)).toMap
+    val totalUsers = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    hourly.foreach { case (hr, n) =>
+      assert(rolling(hr) >= n, s"rolling(24h) at $hr below that hour's actives")
+    }
+    rolling.values.foreach(n => assert(n <= totalUsers))
+  }
+
+  test("s135_knn_triangles: counts equal a driver recompute from mutual edges") {
+    val tri = graft.SimilarityQueries.queries("s135_knn_triangles")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = graft.SimilarityQueries.queries("s117_mutual_knn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val triOf = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).foreach { c =>
+        if (c > b) { triOf(a) += 1; triOf(b) += 1; triOf(c) += 1 }
+      }
+    }
+    tri.foreach { case (v, deg, n) =>
+      assert(deg == adj.get(v).map(_.size.toLong).getOrElse(0L),
+        s"degree mismatch at $v")
+      assert(n == triOf(v), s"triangle count mismatch at $v: $n vs ${triOf(v)}")
+      assert(n <= deg * (deg - 1) / 2, s"triangles exceed C(deg,2) at $v")
+    }
+    assert(tri.map(_._3).sum % 3 == 0, "corner total must be divisible by 3")
+    assert(tri.map(_._3).sum > 0, "test corpus should contain triangles")
+  }
+
+  test("m136_media_near_dup: exact duplicates surface as hamming-0 pairs") {
+    val pairs = graft.MultimodalQueries.queries("m136_media_near_dup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.values.foreach(h => assert(h >= 0 && h <= 3))
+    // replayed-payload fixture (the corpus has no byte-identical payloads
+    // at this sf): two identical payloads must pair at hamming 0; a
+    // dissimilar payload must not pair with them
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mnd").toString
+    val payload = (1 to 50).map(i => s"frame$i").mkString(" ")
+    val other = (1 to 50).map(i => s"zq${i * 7}x").mkString("|")
+    Seq((1L, payload), (2L, payload), (3L, other))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.MultimodalQueries.queries("m136_media_near_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.get((1L, 2L)).contains(0L), s"replayed payload pair missing: $m")
+    assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)),
+      s"dissimilar payload wrongly paired: $m")
+  }
+
+  test("t137_length_bands: bands are monotone in length and equi-depth on a fixture") {
+    val rows = graft.TextQueries.queries("t137_length_bands")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, b) => assert(b >= 1 && b <= 4) }
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      grp.sortBy(_._2).sliding(2).foreach {
+        case Array((_, l1, b1), (_, l2, b2)) =>
+          assert(l1 > l2 || b1 <= b2, s"band not monotone in length for $src")
+        case _ =>
+      }
+    }
+    // 8 distinct lengths in one source split exactly 2/2/2/2
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bands").toString
+    (1 to 8).map(i => (i.toLong, "x" * i, "en", "web", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bands = graft.TextQueries.queries("t137_length_bands")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bands == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L), s"fixture bands: $bands")
+  }
+}

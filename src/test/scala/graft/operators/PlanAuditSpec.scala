@@ -214,4 +214,28 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("ScalaUDF"), s"$q: interpreted UDF in plan:\n$p")
     }
   }
+
+  test("round-7 analytics run as hash joins — no nested loop, no cartesian") {
+    // funnel/cohort/triangles/bands join only on equi keys; sliding-window
+    // and rolling-active expand rows instead of range-joining, so none of
+    // these plans may fall back to a nested loop at any scale
+    for (q <- Seq("q130_funnel", "q131_cohort_retention", "q133_transition_matrix",
+        "q134_rolling_active", "s135_knn_triangles", "t137_length_bands",
+        "m136_media_near_dup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in plan:\n$p")
+      // the only sanctioned nested loop is the kNN exact tier's B²-row
+      // block-grid broadcast (bounded by the tier gate, not the corpus)
+      if (q != "s135_knn_triangles")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested loop in plan:\n$p")
+    }
+    // the sliding window needs NO join at all — overlap is an Expand/
+    // Explode on the map side, the property that keeps it linear
+    val slide = plan("q132_sliding_window")
+    assert(!slide.contains("Join"), s"q132 should be join-free:\n$slide")
+    // the band boundary table must not carry a forced broadcast (t52 rule)
+    val banded = hintedCorpusScalingOutputs(
+      SparkEntry.queries("t137_length_bands")(spark, sf))
+    assert(banded.isEmpty, "t137: forced broadcast of the boundary table")
+  }
 }
