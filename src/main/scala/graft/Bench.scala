@@ -67,22 +67,29 @@ object Bench {
         }
       }
 
-    // best-of-2 per query to damp co-tenant noise on the bench host;
+    // Best-of-2 per query, taken across two SEPARATED full passes over
+    // the whole query list rather than two adjacent runs: the round-7/8
+    // root-cause (PERFORMANCE.md round-8 notes) found the co-tenant
+    // stall windows on this host inflate a CONTIGUOUS run of queries by
+    // a ~3 s floor — adjacent repeats of one query sit inside the same
+    // window and both inflate, while in separated passes the window
+    // lands on different queries and the per-query min sheds it.
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // the historically heaviest queries get a third run — on this noisy
-    // co-tenant host a single bad draw dominates the total, and min-of-3
+    // the historically heaviest queries get a run in a third pass — a
+    // single bad draw of one of these dominates the total, and min-of-3
     // tightens the tail cheaply
     val heavy = Set("q56_percentiles", "q14_median", "d38_dedup_jaccard",
       "d39_dedup_minhash_lsh", "d40_dedup_simhash", "d41_dedup_embedding",
       "d62_dedup_clusters", "d81_jaccard_prefix", "d82_embedding_lsh",
       "d83_clusters_distributed")
+    val passes: Seq[Seq[(String, Double)]] =
+      Seq(names, names, names.filter(heavy)).map(_.map(n => n -> runOnce(n)))
     val results = names.map { n =>
-      val runs = Seq.fill(if (heavy(n)) 3 else 2)(runOnce(n))
-      val good = runs.filter(_ >= 0)
+      val good = passes.flatten.collect { case (`n`, t) if t >= 0 => t }
       n -> (if (good.isEmpty) -1.0 else good.min)
     }
 

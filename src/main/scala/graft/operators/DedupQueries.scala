@@ -833,6 +833,89 @@ object DedupQueries {
         .withColumn("drop_rate",
           col("n_dropped_keep_first").cast("double") / col("n_docs").cast("double"))
         .orderBy("source")
+    }),
+
+    /** Unaligned exact-substring dedup (the ExactSubstr shape of Lee et
+      * al., "Deduplicating Training Data Makes Language Models Better",
+      * 2022 — reference analogue: none; d86 only catches duplicates
+      * aligned to its fixed 30-token chunk grid): emit every MAXIMAL
+      * token span of ≥ 50 tokens shared verbatim between two documents,
+      * at ANY alignment.
+      *
+      * Suffix arrays don't distribute, so this uses the winnowing
+      * fingerprint scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03) for
+      * candidate discovery: hash every 8-token gram, slide a 43-gram
+      * window over each doc's gram stream, and select each window's
+      * min-hash gram (rightmost on ties, via a position-packed compare
+      * key). Guarantee: a shared span of ≥ 50 tokens contains ≥ 43 fully
+      * interior consecutive gram positions = at least one COMPLETE
+      * window in both docs with identical hash content, whose argmin is
+      * content-relative — so both docs select the same gram and the pair
+      * surfaces in the fingerprint equi-join at the correct alignment
+      * offset. Verification then joins the two docs' full gram streams
+      * at that offset ON THE GRAM STRING (collision-free) and extracts
+      * maximal runs of consecutive matching gram starts (islands trick);
+      * a run of g ≥ 43 grams is a maximal shared span of g+7 ≥ 50
+      * tokens. Output is exactly the ground truth — the oracle computes
+      * it independently via the direct all-grams join, so the hash gate
+      * also proves the winnowing guarantee end-to-end on this corpus.
+      *
+      * Scale shape: fingerprinting is one scan + one doc-local window
+      * (the gram explode d112/d118 already pay; selection keeps ~1/w of
+      * gram rows). Candidates shuffle on the fingerprint gram; hot
+      * boilerplate fingerprints fan out as doc-frequency², which a
+      * production run caps with a df ceiling (drop grams seen in > F
+      * docs — they are stop-boilerplate, separately reported by d86) —
+      * at this corpus no cap is needed and none is applied, keeping the
+      * oracle exact. Extension joins candidate pairs to gram streams by
+      * (doc, position) — per-pair cost linear in doc length, total
+      * bounded by true near-duplicate mass, never corpus². */
+    "d138_substring_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 8; val w = 43; val minGrams = w // span >= w + k - 1 = 50 tokens
+      val grams = documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), " +
+            s"i -> struct(cast(i as bigint) AS s, array_join(slice(t, i, $k), ' ') AS gram))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.s").as("s"), col("g.gram").as("gram"))
+      // 36-bit gram hash packed with (2^24-1 - s): min == (min hash,
+      // rightmost position) — the shift-invariant winnowing compare key
+      val ck = conv(substring(md5(col("gram").cast("binary")), 1, 9), 16, 10)
+        .cast("long") * lit(1L << 24) + (lit((1L << 24) - 1) - col("s"))
+      val byDocFwd = Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.currentRow, w - 1)
+      val fps = grams
+        .withColumn("wmin", min(ck).over(byDocFwd))
+        .select(col("doc_id"),
+          (lit((1L << 24) - 1) - pmod(col("wmin"), lit(1L << 24))).as("s"))
+        .distinct()
+        .join(grams, Seq("doc_id", "s"))
+      val cand = fps.select(col("doc_id").as("doc1"), col("s").as("s1"), col("gram"))
+        .join(fps.select(col("doc_id").as("doc2"), col("s").as("s2"), col("gram")), "gram")
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), (col("s1") - col("s2")).as("off"))
+        .distinct()
+      val g1 = grams.toDF("doc1", "s1", "gram1")
+      val g2 = grams.toDF("doc2", "s2", "gram2")
+      // the s2/gram equalities reference both sides, so Catalyst folds the
+      // post-filter into the join condition (PushPredicateThroughJoin) —
+      // the physical join keys are (doc2, s2, gram2), never doc2 alone
+      val m = cand.join(g1, Seq("doc1"))
+        .join(g2, Seq("doc2"))
+        .filter(col("s2") === col("s1") - col("off") && col("gram1") === col("gram2"))
+        .select(col("doc1"), col("doc2"), col("off"), col("s1"))
+      val byRun = Window.partitionBy("doc1", "doc2", "off").orderBy("s1")
+      m.withColumn("island", col("s1") - row_number().over(byRun))
+        .groupBy("doc1", "doc2", "off", "island")
+        .agg(min("s1").as("start1"), count(lit(1)).as("n_grams"))
+        .filter(col("n_grams") >= minGrams)
+        .select(col("doc1"), col("doc2"), col("start1"),
+          (col("start1") - col("off")).as("start2"),
+          (col("n_grams") + (k - 1)).as("span_tokens"))
+        .orderBy("doc1", "doc2", "start1", "start2")
     })
   )
 
@@ -1346,7 +1429,34 @@ object DedupQueries {
          |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
          |  CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
          |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_rate
-         |FROM j GROUP BY source ORDER BY source""".stripMargin
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // Ground truth computed DIRECTLY (all cross-doc gram matches → maximal
+    // runs), NOT by replicating the winnowing pipeline — so the hash gate
+    // also proves the fingerprint guarantee (every ≥50-token shared span
+    // surfaces) holds end-to-end on this corpus.
+    "d138_substring_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS gram
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 7)) AS gi(i)
+        |  WHERE len(t) >= 8),
+        |m AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.s - b.s AS off, a.s AS s1
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc1, doc2, off, s1,
+        |    s1 - row_number() OVER (PARTITION BY doc1, doc2, off ORDER BY s1) AS island
+        |  FROM m),
+        |sp AS (
+        |  SELECT doc1, doc2, off, island, min(s1) AS start1, count(*) AS n_grams
+        |  FROM runs GROUP BY doc1, doc2, off, island)
+        |SELECT doc1, doc2, start1, start1 - off AS start2,
+        |  CAST(n_grams + 7 AS BIGINT) AS span_tokens
+        |FROM sp WHERE n_grams >= 43
+        |ORDER BY doc1, doc2, start1, start2""".stripMargin
   )
 
   private lazy val decontaminateOracle =

@@ -251,7 +251,15 @@ object SimilarityQueries {
       * degree (≤ k), so intermediate size is ≤ n·k² — linear in n with
       * the k² constant, the standard distributed triangle bound. Low-id
       * orientation means each triangle is formed exactly once, and both
-      * joins are plain hash shuffles on vertex keys. */
+      * joins are plain hash shuffles on vertex keys.
+      *
+      * Oracle validity domain (the s96/s117 caveat, ADVICE r7): the
+      * DuckDB oracle always recomputes the EXACT all-pairs kNN, so
+      * hash parity is established on the exact tier (corpora below
+      * `spark.graft.knn.exactLimit`, where knnGraph selects the exact
+      * block-grid). Above the gate knnGraph switches to banded-LSH
+      * candidates and the Spark result may legitimately diverge from
+      * the exact-graph oracle — same contract as s117. */
     "s135_knn_triangles" -> ((s, d) => {
       val g = knnGraph(s, d).select(col("vec_id").as("a"), col("neighbor_id").as("b"))
       val rev = g.select(col("b").as("a"), col("a").as("b"))

@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolation contract for SnapshotTable (VERDICT r7 #4): a
+  * reader racing a delete sees either the old or the new snapshot,
+  * never a mix; old snapshots stay readable until vacuum; orphaned
+  * stage files from a crashed writer are invisible and reclaimed.
+  */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("snaptab").toString + "/t"
+
+  private def rows(dir: String, version: Option[Long] = None): Set[(Long, Long)] =
+    SnapshotTable.read(spark, dir, version)
+      .select(col("k").cast("long"), col("p").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def mkDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("k", "p")
+  }
+
+  test("deleteWhere commits atomically: every racing read is exactly old or new") {
+    val dir = tempTable()
+    val all = (1L to 400L).map(k => (k, k % 4))
+    SnapshotTable.write(spark, dir, mkDf(all), "p")
+    val oldSnap = all.toSet
+    val newSnap = all.filterNot { case (k, _) => k % 10 == 0 }.toSet
+
+    // reader thread: spin latest-resolve + full reads during the delete
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) seen.add(rows(dir))
+    })
+    reader.start()
+    try {
+      val (v2, affected) = SnapshotTable.deleteWhere(spark, dir, "p", col("k") % 10 === 0)
+      assert(v2 == 2L)
+      assert(affected == Seq("0", "2")) // multiples of 10 live in p=0 and p=2
+    } finally { stop.set(true); reader.join() }
+    seen.add(rows(dir)) // at least one post-commit read
+    val distinct = seen.toArray(Array.empty[Set[(Long, Long)]]).toSet
+    assert(distinct.nonEmpty && distinct.subsetOf(Set(oldSnap, newSnap)),
+      s"a read observed a mixed snapshot: sizes ${distinct.map(_.size)}")
+    assert(rows(dir) == newSnap)
+  }
+
+  test("old snapshot stays byte-stable until vacuum; vacuum reclaims it") {
+    val dir = tempTable()
+    val all = (1L to 100L).map(k => (k, k % 2))
+    SnapshotTable.write(spark, dir, mkDf(all), "p")
+    SnapshotTable.deleteWhere(spark, dir, "p", col("k") <= 50)
+    // time travel: v1 still complete after the delete committed v2
+    assert(rows(dir, Some(1L)) == all.toSet)
+    assert(rows(dir) == all.filter(_._1 > 50).toSet)
+    val deleted = SnapshotTable.vacuum(spark, dir)
+    assert(deleted > 0, "vacuum should reclaim v1-only files")
+    assert(rows(dir) == all.filter(_._1 > 50).toSet, "latest snapshot untouched")
+    intercept[IllegalArgumentException](SnapshotTable.read(spark, dir, Some(1L)))
+  }
+
+  test("a full-partition delete drops the partition from the snapshot") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L), (3L, 1L))), "p")
+    val (_, affected) = SnapshotTable.deleteWhere(spark, dir, "p", col("p") === 0)
+    assert(affected == Seq("0"))
+    assert(rows(dir) == Set((3L, 1L)))
+  }
+
+  test("orphaned stage files from a crashed writer are invisible, vacuum reclaims them") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 1L))), "p")
+    // simulate a writer that staged a data file but died before commit
+    mkDf(Seq((99L, 0L))).where(col("p") === 0).drop("p")
+      .write.mode("overwrite").parquet(dir + "/__crash")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanSrc = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/__crash"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(orphanSrc, new org.apache.hadoop.fs.Path(dir, "p=0/snap-dead-0.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/__crash"), true)
+    assert(rows(dir) == Set((1L, 0L), (2L, 1L)), "orphan must be invisible to readers")
+    assert(SnapshotTable.vacuum(spark, dir) == 1)
+    assert(rows(dir) == Set((1L, 0L), (2L, 1L)))
+  }
+
+  test("appends are snapshots too and versions are monotone") {
+    val dir = tempTable()
+    assert(SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L))), "p") == 1L)
+    assert(SnapshotTable.append(spark, dir, mkDf(Seq((2L, 1L))), "p") == 2L)
+    assert(SnapshotTable.append(spark, dir, mkDf(Seq((3L, 0L))), "p") == 3L)
+    assert(rows(dir) == Set((1L, 0L), (2L, 1L), (3L, 0L)))
+    assert(rows(dir, Some(2L)) == Set((1L, 0L), (2L, 1L)))
+  }
+}

@@ -284,4 +284,42 @@ class EventStreamSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("jobs are source-agnostic: rate and socket sources map onto the one event schema") {
+    import EventStream.{RateSource, SocketSource}
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    val want = EventStream.streamSchema.map(f => (f.name, f.dataType))
+    val rate = EventStream.readEvents(spark, RateSource(rowsPerSecond = 500))
+    val sock = EventStream.readEvents(spark, SocketSource("localhost", 65432))
+    assert(shape(rate) == want, "rate source must map to the normalized schema")
+    assert(shape(sock) == want, "socket source must map to the normalized schema")
+    assert(shape(EventStream.readEvents(spark, eventsDir)) == want)
+    // every stateful job ANALYZES against the rate source — no file-source
+    // assumption survives in the job definitions
+    Seq(EventStream.hourlyAggregates(rate), EventStream.userSessions(rate),
+        EventStream.dedupedEvents(rate),
+        EventStream.statefulSessions(rate).toDF())
+      .foreach(df => assert(df.queryExecution.analyzed != null))
+    // and the dedup job RUNS live on the rate source: rows flow within a
+    // few micro-batches and event_ids stay unique
+    val q = EventStream.dedupedEvents(rate).writeStream
+      .outputMode("append").format("memory").queryName("rate_dedup").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("rate_dedup").isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(250)
+    } finally q.stop()
+    val rows = spark.table("rate_dedup")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+    assert(rows.nonEmpty, "rate-source dedup produced no rows within 60 s")
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "dedup must keep event_id unique")
+    val types = Set("view", "click", "signup", "purchase", "error")
+    rows.foreach { r =>
+      assert(types.contains(r.getString(1)))
+      val v = r.getDouble(2)
+      assert(v >= 0.0 && v < 100.0, s"mapped value out of range: $v")
+    }
+  }
 }
