@@ -590,6 +590,65 @@ object SimilarityQueries {
         .withColumn("fused_rank", row_number().over(wf).cast("long"))
         .filter(col("fused_rank") <= K)
         .orderBy("query_id", "fused_rank")
+    }),
+
+    /** Cross-modal retrieval: text-embedding queries search a MEDIA corpus
+      * through one shared 64-dim space. The media side is featurized into
+      * that space by 64-segment mean pooling over the payload bytes (the
+      * classic "downsample to a fixed-width feature vector" step a vision
+      * tower performs; the byte arithmetic is deterministic so DuckDB
+      * replicates it exactly and the row keeps the hard hash gate — a real
+      * joint encoder swaps only the featurizer, exactly like FakeDecoder →
+      * ImageIoDecoder in m46).
+      *
+      * Scale shape (100 TB): featurization is a partition-local scan (hex
+      * decode + segment sums — no shuffle); the query set broadcasts; the
+      * per-query top-k rides the bounded [[graft.functions.TopKByScore]]
+      * heap, so the only shuffle is k rows per query at the final merge.
+      * With a large query set you'd bucket BOTH spaces with the existing
+      * s43/s44 tiers — after featurization cross-modal is just vectors,
+      * so every ANN tier in this file applies unchanged. */
+    "s139_cross_modal" -> ((s, d) => {
+      VectorFunctions.register(s)
+      graft.functions.TopKAggregate.register(s)
+      val Dim = 64
+      val docs = documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .filter(octet_length(col("media")) > 0)
+        .select(col("doc_id"),
+          octet_length(col("media")).cast("long").as("n"),
+          upper(hex(col("media"))).as("hx"))
+      // payload bytes via the hex-pair decomposition (multi-byte UTF-8
+      // matches the JVM byte view — same trick as the t66/m136 oracles)
+      val withBytes = docs.select(col("doc_id"), col("n"),
+        transform(sequence(lit(0L), col("n") - 1), p =>
+          conv(col("hx").substr((p * 2 + 1).cast("int"), lit(2)), 16, 10)
+            .cast("double")).as("bl"))
+      // 64-segment mean pooling: segment j covers byte positions
+      // [j*n/64, (j+1)*n/64); empty segments (n < 64) pool to 0.0
+      val media = withBytes.select(col("doc_id"),
+        transform(sequence(lit(0), lit(Dim - 1)), j => {
+          val s0 = ((j * col("n")) / Dim).cast("long")
+          val e0 = (((j + 1) * col("n")) / Dim).cast("long")
+          val cnt = e0 - s0
+          when(cnt <= 0, lit(0.0)).otherwise(
+            aggregate(
+              slice(col("bl"), (s0 + 1).cast("int"), cnt.cast("int")),
+              lit(0.0), (acc, v) => acc + v) / cnt.cast("double"))
+        }).as("mv"))
+      val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      media.crossJoin(broadcast(q))
+        .select(col("query_id"), col("doc_id"),
+          call_function("cosine_sim", col("qv"), col("mv")).as("cosine"))
+        .groupBy("query_id")
+        .agg(call_function("topk_by_score", col("cosine"), col("doc_id"), lit(K))
+          .as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("col.score").as("cosine"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1264,7 +1323,40 @@ object SimilarityQueries {
         |  FROM embeddings
         |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(i))
         |SELECT label, dim, round(avg(v), 6) AS centroid_val, count(*) AS n
-        |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same hex-pair byte decomposition as the m46/t66 oracles, same
+    // 64-segment mean pooling, same double-cast cosine as s42's oracle
+    "s139_cross_modal" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |b AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, n), p ->
+         |      CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2 * p + 1 AS INTEGER), 1)) - 1) * 16 +
+         |           (strpos('0123456789ABCDEF', substr(hx, CAST(2 * p + 2 AS INTEGER), 1)) - 1)
+         |        AS DOUBLE)) AS bl
+         |  FROM raw),
+         |media AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), j ->
+         |      CASE WHEN (j + 1) * n // 64 - j * n // 64 <= 0 THEN 0.0
+         |      ELSE list_sum(bl[CAST(j * n // 64 + 1 AS INTEGER):CAST((j + 1) * n // 64 AS INTEGER)])
+         |           / CAST((j + 1) * n // 64 - j * n // 64 AS DOUBLE) END) AS mv
+         |  FROM b),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, m.doc_id,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), m.mv) AS cosine
+         |  FROM embeddings q CROSS JOIN media m
+         |  WHERE q.vec_id < $NumQueries),
+         |ranked AS (
+         |  SELECT query_id, doc_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, cosine
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )
 }
 

@@ -405,4 +405,38 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType("image") == 1L && byType("audio") == 1L && byType("video") >= 1L)
   }
+
+  test("s139: cross-modal retrieval invariants + crafted featurization") {
+    // invariants on real testdata: 5 queries x 10 ranks, contiguous ranks,
+    // non-increasing cosine per query, media ids drawn from documents
+    val out = SparkEntry.queries("s139_cross_modal")(spark, sf).collect()
+    assert(out.length == 50, s"expected 5x10 rows, got ${out.length}")
+    val docIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to 10L))
+      val cosines = sorted.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => docIds.contains(r.getLong(1))))
+    }
+    // crafted fixture: a 128-byte ASCII doc, first half 'a' (97), second
+    // half 'b' (98) -> segment means [97 x32, 98 x32]; a query embedding
+    // equal to that vector must retrieve the doc at rank 1 with cosine ~1
+    val tmp = java.nio.file.Files.createTempDirectory("xmodal").toString
+    val docs = Seq((0L, "a" * 64 + "b" * 64), (1L, "z" * 40)).toDF("doc_id", "text")
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val qv = (Array.fill(32)(97.0f) ++ Array.fill(32)(98.0f)).toSeq
+    Seq((0L, qv, 0)).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val crafted = SparkEntry.queries("s139_cross_modal")(spark, tmp)
+      .filter(col("rank") === 1).collect()
+    assert(crafted.length == 1)
+    assert(crafted.head.getLong(1) == 0L, "aligned media doc should rank first")
+    assert(crafted.head.getDouble(3) > 0.999999, s"cosine ${crafted.head.getDouble(3)}")
+  }
 }
