@@ -534,6 +534,73 @@ object EventQueries {
           col("ts").as("last_ts"), col("event_type").as("last_type"),
           col("value").as("last_value"), col("n_versions"))
         .orderBy("user_id")
+    }),
+
+    /** SCD Type-2 dimension build from a changelog: per key (user), the
+      * tracked attribute's consecutive duplicates collapse, and each
+      * surviving change becomes a versioned validity interval —
+      * effective_from = its event time, effective_to = the NEXT change's
+      * time (null = current row), the standard warehouse history table.
+      *
+      * Scale shape: ONE shuffle on the key serves everything — the
+      * change-collapse lag, the version row_number, and the interval
+      * lead all share the (user_id, ts) sort, so Catalyst stacks three
+      * WindowExecs on a single exchange. At 100 TB this is the same
+      * plan per changelog partition; no self-joins, no skew terms. */
+    "q141_scd2_dimension" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(ord))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(ord).cast("long"))
+        // open intervals close at the classic SCD2 high-date sentinel
+        // (also keeps the gated output free of null timestamps)
+        .withColumn("effective_to",
+          coalesce(lead("ts", 1).over(ord), lit("9999-12-31 00:00:00").cast("timestamp_ntz")))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          col("ts").cast("timestamp_ntz").as("effective_from"),
+          col("effective_to").cast("timestamp_ntz").as("effective_to"),
+          (col("effective_to") === lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+            .as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    /** Snapshot diff → CDC changelog: given two keyed snapshots, emit
+      * the insert/update/delete row-change feed between them (the
+      * inverse of q105's changelog→snapshot compaction; together they
+      * round-trip a table through its change history). The "new"
+      * snapshot is derived deterministically from orders — keys %13==0
+      * deleted, %7==0 status-updated, %11==0 re-keyed as inserts — so
+      * the oracle rebuilds both sides exactly.
+      *
+      * Scale shape: one full outer join on the key — shuffle both sides
+      * once, compare co-partitioned, no window, no broadcast of either
+      * snapshot. The unchanged majority is filtered AFTER the join but
+      * BEFORE any further stage, so downstream consumers see only the
+      * delta (the point of CDC at 100 TB: ship changes, not tables). */
+    "q142_snapshot_cdc" -> ((s, d) => {
+      val old = orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+      val base = orders(s, d)
+      val newSnap = base
+        .filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status"))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("k"),
+            col("o_orderstatus").as("status")))
+      old.as("o").join(newSnap.as("n"), col("o.k") === col("n.k"), "full_outer")
+        .select(
+          when(col("o.k").isNull, lit("insert"))
+            .when(col("n.k").isNull, lit("delete"))
+            .when(col("o.status") =!= col("n.status"), lit("update"))
+            .otherwise(lit("none")).as("op"),
+          coalesce(col("o.k"), col("n.k")).as("o_orderkey"),
+          col("o.status").as("old_status"), col("n.status").as("new_status"))
+        .filter(col("op") =!= "none")
+        .orderBy("o_orderkey", "op")
     })
   )
 
@@ -767,6 +834,49 @@ object EventQueries {
         |  round((SELECT avg(o_totalprice) FROM orders), 6) AS avg_price
         |FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q141_scd2_dimension" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |versioned AS (
+        |  SELECT user_id, event_type AS state, ts AS effective_from,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS version,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      TIMESTAMP '9999-12-31 00:00:00') AS effective_to
+        |  FROM changes)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |  effective_from, effective_to,
+        |  effective_to = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+        |FROM versioned ORDER BY user_id, version""".stripMargin,
+    // same deterministic derivation of the "new" snapshot (%13 deletes,
+    // %7 status updates, %11 re-keyed inserts) as the Spark side
+    "q142_snapshot_cdc" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status FROM orders),
+        |new_snap AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS k, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |diff AS (
+        |  SELECT
+        |    CASE WHEN o.k IS NULL THEN 'insert'
+        |         WHEN n.k IS NULL THEN 'delete'
+        |         WHEN o.status <> n.status THEN 'update'
+        |         ELSE 'none' END AS op,
+        |    coalesce(o.k, n.k) AS o_orderkey,
+        |    o.status AS old_status, n.status AS new_status
+        |  FROM old o FULL OUTER JOIN new_snap n ON o.k = n.k)
+        |SELECT op, o_orderkey, old_status, new_status
+        |FROM diff WHERE op <> 'none' ORDER BY o_orderkey, op""".stripMargin
   )
 }

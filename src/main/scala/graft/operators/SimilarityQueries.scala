@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -601,41 +601,43 @@ object SimilarityQueries {
       * joint encoder swaps only the featurizer, exactly like FakeDecoder →
       * ImageIoDecoder in m46).
       *
-      * Scale shape (100 TB): featurization is a partition-local scan (hex
-      * decode + segment sums — no shuffle); the query set broadcasts; the
-      * per-query top-k rides the bounded [[graft.functions.TopKByScore]]
-      * heap, so the only shuffle is k rows per query at the final merge.
-      * With a large query set you'd bucket BOTH spaces with the existing
-      * s43/s44 tiers — after featurization cross-modal is just vectors,
-      * so every ANN tier in this file applies unchanged. */
+      * Scale shape (100 TB): featurization is a partition-local typed
+      * mapPartitions over the payload bytes (the m46 batch-decode
+      * plumbing — a first Column-DSL draft built the byte list with
+      * nested higher-order functions, which run INTERPRETED and cost
+      * 217 s at sf0.1; the Scala byte loop is 1.5 s, see PERFORMANCE.md
+      * round 8); the query set broadcasts; the per-query top-k rides the
+      * bounded [[graft.functions.TopKByScore]] heap, so the only shuffle
+      * is k rows per query at the final merge. With a large query set
+      * you'd bucket BOTH spaces with the existing s43/s44 tiers — after
+      * featurization cross-modal is just vectors, so every ANN tier in
+      * this file applies unchanged. */
     "s139_cross_modal" -> ((s, d) => {
       VectorFunctions.register(s)
       graft.functions.TopKAggregate.register(s)
+      import s.implicits._
       val Dim = 64
-      val docs = documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-        .filter(octet_length(col("media")) > 0)
-        .select(col("doc_id"),
-          octet_length(col("media")).cast("long").as("n"),
-          upper(hex(col("media"))).as("hx"))
-      // payload bytes via the hex-pair decomposition (multi-byte UTF-8
-      // matches the JVM byte view — same trick as the t66/m136 oracles)
-      val withBytes = docs.select(col("doc_id"), col("n"),
-        transform(sequence(lit(0L), col("n") - 1), p =>
-          conv(col("hx").substr((p * 2 + 1).cast("int"), lit(2)), 16, 10)
-            .cast("double")).as("bl"))
       // 64-segment mean pooling: segment j covers byte positions
-      // [j*n/64, (j+1)*n/64); empty segments (n < 64) pool to 0.0
-      val media = withBytes.select(col("doc_id"),
-        transform(sequence(lit(0), lit(Dim - 1)), j => {
-          val s0 = ((j * col("n")) / Dim).cast("long")
-          val e0 = (((j + 1) * col("n")) / Dim).cast("long")
-          val cnt = e0 - s0
-          when(cnt <= 0, lit(0.0)).otherwise(
-            aggregate(
-              slice(col("bl"), (s0 + 1).cast("int"), cnt.cast("int")),
-              lit(0.0), (acc, v) => acc + v) / cnt.cast("double"))
-        }).as("mv"))
+      // [j*n/64, (j+1)*n/64); empty segments (n < 64) pool to 0.0;
+      // integer byte sums are exact in double, so the DuckDB oracle
+      // reproduces every value bit-for-bit
+      val media = documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          if (n == 0) None
+          else Some((id, Array.tabulate(Dim) { j =>
+            val s0 = (j.toLong * n / Dim).toInt
+            val e0 = ((j + 1).toLong * n / Dim).toInt
+            if (e0 <= s0) 0.0
+            else {
+              var sum = 0.0; var i = s0
+              while (i < e0) { sum += (bytes(i) & 0xff); i += 1 }
+              sum / (e0 - s0)
+            }
+          }))
+        }).toDF("doc_id", "mv")
       val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"))
@@ -648,6 +650,85 @@ object SimilarityQueries {
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), col("col.id").as("doc_id"),
           (col("pos") + 1).cast("long").as("rank"), col("col.score").as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    /** Product-quantization ANN (the IVF-PQ building block at billion
+      * scale): each 64-dim vector splits into 8 subvectors of 8 dims;
+      * every subvector is encoded as the id of its nearest codebook
+      * centroid (here the deterministic codebook = subvectors of vec_id
+      * 0..255, the standard 8-bit codes — a trained codebook changes
+      * only the `cents` input). Queries score candidates by Asymmetric Distance
+      * Computation: per-subspace L2² against each centroid is a
+      * 256-entry distance table per subspace; a candidate's approximate
+      * distance is the sum of its 8 codes' table entries. The ADC pass
+      * over-fetches a 5× shortlist which an exact-L2 rerank over the
+      * original vectors cuts to top-k — the production serving shape
+      * (pure ADC rank quality collapses under distance concentration on
+      * near-random vectors: mean recall@10 measured 0.36 unreranked vs
+      * 0.88 reranked at sf0.01, DedupSimilaritySpec pins the floor).
+      *
+      * Per-subspace distances are rounded to the 1e-9 lattice and summed
+      * as DECIMAL(28,9) (the s103 trick) so the 8-row sum is
+      * order-independent and byte-stable across engines/partitionings.
+      *
+      * Scale shape (100 TB): encoding is one broadcast join (codebook is
+      * KB-sized) + a per-(vector,subspace) argmin — linear, shuffled on
+      * vec_id only; the ADC scan touches 8 small rows per candidate
+      * (codes, not floats — an 8-byte sketch of a 256-byte vector, the
+      * 32× memory shrink that lets a billion vectors fit a cluster's
+      * RAM); the distance table is 2048 broadcast rows per query set. */
+    "s140_pq_ann" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val NSub = 8; val SubDim = 8; val NCent = 256
+      val emb = embeddings(s, d)
+      // explode into (id, sub, subvec): one row per subspace
+      def subs(df: DataFrame, idAs: String): DataFrame =
+        df.select(col("vec_id").as(idAs), posexplode(
+          transform(sequence(lit(0), lit(NSub - 1)), i =>
+            slice(col("embedding").cast("array<double>"),
+              (i * SubDim + 1).cast("int"), lit(SubDim)))))
+          .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      // codegen'd Catalyst expression (functions.SquaredL2Distance) — the
+      // HOF equivalent (aggregate ∘ zip_with) runs interpreted and was
+      // 3.5× slower on the 2048-way encode join (PERFORMANCE.md round 8)
+      def l2sq(a: Column, b: Column): Column = call_function("l2sq", a, b)
+      val centSubs = subs(emb.filter(col("vec_id") < NCent), "cent_id")
+        .withColumnRenamed("sv", "cv")
+      // encode: nearest centroid per (vector, subspace); min(struct) gives
+      // a deterministic argmin with ties to the lowest centroid id
+      val enc = subs(emb, "vec_id")
+        .join(broadcast(centSubs), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(l2sq(col("sv"), col("cv")).as("l2"),
+          col("cent_id"))).getField("cent_id").as("code"))
+      // ADC distance tables for the query set, on the decimal lattice
+      val qdt = subs(emb.filter(col("vec_id") < NumQueries), "query_id")
+        .join(broadcast(centSubs), "sub")
+        .select(col("query_id"), col("sub"), col("cent_id"),
+          round(l2sq(col("sv"), col("cv")), 9).cast("decimal(28,9)").as("dt"))
+      val Shortlist = 5 * K
+      val wA = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
+      val short = enc.join(broadcast(qdt),
+          enc("sub") === qdt("sub") && enc("code") === qdt("cent_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dt")).cast("decimal(28,9)").as("approx_dist"))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= Shortlist)
+      // exact rerank: only the shortlist's original vectors are touched
+      val nv = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("nv"))
+      val qv = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val wE = Window.partitionBy("query_id").orderBy(col("exact_dist"), col("neighbor_id"))
+      short.join(nv, "neighbor_id").join(broadcast(qv), "query_id")
+        .withColumn("exact_dist",
+          round(l2sq(col("qv"), col("nv")), 9).cast("decimal(28,9)"))
+        .withColumn("rank", row_number().over(wE).cast("long"))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id", "rank", "approx_dist", "exact_dist")
         .orderBy("query_id", "rank")
     })
   )
@@ -1356,6 +1437,57 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, doc_id) AS rank
          |  FROM scored)
          |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, cosine
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // same 8x8 subvector split, same argmin-with-id-tiebreak encode, same
+    // 1e-9-lattice DECIMAL(28,9) ADC sum as the Spark side
+    "s140_pq_ann" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, CAST(s.i AS INTEGER) AS sub,
+         |    emb[CAST(s.i * 8 + 1 AS INTEGER):CAST(s.i * 8 + 8 AS INTEGER)] AS sv
+         |  FROM e CROSS JOIN unnest(generate_series(0, 7)) AS s(i)),
+         |cent AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM sv WHERE vec_id < 256),
+         |encd AS (
+         |  SELECT vec_id, sub, cent_id AS code FROM (
+         |    SELECT v.vec_id, v.sub, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY list_sum(list_transform(range(1, 9),
+         |          i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), c.cent_id) AS rn
+         |    FROM sv v JOIN cent c USING (sub))
+         |  WHERE rn = 1),
+         |qdt AS (
+         |  SELECT q.vec_id AS query_id, q.sub, c.cent_id,
+         |    CAST(round(list_sum(list_transform(range(1, 9),
+         |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), 9)
+         |      AS DECIMAL(28,9)) AS dt
+         |  FROM sv q JOIN cent c USING (sub) WHERE q.vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT d.query_id, x.vec_id AS neighbor_id,
+         |    CAST(sum(d.dt) AS DECIMAL(28,9)) AS approx_dist
+         |  FROM encd x JOIN qdt d ON x.sub = d.sub AND x.code = d.cent_id
+         |  WHERE d.query_id <> x.vec_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, neighbor_id, approx_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_dist, neighbor_id) AS arank
+         |  FROM scored QUALIFY arank <= ${5 * K}),
+         |reranked AS (
+         |  SELECT s.query_id, s.neighbor_id, s.approx_dist,
+         |    CAST(round(list_sum(list_transform(range(1, 65),
+         |      i -> (q.emb[i] - c.emb[i]) * (q.emb[i] - c.emb[i]))), 9)
+         |      AS DECIMAL(28,9)) AS exact_dist
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e c ON c.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, approx_dist, exact_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY exact_dist, neighbor_id) AS rank
+         |  FROM reranked)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  approx_dist, exact_dist
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -49,6 +49,16 @@ object SnapshotTable {
     else None
   }
 
+  private def readManifest(fs: FileSystem, path: Path): Seq[String] = {
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Data-file lines of a manifest (metadata lines start with '#'). */
+  private def dataLines(lines: Seq[String]): Seq[String] =
+    lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+
   /** Latest committed (version, data-file relative paths); None if the
     * table has no committed snapshot yet. */
   def latest(spark: SparkSession, dir: String): Option[(Long, Seq[String])] = {
@@ -60,11 +70,7 @@ object SnapshotTable {
     if (versions.isEmpty) None
     else {
       val (v, path) = versions.maxBy(_._1)
-      val in = fs.open(path)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      Some(v -> lines.filter(_.nonEmpty))
+      Some(v -> dataLines(readManifest(fs, path)))
     }
   }
 
@@ -80,10 +86,7 @@ object SnapshotTable {
       case Some(v) =>
         val p = new Path(new Path(root, ManifestDir), s"v$v.manifest")
         require(fs.exists(p), s"$dir has no snapshot v$v")
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-            .filter(_.nonEmpty)
-        finally in.close()
+        dataLines(readManifest(fs, p))
     }
     require(files.nonEmpty, s"$dir snapshot is empty")
     // basePath keeps the hive partition column visible on per-file reads
@@ -117,19 +120,24 @@ object SnapshotTable {
   }
 
   /** Atomically commit `files` as snapshot max+1; retries if another
-    * writer claims the version first. Returns the committed version. */
-  private def commit(spark: SparkSession, dir: String,
-      files: Seq[String]): Long = {
+    * writer claims the version first. `meta` key/values are written as
+    * `#key=value` header lines INSIDE the manifest, so metadata (e.g. a
+    * streaming batch id) commits in the same atomic rename as the file
+    * list — there is no window where the data is committed but its
+    * marker is not. Returns the committed version. */
+  private def commit(spark: SparkSession, dir: String, files: Seq[String],
+      meta: Map[String, String] = Map.empty): Long = {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
+    val header = meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
     var attempt = 0
     while (attempt < 20) {
       val v = latest(spark, dir).map(_._1).getOrElse(0L) + 1
       val tmp = new Path(mdir,
         s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
-      try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       // rename-without-overwrite IS the commit: exactly one writer can
       // create v{N}.manifest, the loser re-reads latest and retries
@@ -176,6 +184,118 @@ object SnapshotTable {
     (commit(spark, dir, keptFiles ++ newFiles), affected)
   }
 
+  /** MERGE (upsert): rows of `updates` whose `keyCol` matches an existing
+    * row REPLACE it; the rest are inserted — the lakehouse `MERGE INTO
+    * ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` shape.
+    *
+    * `updates` must be key-unique (enforced — duplicate keys make
+    * "replace" ambiguous). A matched key's old row is removed even when
+    * the update row moves it to a DIFFERENT partition: its old partition
+    * is rewritten without it, and the update row stages into its own.
+    *
+    * Scale shape: finding matches is one join of the snapshot against the
+    * update KEYS (broadcastable when the batch is small — the common CDC
+    * case); the rewrite is partition-scoped exactly like [[deleteWhere]]
+    * — only partitions that CONTAIN a matched key re-stage their
+    * survivors, so a small upsert into a 100 TB table pays for the
+    * partitions it touches plus one key-probe scan, never a full rewrite.
+    *
+    * Returns (version, replacedRowCount, insertedRowCount). */
+  def merge(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, updates: DataFrame): (Long, Long, Long) = {
+    val upCount = updates.count()
+    val upKeys = updates.select(col(keyCol)).distinct()
+    require(upKeys.count() == upCount,
+      s"merge updates must be key-unique on '$keyCol'")
+    latest(spark, dir) match {
+      case None => // empty table: merge degenerates to create
+        (write(spark, dir, updates, partCol), 0L, upCount)
+      case Some((base, files)) =>
+        val snap = read(spark, dir, Some(base))
+        // one pass: per-partition matched-row counts -> affected set +
+        // replaced total + (via distinct keys) inserted total
+        val matched = snap.select(col(keyCol),
+            col(partCol).cast("string").as("__part"))
+          .join(upKeys, Seq(keyCol))
+        // per-partition row counts give the affected set + replaced total;
+        // the inserted count needs GLOBALLY distinct matched keys (a key
+        // living in several partitions counts once), a second grain over
+        // the same key-probe join
+        val agg = matched
+          .groupBy("__part").agg(count(lit(1)).as("n")).collect()
+        val affected = agg.map(_.getString(0)).toSeq.sorted
+        val replaced = agg.map(_.getLong(1)).sum
+        val matchedKeys =
+          if (affected.isEmpty) 0L
+          else matched.select(keyCol).distinct().count()
+        if (affected.isEmpty)
+          return (commit(spark, dir,
+            files ++ stage(spark, dir, updates, partCol)), 0L, upCount)
+        val affectedDirs = affected.map(v => s"$partCol=$v").toSet
+        val keptFiles =
+          files.filterNot(f => affectedDirs.contains(f.split('/').head))
+        val survivors = snap
+          .filter(col(partCol).cast("string").isin(affected: _*))
+          .join(upKeys, Seq(keyCol), "left_anti")
+          .select(snap.columns.map(col): _*)
+        val staged = stage(spark, dir,
+          survivors.unionByName(updates.select(snap.columns.map(col): _*)),
+          partCol)
+        (commit(spark, dir, keptFiles ++ staged),
+          replaced, upCount - matchedKeys)
+    }
+  }
+
+  /** Exactly-once streaming append: the foreachBatch sink body. The
+    * micro-batch's id is committed INSIDE the manifest (`#batch=<id>`
+    * header), so data and replay marker are one atomic rename — if the
+    * driver dies after commit but before the engine checkpoints, the
+    * replayed batch finds its id and becomes a no-op instead of a
+    * duplicate (the Delta/Iceberg idempotent-sink contract).
+    *
+    * Returns the committed (or previously-committed) version. */
+  def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
+      partCol: String, batchId: Long, queryId: String = "q"): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    val mdir = new Path(root, ManifestDir)
+    val tag = s"#batch=$queryId/$batchId"
+    if (fs.exists(mdir)) {
+      // newest-first: a replay retries the LAST batch, so this is O(1)
+      // in the common case; the full scan only runs for ancient ids
+      val prior = fs.listStatus(mdir).toSeq
+        .flatMap(f => manifestVersion(f.getPath).map(_ -> f.getPath))
+        .sortBy(-_._1)
+        .find { case (_, p) => readManifest(fs, p).contains(tag) }
+      prior.foreach { case (v, _) => return v }
+    }
+    val prev = latest(spark, dir).map(_._2).getOrElse(Seq.empty)
+    commit(spark, dir, prev ++ stage(spark, dir, df, partCol),
+      Map("batch" -> s"$queryId/$batchId"))
+  }
+
+  /** OPTIMIZE: rewrite every partition holding more than `targetFiles`
+    * data files into `targetFiles` (default 1), committed as one new
+    * snapshot — readers of the old snapshot keep their small files until
+    * vacuum. Row-identical by construction; only file boundaries change.
+    * Returns (version, partitions compacted); base version when nothing
+    * qualifies. */
+  def compact(spark: SparkSession, dir: String, partCol: String,
+      targetFiles: Int = 1): (Long, Seq[String]) = {
+    val (base, files) = latest(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val byPart = files.groupBy(_.split('/').head)
+    val crowded = byPart.filter(_._2.size > targetFiles).keys.toSeq.sorted
+    if (crowded.isEmpty) return (base, Nil)
+    val crowdedVals = crowded.map(_.split('=').last)
+    val keptFiles = files.filterNot(f => crowded.contains(f.split('/').head))
+    val snap = read(spark, dir, Some(base))
+    val rewritten = snap
+      .filter(col(partCol).cast("string").isin(crowdedVals: _*))
+      .repartition(targetFiles)
+    (commit(spark, dir, keptFiles ++ stage(spark, dir, rewritten, partCol)),
+      crowded)
+  }
+
   /** Drop every data file no manifest ≤ latest-but-retained references:
     * keeps the latest `retain` snapshots' manifests (default 1) and any
     * file they reference; everything else (orphaned stages from crashes,
@@ -190,10 +310,7 @@ object SnapshotTable {
       .sortBy(-_._1)
     val (keep, drop) = manifests.splitAt(math.max(1, retain))
     val referenced: Set[String] = keep.flatMap { case (_, p) =>
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          .filter(_.nonEmpty)
-      finally in.close()
+      dataLines(readManifest(fs, p))
     }.toSet
     var deleted = 0
     fs.listStatus(root).filter(f => f.isDirectory &&

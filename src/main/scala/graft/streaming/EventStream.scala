@@ -329,6 +329,29 @@ object EventStream {
     q.stop()
   }
 
+  /** Exactly-once variant of [[runToParquet]]: each micro-batch commits
+    * into a [[graft.sources.SnapshotTable]] through `appendBatch`, which
+    * records the batch id INSIDE the atomically-renamed manifest — a
+    * replayed batch (driver death between sink commit and engine
+    * checkpoint, the at-least-once window every foreachBatch sink has)
+    * finds its id and no-ops instead of appending duplicates. Readers
+    * see snapshot-isolated, never-partial table states throughout. */
+  def runToSnapshotTable(streamed: DataFrame, dir: String,
+      partCol: String): Unit = {
+    val q = streamed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.SnapshotTable.appendBatch(
+            batch.sparkSession, dir, batch.toDF(), partCol, batchId): Unit
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming DataFrame to completion against a static directory
     * via the memory sink (test/driver harness; Trigger semantics are
     * identical on a live source). Returns the materialized result. */

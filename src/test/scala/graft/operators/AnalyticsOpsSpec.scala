@@ -187,4 +187,51 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(bands == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
       5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L), s"fixture bands: $bands")
   }
+
+  test("q141_scd2: intervals tile per key, one current row, consecutive states differ") {
+    val out = graft.EventQueries.queries("q141_scd2_dimension")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"user $user versions not contiguous")
+      // exactly one open (current) interval, and it is the last version
+      // (open = the 9999-12-31 SCD2 high-date sentinel)
+      assert(sorted.count(_.getBoolean(5)) == 1, s"user $user current-count != 1")
+      assert(sorted.last.getBoolean(5))
+      assert(sorted.last.get(4).toString.startsWith("9999-12-31"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) == b.get(3),
+            s"user $user: effective_to must equal next effective_from")
+          assert(a.getString(2) != b.getString(2),
+            s"user $user: consecutive SCD2 states must differ (collapse failed)")
+        case _ =>
+      }
+    }
+    // collapse fixture: a=→a→b→b→a gives versions a,b,a
+    val dir = eventsFixture(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a"), (2L, "2024-01-01 01:00:00", 7L, "a"),
+      (3L, "2024-01-01 02:00:00", 7L, "b"), (4L, "2024-01-01 03:00:00", 7L, "b"),
+      (5L, "2024-01-01 04:00:00", 7L, "a")))
+    val hist = graft.EventQueries.queries("q141_scd2_dimension")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(hist.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a")), hist.mkString(","))
+  }
+
+  test("q142_cdc: op partition matches the deterministic mutation rules") {
+    val out = graft.EventQueries.queries("q142_snapshot_cdc")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val keys = graft.Tables.orders(spark, sfDir).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val expectDeletes = keys.filter(_ % 13 == 0)
+    val expectUpdates = keys.filter(k => k % 13 != 0 && k % 7 == 0)
+    val expectInserts = keys.filter(_ % 11 == 0).map(_ + 10000000L)
+    assert(out.collect { case ("delete", k) => k }.toSet == expectDeletes)
+    assert(out.collect { case ("update", k) => k }.toSet == expectUpdates)
+    assert(out.collect { case ("insert", k) => k }.toSet == expectInserts)
+    assert(out.length == expectDeletes.size + expectUpdates.size + expectInserts.size,
+      "changelog must contain exactly the changed keys, nothing unchanged")
+  }
 }

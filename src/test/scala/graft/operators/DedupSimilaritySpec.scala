@@ -439,4 +439,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(crafted.head.getLong(1) == 0L, "aligned media doc should rank first")
     assert(crafted.head.getDouble(3) > 0.999999, s"cosine ${crafted.head.getDouble(3)}")
   }
+
+  test("s140: PQ-ANN invariants + recall vs exact L2 top-10") {
+    val out = SparkEntry.queries("s140_pq_ann")(spark, sf).collect()
+    assert(out.length == 50, s"expected 5x10 rows, got ${out.length}")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to 10L))
+      val exact = sorted.map(_.getDecimal(4))
+      assert(exact.zip(exact.tail).forall { case (a, b) => a.compareTo(b) <= 0 },
+        "exact rerank distance must be non-decreasing down the ranking")
+      assert(sorted.map(_.getDecimal(3)).forall(_.signum() >= 0) &&
+        exact.forall(_.signum() >= 0), "squared distances are non-negative")
+    }
+    // recall vs EXACT L2 top-10, computed independently from raw vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val recalls = (0L until 5L).map { q =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2sq(vecs(q), vecs(n)), n)).take(10).toSet
+      val pq = out.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      (pq & exact).size.toDouble / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // 8-bit codes over 8 subspaces + 5x-shortlist exact rerank: measured
+    // mean recall@10 is 1.0 here (sf0.001) and 0.88 at sf0.01; the
+    // UNreranked ADC ranking measures 0.36 — distance concentration on
+    // near-random 64-dim vectors is what the rerank stage exists for
+    assert(mean >= 0.8, s"PQ mean recall $mean below 0.8 (per-query: $recalls)")
+  }
 }

@@ -96,4 +96,92 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows(dir) == Set((1L, 0L), (2L, 1L), (3L, 0L)))
     assert(rows(dir, Some(2L)) == Set((1L, 0L), (2L, 1L)))
   }
+
+  private def mkDf3(triples: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    triples.toDF("k", "p", "v")
+  }
+
+  private def rows3(dir: String): Set[(Long, Long, String)] =
+    SnapshotTable.read(spark, dir, None)
+      .select(col("k").cast("long"), col("p").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  private def manifestFiles(dir: String): Seq[String] =
+    SnapshotTable.latest(spark, dir).get._2
+
+  test("merge replaces matched rows, inserts the rest, and leaves untouched partitions' files alone") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir,
+      mkDf3(Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"), (4L, 2L, "d"))), "p")
+    val before = manifestFiles(dir)
+    // k=2 updated in place, k=3 MOVES p=1 -> p=2, k=9 inserted
+    val (v, replaced, inserted) = SnapshotTable.merge(spark, dir, "p", "k",
+      mkDf3(Seq((2L, 0L, "B"), (3L, 2L, "C"), (9L, 1L, "x"))))
+    assert(v == 2L && replaced == 2L && inserted == 1L)
+    assert(rows3(dir) == Set(
+      (1L, 0L, "a"), (2L, 0L, "B"), (3L, 2L, "C"), (4L, 2L, "d"), (9L, 1L, "x")))
+    // p=0 and p=1 contained matched keys -> rewritten; p=2 had none, so
+    // its old file (k=4's) must carry over and the row arriving INTO
+    // p=2 (k=3's move) lands as a new file beside it
+    val after = manifestFiles(dir)
+    val oldP2 = before.filter(_.startsWith("p=2/"))
+    assert(oldP2.forall(after.contains), "unmatched partition's files must carry over")
+    // old snapshot time-travels intact
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() == 4L)
+  }
+
+  test("merge rejects duplicate update keys; empty table degenerates to create") {
+    val dir = tempTable()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir, "p", "k",
+        mkDf3(Seq((1L, 0L, "a"), (1L, 0L, "b"))))
+    }
+    val (v, replaced, inserted) = SnapshotTable.merge(spark, dir, "p", "k",
+      mkDf3(Seq((1L, 0L, "a"), (2L, 1L, "b"))))
+    assert(v == 1L && replaced == 0L && inserted == 2L)
+    // no matches: pure append, prior files all kept
+    val before = manifestFiles(dir)
+    val (v2, r2, i2) = SnapshotTable.merge(spark, dir, "p", "k",
+      mkDf3(Seq((5L, 0L, "e"))))
+    assert(v2 == 2L && r2 == 0L && i2 == 1L)
+    assert(before.forall(manifestFiles(dir).contains))
+    assert(rows3(dir) == Set((1L, 0L, "a"), (2L, 1L, "b"), (5L, 0L, "e")))
+  }
+
+  test("appendBatch is idempotent on batch id (exactly-once replay contract)") {
+    val dir = tempTable()
+    val v0 = SnapshotTable.appendBatch(spark, dir, mkDf(Seq((1L, 0L))), "p", 0L)
+    val v1 = SnapshotTable.appendBatch(spark, dir, mkDf(Seq((2L, 1L))), "p", 1L)
+    // driver died post-commit, engine replays batch 1: no-op, same version
+    val v1r = SnapshotTable.appendBatch(spark, dir, mkDf(Seq((2L, 1L))), "p", 1L)
+    assert(v1r == v1 && v1 == v0 + 1)
+    assert(rows(dir) == Set((1L, 0L), (2L, 1L)), "replay must not duplicate rows")
+    val v2 = SnapshotTable.appendBatch(spark, dir, mkDf(Seq((3L, 0L))), "p", 2L)
+    assert(v2 == v1 + 1)
+    assert(rows(dir) == Set((1L, 0L), (2L, 1L), (3L, 0L)))
+    // a different query's batch 1 is NOT the same batch
+    val vq = SnapshotTable.appendBatch(spark, dir, mkDf(Seq((4L, 1L))), "p", 1L, "q2")
+    assert(vq == v2 + 1)
+    assert(rows(dir).contains((4L, 1L)))
+  }
+
+  test("compact coalesces crowded partitions into one file, rows identical") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 1L))), "p")
+    (3L to 8L).foreach(k =>
+      SnapshotTable.append(spark, dir, mkDf(Seq((k, k % 2))), "p"))
+    val before = rows(dir)
+    val byPart = manifestFiles(dir).groupBy(_.split('/').head)
+    assert(byPart.values.exists(_.size > 1), "fixture should be fragmented")
+    val (v, compacted) = SnapshotTable.compact(spark, dir, "p")
+    assert(compacted.nonEmpty)
+    val afterByPart = manifestFiles(dir).groupBy(_.split('/').head)
+    assert(afterByPart.values.forall(_.size == 1), s"still fragmented: $afterByPart")
+    assert(rows(dir) == before, "compaction must be row-identical")
+    // pre-compaction snapshot still time-travels
+    assert(rows(dir, Some(v - 1)) == before)
+    // second compact is a no-op at the same version
+    assert(SnapshotTable.compact(spark, dir, "p") == ((v, Nil)))
+  }
 }
