@@ -238,4 +238,47 @@ class PlanAuditSpec extends SparkSpec {
       SparkEntry.queries("t137_length_bands")(spark, sf))
     assert(banded.isEmpty, "t137: forced broadcast of the boundary table")
   }
+
+  test("q141: all three SCD2 windows stack on a single exchange") {
+    val p = plan("q141_scd2_dimension")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"q141 should shuffle once on the key, saw $exchanges:\n$p")
+    assert(!p.contains("Join"), s"q141 should be join-free:\n$p")
+  }
+
+  test("q142: CDC diff is one shuffled full-outer equi-join, no nested loop") {
+    val p = plan("q142_snapshot_cdc")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"q142 should co-partition both snapshots:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q142: non-equi join shape:\n$p")
+  }
+
+  test("s140: PQ encode/ADC/rerank joins broadcast the KB-sized sides only") {
+    // codebook (2048 rows), distance tables (2048/query-set), query
+    // vectors (5): every join's build side is bounded by the codebook,
+    // never the corpus — the corpus side streams exactly like a scan
+    val p = plan("s140_pq_ann")
+    assert(!p.contains("CartesianProduct"), s"s140: cartesian in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"s140: expected broadcast joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"s140: nested loop:\n$p")
+    // the codegen'd L2 expression, not an interpreted HOF, scores candidates
+    assert(p.contains("l2sq") || p.contains("squaredl2"),
+      s"s140: SquaredL2Distance missing from plan:\n$p")
+    assert(!p.toLowerCase.contains("aggregate(zip_with"),
+      s"s140: interpreted HOF distance survived:\n$p")
+  }
+
+  test("s139: cross-modal featurization is scan-local; only the query set broadcasts") {
+    val p = plan("s139_cross_modal")
+    // featurizer = one MapPartitions over the documents scan — no shuffle
+    // may appear between the scan and the serialize-from-object boundary
+    assert(p.contains("MapPartitions"), s"s139: featurizer missing:\n$p")
+    // 5 query vectors ride a broadcast; the media corpus must not
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s139: query set should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"s139: cartesian in plan:\n$p")
+    // the only exchange after scoring is the k-row-per-query heap merge
+    assert(p.contains("topk_by_score"), s"s139: bounded-heap top-k missing:\n$p")
+  }
 }
