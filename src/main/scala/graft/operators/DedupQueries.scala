@@ -1108,12 +1108,19 @@ object DedupQueries {
     * formulation evaluates interpreted with boxed lambdas per element
     * (32 planes × 64 dims per row), the measured cost of the r2 tier. */
   private def embeddingPairsLsh(s: SparkSession, d: String): DataFrame = {
-    val banded = bandedEmbeddings(s, d)
-    banded.toDF("id1", "v1", "band", "band_val")
-      .join(banded.toDF("id2", "v2", "band", "band_val"), Seq("band", "band_val"))
+    // band join + pair dedup on bare id pairs; vectors re-attached only
+    // after dedup (the s96 shuffle-volume lesson — identical output,
+    // ~30× less shuffled bytes than carrying both arrays through)
+    val banded = bandedEmbeddings(s, d).select("vec_id", "band", "band_val")
+    val pairs = banded.toDF("id1", "band", "band_val")
+      .join(banded.toDF("id2", "band", "band_val"), Seq("band", "band_val"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
+    val ev = Tables.embeddings(s, d)
+    pairs
+      .join(ev.select(col("vec_id").as("id1"), col("embedding").as("v1")), "id1")
+      .join(ev.select(col("vec_id").as("id2"), col("embedding").as("v2")), "id2")
       .select(col("id1"), col("id2"),
         call_function("cosine_sim", col("v1"), col("v2")).as("cosine"))
   }

@@ -770,15 +770,27 @@ object SimilarityQueries {
   /** LSH-tier kNN candidate scoring: directed pairs (src, dst) that share
     * any sign-LSH band in the d82 banded frame, scored with the exact
     * codegen'd cosine. Cost ∝ candidates (equi-join on (band, band_val)),
-    * never n². */
+    * never n².
+    *
+    * The band join and the pair dedup run on BARE ID PAIRS (16 bytes per
+    * row); the embedding arrays are joined back only after dedup. The
+    * earlier shape carried both 256-byte vectors through the candidate
+    * join and the dropDuplicates shuffle — ~30× the shuffle volume for
+    * identical output (s96 at sf0.1: 11.4 → 2.0 s, PERFORMANCE.md
+    * round 8). The vector re-attach joins are plain equi-joins on
+    * vec_id — broadcast at test scale, shuffled co-partitions at 100 TB. */
   private def knnLshScored(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val banded = DedupQueries.bandedEmbeddings(s, d)
-    banded.toDF("src", "sv", "band", "band_val")
-      .join(banded.toDF("dst", "dv", "band", "band_val"), Seq("band", "band_val"))
+    val banded = DedupQueries.bandedEmbeddings(s, d).select("vec_id", "band", "band_val")
+    val pairs = banded.toDF("src", "band", "band_val")
+      .join(banded.toDF("dst", "band", "band_val"), Seq("band", "band_val"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("sv"), col("dv"))
+      .select("src", "dst")
       .dropDuplicates("src", "dst")
+    val ev = embeddings(s, d)
+    pairs
+      .join(ev.select(col("vec_id").as("src"), col("embedding").as("sv")), "src")
+      .join(ev.select(col("vec_id").as("dst"), col("embedding").as("dv")), "dst")
       .select(col("src"), col("dst"),
         call_function("cosine_sim", col("sv"), col("dv")).as("cosine"))
   }
