@@ -870,6 +870,42 @@ object DedupQueries {
       * oracle exact. Extension joins candidate pairs to gram streams by
       * (doc, position) — per-pair cost linear in doc length, total
       * bounded by true near-duplicate mass, never corpus². */
+    "d143_containment" -> ((s, d) => {
+      /* Asymmetric shingle containment C(A⊂B) = |sh(A)∩sh(B)| / |sh(A)|,
+       * threshold 0.8 — the doc-in-doc detector the SYMMETRIC Jaccard
+       * gate (d38) structurally misses: a 50-token quote embedded in a
+       * 5000-token page has jaccard ≈ 0.01 but containment 1.0. Emitted
+       * directionally (contained → container).
+       *
+       * Scale shape: d38's inverted-index count join with the same
+       * hot-shingle salt guard, but WITHOUT the size-ratio pruning —
+       * size divergence is precisely the signal here. One shuffle on
+       * the shingle, one pair aggregation; integer-ratio doubles are
+       * bit-identical on both engines. */
+      val hotDf = s.conf.get(HotShingleDfConf, "1000").toLong
+      val nSalt = s.conf.get(JaccardSaltsConf, "16").toInt
+      val sh = shingleArrays(s, d)
+        .select(col("doc_id"), size(col("shingles")).cast("long").as("sz"),
+          explode(col("shingles")).as("shingle"))
+      val a = sh.toDF("id1", "sz1", "shingle")
+      val b = sh.toDF("id2", "sz2", "shingle")
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > hotDf).select("shingle")
+      val cold = a.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .join(b.join(broadcast(hot), Seq("shingle"), "left_anti"), "shingle")
+      val aHot = a.join(broadcast(hot), Seq("shingle"), "left_semi")
+        .withColumn("__salt", pmod(xxhash64(col("id1")), lit(nSalt.toLong)))
+      val bHot = b.join(broadcast(hot), Seq("shingle"), "left_semi")
+        .withColumn("__salt", explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+      cold.unionByName(aHot.join(bHot, Seq("shingle", "__salt")).drop("__salt"))
+        .filter(col("id1") =!= col("id2"))
+        .groupBy("id1", "id2", "sz1").agg(count(lit(1)).as("n_common"))
+        .select(col("id1").as("contained_id"), col("id2").as("container_id"),
+          (col("n_common").cast("double") / col("sz1")).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy("contained_id", "container_id")
+    }),
+
     "d138_substring_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 8; val w = 43; val minGrams = w // span >= w + k - 1 = 50 tokens
@@ -1326,6 +1362,26 @@ object DedupQueries {
     "d82_embedding_lsh" -> lshReplicaOracle,
     "d83_clusters_distributed" -> clustersOracle,
     "d38_dedup_jaccard" -> jaccardOracle,
+    // same shingle CTE as d38's oracle; containment divides by the
+    // CONTAINED side's size and keeps both directions
+    "d143_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT contained_id, container_id,
+        |  CAST(n_common AS DOUBLE) / s1.sz AS containment
+        |FROM inter JOIN sz s1 ON contained_id = s1.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / s1.sz >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     "d62_dedup_clusters" -> clustersOracle,
     "d41_dedup_embedding" -> embeddingOracle,
     // chunk text (not md5) keys the DuckDB window — identical equivalence

@@ -89,8 +89,12 @@ object SnapshotTable {
         dataLines(readManifest(fs, p))
     }
     require(files.nonEmpty, s"$dir snapshot is empty")
-    // basePath keeps the hive partition column visible on per-file reads
-    spark.read.option("basePath", dir)
+    // basePath keeps the hive partition column visible on per-file reads;
+    // mergeSchema makes column ADDS a metadata-only evolution — files
+    // written before the add surface the new column as null (the
+    // Delta/Iceberg add-column contract; parquet footers carry each
+    // file's own schema, so no data rewrite happens)
+    spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(files.map(f => new Path(root, f).toString): _*)
   }
 

@@ -440,6 +440,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(crafted.head.getDouble(3) > 0.999999, s"cosine ${crafted.head.getDouble(3)}")
   }
 
+  test("d143: containment catches a quote-in-page pair that Jaccard misses") {
+    // 20-token quote fully embedded in a 400-token page: containment 1.0
+    // from quote -> page, jaccard ~ 0.05 (far below d38's 0.5 gate)
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val page = (1 to 380).map(i => s"w$i").mkString(" ") + " " + quote
+    val other = (1 to 50).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((0L, quote), (1L, page), (2L, other)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("d143_containment")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (c, p, v) => c == 0L && p == 1L && v == 1.0 },
+      s"quote->page containment missing: ${pairs.mkString(",")}")
+    assert(!pairs.exists { case (c, _, _) => c == 1L },
+      "page must not be 'contained' in the quote")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc paired")
+    val jac = SparkEntry.queries("d38_dedup_jaccard")(spark, tmp).count()
+    assert(jac == 0L, "the symmetric gate should miss the quote-in-page pair")
+    // directionality on the real corpus: containment only ever divides by
+    // the contained side's shingle count, so values stay in (0, 1]
+    val real = SparkEntry.queries("d143_containment")(spark, sf).collect()
+    assert(real.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+  }
+
   test("s140: PQ-ANN invariants + recall vs exact L2 top-10") {
     val out = SparkEntry.queries("s140_pq_ann")(spark, sf).collect()
     assert(out.length == 50, s"expected 5x10 rows, got ${out.length}")

@@ -166,6 +166,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows(dir).contains((4L, 1L)))
   }
 
+  test("schema evolution: appending a new column surfaces nulls on old files") {
+    import spark.implicits._
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 1L))), "p")
+    // the v2 batch carries an extra column; v1's files never get rewritten
+    SnapshotTable.append(spark, dir,
+      Seq((3L, 0L, "x")).toDF("k", "p", "tag"), "p")
+    val out = SnapshotTable.read(spark, dir, None)
+    assert(out.columns.toSet == Set("k", "p", "tag"))
+    val byK = out.collect().map(r => r.getLong(out.columns.indexOf("k")) ->
+      Option(r.get(out.columns.indexOf("tag")))).toMap
+    assert(byK == Map(1L -> None, 2L -> None, 3L -> Some("x")))
+    // time travel to v1 still shows the original two-column schema
+    assert(SnapshotTable.read(spark, dir, Some(1L)).columns.toSet == Set("k", "p"))
+  }
+
   test("compact coalesces crowded partitions into one file, rows identical") {
     val dir = tempTable()
     SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 1L))), "p")
