@@ -680,58 +680,124 @@ object SimilarityQueries {
       * RAM); the distance table is 2048 broadcast rows per query set. */
     "s140_pq_ann" -> ((s, d) => {
       VectorFunctions.register(s)
-      val NSub = 8; val SubDim = 8; val NCent = 256
-      val emb = embeddings(s, d)
-      // explode into (id, sub, subvec): one row per subspace
-      def subs(df: DataFrame, idAs: String): DataFrame =
-        df.select(col("vec_id").as(idAs), posexplode(
-          transform(sequence(lit(0), lit(NSub - 1)), i =>
-            slice(col("embedding").cast("array<double>"),
-              (i * SubDim + 1).cast("int"), lit(SubDim)))))
-          .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
-      // codegen'd Catalyst expression (functions.SquaredL2Distance) — the
-      // HOF equivalent (aggregate ∘ zip_with) runs interpreted and was
-      // 3.5× slower on the 2048-way encode join (PERFORMANCE.md round 8)
-      def l2sq(a: Column, b: Column): Column = call_function("l2sq", a, b)
-      val centSubs = subs(emb.filter(col("vec_id") < NCent), "cent_id")
-        .withColumnRenamed("sv", "cv")
-      // encode: nearest centroid per (vector, subspace); min(struct) gives
-      // a deterministic argmin with ties to the lowest centroid id
-      val enc = subs(emb, "vec_id")
-        .join(broadcast(centSubs), "sub")
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(l2sq(col("sv"), col("cv")).as("l2"),
-          col("cent_id"))).getField("cent_id").as("code"))
-      // ADC distance tables for the query set, on the decimal lattice
-      val qdt = subs(emb.filter(col("vec_id") < NumQueries), "query_id")
-        .join(broadcast(centSubs), "sub")
-        .select(col("query_id"), col("sub"), col("cent_id"),
-          round(l2sq(col("sv"), col("cv")), 9).cast("decimal(28,9)").as("dt"))
       val Shortlist = 5 * K
       val wA = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
-      val short = enc.join(broadcast(qdt),
-          enc("sub") === qdt("sub") && enc("code") === qdt("cent_id"))
+      val short = pqEncode(s, d).join(broadcast(pqDistTables(s, d)),
+          Seq("sub", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(sum(col("dt")).cast("decimal(28,9)").as("approx_dist"))
         .withColumn("arank", row_number().over(wA))
         .filter(col("arank") <= Shortlist)
-      // exact rerank: only the shortlist's original vectors are touched
-      val nv = emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").cast("array<double>").as("nv"))
-      val qv = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").cast("array<double>").as("qv"))
-      val wE = Window.partitionBy("query_id").orderBy(col("exact_dist"), col("neighbor_id"))
-      short.join(nv, "neighbor_id").join(broadcast(qv), "query_id")
-        .withColumn("exact_dist",
-          round(l2sq(col("qv"), col("nv")), 9).cast("decimal(28,9)"))
-        .withColumn("rank", row_number().over(wE).cast("long"))
-        .filter(col("rank") <= K)
-        .select("query_id", "neighbor_id", "rank", "approx_dist", "exact_dist")
-        .orderBy("query_id", "rank")
+        .drop("arank")
+      pqRerank(s, d, short)
+    }),
+
+    /** IVF-PQ: the two sketches composed — the layout billion-scale ANN
+      * services actually run (FAISS IVFx,PQy). The coarse IVF stage
+      * (s44's 8-centroid assignment, probe 2) prunes the corpus to the
+      * query's nearest inverted lists; the ADC stage (s140's 8-bit PQ
+      * codes + distance tables) scores ONLY those candidates; a 5×
+      * shortlist reranks exactly. At 100 TB: the corpus is partitioned
+      * BY LIST (each executor owns whole inverted lists as 8-byte codes),
+      * a query touches nprobe/nlist of the data, and the ADC join is the
+      * same broadcast of KB-sized tables — nothing here changes shape,
+      * only nlist grows. */
+    "s144_ivf_pq" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
+        val w = Window.partitionBy(idCol).orderBy(desc("c_sim"), col("centroid_id"))
+        df.join(broadcast(cents), lit(true))
+          .select(col(idCol), col("centroid_id"),
+            call_function("cosine_sim", col(vCol), col("cv")).as("c_sim"))
+          .withColumn("c_rank", row_number().over(w))
+          .filter(col("c_rank") <= keep)
+          .select(col(idCol), col("centroid_id"))
+      }
+      val lists = assign(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        "neighbor_id", "nv", 1)
+      val probes = assign(
+        emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id", "qv", 2)
+      val cand = probes.join(lists, "centroid_id")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      // ADC over the probed lists only — candidates first, codes second
+      val Shortlist = 5 * K
+      val wA = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
+      val short = cand
+        .join(pqEncode(s, d).withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(broadcast(pqDistTables(s, d)), Seq("query_id", "sub", "code"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("dt")).cast("decimal(28,9)").as("approx_dist"))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= Shortlist)
+        .drop("arank")
+      pqRerank(s, d, short)
     })
   )
+
+  // ---- Product quantization (shared by s140 full-corpus / s144 IVF) ----
+
+  private val PqSub = 8; private val PqSubDim = 8; private val PqCent = 256
+
+  /** One row per (id, subspace): the 8-dim double subvector. */
+  private def pqSubvectors(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), posexplode(
+      transform(sequence(lit(0), lit(PqSub - 1)), i =>
+        slice(col("embedding").cast("array<double>"),
+          (i * PqSubDim + 1).cast("int"), lit(PqSubDim)))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+
+  /** Codegen'd Σ(aᵢ−bᵢ)² (functions.SquaredL2Distance) — the HOF
+    * equivalent (aggregate ∘ zip_with) runs interpreted and was 2.4×
+    * slower on the 2048-way encode join (PERFORMANCE.md round 8). */
+  private def l2sqC(a: Column, b: Column): Column = call_function("l2sq", a, b)
+
+  private def pqCentSubs(s: SparkSession, d: String): DataFrame =
+    pqSubvectors(embeddings(s, d).filter(col("vec_id") < PqCent), "cent_id")
+      .withColumnRenamed("sv", "cv")
+
+  /** (vec_id, sub, code): nearest codebook centroid per subspace;
+    * min(struct) is a deterministic argmin with ties to the lowest id. */
+  private def pqEncode(s: SparkSession, d: String): DataFrame =
+    pqSubvectors(embeddings(s, d), "vec_id")
+      .join(broadcast(pqCentSubs(s, d)), "sub")
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(l2sqC(col("sv"), col("cv")).as("l2"),
+        col("cent_id"))).getField("cent_id").as("code"))
+
+  /** (query_id, sub, code, dt): ADC distance tables on the 1e-9
+    * DECIMAL(28,9) lattice, so the 8-row sums are order-independent. */
+  private def pqDistTables(s: SparkSession, d: String): DataFrame =
+    pqSubvectors(embeddings(s, d).filter(col("vec_id") < NumQueries), "query_id")
+      .join(broadcast(pqCentSubs(s, d)), "sub")
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+        round(l2sqC(col("sv"), col("cv")), 9).cast("decimal(28,9)").as("dt"))
+
+  /** Exact-L2 rerank of a (query_id, neighbor_id, approx_dist) shortlist
+    * down to top-K — only the shortlist's original vectors are touched. */
+  private def pqRerank(s: SparkSession, d: String, short: DataFrame): DataFrame = {
+    val emb = embeddings(s, d)
+    val nv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val qv = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val wE = Window.partitionBy("query_id").orderBy(col("exact_dist"), col("neighbor_id"))
+    short.join(nv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("exact_dist",
+        round(l2sqC(col("qv"), col("nv")), 9).cast("decimal(28,9)"))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= K)
+      .select("query_id", "neighbor_id", "rank", "approx_dist", "exact_dist")
+      .orderBy("query_id", "rank")
+  }
 
   private val KnnK = 5
 
@@ -1453,27 +1519,7 @@ object SimilarityQueries {
     // same 8x8 subvector split, same argmin-with-id-tiebreak encode, same
     // 1e-9-lattice DECIMAL(28,9) ADC sum as the Spark side
     "s140_pq_ann" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |sv AS (
-         |  SELECT vec_id, CAST(s.i AS INTEGER) AS sub,
-         |    emb[CAST(s.i * 8 + 1 AS INTEGER):CAST(s.i * 8 + 8 AS INTEGER)] AS sv
-         |  FROM e CROSS JOIN unnest(generate_series(0, 7)) AS s(i)),
-         |cent AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM sv WHERE vec_id < 256),
-         |encd AS (
-         |  SELECT vec_id, sub, cent_id AS code FROM (
-         |    SELECT v.vec_id, v.sub, c.cent_id,
-         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
-         |        ORDER BY list_sum(list_transform(range(1, 9),
-         |          i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), c.cent_id) AS rn
-         |    FROM sv v JOIN cent c USING (sub))
-         |  WHERE rn = 1),
-         |qdt AS (
-         |  SELECT q.vec_id AS query_id, q.sub, c.cent_id,
-         |    CAST(round(list_sum(list_transform(range(1, 9),
-         |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), 9)
-         |      AS DECIMAL(28,9)) AS dt
-         |  FROM sv q JOIN cent c USING (sub) WHERE q.vec_id < $NumQueries),
+      s"""WITH $pqCtesSql,
          |scored AS (
          |  SELECT d.query_id, x.vec_id AS neighbor_id,
          |    CAST(sum(d.dt) AS DECIMAL(28,9)) AS approx_dist
@@ -1500,8 +1546,80 @@ object SimilarityQueries {
          |  FROM reranked)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
          |  approx_dist, exact_dist
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // s44's coarse assignment (8 cents, probe 2) pruning s140's ADC+rerank
+    "s144_ivf_pq" ->
+      s"""WITH $pqCtesSql,
+         |cents AS (SELECT vec_id AS centroid_id, emb AS ce FROM e WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_cosine_similarity(v.emb, c.ce) DESC, c.centroid_id)
+         |      AS c_rank
+         |  FROM e v CROSS JOIN cents c),
+         |lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE c_rank <= 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, centroid_id FROM assign
+         |  WHERE c_rank <= 2 AND vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT p.query_id, l.neighbor_id
+         |  FROM probes p JOIN lists l USING (centroid_id)
+         |  WHERE p.query_id <> l.neighbor_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    CAST(sum(d.dt) AS DECIMAL(28,9)) AS approx_dist
+         |  FROM cand c
+         |  JOIN encd x ON x.vec_id = c.neighbor_id
+         |  JOIN qdt d ON d.query_id = c.query_id AND d.sub = x.sub
+         |    AND d.cent_id = x.code
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, neighbor_id, approx_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_dist, neighbor_id) AS arank
+         |  FROM scored QUALIFY arank <= ${5 * K}),
+         |reranked AS (
+         |  SELECT s.query_id, s.neighbor_id, s.approx_dist,
+         |    CAST(round(list_sum(list_transform(range(1, 65),
+         |      i -> (q.emb[i] - c.emb[i]) * (q.emb[i] - c.emb[i]))), 9)
+         |      AS DECIMAL(28,9)) AS exact_dist
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e c ON c.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, approx_dist, exact_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY exact_dist, neighbor_id) AS rank
+         |  FROM reranked)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  approx_dist, exact_dist
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,
+    * argmin encode with id tiebreak, lattice distance tables. */
+  private lazy val pqCtesSql: String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, CAST(s.i AS INTEGER) AS sub,
+       |    emb[CAST(s.i * 8 + 1 AS INTEGER):CAST(s.i * 8 + 8 AS INTEGER)] AS sv
+       |  FROM e CROSS JOIN unnest(generate_series(0, 7)) AS s(i)),
+       |cent AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM sv WHERE vec_id < 256),
+       |encd AS (
+       |  SELECT vec_id, sub, cent_id AS code FROM (
+       |    SELECT v.vec_id, v.sub, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY list_sum(list_transform(range(1, 9),
+       |          i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), c.cent_id) AS rn
+       |    FROM sv v JOIN cent c USING (sub))
+       |  WHERE rn = 1),
+       |qdt AS (
+       |  SELECT q.vec_id AS query_id, q.sub, c.cent_id,
+       |    CAST(round(list_sum(list_transform(range(1, 9),
+       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), 9)
+       |      AS DECIMAL(28,9)) AS dt
+       |  FROM sv q JOIN cent c USING (sub) WHERE q.vec_id < $NumQueries)""".stripMargin
 }
 
 /** Deterministic pseudo-random hyperplanes for s43: 16 planes × 64 dims,

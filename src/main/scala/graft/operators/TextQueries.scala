@@ -913,6 +913,40 @@ object TextQueries {
             (col("n_chars") > col("q2")).cast("long") +
             (col("n_chars") > col("q3")).cast("long")).as("band"))
         .orderBy("doc_id")
+    }),
+
+    /** C4-style corpus-level LINE dedup with document reconstruction
+      * (Raffel et al. §2.2 keep-one-occurrence rule, at t73's sentence
+      * grain): every sentence keeps only its globally-FIRST occurrence
+      * (lowest doc_id, then position); each document is re-emitted with
+      * its surviving sentences in original order plus kept/total counts
+      * — the preprocessing step that removes boilerplate lines repeated
+      * across a crawl.
+      *
+      * Scale shape: one shuffle keyed on the sentence (the min-occurrence
+      * agg), one join back, one per-doc agg — no window over the corpus,
+      * no driver state. Reconstruction sorts WITHIN each doc's collected
+      * array (bounded by doc length), not across the corpus. */
+    "t144_line_dedup" -> ((s, d) => {
+      val sents = documents(s, d)
+        .select(col("doc_id"),
+          filter(transform(split(col("text"), "[.!?]+"), x => trim(x)),
+            x => length(x) > 0).as("sents"))
+        .select(col("doc_id"), posexplode(col("sents")))
+        .toDF("doc_id", "pos", "sentence")
+      val keeper = sents.groupBy("sentence")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("sentence"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
+      sents.join(keeper, "sentence")
+        .withColumn("kept", col("doc_id") === col("kdoc") && col("pos") === col("kpos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("sentence"))))),
+            x => x.getField("sentence")), " ").as("cleaned_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1542,6 +1576,29 @@ object TextQueries {
         |    + CAST(d.n_chars > b.q2 AS INTEGER)
         |    + CAST(d.n_chars > b.q3 AS INTEGER) AS BIGINT) AS band
         |FROM documents d JOIN b ON d.source = b.source
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // t73's sentence split; keeper = row_number 1 over (doc_id, pos);
+    // string_agg ORDER BY pos skips the non-kept NULLs, coalesced to ''
+    // for docs whose every sentence occurred earlier (Spark's
+    // array_join of an empty array is '')
+    "t144_line_dedup" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> length(x) > 0) AS sents
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, sents[g.i] AS sentence
+        |  FROM sp CROSS JOIN unnest(generate_series(1, len(sents))) AS g(i)),
+        |k AS (
+        |  SELECT doc_id, pos, sentence,
+        |    row_number() OVER (PARTITION BY sentence ORDER BY doc_id, pos) = 1
+        |      AS kept
+        |  FROM s)
+        |SELECT doc_id, count(*) AS n_sentences,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN kept THEN sentence END, ' '
+        |    ORDER BY pos), '') AS cleaned_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -640,4 +640,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSet == expected, "mutual pairs must match the reciprocal edge set")
     assert(got.length == got.distinct.length, "no duplicate pairs")
   }
+
+  test("t144_line_dedup: boilerplate keeps only its first occurrence; reconstruction preserves order") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val dir = java.nio.file.Files.createTempDirectory("linededup").toString
+    Seq(
+      (1L, s"first article body. $boiler. more first content"),
+      (2L, s"$boiler. second article body"),
+      (3L, "third article body. unique closing line"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.TextQueries.queries("t144_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns the boilerplate's first occurrence (lowest doc_id)
+    assert(out(1L) == ((3L, 3L,
+      s"first article body $boiler more first content")))
+    // doc 2 loses it but keeps its own sentence, in original order
+    assert(out(2L) == ((2L, 1L, "second article body")))
+    assert(out(3L) == ((2L, 2L, "third article body unique closing line")))
+    // corpus-level invariants: kept <= total, each distinct sentence kept once
+    val real = graft.TextQueries.queries("t144_line_dedup")(spark, sfDir).collect()
+    assert(real.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
 }

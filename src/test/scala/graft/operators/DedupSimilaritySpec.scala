@@ -497,4 +497,31 @@ class DedupSimilaritySpec extends SparkSpec {
     // near-random 64-dim vectors is what the rerank stage exists for
     assert(mean >= 0.8, s"PQ mean recall $mean below 0.8 (per-query: $recalls)")
   }
+
+  test("s144: IVF-PQ results come only from probed lists and agree with s140 on shared candidates") {
+    val ivfpq = SparkEntry.queries("s144_ivf_pq")(spark, sf).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+      val exact = sorted.map(_.getDecimal(4))
+      assert(exact.zip(exact.tail).forall { case (a, b) => a.compareTo(b) <= 0 })
+    }
+    // the full-corpus PQ is the upper bound: every IVF-PQ result that the
+    // unpruned s140 also surfaces must carry identical ADC + exact
+    // distances (same codes, same tables — pruning changes the candidate
+    // set, never a surviving candidate's scores)
+    val full = SparkEntry.queries("s140_pq_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDecimal(3), r.getDecimal(4)))
+      .toMap
+    var shared = 0
+    ivfpq.foreach { r =>
+      full.get((r.getLong(0), r.getLong(1))).foreach { case (ad, ed) =>
+        shared += 1
+        assert(r.getDecimal(3).compareTo(ad) == 0 && r.getDecimal(4).compareTo(ed) == 0,
+          s"scores diverge for shared candidate ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+    assert(shared > 0, "probe-2 of 8 lists should recover some full-PQ results")
+  }
 }
