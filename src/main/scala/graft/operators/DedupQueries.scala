@@ -952,6 +952,75 @@ object DedupQueries {
           (col("start1") - col("off")).as("start2"),
           (col("n_grams") + (k - 1)).as("span_tokens"))
         .orderBy("doc1", "doc2", "start1", "start2")
+    }),
+
+    "d145_edit_distance" -> ((s, d) => {
+      /* Fuzzy-key near-dup pairs at edit distance ≤ 2 over a 6-token
+       * document prefix key — the record-linkage regime (titles, names,
+       * URLs with in-token typos) that every gram-overlap gate above
+       * misses: two keys differing by two single CHARACTER edits share
+       * almost no word shingles, yet are the same record.
+       *
+       * Scale shape: PassJoin blocking (Li, Deng & Feng, VLDB 2011 —
+       * public algorithm). Each doc INDEXES the k+1 = 3 even segments of
+       * its key, keyed by (key length L, segment ordinal i, segment
+       * string); each doc PROBES every substring of its own key that
+       * could equal segment i of a partner of length L, for |L − len| ≤ k
+       * and start-position shift ≤ k — a CONSTANT ≤ (2k+1)·(k+1)·(2k+1)
+       * probe rows per record, independent of corpus size. Pigeonhole:
+       * ed ≤ k means some segment of the partner survives edit-free, and
+       * the ≤ k edits shift its image by at most k positions — so the
+       * (L, i, substring) equi-join is a LOSSLESS candidate generator.
+       * No O(n²) term anywhere: one shuffle on small fixed-width segment
+       * keys, then exact levenshtein verification on candidates only.
+       * The DuckDB oracle computes ground truth QUADRATICALLY (all-pairs
+       * levenshtein), so the hash gate also proves losslessness holds
+       * end-to-end on this corpus. */
+      val k = 2
+      val nseg = k + 1
+      val keyed = documents(s, d)
+        .select(col("doc_id"),
+          lower(array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " ")).as("key"))
+        .withColumn("len", length(col("key")))
+        .filter(col("len") >= nseg) // all k+1 even segments non-empty
+      val idx = keyed.select(col("doc_id").as("id2"), col("key"),
+          col("len").as("l2"),
+          explode(expr(
+            s"""transform(sequence(0, $k), i -> struct(
+               |  i AS seg_i,
+               |  cast((i * len) div $nseg as int) + 1 AS pos,
+               |  cast(((i + 1) * len) div $nseg as int)
+               |    - cast((i * len) div $nseg as int) AS seg_len))""".stripMargin))
+            .as("g"))
+        .select(col("id2"), col("l2"), col("g.seg_i").as("seg_i"),
+          expr("substring(key, g.pos, g.seg_len)").as("sub"))
+      val probe = keyed.select(col("doc_id").as("id1"), col("key"), col("len"),
+          explode(expr(
+            s"""filter(
+               |  flatten(flatten(transform(sequence(len - $k, len + $k), L ->
+               |    transform(sequence(0, $k), i ->
+               |      transform(sequence(-$k, $k), sh -> struct(
+               |        L AS l2, i AS seg_i,
+               |        cast((i * L) div $nseg as int) + 1 + sh AS pos,
+               |        cast(((i + 1) * L) div $nseg as int)
+               |          - cast((i * L) div $nseg as int) AS seg_len)))))),
+               |  p -> p.l2 >= $nseg AND p.seg_len >= 1
+               |       AND p.pos >= 1 AND p.pos + p.seg_len - 1 <= len)""".stripMargin))
+            .as("p"))
+        .select(col("id1"), col("p.l2").as("l2"), col("p.seg_i").as("seg_i"),
+          expr("substring(key, p.pos, p.seg_len)").as("sub"))
+      val cand = probe.join(idx, Seq("l2", "seg_i", "sub"))
+        .filter(col("id1") =!= col("id2"))
+        .select(least(col("id1"), col("id2")).as("doc1"),
+          greatest(col("id1"), col("id2")).as("doc2"))
+        .distinct()
+      cand
+        .join(keyed.select(col("doc_id").as("doc1"), col("key").as("key1")), "doc1")
+        .join(keyed.select(col("doc_id").as("doc2"), col("key").as("key2")), "doc2")
+        .select(col("doc1"), col("doc2"),
+          levenshtein(col("key1"), col("key2")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= k)
+        .orderBy("doc1", "doc2")
     })
   )
 
@@ -1519,7 +1588,25 @@ object DedupQueries {
         |SELECT doc1, doc2, start1, start1 - off AS start2,
         |  CAST(n_grams + 7 AS BIGINT) AS span_tokens
         |FROM sp WHERE n_grams >= 43
-        |ORDER BY doc1, doc2, start1, start2""".stripMargin
+        |ORDER BY doc1, doc2, start1, start2""".stripMargin,
+
+    // Ground truth computed QUADRATICALLY (all-pairs levenshtein over the
+    // same 6-token prefix key), NOT by replicating the PassJoin blocking —
+    // so the hash gate also proves the segment candidate generator is
+    // lossless at ed ≤ 2 on this corpus.
+    "d145_edit_distance" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    lower(array_to_string(
+        |      list_slice(string_split_regex(trim(text), '\s+'), 1, 6), ' ')) AS key
+        |  FROM documents),
+        |kk AS (SELECT doc_id, key FROM k WHERE length(key) >= 3)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
+        |FROM kk a JOIN kk b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.key) - length(b.key)) <= 2
+        |  AND levenshtein(a.key, b.key) <= 2
+        |ORDER BY doc1, doc2""".stripMargin
   )
 
   private lazy val decontaminateOracle =

@@ -101,3 +101,75 @@ object ImageIoDecoder extends MediaDecoder {
     bos.toByteArray
   }
 }
+
+/** Real audio decode via `javax.sound.sampled` (in the JDK — the WAVE
+  * reader ships with every JVM; zero added dependencies). Accepts
+  * 16-bit signed PCM WAV and maps into the shared
+  * [[MultimodalQueries.MediaFeatures]] schema the way an audio corpus
+  * uses those slots: `width` = sample rate (Hz), `height` = channel
+  * count, `n_frames` = PCM frame count, `mean_byte` = mean ABSOLUTE
+  * sample amplitude rescaled from 16-bit to the 0..255 byte scale
+  * (sum is exact integer arithmetic, then two divisions in fixed
+  * order — bit-deterministic across runs and hosts; AudioDecodeSpec
+  * pins decode-twice identity). Undecodable or non-PCM16 payloads
+  * throw, so [[MultimodalQueries.featurize]]'s fail-vs-skip ledger
+  * policy applies unchanged.
+  */
+object WavDecoder extends MediaDecoder {
+  def decode(id: Long, bytes: Array[Byte],
+      mediaType: String): MultimodalQueries.MediaFeatures = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16,
+        s"record $id: only 16-bit signed PCM WAV is supported, " +
+          s"got ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var sumAbs = 0L
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt // WAV PCM16 is little-endian
+        val sample: Int =
+          if (fmt.isBigEndian) (lo << 24 >> 16) | (hi & 0xff)
+          else (hi << 8) | lo
+        sumAbs += math.abs(sample.toLong)
+        i += 1
+      }
+      MultimodalQueries.MediaFeatures(id, mediaType, bytes.length.toLong,
+        fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+        ais.getFrameLength,
+        if (n == 0) 0.0 else sumAbs.toDouble / n / 256.0)
+    } finally ais.close()
+  }
+
+  /** Test/fixture helper: a REAL RIFF/WAVE payload (via the JDK's WAV
+    * writer) holding deterministic integer-formula 16-bit samples —
+    * known content, no external asset. */
+  def syntheticWav(nFrames: Int, sampleRate: Int, channels: Int,
+      seed: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      val s = sample(i, seed)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The fixture's sample formula, exposed so specs recompute expected
+    * features from first principles. */
+  def sample(i: Int, seed: Int): Short =
+    (((seed.toLong + 997L * i) % 65536L) - 32768L).toShort
+}
