@@ -947,6 +947,89 @@ object TextQueries {
               struct(col("pos"), col("sentence"))))),
             x => x.getField("sentence")), " ").as("cleaned_text"))
         .orderBy("doc_id")
+    }),
+
+    "t146_weighted_sample" -> ((s, d) => {
+      /* Weighted sampling WITHOUT replacement, k = 100, weight ∝ n_chars —
+       * the mixture-materialization primitive (t70/t115 PLAN per-source
+       * token budgets; this op actually DRAWS the documents): one pass,
+       * Efraimidis & Spirakis A-ES (IPL 2006, public): per-record key
+       * u^(1/w) with u uniform(0,1), top-k by key — provably equivalent
+       * to sequential weighted draws without replacement.
+       *
+       * u is DETERMINISTIC: the md5(doc_id‖salt) 13-hex-digit prefix h
+       * gives u = (h + 0.5) / 2^52, exact in binary double (numerator
+       * and the power-of-two divisor are both exact), so both engines
+       * start from bit-identical uniforms and the 1e-9 comparator
+       * tolerance only has to absorb pow's last-ulp.
+       *
+       * Scale shape: per-record arithmetic + ONE top-k — orderBy.limit
+       * compiles to TakeOrderedAndProject (per-partition bounded heaps,
+       * k-row driver merge; PlanAuditSpec-style shape, no global sort).
+       * The rank window runs AFTER the limit, over k rows only. */
+      import org.apache.spark.sql.expressions.Window
+      val k = 100
+      val h = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit("|es")).cast("binary")), 1, 13),
+        16, 10).cast("long")
+      val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("weight"),
+          pow(u, lit(1.0) / col("n_chars").cast("double")).as("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id")).limit(k)
+        .withColumn("sample_rank",
+          row_number().over(Window.orderBy(col("sample_key").desc, col("doc_id")))
+            .cast("long"))
+        .orderBy("sample_rank")
+    }),
+
+    "t147_compression_ratio" -> ((s, d) => {
+      /* Per-source deflate-compression-ratio quality signal — the
+       * low-cost repetition/boilerplate detector production corpus
+       * filters run alongside t85's n-gram fractions (highly repetitive
+       * text compresses far below prose; near-random text barely
+       * compresses at all). Ratio = raw DEFLATE (level 6, nowrap) size /
+       * UTF-8 byte size, computed partition-locally with one reused
+       * native Deflater per task — a pure scan shape, no shuffle before
+       * the per-source aggregate.
+       *
+       * Gate style: the compressed byte count is engine-internal (zlib
+       * build specific), so — exactly the q65/q91 sketch pattern — the
+       * query emits exact-recomputable columns (n_docs, total UTF-8
+       * bytes) plus CLAIM booleans (every ratio in (0.02, 1.05], source
+       * mean in (0.1, 1.0)) that DuckDB asserts true; CompressionSpec
+       * carries the behavioral checks (known-content ratios, determinism,
+       * repetitive ≪ high-entropy). */
+      import s.implicits._
+      val per = documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          val defl = new java.util.zip.Deflater(6, true)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
+          val buf = new Array[Byte](64 * 1024)
+          it.map { case (id, src, text) =>
+            val raw = text.getBytes("UTF-8")
+            defl.reset(); defl.setInput(raw); defl.finish()
+            var n = 0L
+            while (!defl.finished()) n += defl.deflate(buf)
+            (id, src, raw.length.toLong, n)
+          }
+        }
+        .toDF("doc_id", "source", "raw_bytes", "comp_bytes")
+        .withColumn("ratio", col("comp_bytes").cast("double") / col("raw_bytes"))
+      per.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("raw_bytes").as("total_raw_bytes"),
+          max("ratio").as("maxr"), min("ratio").as("minr"),
+          avg("ratio").as("meanr"))
+        .select(col("source"), col("n_docs"), col("total_raw_bytes"),
+          (col("maxr") <= 1.05).as("every_ratio_le_105"),
+          (col("minr") > 0.02).as("every_ratio_gt_002"),
+          (col("meanr") > 0.1 && col("meanr") < 1.0).as("mean_ratio_in_band"))
+        .orderBy("source")
     })
   )
 
@@ -1599,6 +1682,36 @@ object TextQueries {
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(CASE WHEN kept THEN sentence END, ' '
         |    ORDER BY pos), '') AS cleaned_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same A-ES keys from the same exact uniforms; DuckDB recomputes the
+    // full ranking so the top-k heap's cut line is cross-checked
+    "t146_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    pow((CAST(list_sum(list_transform(range(0, 13), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR) || '|es'),
+        |            CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |          << CAST(4 * (12 - i) AS INTEGER))) AS DOUBLE) + 0.5)
+        |        / 4503599627370496.0,
+        |      1.0 / n_chars) AS sample_key
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, weight, sample_key,
+        |    row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rnk
+        |  FROM s)
+        |SELECT doc_id, weight, sample_key, CAST(rnk AS BIGINT) AS sample_rank
+        |FROM t WHERE rnk <= 100 ORDER BY sample_rank""".stripMargin,
+
+    // deflate byte counts are engine-internal (q65 pattern): the oracle
+    // recomputes the exact columns and asserts the claim booleans true
+    "t147_compression_ratio" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_raw_bytes,
+        |  TRUE AS every_ratio_le_105,
+        |  TRUE AS every_ratio_gt_002,
+        |  TRUE AS mean_ratio_in_band
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -281,4 +281,17 @@ class PlanAuditSpec extends SparkSpec {
     // the only exchange after scoring is the k-row-per-query heap merge
     assert(p.contains("topk_by_score"), s"s139: bounded-heap top-k missing:\n$p")
   }
+
+  test("d145: PassJoin candidates are a shuffled equi-join, never a cross product") {
+    // index and probe sides each fan out through a Generate (explode of a
+    // constant-bounded array) and meet on (L, seg_i, substring) — an
+    // equi-shuffle; the quadratic shape would show up as
+    // CartesianProduct/BroadcastNestedLoopJoin
+    val p = plan("d145_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d145: non-equi candidate generation:\n$p")
+    assert(p.contains("Generate explode"), s"d145: segment fan-out missing:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"d145: hash candidate join missing:\n$p")
+  }
 }
