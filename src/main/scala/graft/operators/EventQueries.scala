@@ -601,6 +601,72 @@ object EventQueries {
           col("o.status").as("old_status"), col("n.status").as("new_status"))
         .filter(col("op") =!= "none")
         .orderBy("o_orderkey", "op")
+    }),
+
+    /** Robust per-group statistics: winsorized mean (values CLAMPED to
+      * the exact interpolating [p05, p95] — clamping, not trimming, so
+      * there is no cross-engine row-membership boundary to disagree on)
+      * and MAD (median absolute deviation about the exact median) —
+      * the outlier-resistant aggregates a metrics layer needs where
+      * mean/stddev (q57) are skew-fragile.
+      *
+      * Scale shape: pass 1 computes the three exact percentiles per
+      * group (q14's sort-based exact percentile — the reference's own
+      * median barrier, SURVEY §A9/F9); the GROUP-COUNT-sized bounds
+      * table broadcasts back onto the fact for pass 2's clamp/deviation
+      * aggregate. Two scans total, no self-join, nothing corpus-sized
+      * concentrates; at 100 TB swap pass 1 to approx_percentile (q65)
+      * and the plan shape is unchanged. */
+    "q148_robust_stats" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val bounds = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          avg("l_extendedprice").as("mean_price"),
+          avg(least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+            .as("winsor_mean"),
+          first("med").as("median_price"),
+          expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Per-user EWMA over the last 32 events (α = 0.25, ts order) — the
+      * online-feature shape (recent-behavior score with exponential
+      * forgetting). The recursion ewma_i = α·x_i + (1−α)·ewma_{i−1},
+      * seeded at the oldest slice value, is expanded to CLOSED-FORM
+      * per-row weights — oldest row (1−α)^(m−1), row at descending rank
+      * r < m gets α·(1−α)^(r−1) — so the whole feature is one windowed
+      * rank + arithmetic + sum: no array collection, no sequential fold,
+      * no HOF (the s139 lesson).
+      *
+      * Scale shape: one shuffle on user_id; the rank filter bounds state
+      * to ≤ 32 rows per key BEFORE the aggregate, so per-key cost is
+      * constant regardless of how hot a user's history is — the bound a
+      * feature store needs at 100 TB. */
+    "q149_ewma_features" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = 0.25
+      val byUserDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wu = Window.partitionBy("user_id")
+      events(s, d)
+        .withColumn("rd", row_number().over(byUserDesc))
+        .filter(col("rd") <= 32)
+        .withColumn("m", count(lit(1)).over(wu))
+        .withColumn("weight",
+          when(col("rd") === col("m"), pow(lit(1 - a), col("m") - 1))
+            .otherwise(lit(a) * pow(lit(1 - a), col("rd") - 1)))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_used"),
+          sum(col("weight") * col("value")).as("ewma_value"),
+          max(when(col("rd") === 1, col("value"))).as("last_value"))
+        .orderBy("user_id")
     })
   )
 
@@ -877,6 +943,39 @@ object EventQueries {
         |    o.status AS old_status, n.status AS new_status
         |  FROM old o FULL OUTER JOIN new_snap n ON o.k = n.k)
         |SELECT op, o_orderkey, old_status, new_status
-        |FROM diff WHERE op <> 'none' ORDER BY o_orderkey, op""".stripMargin
+        |FROM diff WHERE op <> 'none' ORDER BY o_orderkey, op""".stripMargin,
+    // quantile_cont is the same exact interpolating percentile as
+    // Spark's `percentile` (q14/q56 precedent); winsorized mean CLAMPS
+    // rather than trims, so no row-membership boundary exists for the
+    // engines to disagree on
+    "q148_robust_stats" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.5) AS med,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  avg(l_extendedprice) AS mean_price,
+        |  avg(least(greatest(l_extendedprice, p05), p95)) AS winsor_mean,
+        |  any_value(med) AS median_price,
+        |  quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same closed-form weight expansion of the EWMA recursion
+    "q149_ewma_features" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events),
+        |f AS (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM r WHERE rd <= 32)
+        |SELECT user_id, count(*) AS n_used,
+        |  sum(CASE WHEN rd = m THEN pow(0.75, m - 1)
+        |           ELSE 0.25 * pow(0.75, rd - 1) END * value) AS ewma_value,
+        |  max(CASE WHEN rd = 1 THEN value END) AS last_value
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

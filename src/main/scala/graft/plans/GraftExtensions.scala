@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, RollingMinHash, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, RollingMinHash, SquaredL2Distance, TopKByScore}
 
 /** Session-extension entry point: makes the custom expressions available
   * in every session created with
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.XxHash64(
           exprs.init, exprs.last.eval(null).asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("l2sq"),
+      info("l2sq", "l2sq(a, b) - squared L2 distance of two float/double arrays"),
+      (exprs: Seq[Expression]) => SquaredL2Distance(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       info("rolling_min_hash",

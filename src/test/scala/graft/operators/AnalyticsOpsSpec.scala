@@ -234,4 +234,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.length == expectDeletes.size + expectUpdates.size + expectInserts.size,
       "changelog must contain exactly the changed keys, nothing unchanged")
   }
+
+  test("q149_ewma_features: closed-form weights equal the sequential recursion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    // u1: three events, hand-recursable; u2: 40 events — only the last
+    // 32 may contribute
+    val rows =
+      Seq((1L, "2024-01-01T00:00:00", 1L, "view", 10.0),
+        (2L, "2024-01-01T01:00:00", 1L, "view", 20.0),
+        (3L, "2024-01-01T02:00:00", 1L, "view", 40.0)) ++
+        (1 to 40).map(i => (100L + i, f"2024-01-02T00:$i%02d:00", 2L, "view", i.toDouble))
+    rows.map { case (id, ts, u, t, v) =>
+      (id, java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(ts).toInstant(java.time.ZoneOffset.UTC)),
+        u, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.EventQueries.queries("q149_ewma_features")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // u1 by the recursion: e=10; e=.25*20+.75*10=12.5; e=.25*40+.75*12.5=19.375
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 19.375) < 1e-12 &&
+      out(1L)._3 == 40.0, out(1L))
+    // u2: last 32 values are 9..40; recursion seeded at 9
+    var e = 9.0
+    (10 to 40).foreach(v => e = 0.25 * v + 0.75 * e)
+    assert(out(2L)._1 == 32L && math.abs(out(2L)._2 - e) < 1e-9 &&
+      out(2L)._3 == 40.0, s"${out(2L)} vs $e")
+  }
+
+  test("q148_robust_stats: winsorized mean and MAD on a known outlier group") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("robust").toString
+    ((1 to 9).map(v => ("A", v.toDouble)) :+ ("A" -> 1000.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.EventQueries.queries("q148_robust_stats")(spark, dir).collect()(0)
+    // sorted [1..9, 1000]: p05 = 1.45, med = 5.5, p95 = 9 + 0.55*991
+    val p05 = 1 + 0.45 * 1.0; val p95 = 9 + 0.55 * 991.0
+    val winsor = (p05 + (2 to 9).sum + p95) / 10.0
+    assert(r.getLong(1) == 10L)
+    assert(math.abs(r.getDouble(2) - 104.5) < 1e-9, "mean")
+    assert(math.abs(r.getDouble(3) - winsor) < 1e-9, s"winsor ${r.getDouble(3)} vs $winsor")
+    assert(r.getDouble(4) == 5.5, "median")
+    // |x - 5.5| sorted: [.5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5] -> MAD 2.5
+    assert(r.getDouble(5) == 2.5, s"mad ${r.getDouble(5)}")
+    assert(r.getDouble(3) < r.getDouble(2) && r.getDouble(3) > r.getDouble(4),
+      "winsorized mean sits between median and raw mean under a high outlier")
+  }
 }

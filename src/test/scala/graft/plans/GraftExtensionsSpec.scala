@@ -19,7 +19,7 @@ class GraftExtensionsSpec extends SparkSpec {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TopKAggregate.register(spark)
     for (fn <- Seq("cosine_sim", "dot_product", "topk_by_score", "xxhash64_seed",
-        "rolling_min_hash", "minhash_signature")) {
+        "rolling_min_hash", "minhash_signature", "l2sq")) {
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
         s"$fn missing from runtime registry")
