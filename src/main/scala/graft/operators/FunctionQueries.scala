@@ -203,6 +203,30 @@ object FunctionQueries {
           col("est_cnt").isNotNull.as("in_sketch"),
           coalesce(col("est_cnt") === col("exact_cnt"), lit(false)).as("est_exact"))
         .orderBy("rank")
+    }),
+
+    /** Jaro–Winkler similarity scoring via the custom codegen'd Catalyst
+      * expressions ([[graft.functions.StringSimilarity]]) — the
+      * per-candidate VERIFY metric of fuzzy record linkage, applied here
+      * to each nation's adjacent customer-name pairs (partitioned window
+      * lead — no join, no global sort). Hash-gated against DuckDB's own
+      * native jaro_similarity/jaro_winkler_similarity, which pins this
+      * implementation to the textbook semantics an external user
+      * expects (greedy window matching, half transpositions, 0.7 boost
+      * threshold, 4-char prefix cap). */
+    "q150_jaro_winkler" -> ((s, d) => {
+      graft.functions.StringSimilarity.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+        .withColumn("next_name", lead("c_name", 1).over(w))
+        .filter(col("next_name").isNotNull)
+        .select(col("c_custkey"), col("c_name"), col("next_name"),
+          call_function("jaro_sim", col("c_name"), col("next_name")).as("jaro"),
+          call_function("jaro_winkler_sim", col("c_name"), col("next_name"))
+            .as("jaro_winkler"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -296,6 +320,19 @@ object FunctionQueries {
         |FROM orders WHERE o_custkey <= 200
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice DESC, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB's native Jaro/Jaro-Winkler pin the custom expressions to
+    // textbook semantics
+    "q150_jaro_winkler" ->
+      """WITH p AS (
+        |  SELECT c_custkey, c_name,
+        |    lead(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_custkey)
+        |      AS next_name
+        |  FROM customer)
+        |SELECT c_custkey, c_name, next_name,
+        |  jaro_similarity(c_name, next_name) AS jaro,
+        |  jaro_winkler_similarity(c_name, next_name) AS jaro_winkler
+        |FROM p WHERE next_name IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin
   )
 }

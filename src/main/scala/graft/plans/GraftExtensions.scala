@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, RollingMinHash, SquaredL2Distance, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, JaroSimilarity, JaroWinklerSimilarity, MinHashSignature, RollingMinHash, SquaredL2Distance, TopKByScore}
 
 /** Session-extension entry point: makes the custom expressions available
   * in every session created with
@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2sq"),
       info("l2sq", "l2sq(a, b) - squared L2 distance of two float/double arrays"),
       (exprs: Seq[Expression]) => SquaredL2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_sim"),
+      info("jaro_sim", "jaro_sim(a, b) - Jaro similarity of two strings"),
+      (exprs: Seq[Expression]) => JaroSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_sim"),
+      info("jaro_winkler_sim",
+        "jaro_winkler_sim(a, b) - Jaro-Winkler similarity (0.7 boost threshold, 4-char prefix cap)"),
+      (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       info("rolling_min_hash",

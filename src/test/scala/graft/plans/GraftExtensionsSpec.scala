@@ -18,8 +18,10 @@ class GraftExtensionsSpec extends SparkSpec {
     // SQL user and a Column-DSL user see different catalogs
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TopKAggregate.register(spark)
+    graft.functions.StringSimilarity.register(spark)
     for (fn <- Seq("cosine_sim", "dot_product", "topk_by_score", "xxhash64_seed",
-        "rolling_min_hash", "minhash_signature", "l2sq")) {
+        "rolling_min_hash", "minhash_signature", "l2sq",
+        "jaro_sim", "jaro_winkler_sim")) {
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
         s"$fn missing from runtime registry")
