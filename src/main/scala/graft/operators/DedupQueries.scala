@@ -283,6 +283,163 @@ object DedupQueries {
       .withColumn("h",
         conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long")))
 
+  /** Connected components of an undirected near-dup pair list
+    * (doc1, doc2) → (doc_id, cluster_id = component-min doc_id), for the
+    * PAIR-GRAPH nodes only (isolated docs are the caller's coalesce).
+    * Hybrid tiers shared by d62 (Jaccard graph), d83 (forced distributed
+    * tier), and d152 (edit-distance graph): below
+    * `spark.graft.dedup.clusters.unionFindLimit` pairs the ~16 B/pair
+    * edge list collects for exact driver union-find; above it,
+    * distributed min-label propagation with pointer jumping converges in
+    * O(log diameter) rounds with localCheckpoint lineage truncation. */
+  private[graft] def labelComponents(s: SparkSession, pairs0: DataFrame): DataFrame = {
+    import s.implicits._
+    val unionFindLimit = s.conf.get(
+      "spark.graft.dedup.clusters.unionFindLimit", "1000000").toLong
+    val pairs = pairs0.select("doc1", "doc2").persist()
+
+    val nPairs = pairs.count()
+    val labeled =
+      if (nPairs <= unionFindLimit) {
+        // near-dup pair sets are tiny relative to the corpus; collect
+        // the edge list and run exact union-find on the driver (the
+        // labels, not the documents, come to the driver — ~16 B/pair)
+        val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        pairs.unpersist()
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        // iterative find with full path compression — union-by-min can
+        // build long parent chains on adversarial edge orders near the
+        // 1M-pair threshold, and recursion would overflow the stack
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var x = x0
+          while (parent.getOrElse(x, x) != x) { val nx = parent(x); parent(x) = r; x = nx }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        s.createDataFrame(nodes.map(n => (n, find(n))).toSeq)
+          .toDF("doc_id", "cluster_id")
+      } else {
+        // distributed min-label propagation: one broadcast-join round
+        // per diameter step, fixpoint detection by changed-count
+        val edges = pairs
+          .unionByName(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+          .toDF("src", "dst").persist()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).persist()
+        var cached = labels // the persisted frame backing `labels`
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 30) {
+          val nbrMin = edges
+            .join(labels.toDF("dst", "nbr_lbl"), "dst")
+            .groupBy(col("src").as("doc_id"))
+            .agg(min("nbr_lbl").as("nbr_min"))
+          val hop = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("cluster_id"),
+              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+                .as("lbl1"))
+          // pointer jumping: a label is itself a node id of the same
+          // component, so also adopt THAT node's freshly-hopped label.
+          // Labels stay within the component and only decrease, so the
+          // min-label fixpoint is unchanged — but chains collapse in
+          // O(log diameter) rounds instead of O(diameter) (each round
+          // now looks two hops back). The changed flag rides in-row, so
+          // fixpoint detection reuses the materializing count instead
+          // of a second join against the previous labels.
+          val upd = hop
+            .join(hop.select(col("doc_id").as("lbl1"), col("lbl1").as("jump")),
+              Seq("lbl1"), "left")
+            .withColumn("new_lbl", least(col("lbl1"), coalesce(col("jump"), col("lbl1"))))
+            .select(col("doc_id"), col("new_lbl"),
+              (col("new_lbl") =!= col("cluster_id")).as("chg"))
+            .persist()
+          val changed = upd.filter(col("chg")).count()
+          cached.unpersist()
+          cached = upd
+          labels = upd.select(col("doc_id"), col("new_lbl").as("cluster_id"))
+          converged = changed == 0
+          iter += 1
+          // persist() caches row data but the logical plan still nests
+          // per round — and the pointer-jump self-join references `hop`
+          // twice, so the tree QUADRUPLES per round (4^k between
+          // checkpoints; the 16-diameter chain spec OOMed the explain
+          // string at every-5). localCheckpoint() truncates lineage to
+          // the materialized blocks every other round from round 3 on:
+          // typical near-dup graphs converge in 2-3 rounds (diameter
+          // ≤ 4 with jumping) and never pay the extra materialization,
+          // while long chains stay bounded at ≤ 4³ plan copies.
+          if (!converged && iter >= 3 && iter % 2 == 1) {
+            val truncated = labels.localCheckpoint()
+            cached.unpersist()
+            cached = truncated
+            labels = truncated
+          }
+        }
+        // labels is materialized (the convergence count ran it); edges
+        // and pairs can recompute from lineage if evicted
+        edges.unpersist()
+        pairs.unpersist()
+        labels
+      }
+    labeled
+  }
+
+  /* Fuzzy-key near-dup pairs at edit distance ≤ 2 — see the d145
+   * scaladoc below for the PassJoin design; shared with d152's keep-first
+   * composition. Returns (doc1 < doc2, edit_dist). */
+  private[graft] def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val k = 2
+    val nseg = k + 1
+    val keyed = documents(s, d)
+      .select(col("doc_id"),
+        lower(array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " ")).as("key"))
+      .withColumn("len", length(col("key")))
+      .filter(col("len") >= nseg) // all k+1 even segments non-empty
+    val idx = keyed.select(col("doc_id").as("id2"), col("key"),
+        col("len").as("l2"),
+        explode(expr(
+          s"""transform(sequence(0, $k), i -> struct(
+             |  i AS seg_i,
+             |  cast((i * len) div $nseg as int) + 1 AS pos,
+             |  cast(((i + 1) * len) div $nseg as int)
+             |    - cast((i * len) div $nseg as int) AS seg_len))""".stripMargin))
+          .as("g"))
+      .select(col("id2"), col("l2"), col("g.seg_i").as("seg_i"),
+        expr("substring(key, g.pos, g.seg_len)").as("sub"))
+    val probe = keyed.select(col("doc_id").as("id1"), col("key"), col("len"),
+        explode(expr(
+          s"""filter(
+             |  flatten(flatten(transform(sequence(len - $k, len + $k), L ->
+             |    transform(sequence(0, $k), i ->
+             |      transform(sequence(-$k, $k), sh -> struct(
+             |        L AS l2, i AS seg_i,
+             |        cast((i * L) div $nseg as int) + 1 + sh AS pos,
+             |        cast(((i + 1) * L) div $nseg as int)
+             |          - cast((i * L) div $nseg as int) AS seg_len)))))),
+             |  p -> p.l2 >= $nseg AND p.seg_len >= 1
+             |       AND p.pos >= 1 AND p.pos + p.seg_len - 1 <= len)""".stripMargin))
+          .as("p"))
+      .select(col("id1"), col("p.l2").as("l2"), col("p.seg_i").as("seg_i"),
+        expr("substring(key, p.pos, p.seg_len)").as("sub"))
+    val cand = probe.join(idx, Seq("l2", "seg_i", "sub"))
+      .filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("doc1"),
+        greatest(col("id1"), col("id2")).as("doc2"))
+      .distinct()
+    cand
+      .join(keyed.select(col("doc_id").as("doc1"), col("key").as("key1")), "doc1")
+      .join(keyed.select(col("doc_id").as("doc2"), col("key").as("key2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("key1"), col("key2")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= k)
+  }
+
   val queries: Map[String, Q] = Map(
     /** Exact dedup: group on content hash, keep lowest doc_id per group
       * (hash-groupBy — one shuffle keyed on md5, never on raw text). */
@@ -345,99 +502,7 @@ object DedupQueries {
       * tiny, so 2-3 rounds; the loop breaks at fixpoint. Oracle: DuckDB
       * recursive CTE closure. */
     "d62_dedup_clusters" -> ((s, d) => {
-      import s.implicits._
-      val unionFindLimit = s.conf.get(
-        "spark.graft.dedup.clusters.unionFindLimit", "1000000").toLong
-      val pairs = jaccardPairs(s, d, 0.5).select("doc1", "doc2").persist()
-      val nPairs = pairs.count()
-      val labeled =
-        if (nPairs <= unionFindLimit) {
-          // near-dup pair sets are tiny relative to the corpus; collect
-          // the edge list and run exact union-find on the driver (the
-          // labels, not the documents, come to the driver — ~16 B/pair)
-          val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-          pairs.unpersist()
-          val parent = scala.collection.mutable.Map[Long, Long]()
-          // iterative find with full path compression — union-by-min can
-          // build long parent chains on adversarial edge orders near the
-          // 1M-pair threshold, and recursion would overflow the stack
-          def find(x0: Long): Long = {
-            var r = x0
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var x = x0
-            while (parent.getOrElse(x, x) != x) { val nx = parent(x); parent(x) = r; x = nx }
-            r
-          }
-          edges.foreach { case (a, b) =>
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-          }
-          val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-          s.createDataFrame(nodes.map(n => (n, find(n))).toSeq)
-            .toDF("doc_id", "cluster_id")
-        } else {
-          // distributed min-label propagation: one broadcast-join round
-          // per diameter step, fixpoint detection by changed-count
-          val edges = pairs
-            .unionByName(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-            .toDF("src", "dst").persist()
-          var labels = edges.select(col("src").as("doc_id")).distinct()
-            .withColumn("cluster_id", col("doc_id")).persist()
-          var cached = labels // the persisted frame backing `labels`
-          var converged = false
-          var iter = 0
-          while (!converged && iter < 30) {
-            val nbrMin = edges
-              .join(labels.toDF("dst", "nbr_lbl"), "dst")
-              .groupBy(col("src").as("doc_id"))
-              .agg(min("nbr_lbl").as("nbr_min"))
-            val hop = labels.join(nbrMin, Seq("doc_id"), "left")
-              .select(col("doc_id"), col("cluster_id"),
-                least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-                  .as("lbl1"))
-            // pointer jumping: a label is itself a node id of the same
-            // component, so also adopt THAT node's freshly-hopped label.
-            // Labels stay within the component and only decrease, so the
-            // min-label fixpoint is unchanged — but chains collapse in
-            // O(log diameter) rounds instead of O(diameter) (each round
-            // now looks two hops back). The changed flag rides in-row, so
-            // fixpoint detection reuses the materializing count instead
-            // of a second join against the previous labels.
-            val upd = hop
-              .join(hop.select(col("doc_id").as("lbl1"), col("lbl1").as("jump")),
-                Seq("lbl1"), "left")
-              .withColumn("new_lbl", least(col("lbl1"), coalesce(col("jump"), col("lbl1"))))
-              .select(col("doc_id"), col("new_lbl"),
-                (col("new_lbl") =!= col("cluster_id")).as("chg"))
-              .persist()
-            val changed = upd.filter(col("chg")).count()
-            cached.unpersist()
-            cached = upd
-            labels = upd.select(col("doc_id"), col("new_lbl").as("cluster_id"))
-            converged = changed == 0
-            iter += 1
-            // persist() caches row data but the logical plan still nests
-            // per round — and the pointer-jump self-join references `hop`
-            // twice, so the tree QUADRUPLES per round (4^k between
-            // checkpoints; the 16-diameter chain spec OOMed the explain
-            // string at every-5). localCheckpoint() truncates lineage to
-            // the materialized blocks every other round from round 3 on:
-            // typical near-dup graphs converge in 2-3 rounds (diameter
-            // ≤ 4 with jumping) and never pay the extra materialization,
-            // while long chains stay bounded at ≤ 4³ plan copies.
-            if (!converged && iter >= 3 && iter % 2 == 1) {
-              val truncated = labels.localCheckpoint()
-              cached.unpersist()
-              cached = truncated
-              labels = truncated
-            }
-          }
-          // labels is materialized (the convergence count ran it); edges
-          // and pairs can recompute from lineage if evicted
-          edges.unpersist()
-          pairs.unpersist()
-          labels
-        }
+      val labeled = labelComponents(s, jaccardPairs(s, d, 0.5))
       labeled
         .join(labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
           "cluster_id")
@@ -976,51 +1041,27 @@ object DedupQueries {
        * The DuckDB oracle computes ground truth QUADRATICALLY (all-pairs
        * levenshtein), so the hash gate also proves losslessness holds
        * end-to-end on this corpus. */
-      val k = 2
-      val nseg = k + 1
-      val keyed = documents(s, d)
+      editDistancePairs(s, d).orderBy("doc1", "doc2")
+    }),
+
+    "d152_fuzzy_keep_first" -> ((s, d) => {
+      /* The PRODUCTION DECISION step on top of d145 (the d89-over-d62
+       * pattern at the edit-distance grain): connected components of the
+       * ed ≤ 2 pair graph via the shared [[labelComponents]] hybrid
+       * (driver union-find / distributed label propagation), keep the
+       * component-min doc_id, and every isolated document keeps itself —
+       * so the output covers the WHOLE corpus, which is what a
+       * deduplicated-write actually filters on. Transitivity matters:
+       * A~B~C chains collapse to one keeper even when ed(A,C) > 2.
+       * Oracle: DuckDB recursive-CTE closure over the same quadratic
+       * ground-truth pairs. */
+      val labels = labelComponents(s, editDistancePairs(s, d))
+      documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          lower(array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " ")).as("key"))
-        .withColumn("len", length(col("key")))
-        .filter(col("len") >= nseg) // all k+1 even segments non-empty
-      val idx = keyed.select(col("doc_id").as("id2"), col("key"),
-          col("len").as("l2"),
-          explode(expr(
-            s"""transform(sequence(0, $k), i -> struct(
-               |  i AS seg_i,
-               |  cast((i * len) div $nseg as int) + 1 AS pos,
-               |  cast(((i + 1) * len) div $nseg as int)
-               |    - cast((i * len) div $nseg as int) AS seg_len))""".stripMargin))
-            .as("g"))
-        .select(col("id2"), col("l2"), col("g.seg_i").as("seg_i"),
-          expr("substring(key, g.pos, g.seg_len)").as("sub"))
-      val probe = keyed.select(col("doc_id").as("id1"), col("key"), col("len"),
-          explode(expr(
-            s"""filter(
-               |  flatten(flatten(transform(sequence(len - $k, len + $k), L ->
-               |    transform(sequence(0, $k), i ->
-               |      transform(sequence(-$k, $k), sh -> struct(
-               |        L AS l2, i AS seg_i,
-               |        cast((i * L) div $nseg as int) + 1 + sh AS pos,
-               |        cast(((i + 1) * L) div $nseg as int)
-               |          - cast((i * L) div $nseg as int) AS seg_len)))))),
-               |  p -> p.l2 >= $nseg AND p.seg_len >= 1
-               |       AND p.pos >= 1 AND p.pos + p.seg_len - 1 <= len)""".stripMargin))
-            .as("p"))
-        .select(col("id1"), col("p.l2").as("l2"), col("p.seg_i").as("seg_i"),
-          expr("substring(key, p.pos, p.seg_len)").as("sub"))
-      val cand = probe.join(idx, Seq("l2", "seg_i", "sub"))
-        .filter(col("id1") =!= col("id2"))
-        .select(least(col("id1"), col("id2")).as("doc1"),
-          greatest(col("id1"), col("id2")).as("doc2"))
-        .distinct()
-      cand
-        .join(keyed.select(col("doc_id").as("doc1"), col("key").as("key1")), "doc1")
-        .join(keyed.select(col("doc_id").as("doc2"), col("key").as("key2")), "doc2")
-        .select(col("doc1"), col("doc2"),
-          levenshtein(col("key1"), col("key2")).cast("long").as("edit_dist"))
-        .filter(col("edit_dist") <= k)
-        .orderBy("doc1", "doc2")
+          coalesce(col("cluster_id"), col("doc_id")).as("keep_id"))
+        .withColumn("is_kept", col("keep_id") === col("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1606,7 +1647,37 @@ object DedupQueries {
         |FROM kk a JOIN kk b ON a.doc_id < b.doc_id
         |WHERE abs(length(a.key) - length(b.key)) <= 2
         |  AND levenshtein(a.key, b.key) <= 2
-        |ORDER BY doc1, doc2""".stripMargin
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    // recursive-CTE closure (d62's oracle shape) over the same quadratic
+    // ground-truth pair set; isolated docs keep themselves via LEFT JOIN
+    "d152_fuzzy_keep_first" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    lower(array_to_string(
+        |      list_slice(string_split_regex(trim(text), '\s+'), 1, 6), ' ')) AS key
+        |  FROM documents),
+        |kk AS (SELECT doc_id, key FROM k WHERE length(key) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM kk a JOIN kk b ON a.doc_id < b.doc_id
+        |  WHERE abs(length(a.key) - length(b.key)) <= 2
+        |    AND levenshtein(a.key, b.key) <= 2),
+        |edges AS (
+        |  SELECT doc1 AS s, doc2 AS t FROM pairs
+        |  UNION SELECT doc2, doc1 FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |nodes AS (SELECT DISTINCT s FROM edges),
+        |closure AS (
+        |  SELECT s, t FROM reach UNION ALL SELECT s, s FROM nodes),
+        |m AS (SELECT s AS doc_id, min(t) AS keep_id FROM closure GROUP BY s)
+        |SELECT d.doc_id, coalesce(m.keep_id, d.doc_id) AS keep_id,
+        |  coalesce(m.keep_id, d.doc_id) = d.doc_id AS is_kept
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   private lazy val decontaminateOracle =

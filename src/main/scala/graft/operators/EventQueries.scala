@@ -667,6 +667,29 @@ object EventQueries {
           sum(col("weight") * col("value")).as("ewma_value"),
           max(when(col("rd") === 1, col("value"))).as("last_value"))
         .orderBy("user_id")
+    }),
+
+    /** Top 3-step behavioral paths (sequential pattern mining at n=3 —
+      * the path-analysis extension of q133's 1-step transition matrix):
+      * each user's event sequence contributes every consecutive
+      * (e₁→e₂→e₃) triple; ranked by frequency. One shuffle on user_id
+      * for the two leads (both windows share the single sort), one
+      * count aggregate, and a top-20 that compiles to
+      * TakeOrderedAndProject — bounded heaps, no global sort, the same
+      * scale shape as q18. */
+    "q151_event_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(desc("n_paths"), col("step1"), col("step2"), col("step3"))
+        .limit(20)
     })
   )
 
@@ -976,6 +999,18 @@ object EventQueries {
         |  sum(CASE WHEN rd = m THEN pow(0.75, m - 1)
         |           ELSE 0.25 * pow(0.75, rd - 1) END * value) AS ewma_value,
         |  max(CASE WHEN rd = 1 THEN value END) AS last_value
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q151_event_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS n_paths
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin
   )
 }

@@ -283,4 +283,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getDouble(3) < r.getDouble(2) && r.getDouble(3) > r.getDouble(4),
       "winsorized mean sits between median and raw mean under a high outlier")
   }
+
+  test("q151_event_paths: sliding triples per user, cross-user counts") {
+    // u1: v->c->s->p contributes (v,c,s) and (c,s,p); u2: v->c->s
+    // contributes (v,c,s) — so (v,c,s) counts 2; pairs-only users add none
+    val dir = eventsFixture(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:01:00", 1L, "click"),
+      (3L, "2024-01-01 00:02:00", 1L, "signup"),
+      (4L, "2024-01-01 00:03:00", 1L, "purchase"),
+      (5L, "2024-01-01 00:00:00", 2L, "view"),
+      (6L, "2024-01-01 00:01:00", 2L, "click"),
+      (7L, "2024-01-01 00:02:00", 2L, "signup"),
+      (8L, "2024-01-01 00:00:00", 3L, "view"),
+      (9L, "2024-01-01 00:01:00", 3L, "click")))
+    val out = graft.EventQueries.queries("q151_event_paths")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("view", "click", "signup", 2L),
+      ("click", "signup", "purchase", 1L)), out.toSeq)
+  }
 }

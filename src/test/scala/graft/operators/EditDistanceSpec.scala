@@ -56,4 +56,18 @@ class EditDistanceSpec extends SparkSpec {
     val n = graft.DedupQueries.queries("d145_edit_distance")(spark, dir).count()
     assert(n == 0L, s"length-gap pair must not surface, got $n rows")
   }
+
+  test("d152: keep-first collapses A~B~C chains even when ed(A,C) > 2") {
+    // 1~2 at ed 2, 2~3 at ed 2, but ed(1,3) = 4 — only transitive
+    // closure groups all three; doc 4 is isolated and keeps itself
+    val dir = writeDocs(Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot t one",
+      2L -> "alphx bravy charlie delta echo foxtrot t two",
+      3L -> "alphx bravy charlze delta echv foxtrot t three",
+      4L -> "utterly unrelated words occupy this prefix t four"))
+    val out = graft.DedupQueries.queries("d152_fuzzy_keep_first")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)),
+      s"chain must collapse to doc 1: $out")
+  }
 }
