@@ -282,6 +282,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("topk_by_score"), s"s139: bounded-heap top-k missing:\n$p")
   }
 
+  test("t146: weighted sample's top-k compiles to TakeOrderedAndProject") {
+    val p = plan("t146_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t146: A-ES selection must be a bounded heap, not a global sort:\n$p")
+  }
+
+  test("t147: compression signal is scan-shaped — featurize, then one aggregate shuffle") {
+    val p = plan("t147_compression_ratio")
+    assert(p.contains("MapPartitions"), s"t147: deflate stage missing:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"t147: expected one shuffle (per-source agg), saw $exchanges:\n$p")
+    assert(p.contains("partial"), s"t147: map-side partial aggregation missing:\n$p")
+  }
+
+  test("q148: percentile bounds broadcast back onto the fact; no cartesian") {
+    val p = plan("q148_robust_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q148: the 3-row bounds table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q148: non-equi shape:\n$p")
+  }
+
+  test("q149: EWMA runs on a single user_id shuffle end to end") {
+    // rank window, count window, and final aggregate all key on user_id —
+    // one exchange must satisfy every stage
+    val p = plan("q149_ewma_features")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"q149: expected one user_id shuffle, saw $exchanges:\n$p")
+  }
+
+  test("q151: path mining tops out in TakeOrderedAndProject") {
+    val p = plan("q151_event_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q151: top-20 must be a bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q151: cartesian:\n$p")
+  }
+
   test("d145: PassJoin candidates are a shuffled equi-join, never a cross product") {
     // index and probe sides each fan out through a Generate (explode of a
     // constant-bounded array) and meet on (L, seg_i, substring) — an
