@@ -114,4 +114,82 @@ class CorpusPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- d145/d152: PassJoin losslessness against brute force ----------
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  private def key6(text: String): String =
+    text.trim.split("\\s+").take(6).mkString(" ").toLowerCase
+
+  /** Random corpora where some docs are CHARACTER-mutated copies of
+    * others (the adversarial regime for segment blocking: edits at
+    * arbitrary positions, including segment boundaries). */
+  private def mutatedCorpora(n: Int): Seq[List[(Long, String)]] =
+    corpora(n).zipWithIndex.map { case (rows, ci) =>
+      val rnd = new scala.util.Random(1000 + ci)
+      val mutants = rows.filter(_ => rnd.nextBoolean()).take(4).map { case (id, t) =>
+        val chars = t.toCharArray
+        val nEdits = 1 + rnd.nextInt(3) // 1..3 edits: straddles the k=2 gate
+        (0 until nEdits).foreach { _ =>
+          if (chars.nonEmpty) {
+            val p = rnd.nextInt(math.min(chars.length, 30))
+            chars(p) = ('a' + rnd.nextInt(26)).toChar
+          }
+        }
+        (id + 1000L, new String(chars))
+      }
+      rows ++ mutants
+    }
+
+  test("d145: PassJoin pair set EQUALS brute-force levenshtein on mutated corpora") {
+    mutatedCorpora(5).foreach { rows =>
+      val dir = stage(rows)
+      val keys = rows.map { case (id, t) => id -> key6(t) }
+        .filter(_._2.length >= 3)
+      val expected = (for {
+        (i1, k1) <- keys; (i2, k2) <- keys
+        if i1 < i2 && math.abs(k1.length - k2.length) <= 2
+        d = lev(k1, k2) if d <= 2
+      } yield (i1, i2, d.toLong)).toSet
+      val got = graft.DedupQueries.queries("d145_edit_distance")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"blocking lost or invented pairs:\n missing=${expected -- got}\n extra=${got -- expected}")
+    }
+  }
+
+  test("d152: keeper is the component-min of the brute-force pair graph") {
+    mutatedCorpora(3).foreach { rows =>
+      val dir = stage(rows)
+      val keys = rows.map { case (id, t) => id -> key6(t) }.filter(_._2.length >= 3)
+      val pairs = for {
+        (i1, k1) <- keys; (i2, k2) <- keys
+        if i1 < i2 && math.abs(k1.length - k2.length) <= 2 && lev(k1, k2) <= 2
+      } yield (i1, i2)
+      // brute-force components
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = rows.map(_._1).map(id => id -> find(id)).toMap
+      val got = graft.DedupQueries.queries("d152_fuzzy_keep_first")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"keeper map diverged: ${got.toSet -- expected.toSet}")
+    }
+  }
 }
