@@ -690,6 +690,65 @@ object EventQueries {
         .agg(count(lit(1)).as("n_paths"))
         .orderBy(desc("n_paths"), col("step1"), col("step2"), col("step3"))
         .limit(20)
+    }),
+
+    /** Heterogeneous-interval merge (gaps-and-islands over RANGES): each
+      * event spans [ts, ts + value seconds]; overlapping spans per user
+      * merge into maximal islands — distinct from q32's gap sessionize
+      * because interval LENGTHS vary, so island boundaries depend on the
+      * running max of interval ENDS, not inter-arrival gaps. Emits per
+      * user the merged-interval count, total covered seconds, and the
+      * longest single span — the machine-utilization/on-call-coverage
+      * shape.
+      *
+      * Scale shape: both windows (running-max end, island counter) and
+      * the two aggregates all key on user_id — one shuffle end to end;
+      * epoch-seconds double arithmetic is identical on both engines. */
+    "q153_interval_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("st"), col("event_id"))
+      val prevMax = max("en").over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+      // exact µs epoch → double seconds (identical bits on both engines;
+      // µs longs are far inside double's exact-integer range)
+      val st = unix_micros(col("ts").cast("timestamp")) / lit(1000000.0)
+      val spans = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          st.as("st"), (st + col("value")).as("en"))
+        .withColumn("new_island",
+          when(col("st") > coalesce(prevMax, lit(Double.NegativeInfinity)), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("new_island").over(byUser))
+        .groupBy("user_id", "island")
+        .agg(min("st").as("island_st"), max("en").as("island_en"))
+      spans.groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("island_en") - col("island_st")).as("covered_sec"),
+          max(col("island_en") - col("island_st")).as("max_span_sec"))
+        .orderBy("user_id")
+    }),
+
+    /** Share-of-parent / share-of-total ratios (the BI ratio_to_report
+      * surface): revenue share of each (returnflag, linestatus) cell
+      * within its returnflag, and of the grand total — two window sums
+      * over the ALREADY-AGGREGATED cells (group count × 8 rows), so the
+      * windows cost nothing at any corpus size; the heavy lifting is the
+      * one partial+final aggregate below them. */
+    "q154_share_of_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_extendedprice").as("revenue"))
+      cells
+        .withColumn("share_in_flag",
+          col("revenue") / sum("revenue").over(Window.partitionBy("l_returnflag")))
+        .withColumn("share_of_total",
+          col("revenue") / sum("revenue").over(Window.partitionBy()))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("revenue"), 4).as("revenue"),
+          round(col("share_in_flag"), 9).as("share_in_flag"),
+          round(col("share_of_total"), 9).as("share_of_total"))
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
@@ -1011,6 +1070,45 @@ object EventQueries {
         |FROM seq WHERE step3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n_paths DESC, step1, step2, step3
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    // same µs-exact epoch seconds, same running-max island derivation
+    "q153_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) / 1000000.0 AS st,
+        |    epoch_us(ts) / 1000000.0 + value AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |flagged AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END
+        |      AS new_island
+        |  FROM m),
+        |islands AS (
+        |  SELECT user_id, st, en,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |sp AS (
+        |  SELECT user_id, island, min(st) AS island_st, max(en) AS island_en
+        |  FROM islands GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  sum(island_en - island_st) AS covered_sec,
+        |  max(island_en - island_st) AS max_span_sec
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q154_share_of_total" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |  round(revenue, 4) AS revenue,
+        |  round(revenue / sum(revenue) OVER (PARTITION BY l_returnflag), 9)
+        |    AS share_in_flag,
+        |  round(revenue / sum(revenue) OVER (), 9) AS share_of_total
+        |FROM cells ORDER BY 1, 2""".stripMargin
   )
 }

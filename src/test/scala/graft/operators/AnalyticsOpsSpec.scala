@@ -302,4 +302,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("view", "click", "signup", 2L),
       ("click", "signup", "purchase", 1L)), out.toSeq)
   }
+
+  test("q153_interval_merge: containment and gaps resolve via the running max") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString
+    val base = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+    // u1: [0,10], [5,8] CONTAINED (its end is below the running max — a
+    // lag-based gap check would wrongly split at the next interval),
+    // [9,20] overlap-extends, [25,30] after a gap → islands [0,20], [25,30]
+    val rows = Seq(
+      (1L, 0, 10.0, 1L), (2L, 5, 3.0, 1L), (3L, 9, 11.0, 1L), (4L, 25, 5.0, 1L),
+      (5L, 0, 7.0, 2L))
+    rows.map { case (id, off, len, u) =>
+      (id, java.sql.Timestamp.from(base.plusSeconds(off).toInstant(java.time.ZoneOffset.UTC)),
+        u, "view", len, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.EventQueries.queries("q153_interval_merge")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((2L, 25.0, 20.0)), out(1L))
+    assert(out(2L) == ((1L, 7.0, 7.0)), out(2L))
+  }
+
+  test("q154_share_of_total: shares sum to 1 within each flag and overall") {
+    val rows = graft.EventQueries.queries("q154_share_of_total")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      assert(math.abs(g.map(_._2).sum - 1.0) < 1e-6, s"flag $flag shares: ${g.map(_._2).sum}")
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6, "grand-total shares")
+    assert(rows.forall(r => r._2 > 0 && r._2 <= 1 && r._3 > 0 && r._3 <= 1))
+  }
 }
