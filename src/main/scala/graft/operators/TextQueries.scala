@@ -1030,6 +1030,39 @@ object TextQueries {
           (col("minr") > 0.02).as("every_ratio_gt_002"),
           (col("meanr") > 0.1 && col("meanr") < 1.0).as("mean_ratio_in_band"))
         .orderBy("source")
+    }),
+
+    "t155_vocab_growth" -> ((s, d) => {
+      /* Vocabulary-growth curve (Heaps'-law measurement — the
+       * tokenizer-budget planning signal: how fast does distinct
+       * vocabulary grow as corpus coverage grows?). Docs land in ten
+       * DETERMINISTIC md5 buckets — a hash split, NOT a global
+       * row_number, so the "corpus prefix" ordering needs no global
+       * sort and the same plan runs at any corpus size (the t127
+       * lesson). Per token the MIN bucket is its first appearance;
+       * cumulative distinct vocabulary at bucket k = tokens whose min
+       * bucket ≤ k.
+       *
+       * Scale shape: one (token)-keyed shuffle for the min-bucket
+       * aggregate, one token-instance count per bucket, then windows
+       * over TEN rows. */
+      import org.apache.spark.sql.expressions.Window
+      val bucket = (pmod(conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 13), 16, 10).cast("long"), lit(10L)) + 1L).as("bucket")
+      val tok = documents(s, d)
+        .select(bucket, explode(toks(col("text"))).as("token"))
+      val firstSeen = tok.groupBy("token").agg(min("bucket").as("first_bucket"))
+        .groupBy("first_bucket").agg(count(lit(1)).as("new_tokens"))
+      val instances = tok.groupBy("bucket").agg(count(lit(1)).as("bucket_tokens"))
+      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+      instances
+        .join(firstSeen.withColumnRenamed("first_bucket", "bucket"),
+          Seq("bucket"), "left")
+        .select(col("bucket"), col("bucket_tokens"),
+          coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+        .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+        .withColumn("cum_vocab", sum("new_tokens").over(w))
+        .orderBy("bucket")
     })
   )
 
@@ -1712,6 +1745,32 @@ object TextQueries {
         |  TRUE AS every_ratio_le_105,
         |  TRUE AS every_ratio_gt_002,
         |  TRUE AS mean_ratio_in_band
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // same md5 bucket split, same min-bucket first-appearance derivation
+    "t155_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT
+        |    (CAST(list_sum(list_transform(range(0, 13), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)),
+        |            CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |          << CAST(4 * (12 - i) AS INTEGER))) AS BIGINT) % 10 + 1)
+        |      AS bucket,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |fs AS (
+        |  SELECT first_bucket, count(*) AS new_tokens FROM (
+        |    SELECT token, min(bucket) AS first_bucket FROM tok GROUP BY 1)
+        |  GROUP BY 1),
+        |inst AS (SELECT bucket, count(*) AS bucket_tokens FROM tok GROUP BY 1)
+        |SELECT i.bucket, i.bucket_tokens,
+        |  coalesce(fs.new_tokens, 0) AS new_tokens,
+        |  sum(i.bucket_tokens) OVER (ORDER BY i.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |  sum(coalesce(fs.new_tokens, 0)) OVER (ORDER BY i.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+        |FROM inst i LEFT JOIN fs ON i.bucket = fs.first_bucket
+        |ORDER BY i.bucket""".stripMargin
   )
 }

@@ -192,4 +192,21 @@ class CorpusPropertySpec extends SparkSpec {
       assert(got == expected, s"keeper map diverged: ${got.toSet -- expected.toSet}")
     }
   }
+
+  test("t155: growth curve is monotone and lands on the exact corpus totals") {
+    corpora(4).foreach { rows =>
+      val dir = stage(rows)
+      val out = graft.TextQueries.queries("t155_vocab_growth")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val allToks = rows.flatMap(_._2.trim.split("\\s+"))
+      assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq, "cum_tokens monotone")
+      assert(out.map(_._5).toSeq == out.map(_._5).sorted.toSeq, "cum_vocab monotone")
+      out.foreach { case (_, _, _, ct, cv) =>
+        assert(cv <= ct, s"vocab $cv cannot exceed instances $ct") }
+      assert(out.last._4 == allToks.length.toLong, "total instances")
+      assert(out.last._5 == allToks.distinct.length.toLong, "total vocabulary")
+      assert(out.map(_._2).sum == allToks.length.toLong, "bucket partition covers corpus")
+    }
+  }
 }
