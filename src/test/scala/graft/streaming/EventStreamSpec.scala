@@ -345,4 +345,52 @@ class EventStreamSpec extends SparkSpec {
       assert(v >= 0.0 && v < 100.0, s"mapped value out of range: $v")
     }
   }
+
+  test("late events behind the watermark are dropped, and the drop is ledgered") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_late")
+    val t0 = java.time.LocalDateTime.parse("2024-06-01T00:10:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    var mtime = 0
+    def file(name: String, rows: Seq[(Long, Long)]): Unit = { // (id, offsetMin)
+      EventStream.writeEventsFile(
+        rows.map { case (id, off) =>
+          (id, new java.sql.Timestamp(t0 + off * 60000L), 1L, "view", 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        dir, name)
+      // the file source orders new files by modification time; pin
+      // strictly increasing mtimes so batch order is a → b → c even on
+      // coarse-granularity filesystems
+      mtime += 10000
+      java.nio.file.Files.setLastModifiedTime(dir.resolve(name + ".parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + mtime))
+    }
+    // Spark splits the two watermark roles (3.4+): EVICTION uses the
+    // current batch's watermark, but the LATE-EVENTS filter deliberately
+    // uses the PREVIOUS batch's — a row may still merge into state that
+    // has not been evicted yet. So dropping needs the advanced watermark
+    // to be one batch old: sentinel b advances it, sentinel c makes it
+    // the filter watermark, and only then is the late row in d dropped.
+    file("a", Seq(1L -> 0L, 2L -> 30L)) // window W0 gets two on-time events
+    file("b", Seq(3L -> 600L)) // +10h sentinel: eviction wm → +8h, W0 finalizes
+    file("c", Seq(5L -> 660L)) // ages the advanced wm into the late-filter role
+    file("d", Seq(4L -> 35L)) // LATE: 35 min, hours behind the filter watermark
+    val staged = spark.readStream.schema(EventStream.streamSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = EventStream.hourlyAggregates(staged).writeStream
+      .outputMode("append").format("memory").queryName("late_drop_test").start()
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    val w0 = spark.table("late_drop_test")
+      .filter(col("event_type") === "view")
+      .collect().map(r => millis(r.get(0)) -> r.getLong(2)).toMap
+    val w0Start = java.time.LocalDateTime.parse("2024-06-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    assert(w0.get(w0Start).contains(2L),
+      s"W0 must finalize with the two ON-TIME events only, got $w0")
+    assert(dropped == 1L,
+      s"exactly the late row must be counted in numRowsDroppedByWatermark, got $dropped")
+  }
 }
