@@ -260,6 +260,35 @@ object SimilarityQueries {
       * block-grid). Above the gate knnGraph switches to banded-LSH
       * candidates and the Spark result may legitimately diverge from
       * the exact-graph oracle — same contract as s117. */
+    "s156_semantic_clusters" -> ((s, d) => {
+      /* Semantic clusters: connected components of the MUTUAL kNN graph
+       * (reciprocal top-5 edges — the strong-evidence graph) — the
+       * embedding-space twin of d62's dedup clusters, closing the
+       * similarity family's pairwise → graph → clusters arc. Reuses the
+       * shared [[DedupQueries.labelComponents]] hybrid (driver
+       * union-find / distributed pointer-jump propagation); every
+       * isolated vector keeps itself, so the output covers the whole
+       * embedding table. Oracle parity holds on the exact knnGraph tier
+       * (above `spark.graft.knn.exactLimit` the graph switches to
+       * banded-LSH candidates and the exact-graph oracle no longer
+       * binds — the s96/s117/s135 contract). */
+      val g = knnGraph(s, d).select(
+        col("vec_id").as("a"), col("neighbor_id").as("b"))
+      val mutual = g.join(g.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("doc1"), col("b").as("doc2"))
+      val labels = DedupQueries.labelComponents(s, mutual)
+        .toDF("vec_id", "cluster_id")
+      val lab = embeddings(s, d).select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      lab.join(lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+          "cluster_id")
+        .select("vec_id", "cluster_id", "cluster_size")
+        .orderBy("vec_id")
+    }),
+
     "s135_knn_triangles" -> ((s, d) => {
       val g = knnGraph(s, d).select(col("vec_id").as("a"), col("neighbor_id").as("b"))
       val rev = g.select(col("b").as("a"), col("a").as("b"))
@@ -1332,6 +1361,41 @@ object SimilarityQueries {
          |FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id
          |WHERE f.vec_id < f.nb
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // s117's mutual-edge replica closed transitively (d62's recursive-CTE
+    // shape); isolated vectors keep themselves via the LEFT JOIN
+    "s156_semantic_clusters" ->
+      s"""WITH RECURSIVE emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nb,
+         |    list_cosine_similarity(a.e, b.e) AS cosine
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nb,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nb) AS rank
+         |  FROM scored),
+         |top AS (SELECT vec_id, nb FROM ranked WHERE rank <= $KnnK),
+         |mut AS (
+         |  SELECT f.vec_id AS a, f.nb AS b
+         |  FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id
+         |  WHERE f.vec_id < f.nb),
+         |edges AS (SELECT a AS s, b AS t FROM mut UNION SELECT b, a FROM mut),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |nodes AS (SELECT DISTINCT s FROM edges),
+         |closure AS (SELECT s, t FROM reach UNION ALL SELECT s, s FROM nodes),
+         |m AS (SELECT s AS vec_id, min(t) AS cluster_id FROM closure GROUP BY s),
+         |lab AS (
+         |  SELECT v.vec_id, coalesce(m.cluster_id, v.vec_id) AS cluster_id
+         |  FROM (SELECT vec_id FROM embeddings) v
+         |  LEFT JOIN m ON v.vec_id = m.vec_id)
+         |SELECT vec_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab ORDER BY vec_id""".stripMargin,
+
     // s117's mutual-edge replica extended by the two wedge/closure joins;
     // low-id orientation forms each triangle exactly once
     "s135_knn_triangles" ->

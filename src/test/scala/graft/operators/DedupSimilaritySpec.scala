@@ -524,4 +524,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(shared > 0, "probe-2 of 8 lists should recover some full-PQ results")
   }
+
+  test("s156: clusters are exactly the components of the s117 mutual edges") {
+    val edges = SparkEntry.queries("s117_mutual_knn")(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("s156_semantic_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = clusters.map(c => c._1 -> c._2).toMap
+    // every mutual edge's endpoints must share a cluster
+    edges.foreach { case (a, b) =>
+      assert(byId(a) == byId(b), s"edge ($a,$b) spans clusters ${byId(a)}/${byId(b)}")
+    }
+    // driver recompute: union-find over the edges gives identical labels
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    clusters.foreach { case (id, cl, _) =>
+      assert(cl == find(id), s"vector $id: cluster $cl != recomputed ${find(id)}")
+    }
+    // cluster_size accounting: sizes sum to the table size, singleton = self
+    val n = Tables.embeddings(spark, sf).count()
+    assert(clusters.length.toLong == n, "one row per vector")
+    clusters.groupBy(_._2).foreach { case (cl, g) =>
+      assert(g.forall(_._3 == g.length.toLong), s"cluster $cl size mismatch")
+    }
+  }
 }
