@@ -749,6 +749,111 @@ object EventQueries {
           round(col("share_in_flag"), 9).as("share_in_flag"),
           round(col("share_of_total"), 9).as("share_of_total"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    /** Seasonal-baseline anomaly detection: per (event_type, iso weekday,
+      * hour-of-day) the robust baseline (median + MAD, q148's two-pass
+      * shape) of hourly EVENT COUNTS, then every hour bucket whose count
+      * deviates from its seasonal median by more than 3×MAD is flagged —
+      * the weekday/hour-seasonality-aware monitor that a plain global
+      * threshold (or q148's per-group stats alone) gets wrong on traffic
+      * with a daily cycle. Counts (not value sums) are the metric so
+      * every compared quantity is an exact integer or an exact .5
+      * interpolation — no cross-engine double-ulp row-membership risk at
+      * the 3×MAD boundary.
+      *
+      * Scale shape: one partial+final count aggregate on (event_type,
+      * hour-bucket) reduces the raw stream to the hourly grid; both
+      * percentile passes and the flag join run on that aggregated grid
+      * (|types|×|hours| rows), with the (|types|×168)-row baseline
+      * broadcast back — the raw table is scanned exactly once. */
+    "q158_seasonal_anomaly" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr_ts"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", weekday(col("hr_ts")) + lit(1))
+        .withColumn("hod", hour(col("hr_ts")))
+      val med = hourly.groupBy("event_type", "dow", "hod")
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val base = hourly.join(broadcast(med), Seq("event_type", "dow", "hod"))
+        .groupBy("event_type", "dow", "hod")
+        .agg(first("med").as("med"),
+          expr("percentile(abs(n - med), 0.5)").as("mad"),
+          count(lit(1)).as("n_hours"))
+      hourly.join(broadcast(base), Seq("event_type", "dow", "hod"))
+        .filter(abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("event_type"), col("hr_ts"), col("n"),
+          col("med"), col("mad"), col("n_hours"))
+        .orderBy("event_type", "hr_ts")
+    }),
+
+    /** Audience-overlap matrix: for every ordered pair of event types,
+      * how many distinct users did BOTH, with containment (share of the
+      * smaller audience) and Jaccard — the segment-intersection query
+      * behind "users who viewed also purchased" panels.
+      *
+      * Scale shape: the raw stream collapses to distinct (user_id,
+      * event_type) once (partial+final distinct, the only scan); the
+      * self-join keys on user_id, fanning out ≤ T² rows per user for T
+      * distinct event types (a bounded catalog, NOT data-sized), and the
+      * T-row audience sizes broadcast onto the T²-row result. Nothing in
+      * the plan is quadratic in users or events. */
+    "q162_audience_overlap" -> ((s, d) => {
+      val ut = events(s, d).select("user_id", "event_type").distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val pairs = ut.join(ut.select(col("user_id"),
+          col("event_type").as("type_b")), "user_id")
+        .filter(col("event_type") < col("type_b"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          round(col("n_both") / least(col("n_a"), col("n_b")), 9)
+            .as("containment"),
+          round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 9)
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    /** Decile gains/lift table — the model-evaluation curve: users ranked
+      * by total spend, cut into ten equal-count deciles (ntile), and per
+      * decile the cumulative share of all spend plus the lift over a
+      * uniform split — "the top 10% of users carry X% of revenue". Spend
+      * is ROUNDED to 6 before the ntile ordering (user_id tiebreak), so
+      * decile membership cannot flip on summation-order ulps.
+      *
+      * Scale shape: the raw stream collapses to one row per user first
+      * (partial+final sum — the only corpus-sized shuffle); ntile then
+      * needs a total order over USERS, a single-partition sort of the
+      * aggregated frame — the documented driver-bound of exact global
+      * ranking (t127's reasoning; at 100 TB swap ntile for a
+      * percentile-bound bucket join, same downstream plan). The decile
+      * aggregate and both windows run over ten rows. */
+    "q167_decile_lift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = events(s, d).groupBy("user_id")
+        .agg(round(sum("value"), 6).as("spend"))
+      val decd = spend.withColumn("decile",
+        ntile(10).over(Window.orderBy(desc("spend"), col("user_id")))
+          .cast("long"))
+      val cells = decd.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("spend").as("decile_spend"))
+      val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      cells
+        .withColumn("cum_share",
+          sum("decile_spend").over(w) /
+            sum("decile_spend").over(Window.partitionBy()))
+        .select(col("decile"), col("n_users"),
+          round(col("decile_spend"), 4).as("decile_spend"),
+          round(col("cum_share"), 9).as("cum_share"),
+          round(col("cum_share") / (col("decile") / lit(10.0)), 6).as("lift"))
+        .orderBy("decile")
     })
   )
 
@@ -1109,6 +1214,72 @@ object EventQueries {
         |  round(revenue / sum(revenue) OVER (PARTITION BY l_returnflag), 9)
         |    AS share_in_flag,
         |  round(revenue / sum(revenue) OVER (), 9) AS share_of_total
-        |FROM cells ORDER BY 1, 2""".stripMargin
+        |FROM cells ORDER BY 1, 2""".stripMargin,
+    // Spark weekday()+1 == DuckDB isodow (Mon=1..Sun=7); counts and
+    // their .5-interpolated medians are exact on both engines, so the
+    // 3×MAD membership boundary cannot flip
+    "q158_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr_ts,
+        |    count(*) AS n,
+        |    isodow(date_trunc('hour', ts)) AS dow,
+        |    hour(date_trunc('hour', ts)) AS hod
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, dow, hod, quantile_cont(n, 0.5) AS med
+        |  FROM hourly GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT h.event_type, h.dow, h.hod,
+        |    any_value(m.med) AS med,
+        |    quantile_cont(abs(h.n - m.med), 0.5) AS mad,
+        |    count(*) AS n_hours
+        |  FROM hourly h JOIN med m USING (event_type, dow, hod)
+        |  GROUP BY 1, 2, 3)
+        |SELECT h.event_type, h.hr_ts, h.n, b.med, b.mad, b.n_hours
+        |FROM hourly h JOIN base b USING (event_type, dow, hod)
+        |WHERE abs(h.n - b.med) > 3.0 * b.mad
+        |ORDER BY event_type, hr_ts""".stripMargin,
+    "q162_audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (
+        |  SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  sa.n_users AS n_a, sb.n_users AS n_b, p.n_both,
+        |  round(p.n_both / least(sa.n_users, sb.n_users), 9) AS containment,
+        |  round(p.n_both / (sa.n_users + sb.n_users - p.n_both), 9) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.event_type = p.type_a
+        |JOIN sizes sb ON sb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    // spend rounded to 6 BEFORE the ntile order (user_id tiebreak), so
+    // decile membership is deterministic across engines
+    "q167_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT user_id, round(sum(value), 6) AS spend
+        |  FROM events GROUP BY 1),
+        |decd AS (
+        |  SELECT user_id, spend,
+        |    CAST(ntile(10) OVER (ORDER BY spend DESC, user_id) AS BIGINT)
+        |      AS decile
+        |  FROM spend),
+        |cells AS (
+        |  SELECT decile, count(*) AS n_users, sum(spend) AS decile_spend
+        |  FROM decd GROUP BY 1)
+        |SELECT decile, n_users,
+        |  round(decile_spend, 4) AS decile_spend,
+        |  round(sum(decile_spend) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / sum(decile_spend) OVER (), 9) AS cum_share,
+        |  round((sum(decile_spend) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / sum(decile_spend) OVER ()) / (decile / 10.0), 6) AS lift
+        |FROM cells ORDER BY decile""".stripMargin
   )
 }

@@ -227,6 +227,39 @@ object FunctionQueries {
           call_function("jaro_winkler_sim", col("c_name"), col("next_name"))
             .as("jaro_winkler"))
         .orderBy("c_custkey")
+    }),
+
+    /** Pre-aggregated sketch rollup — the pattern that makes distinct
+      * counting tractable at 100 TB: build one mergeable DataSketches
+      * HLL per (day, event_type) cell (the shape a nightly job would
+      * PERSIST as a sketch table), then answer the per-type
+      * all-time-distinct question by UNIONING the daily sketches —
+      * never re-touching raw data and never running a distinct shuffle
+      * over it. The raw estimate is engine-internal, so (q65/q91
+      * pattern) the gated claim is the accuracy contract: exact distinct
+      * recomputed alongside, |est−exact|/exact ≤ 5% asserted as a
+      * boolean, plus the day-cell count proving the rollup grain.
+      *
+      * Scale shape: one partial+final aggregate to the (day, type)
+      * sketch grid; the union-merge runs over |days|×|types| fixed-size
+      * sketch blobs (KB each), i.e. the query over the persisted sketch
+      * table costs seconds regardless of raw corpus size. The exact
+      * side here exists only to gate the claim. */
+    "q157_sketch_rollup" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_users"),
+          count(lit(1)).as("n_day_cells"))
+      val exact = events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_day_cells"),
+          (abs(col("est_users") - col("exact_users")) /
+            col("exact_users") <= 0.05).as("sketch_ok"))
+        .orderBy("event_type")
     })
   )
 
@@ -333,6 +366,20 @@ object FunctionQueries {
         |  jaro_similarity(c_name, next_name) AS jaro,
         |  jaro_winkler_similarity(c_name, next_name) AS jaro_winkler
         |FROM p WHERE next_name IS NOT NULL
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // sketch estimate is engine-internal (q91 pattern): the oracle
+    // recomputes the exact side and asserts the accuracy boolean
+    "q157_sketch_rollup" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_type,
+        |  count(DISTINCT e.user_id) AS exact_users,
+        |  any_value(d.n_day_cells) AS n_day_cells,
+        |  TRUE AS sketch_ok
+        |FROM events e
+        |JOIN (SELECT event_type, count(*) AS n_day_cells
+        |      FROM daily GROUP BY 1) d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

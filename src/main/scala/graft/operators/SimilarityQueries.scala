@@ -768,6 +768,161 @@ object SimilarityQueries {
         .filter(col("arank") <= Shortlist)
         .drop("arank")
       pqRerank(s, d, short)
+    }),
+
+    /** MMR-diversified retrieval (maximal marginal relevance, Carbonell &
+      * Goldstein): rerank each query's brute-force top-10 so the final 3
+      * picks trade relevance against redundancy — pick_i = argmax over
+      * remaining candidates of λ·rel(c) − (1−λ)·max_{p∈picked} sim(c, p),
+      * λ = 0.7. The greedy recursion is unrolled into three explicit
+      * argmax stages (window rank + join-back), so the whole operator is
+      * declarative — no driver loop, no UDF. MMR scores are ROUNDED to 9
+      * places before each argmax on both engines, so ulp-level cosine
+      * divergence cannot flip a pick.
+      *
+      * Scale shape: the candidate pool is the K-bounded TopKByScore heap
+      * output (10 rows per query) — every downstream join, window, and
+      * pairwise-similarity computation runs on queries×10 rows, no
+      * matter the corpus size; the only corpus-sized work is the
+      * candidate generation itself (s42's broadcast-scored pass, or any
+      * ANN tier in its place). */
+    "s159_mmr_diversify" -> ((s, d) => {
+      VectorFunctions.register(s)
+      graft.functions.TopKAggregate.register(s)
+      val lam = 0.7
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val corpus = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"))
+      val top = corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          call_function("cosine_sim", col("qv"), col("nv")).as("rel"))
+        .groupBy("query_id")
+        .agg(call_function("topk_by_score", col("rel"), col("neighbor_id"),
+          lit(K)).as("top"))
+        .select(col("query_id"), explode(col("top")).as("e"))
+        .select(col("query_id"), col("e.id").as("cand_id"), col("e.score").as("rel"))
+      val cand = top.join(
+        emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        "cand_id")
+      val w1 = Window.partitionBy("query_id").orderBy(desc("rel"), col("cand_id"))
+      val p1 = cand.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id").as("pk1"),
+          col("cv").as("pk1v"), col("rel").as("pk1rel"))
+      val r1 = cand.join(p1, "query_id").filter(col("cand_id") =!= col("pk1"))
+        .withColumn("sim1", call_function("cosine_sim", col("cv"), col("pk1v")))
+        .withColumn("score2",
+          round(lit(lam) * col("rel") - lit(1 - lam) * col("sim1"), 9))
+      val w2 = Window.partitionBy("query_id").orderBy(desc("score2"), col("cand_id"))
+      val p2 = r1.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id").as("pk2"),
+          col("cv").as("pk2v"), col("rel").as("pk2rel"), col("score2").as("pk2mmr"))
+      val r2 = r1.drop("pk1", "pk1v", "pk1rel")
+        .join(p2, "query_id").filter(col("cand_id") =!= col("pk2"))
+        .withColumn("sim2", call_function("cosine_sim", col("cv"), col("pk2v")))
+        .withColumn("score3", round(lit(lam) * col("rel") -
+          lit(1 - lam) * greatest(col("sim1"), col("sim2")), 9))
+      val w3 = Window.partitionBy("query_id").orderBy(desc("score3"), col("cand_id"))
+      val p3 = r2.withColumn("rn", row_number().over(w3))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id").as("pk3"),
+          col("rel").as("pk3rel"), col("score3").as("pk3mmr"))
+      p1.select(col("query_id"), lit(1L).as("pick_rank"),
+          col("pk1").as("vec_id"), round(col("pk1rel"), 6).as("rel"),
+          round(lit(lam) * col("pk1rel"), 6).as("mmr"))
+        .unionByName(p2.select(col("query_id"), lit(2L).as("pick_rank"),
+          col("pk2").as("vec_id"), round(col("pk2rel"), 6).as("rel"),
+          round(col("pk2mmr"), 6).as("mmr")))
+        .unionByName(p3.select(col("query_id"), lit(3L).as("pick_rank"),
+          col("pk3").as("vec_id"), round(col("pk3rel"), 6).as("rel"),
+          round(col("pk3mmr"), 6).as("mmr")))
+        .orderBy("query_id", "pick_rank")
+    }),
+
+    /** Two-hop reachability over the mutual kNN graph: per vertex its
+      * mutual degree, the number of distinct vertices within ≤ 2 hops,
+      * and the expansion ratio — the neighborhood-growth signal that
+      * separates vertices inside dense semantic clumps (low expansion:
+      * their neighbors' neighbors fold back) from bridge/hub vertices
+      * (high expansion). Complements s135's triangles (closure at depth
+      * 2) with the dual reach view, and covers every vector via the
+      * left join (isolated vectors report 0/0).
+      *
+      * Scale shape: mutual edges are ≤ n·k rows per direction (bounded
+      * by the gated graph); the 2-hop equi-join on the middle vertex
+      * fans out ≤ k per edge (≤ n·k² intermediate — the same bound as
+      * s135's wedges); the distinct and the count shuffle on vertex
+      * keys. Nothing is n².
+      *
+      * Oracle validity domain (the s96/s117/s135 contract): exact on the
+      * knnGraph exact tier; above `spark.graft.knn.exactLimit` the graph
+      * switches to banded-LSH candidates and the exact-graph oracle no
+      * longer binds. */
+    "s161_khop_reach" -> ((s, d) => {
+      val g = knnGraph(s, d).select(
+        col("vec_id").as("a"), col("neighbor_id").as("b"))
+      val rev = g.select(col("b").as("a"), col("a").as("b"))
+      // both directions of every reciprocal pair survive — symmetric edges
+      val mutual = g.join(rev, Seq("a", "b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val twoHop = mutual.select(col("src"), col("dst").as("mid"))
+        .join(mutual.select(col("src").as("mid"), col("dst")), "mid")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val reach = mutual.select("src", "dst").union(twoHop).distinct()
+        .groupBy("src").agg(count(lit(1)).as("reach2"))
+      val deg = mutual.groupBy("src").agg(count(lit(1)).as("degree"))
+      embeddings(s, d).select(col("vec_id"))
+        .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .join(reach.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("reach2"), lit(0L)).as("reach2"),
+          when(coalesce(col("degree"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(round(col("reach2") / col("degree"), 6)).as("expansion"))
+        .orderBy("vec_id")
+    }),
+
+    /** Late-interaction (MaxSim) retrieval — the ColBERT scoring model:
+      * documents and queries are MULTI-vector (here: 4 token-vectors per
+      * unit, grouped from consecutive vec_ids), and
+      * score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cosine(qv, dv) — each query
+      * token finds its best-matching document token independently, which
+      * single-vector cosine (s42) structurally cannot express. Top-5
+      * docs per query by the summed score, rounded to 6 before ranking
+      * so ulp-level cosine divergence cannot flip the cut.
+      *
+      * Scale shape: the query side is a bounded 8-vector broadcast; the
+      * corpus side streams once through the scored join (constant ×8
+      * fan-out), then ONE shuffle on (query_doc, doc) stacks both the
+      * per-query-token max and the summed score; the final top-k is the
+      * K-bounded heap per query. At 100 TB with real token grids the
+      * same plan holds — fan-out is |query tokens|, never corpus-sized. */
+    "s163_maxsim" -> ((s, d) => {
+      VectorFunctions.register(s)
+      graft.functions.TopKAggregate.register(s)
+      val emb = embeddings(s, d)
+      val docs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("vec_id").as("dv_id"), col("embedding").as("dv"))
+      val qs = docs.filter(col("doc") < 2)
+        .select(col("doc").as("q_doc"), col("dv_id").as("qv_id"),
+          col("dv").as("qv"))
+      val scored = docs.join(broadcast(qs), col("q_doc") =!= col("doc"))
+        .select(col("q_doc"), col("qv_id"), col("doc"),
+          call_function("cosine_sim", col("qv"), col("dv")).as("cos"))
+      val summed = scored
+        .groupBy("q_doc", "doc", "qv_id").agg(max("cos").as("best"))
+        .groupBy("q_doc", "doc").agg(round(sum("best"), 6).as("maxsim"))
+      summed.groupBy("q_doc")
+        .agg(call_function("topk_by_score", col("maxsim"), col("doc"), lit(5))
+          .as("top"))
+        .select(col("q_doc"), posexplode(col("top")))
+        .select(col("q_doc"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc"), col("col.score").as("maxsim"))
+        .orderBy("q_doc", "rank")
     })
   )
 
@@ -1657,7 +1812,130 @@ object SimilarityQueries {
          |  FROM reranked)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
          |  approx_dist, exact_dist
-         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // s42's top-K replica, then the greedy MMR recursion unrolled into
+    // three argmax CTEs; scores rounded to 9 before each argmax on both
+    // engines so cosine ulps cannot flip a pick
+    "s159_mmr_diversify" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    list_cosine_similarity(q.e, c.e) AS rel, c.e AS ce
+         |  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT query_id, cand_id, rel, ce FROM (
+         |    SELECT query_id, cand_id, rel, ce,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cand_id) AS rank
+         |    FROM scored) WHERE rank <= $K),
+         |p1 AS (
+         |  SELECT query_id, cand_id AS pk1, ce AS pk1v, rel AS pk1rel FROM (
+         |    SELECT query_id, cand_id, ce, rel,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cand_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |r1 AS (
+         |  SELECT c.query_id, c.cand_id, c.rel, c.ce,
+         |    list_cosine_similarity(c.ce, p.pk1v) AS sim1,
+         |    round(0.7 * c.rel - 0.3 * list_cosine_similarity(c.ce, p.pk1v), 9)
+         |      AS score2
+         |  FROM cand c JOIN p1 p USING (query_id)
+         |  WHERE c.cand_id <> p.pk1),
+         |p2 AS (
+         |  SELECT query_id, cand_id AS pk2, ce AS pk2v, rel AS pk2rel,
+         |    score2 AS pk2mmr FROM (
+         |    SELECT query_id, cand_id, ce, rel, score2,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score2 DESC, cand_id) AS rn
+         |    FROM r1) WHERE rn = 1),
+         |r2 AS (
+         |  SELECT r.query_id, r.cand_id, r.rel,
+         |    round(0.7 * r.rel - 0.3 * greatest(r.sim1,
+         |      list_cosine_similarity(r.ce, p.pk2v)), 9) AS score3
+         |  FROM r1 r JOIN p2 p USING (query_id)
+         |  WHERE r.cand_id <> p.pk2),
+         |p3 AS (
+         |  SELECT query_id, cand_id AS pk3, rel AS pk3rel, score3 AS pk3mmr
+         |  FROM (
+         |    SELECT query_id, cand_id, rel, score3,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score3 DESC, cand_id) AS rn
+         |    FROM r2) WHERE rn = 1)
+         |SELECT query_id, CAST(1 AS BIGINT) AS pick_rank, pk1 AS vec_id,
+         |  round(pk1rel, 6) AS rel, round(0.7 * pk1rel, 6) AS mmr FROM p1
+         |UNION ALL
+         |SELECT query_id, CAST(2 AS BIGINT), pk2, round(pk2rel, 6),
+         |  round(pk2mmr, 6) FROM p2
+         |UNION ALL
+         |SELECT query_id, CAST(3 AS BIGINT), pk3, round(pk3rel, 6),
+         |  round(pk3mmr, 6) FROM p3
+         |ORDER BY query_id, pick_rank""".stripMargin,
+    // s117's mutual-edge replica kept in BOTH directions, extended one
+    // join deeper for the 2-hop reach; LEFT JOIN covers isolated vectors
+    "s161_khop_reach" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nb,
+         |    list_cosine_similarity(a.e, b.e) AS cosine
+         |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nb, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nb) AS rank
+         |  FROM scored),
+         |top AS (SELECT vec_id, nb FROM ranked WHERE rank <= $KnnK),
+         |mut AS (
+         |  SELECT f.vec_id AS src, f.nb AS dst
+         |  FROM top f JOIN top r ON f.vec_id = r.nb AND f.nb = r.vec_id),
+         |two AS (
+         |  SELECT a.src, b.dst FROM mut a JOIN mut b ON a.dst = b.src
+         |  WHERE a.src <> b.dst),
+         |reach AS (
+         |  SELECT src, count(*) AS reach2 FROM (
+         |    SELECT DISTINCT src, dst FROM (
+         |      SELECT src, dst FROM mut UNION ALL SELECT src, dst FROM two))
+         |  GROUP BY 1),
+         |deg AS (SELECT src, count(*) AS degree FROM mut GROUP BY 1)
+         |SELECT v.vec_id,
+         |  coalesce(d.degree, 0) AS degree,
+         |  coalesce(r.reach2, 0) AS reach2,
+         |  CASE WHEN coalesce(d.degree, 0) = 0 THEN 0.0
+         |       ELSE round(r.reach2 / d.degree, 6) END AS expansion
+         |FROM embeddings v
+         |LEFT JOIN deg d ON d.src = v.vec_id
+         |LEFT JOIN reach r ON r.src = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
+    // 4-vector units from consecutive vec_ids; per-query-token max, then
+    // the summed MaxSim rounded to 6 BEFORE the rank cut (ulp guard)
+    "s163_maxsim" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |docs AS (
+        |  SELECT CAST(vec_id // 4 AS BIGINT) AS doc, vec_id AS dv_id, e
+        |  FROM emb),
+        |qs AS (
+        |  SELECT doc AS q_doc, dv_id AS qv_id, e AS qe
+        |  FROM docs WHERE doc < 2),
+        |scored AS (
+        |  SELECT q.q_doc, q.qv_id, d.doc,
+        |    list_cosine_similarity(q.qe, d.e) AS cos
+        |  FROM docs d JOIN qs q ON q.q_doc <> d.doc),
+        |best AS (
+        |  SELECT q_doc, doc, qv_id, max(cos) AS best
+        |  FROM scored GROUP BY 1, 2, 3),
+        |summed AS (
+        |  SELECT q_doc, doc, round(sum(best), 6) AS maxsim
+        |  FROM best GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_doc, doc, maxsim,
+        |    row_number() OVER (PARTITION BY q_doc
+        |      ORDER BY maxsim DESC, doc) AS rank
+        |  FROM summed)
+        |SELECT q_doc, CAST(rank AS BIGINT) AS rank, doc, maxsim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin
   )
 
   /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,

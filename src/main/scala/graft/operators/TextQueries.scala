@@ -1063,6 +1063,47 @@ object TextQueries {
         .withColumn("cum_tokens", sum("bucket_tokens").over(w))
         .withColumn("cum_vocab", sum("new_tokens").over(w))
         .orderBy("bucket")
+    }),
+
+    /** PMI collocation mining — statistically-bound word pairs (t51
+      * ranks bigrams by raw frequency, which surfaces stopword pairs;
+      * PMI log[ P(xy) / (P(x)·P(y)) ] surfaces pairs that co-occur far
+      * above chance — the classic collocation / phrase-detection signal
+      * feeding tokenizer merges and phrase vocabularies). Unigram
+      * probabilities come from the token stream, bigram probabilities
+      * from the adjacent-pair stream; a min-count floor (≥5) kills the
+      * unstable low-frequency tail. PMI is computed in log space
+      * (ln c_xy + 2·ln N_tok − ln N_big − ln c_x − ln c_y) and ROUNDED
+      * to 6 places before the rank-order, so the top-50 cut and the
+      * (pmi, bigram) output order are deterministic across engines.
+      *
+      * Scale shape: two token-keyed partial+final aggregates (unigram,
+      * bigram counts) over one corpus scan each; the two scalar totals
+      * attach via the F15 lazy-broadcast pattern (1-row cross join); the
+      * unigram side joins back onto the SURVIVING (floored) bigram rows
+      * — vocabulary-sized, not corpus-sized — and the top-50 is
+      * TakeOrdered, no global sort. */
+    "t160_pmi_collocations" -> ((s, d) => {
+      val t = documents(s, d).select(toks(col("text")).as("t"))
+      val uni = t.select(explode(col("t")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum("c").as("n_tok"))
+      val bg = t.select(explode(when(size(col("t")) >= 2,
+          expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+          .otherwise(array())).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val nBig = bg.agg(sum("c_xy").as("n_big"))
+      bg.filter(col("c_xy") >= 5)
+        .join(uni.select(col("term").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("term").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          round(log(col("c_xy")) + lit(2.0) * log(col("n_tok")) -
+            log(col("n_big")) - log(col("c_x")) - log(col("c_y")), 6)
+            .as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(50)
     })
   )
 
@@ -1771,6 +1812,30 @@ object TextQueries {
         |  sum(coalesce(fs.new_tokens, 0)) OVER (ORDER BY i.bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
         |FROM inst i LEFT JOIN fs ON i.bucket = fs.first_bucket
-        |ORDER BY i.bucket""".stripMargin
+        |ORDER BY i.bucket""".stripMargin,
+    // pmi rounded to 6 BEFORE the rank-order on both engines, so the
+    // top-50 boundary and the output order cannot flip on ln() ulps
+    "t160_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |uni AS (
+        |  SELECT unnest(t) AS term FROM t),
+        |uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+        |ntok AS (SELECT sum(c) AS n_tok FROM uc),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM t CROSS JOIN unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+        |nbig AS (SELECT sum(c_xy) AS n_big FROM bc)
+        |SELECT bc.w1, bc.w2, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |  round(ln(bc.c_xy) + 2.0 * ln(ntok.n_tok) - ln(nbig.n_big)
+        |    - ln(ux.c) - ln(uy.c), 6) AS pmi
+        |FROM bc
+        |JOIN uc ux ON ux.term = bc.w1
+        |JOIN uc uy ON uy.term = bc.w2
+        |CROSS JOIN ntok CROSS JOIN nbig
+        |WHERE bc.c_xy >= 5
+        |ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50""".stripMargin
   )
 }

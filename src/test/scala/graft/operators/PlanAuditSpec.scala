@@ -331,4 +331,63 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"d145: hash candidate join missing:\n$p")
   }
+
+  test("round-8 second wave: sketch/seasonal/overlap/PMI plans hold their shapes") {
+    // q157: the rollup must aggregate partial+final (mergeable sketches),
+    // with the T-row exact side joining small — never a cartesian
+    val sketch = plan("q157_sketch_rollup")
+    assert(sketch.contains("partial"), s"q157: map-side partial agg missing:\n$sketch")
+    assert(!sketch.contains("CartesianProduct"), s"q157: cartesian:\n$sketch")
+    // q158: the seasonal baseline (|types|×168 rows) broadcasts back onto
+    // the hourly grid; no non-equi join may appear
+    val seas = plan("q158_seasonal_anomaly")
+    assert(seas.contains("BroadcastHashJoin"),
+      s"q158: baseline must broadcast:\n$seas")
+    assert(!seas.contains("CartesianProduct") &&
+      !seas.contains("BroadcastNestedLoopJoin"), s"q158: non-equi shape:\n$seas")
+    // q162: audiences meet on a shuffled user_id equi-join; the T-row
+    // size table broadcasts
+    val ov = plan("q162_audience_overlap")
+    assert(!ov.contains("CartesianProduct") &&
+      !ov.contains("BroadcastNestedLoopJoin"), s"q162: non-equi shape:\n$ov")
+    assert(ov.contains("BroadcastHashJoin"), s"q162: sizes should broadcast:\n$ov")
+    // t160: the two corpus totals ride the sanctioned 1-row lazy-scalar
+    // broadcast (F15); the top-50 must be a bounded heap, not a global sort
+    val pmi = plan("t160_pmi_collocations")
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"t160: top-50 must compile to a bounded heap:\n$pmi")
+    assert(!pmi.contains("CartesianProduct"), s"t160: cartesian:\n$pmi")
+  }
+
+  test("s159/s161: MMR and k-hop stay candidate-bounded — no cartesian") {
+    // s159: candidate generation is s42's broadcast-scored pass into the
+    // bounded TopKByScore heap; every MMR stage runs on ≤10 rows/query
+    val mmr = plan("s159_mmr_diversify")
+    assert(mmr.contains("topk_by_score"),
+      s"s159: bounded-heap candidate pool missing:\n$mmr")
+    assert(!mmr.contains("CartesianProduct"), s"s159: cartesian:\n$mmr")
+    // s161: mutual edges and the 2-hop expansion are equi-joins on vertex
+    // keys (the exact tier's block grid is the only sanctioned broadcast)
+    val khop = plan("s161_khop_reach")
+    assert(!khop.contains("CartesianProduct"), s"s161: cartesian:\n$khop")
+  }
+
+  test("s163: MaxSim streams the corpus once; only the 8-vector query set broadcasts") {
+    val p = plan("s163_maxsim")
+    // the query side rides the sanctioned non-equi broadcast (s42's shape);
+    // the corpus side must never be the build side of anything
+    assert(p.contains("topk_by_score"), s"s163: bounded-heap top-k missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"s163: cartesian:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"s163: corpus scanned $scans times (want ≤2):\n$p")
+  }
+
+  test("q167: spend collapses per user before the single-partition ntile sort") {
+    val p = plan("q167_decile_lift")
+    // the ONLY corpus-sized shuffle is the per-user partial+final sum;
+    // the global ntile sort runs on the aggregated user frame
+    assert(p.contains("partial"), s"q167: map-side partial agg missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q167: non-equi shape:\n$p")
+  }
 }
