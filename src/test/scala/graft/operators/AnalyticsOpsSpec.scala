@@ -334,4 +334,74 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6, "grand-total shares")
     assert(rows.forall(r => r._2 > 0 && r._2 <= 1 && r._3 > 0 && r._3 <= 1))
   }
+
+  test("q158_seasonal_anomaly: only the injected spike hour is flagged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seasfix").toString
+    // five consecutive Mondays, 2 events each at 10:00 — except the last,
+    // which spikes to 10. Baseline per (view, Mon, 10h): med 2, MAD 0;
+    // only the spike hour deviates (8 > 3×0).
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15",
+      "2024-01-22", "2024-01-29")
+    val rows = mondays.zipWithIndex.flatMap { case (day, di) =>
+      val n = if (di == 4) 10 else 2
+      (0 until n).map(j => (di * 100L + j,
+        java.sql.Timestamp.from(java.time.LocalDateTime
+          .parse(s"${day}T10:${"%02d".format(j)}:00")
+          .toInstant(java.time.ZoneOffset.UTC)), 1L, "view", 0.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.EventQueries.queries("q158_seasonal_anomaly")(spark, dir)
+      .collect()
+    assert(out.length == 1, s"want exactly the spike hour: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(2) == 10L && r.getDouble(3) == 2.0 && r.getDouble(4) == 0.0,
+      s"spike row: $r")
+    // hr_ts surfaces as Timestamp (fixture TIMESTAMP) or LocalDateTime
+    // (testdata NTZ) depending on the input column type
+    assert(r.getAs[Any]("hr_ts").toString.startsWith("2024-01-29"),
+      s"spike day: $r")
+  }
+
+  test("q162_audience_overlap: hand-checked containment and jaccard") {
+    // users {1,2,3} view, {2,3} cart, {3} purchase
+    val dir = eventsFixture(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:00:00", 2L, "view"),
+      (3L, "2024-01-01 00:00:00", 3L, "view"),
+      (4L, "2024-01-01 01:00:00", 2L, "cart"),
+      (5L, "2024-01-01 01:00:00", 3L, "cart"),
+      (6L, "2024-01-01 02:00:00", 3L, "purchase")))
+    val m = graft.EventQueries.queries("q162_audience_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // jaccard lands rounded to 9 places
+    assert(m(("cart", "view")) == ((2L, 3L, 2L, 1.0, 0.666666667)), m(("cart", "view")))
+    assert(m(("cart", "purchase")) == ((2L, 1L, 1L, 1.0, 0.5)), m(("cart", "purchase")))
+    assert(m(("purchase", "view")) == ((1L, 3L, 1L, 1.0, 0.333333333)), m(("purchase", "view")))
+    assert(m.size == 3)
+  }
+
+  test("q167_decile_lift: 20 users at spends 1..20 produce the textbook gains curve") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("liftfix").toString
+    (1 to 20).map(u => (u.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")),
+        u.toLong, "purchase", u.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.EventQueries.queries("q167_decile_lift")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == (1L to 10L), "ten deciles")
+    assert(out.forall(_._2 == 2L), "two users per decile")
+    // decile 1 holds the two biggest spenders: 20 + 19 = 39 of 210 total
+    assert(out.head._3 == 39.0 && math.abs(out.head._4 - 39.0 / 210) < 1e-9)
+    assert(math.abs(out.head._5 - (39.0 / 210) / 0.1) < 1e-6, s"lift: ${out.head}")
+    // cumulative share ends at exactly 1, lift decays monotonically to 1
+    assert(math.abs(out.last._4 - 1.0) < 1e-9 && math.abs(out.last._5 - 1.0) < 1e-9)
+    assert(out.map(_._5).sliding(2).forall(p => p(0) >= p(1) - 1e-9), "lift monotone")
+  }
 }

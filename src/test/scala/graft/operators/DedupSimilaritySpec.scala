@@ -552,4 +552,83 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(g.forall(_._3 == g.length.toLong), s"cluster $cl size mismatch")
     }
   }
+
+  private def embFixture(vecs: Seq[(Long, Seq[Float])]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("embfix").toString
+    vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("s159: MMR demotes a near-duplicate that pure relevance would pick second") {
+    // query 0 = e1; candidate 10 most relevant (0.8); 11 a near-copy of 10
+    // (rel 0.79, sim≈0.9998 to 10); 12 less relevant (0.70) but diverse
+    // (sim≈0.13 to 10). Relevance order is 10,11,12 — MMR must produce
+    // 10,12,11 because pick 2 pays 0.3·sim to the already-picked 10.
+    val dir = embFixture(Seq(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 0f, 1f), 2L -> Seq(0f, 0f, -1f),
+      3L -> Seq(0f, -1f, 0f), 4L -> Seq(-1f, 0f, 0f),
+      10L -> Seq(0.8f, 0.6f, 0f), 11L -> Seq(0.79f, 0.613f, 0f),
+      12L -> Seq(0.7f, -0.714f, 0f)))
+    val picks = SparkEntry.queries("s159_mmr_diversify")(spark, dir)
+      .filter(col("query_id") === 0L).orderBy("pick_rank")
+      .collect().map(r => r.getLong(2))
+    assert(picks.toSeq == Seq(10L, 12L, 11L),
+      s"MMR picks ${picks.toSeq}, want diverse 12 before redundant 11")
+  }
+
+  test("s161: 2-hop reach equals a driver BFS over the s117 mutual edges") {
+    val edges = SparkEntry.queries("s117_mutual_knn")(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val out = SparkEntry.queries("s161_khop_reach")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong == n, "one row per vector")
+    out.foreach { case (id, deg, reach2) =>
+      val nbrs = adj(id)
+      assert(deg.toInt == nbrs.size, s"vertex $id degree $deg != ${nbrs.size}")
+      val two = nbrs.flatMap(adj) ++ nbrs - id
+      assert(reach2.toInt == two.size, s"vertex $id reach $reach2 != ${two.size}")
+      assert(reach2 >= deg, s"vertex $id: reach below degree")
+    }
+  }
+
+  test("s163: MaxSim separates a multi-aspect match that mean-pooling cannot") {
+    // query doc 0 = the 4 basis vectors; corpus doc 2 matches every query
+    // token exactly (maxsim 4.0), doc 3 is 4 copies of the centroid
+    // direction (each query token caps at cos 0.5 -> maxsim 2.0). The
+    // mean-pooled single vectors of docs 2 and 3 are IDENTICAL directions
+    // (cosine 1.0 to the query mean) — the late-interaction score is the
+    // only one of the two that separates them.
+    val e = (i: Int) => Seq.tabulate(4)(j => if (j == i) 1f else 0f)
+    val c = Seq(0.5f, 0.5f, 0.5f, 0.5f)
+    val dir = embFixture(
+      (0 until 4).map(i => i.toLong -> e(i)) ++        // query doc 0
+      (4 until 8).map(i => i.toLong -> c) ++           // query doc 1
+      (8 until 12).map(i => i.toLong -> e(i - 8)) ++   // corpus doc 2
+      (12 until 16).map(i => i.toLong -> c))           // corpus doc 3
+    val rows = SparkEntry.queries("s163_maxsim")(spark, dir)
+      .filter(col("q_doc") === 0L).orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(rows.head._1 == 2L && math.abs(rows.head._2 - 4.0) < 1e-6,
+      s"doc 2 should win with maxsim 4.0: ${rows.toSeq}")
+    val d3 = rows.find(_._1 == 3L).get
+    assert(math.abs(d3._2 - 2.0) < 1e-6, s"doc 3 maxsim ${d3._2}, want 2.0")
+    // the mean-pooled control: both corpus docs collapse to the same
+    // direction, cosine 1.0 to the query mean — no separation
+    def mean(vs: Seq[Seq[Float]]) = vs.transpose.map(_.sum / vs.length)
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val qMean = mean((0 until 4).map(e))
+    assert(math.abs(cos(qMean, mean((0 until 4).map(e))) -
+      cos(qMean, mean(Seq.fill(4)(c)))) < 1e-9,
+      "mean-pooled cosine must NOT separate docs 2 and 3")
+  }
 }
