@@ -854,6 +854,90 @@ object EventQueries {
           round(col("cum_share"), 9).as("cum_share"),
           round(col("cum_share") / (col("decile") / lit(10.0)), 6).as("lift"))
         .orderBy("decile")
+    }),
+
+    /** A/B experiment analysis (two-proportion z-test): users are
+      * assigned to variants by the t69 hash-bucket rule (md5 prefix —
+      * stable across runs/engines/corpus growth, the property rand()
+      * assignment lacks), conversion = the user ever fired a 'purchase'
+      * above the 180.0 value cut (every user purchases eventually at
+      * this event density, so the raw flag would be degenerate — pooled
+      * p = 1 zeroes the z denominator); the pooled two-proportion
+      * z-statistic and the
+      * |z|>1.96 verdict come out as one wide row — the experiment
+      * dashboard's readout.
+      *
+      * Scale shape: one partial+final aggregate to per-user conversion
+      * flags (user_id shuffle), one 2-row aggregate over variants, and
+      * a 1-row pivot — z arithmetic runs on a single row. Every input
+      * to the z formula is an exact integer count, and the oracle
+      * replicates the identical expression tree, so the rounded z and
+      * the 1.96 verdict cannot drift cross-engine. */
+    "q168_ab_test" -> ((s, d) => {
+      val bucket = conv(substring(
+        md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+      val perUser = events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 180.0, 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("variant",
+          when(bucket % 2L === 0L, "A").otherwise("B"))
+      val wide = perUser.groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+        .agg(
+          max(when(col("variant") === "A", col("n_users"))).as("n_a"),
+          max(when(col("variant") === "A", col("n_conv"))).as("conv_a"),
+          max(when(col("variant") === "B", col("n_users"))).as("n_b"),
+          max(when(col("variant") === "B", col("n_conv"))).as("conv_b"))
+      val pA = col("conv_a") / col("n_a")
+      val pB = col("conv_b") / col("n_b")
+      val pPool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+      val z = (pA - pB) /
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      wide.select(
+        col("n_a"), col("conv_a"), round(pA, 9).as("rate_a"),
+        col("n_b"), col("conv_b"), round(pB, 9).as("rate_b"),
+        round(z, 6).as("z_score"),
+        (abs(round(z, 6)) > 1.96).as("significant"))
+    }),
+
+    /** Last-touch revenue attribution (the marketing-BI question "which
+      * channel gets credit for this order"): each order is attributed
+      * to the customer's most recent event at or before the order date
+      * (the q50 as-of composition — union both sides, one key-partition
+      * sort, last-ignoring-nulls carry), orders with no prior touch
+      * fall to 'direct'; revenue and order counts roll up per channel.
+      *
+      * Scale shape: identical to q50 — one shuffle on the customer key
+      * for the as-of window (the cost a native as-of join pays), then
+      * one partial+final aggregate over |channels| rows. Events are
+      * pre-deduped per (user, ts) with max_by on the unique event_id so
+      * the as-of pick is deterministic on both engines; order rows sort
+      * AFTER event rows at equal ts (tag), matching ASOF's <= bound. */
+    "q169_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+        .groupBy(col("user_id").as("k"), col("ts").as("t"))
+        .agg(expr("max_by(event_type, event_id)").as("ch_in"))
+        .select(col("k"), col("t"), col("ch_in"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"), lit(0).as("tag"))
+      val ord = orders(s, d)
+        .select(col("o_custkey").as("k"),
+          col("o_orderdate").cast("timestamp_ntz").as("t"),
+          lit(null).cast("string").as("ch_in"),
+          col("o_orderkey"), col("o_totalprice"), lit(1).as("tag"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(ord)
+        .withColumn("channel",
+          coalesce(last("ch_in", ignoreNulls = true).over(w), lit("direct")))
+        .filter(col("tag") === 1)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("revenue"))
+        .orderBy("channel")
     })
   )
 
@@ -1280,6 +1364,51 @@ object EventQueries {
         |  round((sum(decile_spend) OVER (ORDER BY decile
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    / sum(decile_spend) OVER ()) / (decile / 10.0), 6) AS lift
-        |FROM cells ORDER BY decile""".stripMargin
+        |FROM cells ORDER BY decile""".stripMargin,
+    "q168_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180.0
+        |      THEN 1 ELSE 0 END) AS converted,
+        |    CASE WHEN CAST(list_sum(list_transform(range(0, 4), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << CAST(4 * (3 - i) AS INTEGER))) AS BIGINT) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT variant, count(*) AS n_users, sum(converted) AS n_conv
+        |  FROM pu GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+        |    max(CASE WHEN variant = 'A' THEN n_conv END) AS conv_a,
+        |    max(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+        |    max(CASE WHEN variant = 'B' THEN n_conv END) AS conv_b
+        |  FROM v)
+        |SELECT n_a, conv_a, round(conv_a / n_a, 9) AS rate_a,
+        |  n_b, conv_b, round(conv_b / n_b, 9) AS rate_b,
+        |  round((conv_a / n_a - conv_b / n_b) /
+        |    sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+        |      (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+        |      (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+        |  abs(round((conv_a / n_a - conv_b / n_b) /
+        |    sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+        |      (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+        |      (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96 AS significant
+        |FROM w""".stripMargin,
+    "q169_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id AS k, ts AS t, max_by(event_type, event_id) AS ch
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey AS k,
+        |    CAST(o_orderdate AS TIMESTAMP) AS t, o_totalprice
+        |  FROM orders),
+        |j AS (
+        |  SELECT o.o_orderkey, o.o_totalprice,
+        |    coalesce(ev.ch, 'direct') AS channel
+        |  FROM o ASOF LEFT JOIN ev ON o.k = ev.k AND o.t >= ev.t)
+        |SELECT channel, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

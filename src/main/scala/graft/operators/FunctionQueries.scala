@@ -260,6 +260,140 @@ object FunctionQueries {
           (abs(col("est_users") - col("exact_users")) /
             col("exact_users") <= 0.05).as("sketch_ok"))
         .orderBy("event_type")
+    }),
+
+    /** Market-basket association rules (Agrawal/Srikant Apriori at
+      * itemset size 2 — the retail cross-sell miner): baskets are
+      * orders, items are part brands; for every directional brand pair
+      * the rule antecedent⇒consequent gets support, confidence
+      * (supp(A,B)/supp(A)) and lift (conf/P(B)); top 20 by lift.
+      *
+      * Scale shape: the candidate generator is an equi-self-join on the
+      * basket key, so pair fan-out is bounded by items-per-basket²
+      * (≤13² here — basket width, not corpus size); supports are
+      * partial+final aggregates; the |brands|-row support table and the
+      * 1-row basket count attach by broadcast/lazy-scalar (F15); the
+      * top-20 compiles to TakeOrderedAndProject. Nothing is ever
+      * O(|items|²) over the corpus. Confidence/lift round to 9 BEFORE
+      * the rank so the cut cannot flip cross-engine. */
+    "q164_basket_rules" -> ((s, d) => {
+      val baskets = lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(part(s, d).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("item"))
+        .distinct()
+      val nBaskets = baskets.agg(countDistinct("okey").as("n_baskets"))
+      val supp = baskets.groupBy("item").agg(count(lit(1)).as("s"))
+      val pairs = baskets
+        .join(baskets.withColumnRenamed("item", "item2"), Seq("okey"))
+        .filter(col("item") =!= col("item2"))
+        .groupBy(col("item").as("antecedent"), col("item2").as("consequent"))
+        .agg(count(lit(1)).as("supp_both"))
+      pairs
+        .join(broadcast(supp.select(col("item").as("antecedent"), col("s").as("supp_ante"))),
+          "antecedent")
+        .join(broadcast(supp.select(col("item").as("consequent"), col("s").as("supp_cons"))),
+          "consequent")
+        .crossJoin(broadcast(nBaskets))
+        .filter(col("supp_both") >= 5)
+        .select(col("antecedent"), col("consequent"), col("supp_both"),
+          col("supp_ante"), col("supp_cons"),
+          round(col("supp_both") / col("supp_ante"), 9).as("confidence"),
+          round((col("supp_both") * col("n_baskets")) /
+            (col("supp_ante") * col("supp_cons")), 9).as("lift"))
+        .orderBy(desc("lift"), col("antecedent"), col("consequent"))
+        .limit(20)
+    }),
+
+    /** Declarative data-quality check suite (the Deequ/dbt-test shape):
+      * completeness per column, key uniqueness, range membership,
+      * accepted values, referential integrity, and a row-count floor —
+      * evaluated over orders+lineitem and emitted as a long-form report
+      * (check_name, target, metric, passed), the table a quality
+      * dashboard ingests.
+      *
+      * Scale shape: ALL single-table metrics fold into ONE partial+final
+      * aggregate pass over orders (one scan, one 1-row result); the RI
+      * check is one equi-join of lineitem against the distinct order
+      * keys (the q9 anti-join shape, measured not just boolean); the
+      * stack() to long form runs on a single joined row. Metrics are
+      * count-ratio doubles — exact in IEEE, so the ==1.0 pass
+      * predicates cannot drift cross-engine. */
+    "q165_quality_checks" -> ((s, d) => {
+      val o = orders(s, d)
+      val m = o.agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        (count("o_custkey") / count(lit(1))).as("comp_custkey"),
+        (count("o_orderdate") / count(lit(1))).as("comp_orderdate"),
+        (countDistinct("o_orderkey") / count(lit(1))).as("uniq_orderkey"),
+        avg(when(col("o_totalprice") >= 0.0 &&
+          col("o_totalprice") <= 10000000.0, 1.0).otherwise(0.0)).as("range_totalprice"),
+        avg(col("o_orderstatus").isin("F", "O", "P")
+          .cast("double")).as("accepted_status"))
+      val ri = lineitem(s, d).select("l_orderkey")
+        .join(o.select("o_orderkey").distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg((count("o_orderkey") / count(lit(1))).as("ri_lineitem"))
+      m.crossJoin(ri)
+        .select(expr(
+          """stack(7,
+            |  'completeness', 'orders.o_custkey',    comp_custkey,
+            |  'completeness', 'orders.o_orderdate',  comp_orderdate,
+            |  'uniqueness',   'orders.o_orderkey',   uniq_orderkey,
+            |  'range_0_10m',  'orders.o_totalprice', range_totalprice,
+            |  'accepted_FOP', 'orders.o_orderstatus', accepted_status,
+            |  'ref_integrity', 'lineitem.l_orderkey', ri_lineitem,
+            |  'row_count',    'orders',              n_rows)
+            |  AS (check_name, target, metric)""".stripMargin))
+        .select(col("check_name"), col("target"),
+          round(col("metric"), 9).as("metric"),
+          when(col("check_name") === "row_count", col("metric") > 0.0)
+            .otherwise(col("metric") === 1.0).as("passed"))
+        .orderBy("check_name", "target")
+    }),
+
+    /** Pre-aggregated QUANTILE sketch rollup — q157's twin for
+      * percentiles, on mergeable KLL sketches ([[graft.functions
+      * .KllSketchAgg]], DataSketches KLL, k=200): one sketch per
+      * (day, event_type) cell (the persisted-sketch-table grain), daily
+      * cells UNIONED per type (`kll_merge_agg`) to estimate all-time
+      * p50/p90 of `value` — raw data is never re-sorted or re-scanned
+      * by the rollup. KLL compaction is randomized, so (q65/q91
+      * pattern) the gated claim is the accuracy contract: the
+      * estimate's TRUE rank, recomputed exactly, must sit within ±3%
+      * of the requested rank (k=200's 99%-confidence bound is ~1.65%,
+      * so 3% is ~4σ headroom); the exact p50 rides along for the
+      * value-level oracle.
+      *
+      * Scale shape: both sketch aggregates are partial+final — tasks
+      * fold rows into local sketches and only ~KB blobs cross the
+      * exchange; the rollup input is |days|×|types| blobs regardless of
+      * corpus size; the 5-row estimate table broadcasts back for the
+      * rank audit (which exists only to gate the claim). */
+    "q166_quantile_rollup" -> ((s, d) => {
+      graft.functions.KllAggregates.register(s)
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("kll_sketch_agg(value, 200)").as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(expr("kll_merge_agg(sk, 200)").as("sk"),
+          count(lit(1)).as("n_day_cells"))
+        .select(col("event_type"), col("n_day_cells"),
+          expr("kll_quantile(sk, 0.5d)").as("p50_est"),
+          expr("kll_quantile(sk, 0.9d)").as("p90_est"))
+      events(s, d).join(broadcast(rolled), "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          max("n_day_cells").as("n_day_cells"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          avg((col("value") <= col("p50_est")).cast("double")).as("r50"),
+          avg((col("value") <= col("p90_est")).cast("double")).as("r90"))
+        .select(col("event_type"), col("n"), col("n_day_cells"),
+          col("p50_exact"),
+          (abs(col("r50") - 0.5) <= 0.03).as("p50_ok"),
+          (abs(col("r90") - 0.9) <= 0.03).as("p90_ok"))
+        .orderBy("event_type")
     })
   )
 
@@ -380,6 +514,76 @@ object FunctionQueries {
         |FROM events e
         |JOIN (SELECT event_type, count(*) AS n_day_cells
         |      FROM daily GROUP BY 1) d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q164_basket_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT okey) AS n_baskets FROM baskets),
+        |supp AS (SELECT item, count(*) AS s FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS antecedent, b.item AS consequent,
+        |    count(*) AS supp_both
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.item <> b.item
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, supp_both,
+        |  sa.s AS supp_ante, sc.s AS supp_cons,
+        |  round(supp_both / sa.s, 9) AS confidence,
+        |  round((supp_both * n.n_baskets) / (sa.s * sc.s), 9) AS lift
+        |FROM pairs
+        |JOIN supp sa ON pairs.antecedent = sa.item
+        |JOIN supp sc ON pairs.consequent = sc.item
+        |CROSS JOIN n
+        |WHERE supp_both >= 5
+        |ORDER BY lift DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin,
+    "q165_quality_checks" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(count(*) AS DOUBLE) AS n_rows,
+        |    count(o_custkey) / count(*) AS comp_custkey,
+        |    count(o_orderdate) / count(*) AS comp_orderdate,
+        |    count(DISTINCT o_orderkey) / count(*) AS uniq_orderkey,
+        |    avg(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 10000000.0
+        |      THEN 1.0 ELSE 0.0 END) AS range_totalprice,
+        |    avg(CASE WHEN o_orderstatus IN ('F','O','P')
+        |      THEN 1.0 ELSE 0.0 END) AS accepted_status
+        |  FROM orders),
+        |ri AS (
+        |  SELECT count(o.o_orderkey) / count(*) AS ri_lineitem
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |long AS (
+        |  SELECT 'completeness' AS check_name, 'orders.o_custkey' AS target,
+        |    comp_custkey AS metric FROM m
+        |  UNION ALL SELECT 'completeness', 'orders.o_orderdate', comp_orderdate FROM m
+        |  UNION ALL SELECT 'uniqueness', 'orders.o_orderkey', uniq_orderkey FROM m
+        |  UNION ALL SELECT 'range_0_10m', 'orders.o_totalprice', range_totalprice FROM m
+        |  UNION ALL SELECT 'accepted_FOP', 'orders.o_orderstatus', accepted_status FROM m
+        |  UNION ALL SELECT 'ref_integrity', 'lineitem.l_orderkey', ri_lineitem FROM ri
+        |  UNION ALL SELECT 'row_count', 'orders', n_rows FROM m)
+        |SELECT check_name, target, round(metric, 9) AS metric,
+        |  CASE WHEN check_name = 'row_count' THEN metric > 0.0
+        |    ELSE metric = 1.0 END AS passed
+        |FROM long ORDER BY check_name, target""".stripMargin,
+    // KLL estimates are randomized engine-internals (q65/q91/q157
+    // pattern): the oracle recomputes the exact side (day-cell count,
+    // n, exact p50) and asserts the rank-accuracy booleans
+    "q166_quantile_rollup" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT event_type, count(*) AS n_day_cells
+        |  FROM daily GROUP BY 1)
+        |SELECT e.event_type,
+        |  count(*) AS n,
+        |  any_value(c.n_day_cells) AS n_day_cells,
+        |  round(quantile_cont(e.value, 0.5), 6) AS p50_exact,
+        |  TRUE AS p50_ok,
+        |  TRUE AS p90_ok
+        |FROM events e JOIN cells c USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

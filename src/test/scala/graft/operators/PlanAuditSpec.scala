@@ -390,4 +390,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"q167: non-equi shape:\n$p")
   }
+
+  test("round-8 third wave: basket/quality/KLL/AB/attribution plan shapes") {
+    // q164: candidate pairs come from an equi-self-join on the basket
+    // key (fan-out bounded by basket width); supports broadcast; the
+    // top-20 is a bounded heap
+    val basket = plan("q164_basket_rules")
+    assert(!basket.contains("CartesianProduct"), s"q164: cartesian:\n$basket")
+    assert(basket.contains("BroadcastHashJoin"),
+      s"q164: support tables must broadcast:\n$basket")
+    assert(basket.contains("TakeOrderedAndProject"),
+      s"q164: top-20 must be a bounded heap:\n$basket")
+    // q165: all orders metrics fold into ONE aggregate over ONE scan of
+    // orders plus the RI join's scan — the stack runs on a single row
+    val qc = plan("q165_quality_checks")
+    assert(!qc.contains("CartesianProduct") || qc.contains("BroadcastNestedLoopJoin"),
+      s"q165: the only cross join is the sanctioned 1-row attach:\n$qc")
+    assert("Scan parquet .*orders".r.findAllIn(qc).size <= 2,
+      s"q165: orders must not be re-scanned per check:\n$qc")
+    // q166: the KLL aggregates must run partial+final (ObjectHashAggregate
+    // over the TypedImperativeAggregate) so only sketch blobs cross the
+    // exchange; the 5-row estimate table broadcasts back
+    val kll = plan("q166_quantile_rollup")
+    assert(kll.contains("ObjectHashAggregate"),
+      s"q166: sketch agg must be ObjectHashAggregate:\n$kll")
+    assert(kll.contains("partial_kll_sketch_agg"),
+      s"q166: map-side partial sketch missing:\n$kll")
+    assert(kll.contains("BroadcastHashJoin"),
+      s"q166: estimates must broadcast for the rank audit:\n$kll")
+    // q168: one user_id aggregate, one 2-row variant aggregate — no join
+    val ab = plan("q168_ab_test")
+    assert(ab.contains("partial"), s"q168: map-side partial agg missing:\n$ab")
+    assert(!ab.contains("Join"), s"q168: unexpected join:\n$ab")
+    // q169: the as-of composition is one window over the union — a
+    // single key shuffle, no join of any kind before the channel rollup
+    val attr = plan("q169_attribution")
+    assert(!attr.contains("Join"), s"q169: as-of must not join:\n$attr")
+    assert(attr.contains("Window"), s"q169: carry-forward window missing:\n$attr")
+  }
 }
