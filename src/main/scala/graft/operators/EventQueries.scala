@@ -938,6 +938,129 @@ object EventQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 4).as("revenue"))
         .orderBy("channel")
+    }),
+
+    /** Forced sketch tier of q162: audience overlap from MERGEABLE theta
+      * sketches ([[graft.functions.ThetaSketchAgg]]) — the set-algebra
+      * sketch HLL can't be: per-segment sketches of user_id support
+      * INTERSECTION estimates, so "users who did A and B" is answered
+      * from persisted KB blobs without q162's raw-table self-join. The
+      * exact pair counts ride along to gate the claim (±5%-or-1
+      * absolute — below lgK=12's 4096 retained hashes the sketch is in
+      * exact mode, so the booleans are deterministic at test scale).
+      *
+      * Scale shape: one partial+final sketch aggregate (only compact
+      * blobs cross the exchange), set algebra on a |types|² broadcast
+      * cross of the 5-row sketch table; the exact side (one distinct
+      * pass + user-keyed self-join bounded by per-user type fan-out)
+      * exists only to gate the claim. */
+    "q170_theta_overlap" -> ((s, d) => {
+      graft.functions.ThetaAggregates.register(s)
+      val sk = events(s, d).groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+      val est = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+        .crossJoin(broadcast(
+          sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          expr("theta_intersect_estimate(sk_a, sk_b)").as("est_inter"),
+          expr("theta_union_estimate(sk_a, sk_b)").as("est_union"))
+      val ut = events(s, d).select("user_id", "event_type").distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val exact = ut.join(ut.select(col("user_id"),
+          col("event_type").as("type_b")), "user_id")
+        .filter(col("event_type") < col("type_b"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b"))), "type_b")
+      exact.join(broadcast(est), Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          (abs(col("est_inter") - col("n_both")) <=
+            greatest(col("n_both") * 0.05, lit(1.0))).as("inter_ok"),
+          (abs(col("est_union") - (col("n_a") + col("n_b") - col("n_both"))) <=
+            greatest((col("n_a") + col("n_b") - col("n_both")) * 0.05, lit(1.0)))
+            .as("union_ok"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    /** Calendar resample + linear interpolation (the pandas
+      * `resample('1h').interpolate()` surface): the hourly value-sum
+      * series per event type is completed to the FULL hour spine
+      * (sequence over the observed bounds × the type roster — empty
+      * hours exist as rows, which a bare group-by cannot produce), and
+      * missing cells are linearly interpolated between the nearest
+      * observed neighbors (edge cells clamp to the nearest value).
+      * Emits the filled series with a was_observed flag.
+      *
+      * Scale shape: the ONLY corpus-sized work is the one partial+final
+      * hourly aggregate; the spine is calendar-bounded (|hours|×|types|
+      * rows — independent of corpus size), the completion join keys on
+      * (type, hour), and both interpolation windows run on the
+      * aggregated grid. Hour indexes are exact integers and observed
+      * sums round to 6 before interpolation, so the interpolated
+      * doubles are bit-identical cross-engine. */
+    "q171_resample_interpolate" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(round(sum("value"), 6).as("v"))
+      val spine = hourly.agg(min("hr").as("mn"), max("hr").as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("interval 1 hour"))).as("hr"))
+        .crossJoin(broadcast(hourly.select("event_type").distinct()))
+      val grid = spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("h", (unix_micros(col("hr").cast("timestamp")) /
+          lit(3600000000L)).cast("long"))
+      val wPrev = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val interp = grid
+        .withColumn("pv", last("v", ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("v").isNotNull, col("h")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first("v", ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("v").isNotNull, col("h")),
+          ignoreNulls = true).over(wNext))
+      interp.select(col("event_type"),
+        col("hr").cast("timestamp_ntz").as("hr"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("h") - col("ph")) / (col("nh") - col("ph"))), 6)
+          .as("v_filled"),
+        col("v").isNotNull.as("was_observed"))
+        .orderBy("event_type", "hr")
+    }),
+
+    /** Rolling 7-day median + band (robust trend line): per event type,
+      * the trailing-7-row median, min and max of DAILY event counts —
+      * the outlier-resistant smoother a rolling mean gets wrong on
+      * spiky traffic (q158's seasonal flags are point anomalies; this
+      * is the continuous robust baseline). Counts are exact integers so
+      * every median is a .0/.5-exact double on both engines.
+      *
+      * Scale shape: one partial+final count aggregate collapses the
+      * corpus to the |days|×|types| grid; the percentile windows buffer
+      * AT MOST 7 rows per frame on that grid — cost independent of raw
+      * corpus size. */
+    "q172_rolling_median" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dy"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("dy")
+        .rowsBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("dy"), col("n"),
+        expr("percentile(n, 0.5)").over(w).as("med7"),
+        min("n").over(w).as("min7"),
+        max("n").over(w).as("max7"),
+        count(lit(1)).over(w).as("n_days7"))
+        .orderBy("event_type", "dy")
     })
   )
 
@@ -1409,6 +1532,77 @@ object EventQueries {
         |  FROM o ASOF LEFT JOIN ev ON o.k = ev.k AND o.t >= ev.t)
         |SELECT channel, count(*) AS n_orders,
         |  round(sum(o_totalprice), 4) AS revenue
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // theta estimates are engine-internal sketch state (q91/q166
+    // pattern): the oracle recomputes the exact overlap matrix and
+    // asserts the accuracy booleans
+    "q170_theta_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (
+        |  SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  sa.n_users AS n_a, sb.n_users AS n_b, p.n_both,
+        |  TRUE AS inter_ok, TRUE AS union_ok
+        |FROM pairs p
+        |JOIN sizes sa ON sa.event_type = p.type_a
+        |JOIN sizes sb ON sb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q171_resample_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    round(sum(value), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM hourly),
+        |spine AS (
+        |  SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t
+        |  CROSS JOIN (SELECT unnest(generate_series(mn, mx,
+        |    INTERVAL 1 HOUR)) AS hr FROM b) g),
+        |grid AS (
+        |  SELECT s.event_type, s.hr, h.v,
+        |    CAST(epoch(s.hr) / 3600 AS BIGINT) AS hx
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hr = h.hr),
+        |f AS (
+        |  SELECT event_type, hr, v, hx,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hx END IGNORE NULLS)
+        |      OVER wp AS ph,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hx END IGNORE NULLS)
+        |      OVER wn AS nh
+        |  FROM grid
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY hx
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hr,
+        |  round(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (hx - ph) / (nh - ph) END, 6) AS v_filled,
+        |  v IS NOT NULL AS was_observed
+        |FROM f ORDER BY event_type, hr""".stripMargin,
+    "q172_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dy, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dy, n,
+        |  quantile_cont(n, 0.5) OVER w AS med7,
+        |  min(n) OVER w AS min7,
+        |  max(n) OVER w AS max7,
+        |  count(*) OVER w AS n_days7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dy
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, dy""".stripMargin
   )
 }

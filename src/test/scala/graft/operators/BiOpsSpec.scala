@@ -140,6 +140,91 @@ class BiOpsSpec extends SparkSpec {
     assert(r.getDouble(6) > 1.96 && r.getBoolean(7), s"z/significant: $r")
   }
 
+  test("theta sketch: exact mode, estimation error, and set algebra") {
+    import spark.implicits._
+    graft.functions.ThetaAggregates.register(spark)
+    // exact mode: below lgK=12's 4096 retained hashes the estimate IS
+    // the exact distinct count
+    val small = (1L to 1000L).toDF("u")
+      .agg(expr("theta_sketch_agg(u, 12)").as("sk"))
+      .select(expr("theta_union_estimate(sk, sk)")).head().getDouble(0)
+    assert(small == 1000.0, s"exact-mode estimate drifted: $small")
+    // estimation mode (100k ≫ 4096): union and intersection estimates
+    // within the theta error envelope; theta hashing/compaction is
+    // seed-fixed and order-independent, so these are deterministic
+    val a = (1L to 60000L).toDF("u")
+      .agg(expr("theta_sketch_agg(u, 12)").as("sk"))
+    val b = (40001L to 100000L).toDF("u")
+      .agg(expr("theta_sketch_agg(u, 12)").as("sk2"))
+    val r = a.crossJoin(b).select(
+      expr("theta_union_estimate(sk, sk2)"),
+      expr("theta_intersect_estimate(sk, sk2)")).head()
+    assert(math.abs(r.getDouble(0) - 100000.0) <= 5000.0,
+      s"union est: ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 20000.0) <= 3000.0,
+      s"intersect est: ${r.getDouble(1)}")
+  }
+
+  test("q170_theta_overlap: constructed overlap is recovered exactly") {
+    val dir = tmp()
+    // X = users 1..10, Y = users 6..15 → |X∩Y| = 5 (exact-mode sketches)
+    eventsFixture(dir,
+      (1L to 10L).map(u => (u, "2024-01-01 00:00:00", u, "x", 0.0)) ++
+        (6L to 15L).map(u => (100 + u, "2024-01-01 01:00:00", u, "y", 0.0)))
+    val rows = graft.EventQueries.queries("q170_theta_overlap")(spark, dir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("x", "y")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((10L, 10L, 5L)))
+    assert(r.getBoolean(5) && r.getBoolean(6), s"accuracy gate tripped: $r")
+  }
+
+  test("q171_resample_interpolate: gap cells interpolate, edges clamp") {
+    val dir = tmp()
+    // type m observed at hours 0,1,3,6 → h2=25, h4=60, h5=80 by linear
+    // interpolation; type b observed only at h3 → all its cells clamp to 7
+    eventsFixture(dir, Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "m", 0.0),
+      (2L, "2024-01-01 01:00:00", 1L, "m", 10.0),
+      (3L, "2024-01-01 03:00:00", 1L, "m", 40.0),
+      (4L, "2024-01-01 06:00:00", 1L, "m", 100.0),
+      (5L, "2024-01-01 03:00:00", 2L, "b", 7.0)))
+    val m = graft.EventQueries.queries("q171_resample_interpolate")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1).getHour) ->
+        (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(m.size == 14, s"spine must be 7 hours x 2 types: ${m.size}")
+    assert(m(("m", 2)) == ((25.0, false)))
+    assert(m(("m", 4)) == ((60.0, false)))
+    assert(m(("m", 5)) == ((80.0, false)))
+    assert(m(("m", 3)) == ((40.0, true)))
+    (0 to 6).foreach { h =>
+      assert(m(("b", h))._1 == 7.0, s"b@$h must clamp to 7: ${m(("b", h))}")
+    }
+    assert(m(("b", 3))._2 && !m(("b", 2))._2)
+  }
+
+  test("q172_rolling_median: trailing window median over known counts") {
+    val dir = tmp()
+    // daily counts for type m: d1=1, d2=9, d3=2 → med7 = 1, 5, 2
+    val rows =
+      Seq((1, 1)) ++ (1 to 9).map(i => (2, 10 + i)) ++ Seq((3, 30), (3, 31))
+    eventsFixture(dir, rows.zipWithIndex.map { case ((day, _), i) =>
+      (i.toLong, f"2024-01-0$day%d 05:00:00", 1L, "m", 0.0)
+    })
+    val m = graft.EventQueries.queries("q172_rolling_median")(spark, dir)
+      .collect()
+      .map(r => r.getDate(1).toLocalDate.getDayOfMonth ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(m(1) == ((1L, 1.0, 1L, 1L, 1L)))
+    assert(m(2) == ((9L, 5.0, 1L, 9L, 2L)))   // median(1,9) interpolates to 5
+    assert(m(3) == ((2L, 2.0, 1L, 9L, 3L)))   // median(1,9,2) = 2
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()

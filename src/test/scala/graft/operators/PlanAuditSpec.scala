@@ -428,4 +428,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!attr.contains("Join"), s"q169: as-of must not join:\n$attr")
     assert(attr.contains("Window"), s"q169: carry-forward window missing:\n$attr")
   }
+
+  test("round-8 fourth wave: theta/resample/rolling plan shapes") {
+    // q170: the sketch aggregate must run partial+final so only compact
+    // blobs cross the exchange; the sketch-pair cross is the sanctioned
+    // 5-row broadcast, never a CartesianProduct
+    val theta = plan("q170_theta_overlap")
+    assert(theta.contains("partial_theta_sketch_agg"),
+      s"q170: map-side partial sketch missing:\n$theta")
+    assert(theta.contains("ObjectHashAggregate"),
+      s"q170: sketch agg must be ObjectHashAggregate:\n$theta")
+    assert(!theta.contains("CartesianProduct"), s"q170: cartesian:\n$theta")
+    // q171: corpus collapses in ONE partial+final hourly aggregate; the
+    // calendar spine attaches by broadcast; windows run on the grid
+    val rs = plan("q171_resample_interpolate")
+    assert(rs.contains("partial"), s"q171: map-side partial agg missing:\n$rs")
+    assert(!rs.contains("CartesianProduct"), s"q171: cartesian:\n$rs")
+    assert(rs.contains("Window"), s"q171: interpolation windows missing:\n$rs")
+    // q172: daily grid from one partial+final count; bounded 7-row frames
+    val rm = plan("q172_rolling_median")
+    assert(rm.contains("partial"), s"q172: map-side partial agg missing:\n$rm")
+    assert(rm.contains("Window"), s"q172: rolling window missing:\n$rm")
+    assert(!rm.contains("Join"), s"q172: unexpected join:\n$rm")
+  }
 }
