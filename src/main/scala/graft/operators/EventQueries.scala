@@ -1061,6 +1061,47 @@ object EventQueries {
         max("n").over(w).as("max7"),
         count(lit(1)).over(w).as("n_days7"))
         .orderBy("event_type", "dy")
+    }),
+
+    /** CUSUM change-point detection over daily counts (Page 1954 — the
+      * sustained-LEVEL-SHIFT detector q158's point-anomaly flags are
+      * not): the one-sided CUSUM recursion S_t = max(0, S_{t-1} + x_t −
+      * μ) is sequential as written, but closes to pure windows via the
+      * prefix-sum identity S_t = P_t − min(0, min_{j≤t} P_j) with
+      * P = cumsum(x − μ) — so no driver loop, no sequential fold, no
+      * HOF (the q149 lesson applied to a harder recursion). Both
+      * directions are emitted (upward spike-shift and downward
+      * drop-shift, the mirrored identity), flagged at 3×MAD.
+      *
+      * Every quantity lives on the exact .5 lattice (integer counts,
+      * interpolating medians), so prefix sums and the 3×MAD comparisons
+      * are bit-identical cross-engine with NO rounding needed.
+      *
+      * Scale shape: one partial+final count collapses the corpus to the
+      * |days|×|types| grid; the per-type median/MAD (two percentile
+      * passes, q148's shape) broadcast back onto the grid; all four
+      * windows key on event_type over calendar-bounded frames. */
+    "q173_cusum_changepoint" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dy"))
+        .agg(count(lit(1)).as("n"))
+      val mu = daily.groupBy("event_type")
+        .agg(expr("percentile(n, 0.5)").as("mu"))
+      val mad = daily.join(broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(n - mu), 0.5)").as("mad"))
+      val w = Window.partitionBy("event_type").orderBy("dy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(mu), "event_type")
+        .join(broadcast(mad), "event_type")
+        .withColumn("p", sum(col("n") - col("mu")).over(w))
+        .withColumn("s_pos", col("p") - least(min("p").over(w), lit(0.0)))
+        .withColumn("s_neg", greatest(max("p").over(w), lit(0.0)) - col("p"))
+        .select(col("event_type"), col("dy"), col("n"),
+          col("s_pos"), col("s_neg"),
+          (col("s_pos") > col("mad") * 3.0).as("spike_shift"),
+          (col("s_neg") > col("mad") * 3.0).as("drop_shift"))
+        .orderBy("event_type", "dy")
     })
   )
 
@@ -1603,6 +1644,35 @@ object EventQueries {
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY dy
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_type, dy""".stripMargin
+        |ORDER BY event_type, dy""".stripMargin,
+    "q173_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dy, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (
+        |  SELECT event_type, quantile_cont(n, 0.5) AS mu
+        |  FROM daily GROUP BY 1),
+        |mad AS (
+        |  SELECT d.event_type, quantile_cont(abs(d.n - m.mu), 0.5) AS mad
+        |  FROM daily d JOIN mu m USING (event_type) GROUP BY 1),
+        |p AS (
+        |  SELECT d.event_type, d.dy, d.n, m2.mad,
+        |    sum(d.n - m.mu) OVER w AS p
+        |  FROM daily d
+        |  JOIN mu m USING (event_type)
+        |  JOIN mad m2 USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.dy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT event_type, dy, n, mad, p,
+        |    p - least(min(p) OVER w, 0.0) AS s_pos,
+        |    greatest(max(p) OVER w, 0.0) - p AS s_neg
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY dy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, dy, n, s_pos, s_neg,
+        |  s_pos > mad * 3.0 AS spike_shift,
+        |  s_neg > mad * 3.0 AS drop_shift
+        |FROM s ORDER BY event_type, dy""".stripMargin
   )
 }

@@ -225,6 +225,30 @@ class BiOpsSpec extends SparkSpec {
     assert(m(3) == ((2L, 2.0, 1L, 9L, 3L)))   // median(1,9,2) = 2
   }
 
+  test("q173_cusum_changepoint: two-regime series flags the level shift") {
+    val dir = tmp()
+    // 10 days at n=5, then 10 days at n=15 → μ=10, MAD=5, 3×MAD=15;
+    // closed-form CUSUM: s_pos ramps 5/day from day 11 (crosses 15 on
+    // day 14), s_neg ramps 5/day from day 1 (crosses on day 4) and
+    // unwinds 5/day after the shift (back under on day 17)
+    val rows = (1 to 20).flatMap { day =>
+      val n = if (day <= 10) 5 else 15
+      (1 to n).map(i => ((day * 100 + i).toLong,
+        f"2024-01-$day%02d 05:00:00", 1L, "m", 0.0))
+    }
+    eventsFixture(dir, rows)
+    val m = graft.EventQueries.queries("q173_cusum_changepoint")(spark, dir)
+      .collect()
+      .map(r => r.getDate(1).toLocalDate.getDayOfMonth ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(m(10) == ((0.0, 50.0, false, true)))  // trough: s_pos reset, s_neg peak
+    assert(m(13)._3 == false && m(14)._3 == true, s"spike onset: ${m(13)} ${m(14)}")
+    assert(m(20) == ((50.0, 0.0, true, false)))  // full recovery of the drop side
+    assert(m(3)._4 == false && m(4)._4 == true, s"drop onset: ${m(3)} ${m(4)}")
+    assert(m(16)._4 == true && m(17)._4 == false, s"drop unwind: ${m(16)} ${m(17)}")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()

@@ -450,5 +450,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(rm.contains("partial"), s"q172: map-side partial agg missing:\n$rm")
     assert(rm.contains("Window"), s"q172: rolling window missing:\n$rm")
     assert(!rm.contains("Join"), s"q172: unexpected join:\n$rm")
+    // q173: μ/MAD broadcast back onto the daily grid; CUSUM is pure
+    // windows — no cartesian, no nested loop
+    val cu = plan("q173_cusum_changepoint")
+    assert(cu.contains("partial"), s"q173: map-side partial agg missing:\n$cu")
+    assert(cu.contains("BroadcastHashJoin"),
+      s"q173: baselines must broadcast:\n$cu")
+    assert(!cu.contains("CartesianProduct") &&
+      !cu.contains("BroadcastNestedLoopJoin"), s"q173: non-equi shape:\n$cu")
+    assert(cu.contains("Window"), s"q173: prefix-sum windows missing:\n$cu")
   }
 }
