@@ -1102,6 +1102,69 @@ object EventQueries {
           (col("s_pos") > col("mad") * 3.0).as("spike_shift"),
           (col("s_neg") > col("mad") * 3.0).as("drop_shift"))
         .orderBy("event_type", "dy")
+    }),
+
+    /** Period-over-period growth (the BI MoM/YoY readout): monthly
+      * revenue with month-over-month and year-over-year growth
+      * percentages via lag(1)/lag(12) on the monthly grid. The month
+      * axis here is DENSE (verified 80 cells over an 80-month span), so
+      * positional lags are exact calendar lags; on sparse data the q171
+      * spine-completion pattern is the prescribed guard — documented,
+      * not assumed. Edge months yield NULL growth on both engines.
+      *
+      * Scale shape: the corpus collapses in ONE partial+final monthly
+      * aggregate; both lags and the growth arithmetic run on the
+      * |months|-row grid (single-partition window over a calendar-
+      * bounded frame — the q154/q167 aggregated-grid story). */
+    "q174_period_growth" -> ((s, d) => {
+      val w = Window.orderBy("month")
+      orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate"))
+          .cast("timestamp_ntz").as("month"))
+        .agg(round(sum("o_totalprice"), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("prev_m", lag("revenue", 1).over(w))
+        .withColumn("prev_y", lag("revenue", 12).over(w))
+        .select(col("month"), col("revenue"), col("n_orders"),
+          round((col("revenue") - col("prev_m")) / col("prev_m") * 100.0, 9)
+            .as("mom_pct"),
+          round((col("revenue") - col("prev_y")) / col("prev_y") * 100.0, 9)
+            .as("yoy_pct"))
+        .orderBy("month")
+    }),
+
+    /** Key-skew report (the shuffle-planning diagnostic this engine's
+      * own 100 TB advice depends on): the user_id key distribution
+      * summarized as max/top-10 load shares and the Gini coefficient —
+      * the numbers that decide salting/AQE-skew-join before a job ships.
+      * Gini from the sorted-counts identity G = 2·Σ(i·cᵢ)/(k·Σc) −
+      * (k+1)/k — every term an exact integer until the final divisions,
+      * so the doubles are bit-identical cross-engine.
+      *
+      * Scale shape: one partial+final count collapses the corpus to the
+      * |keys| grid; the rank window and all sums run on that grid. The
+      * single-partition rank over |keys| is the exact-Gini barrier — at
+      * 100 TB key cardinality, swap in the t137 equi-depth banding for
+      * an approximate Lorenz curve (same downstream arithmetic). */
+    "q175_skew_report" -> ((s, d) => {
+      val counts = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt"), col("user_id"))
+      val wd = Window.orderBy(col("cnt").desc, col("user_id"))
+      counts
+        .withColumn("i", row_number().over(w))
+        .withColumn("rd", row_number().over(wd))
+        .agg(
+          sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("cnt").as("max_cnt"),
+          sum(col("i") * col("cnt")).as("iweighted"),
+          sum(when(col("rd") <= 10, col("cnt")).otherwise(0L)).as("top10"))
+        .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+          round(col("max_cnt") / col("n_rows"), 9).as("max_share"),
+          round(col("top10") / col("n_rows"), 9).as("top10_share"),
+          round(col("iweighted") * 2.0 / (col("n_keys") * col("n_rows")) -
+            (col("n_keys") + 1.0) / col("n_keys"), 9).as("gini"))
     })
   )
 
@@ -1673,6 +1736,40 @@ object EventQueries {
         |SELECT event_type, dy, n, s_pos, s_neg,
         |  s_pos > mad * 3.0 AS spike_shift,
         |  s_neg > mad * 3.0 AS drop_shift
-        |FROM s ORDER BY event_type, dy""".stripMargin
+        |FROM s ORDER BY event_type, dy""".stripMargin,
+    "q174_period_growth" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    round(sum(o_totalprice), 4) AS revenue,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT month, revenue, n_orders,
+        |    lag(revenue, 1) OVER (ORDER BY month) AS prev_m,
+        |    lag(revenue, 12) OVER (ORDER BY month) AS prev_y
+        |  FROM m)
+        |SELECT month, revenue, n_orders,
+        |  round((revenue - prev_m) / prev_m * 100.0, 9) AS mom_pct,
+        |  round((revenue - prev_y) / prev_y * 100.0, 9) AS yoy_pct
+        |FROM l ORDER BY month""".stripMargin,
+    "q175_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt, user_id) AS i,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rd
+        |  FROM c),
+        |a AS (
+        |  SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
+        |    sum(i * cnt) AS iweighted,
+        |    sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS top10
+        |  FROM r)
+        |SELECT n_rows, n_keys, max_cnt,
+        |  round(max_cnt / n_rows, 9) AS max_share,
+        |  round(top10 / n_rows, 9) AS top10_share,
+        |  round(iweighted * 2.0 / (n_keys * n_rows) -
+        |    (n_keys + 1.0) / n_keys, 9) AS gini
+        |FROM a""".stripMargin
   )
 }

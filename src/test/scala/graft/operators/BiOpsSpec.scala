@@ -249,6 +249,50 @@ class BiOpsSpec extends SparkSpec {
     assert(m(16)._4 == true && m(17)._4 == false, s"drop unwind: ${m(16)} ${m(17)}")
   }
 
+  test("q174_period_growth: hand-computed MoM chain, edge months null") {
+    import spark.implicits._
+    val dir = tmp()
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // monthly revenue 100 → 150 → 120: MoM = null, +50%, −20%
+    Seq(
+      (1L, 1L, "F", 40.0, ts("2024-01-05 00:00:00")),
+      (2L, 1L, "F", 60.0, ts("2024-01-20 00:00:00")),
+      (3L, 1L, "F", 150.0, ts("2024-02-10 00:00:00")),
+      (4L, 1L, "F", 120.0, ts("2024-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = graft.EventQueries.queries("q174_period_growth")(spark, dir)
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).getMonthValue ->
+        (r.getDouble(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(rows(1) == ((100.0, 2L, None, None)))
+    assert(rows(2) == ((150.0, 1L, Some(50.0), None)))
+    assert(rows(3) == ((120.0, 1L, Some(-20.0), None)))
+  }
+
+  test("q175_skew_report: Gini and load shares from a known distribution") {
+    val dir = tmp()
+    // counts per user: u1=1, u2=1, u3=8 → sorted asc Σi·cᵢ = 1+2+24 = 27,
+    // G = 2·27/(3·10) − 4/3 = 7/15
+    val rows = Seq.tabulate(1)(i => (1L + i, 1L)) ++
+      Seq((10L, 2L)) ++ Seq.tabulate(8)(i => (20L + i, 3L))
+    eventsFixture(dir, rows.zipWithIndex.map { case ((id, u), i) =>
+      (id * 100 + i, "2024-01-01 00:00:00", u, "view", 0.0)
+    })
+    val r = graft.EventQueries.queries("q175_skew_report")(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 3L, 8L)))
+    assert(r.getDouble(3) == 0.8)                       // max_share
+    assert(r.getDouble(4) == 1.0)                       // top10 covers all keys
+    assert(math.abs(r.getDouble(5) - 7.0 / 15.0) < 1e-8, s"gini: $r")
+    // uniform distribution → Gini exactly 0
+    val dir2 = tmp()
+    eventsFixture(dir2, (0 until 6).map(i =>
+      ((i + 1).toLong, "2024-01-01 00:00:00", (i % 3).toLong, "view", 0.0)))
+    val u = graft.EventQueries.queries("q175_skew_report")(spark, dir2).head()
+    assert(u.getDouble(5) == 0.0, s"uniform gini must be 0: $u")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()

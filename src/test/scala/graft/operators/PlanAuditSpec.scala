@@ -459,5 +459,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!cu.contains("CartesianProduct") &&
       !cu.contains("BroadcastNestedLoopJoin"), s"q173: non-equi shape:\n$cu")
     assert(cu.contains("Window"), s"q173: prefix-sum windows missing:\n$cu")
+    // q174: corpus collapses in one partial+final monthly aggregate;
+    // the lags run on the |months| grid
+    val pg = plan("q174_period_growth")
+    assert(pg.contains("partial"), s"q174: map-side partial agg missing:\n$pg")
+    assert(!pg.contains("Join"), s"q174: unexpected join:\n$pg")
+    // q175: one key aggregate, rank windows on the |keys| grid only
+    val sk = plan("q175_skew_report")
+    assert(sk.contains("partial"), s"q175: map-side partial agg missing:\n$sk")
+    assert(!sk.contains("Join"), s"q175: unexpected join:\n$sk")
   }
 }
