@@ -923,6 +923,45 @@ object SimilarityQueries {
         .select(col("q_doc"), (col("pos") + 1).cast("long").as("rank"),
           col("col.id").as("doc"), col("col.score").as("maxsim"))
         .orderBy("q_doc", "rank")
+    }),
+
+    /** Hard-negative mining (the contrastive-training data miner —
+      * Karpukhin et al. DPR / SimCSE shape): for each anchor vector,
+      * the top-3 MOST similar vectors carrying a DIFFERENT label — the
+      * negatives that actually move a contrastive loss, which random
+      * negatives (t146's sampling) and same-label neighbors (s116's
+      * vote) both miss. Label filtering happens BEFORE the heap, so a
+      * hard negative outside the global top-5 still surfaces — this is
+      * not a filter over the s94 graph.
+      *
+      * Scale shape: reuses the gated candidate tiers verbatim (exact
+      * block-grid ≤ `spark.graft.knn.exactLimit`, banded sign-LSH
+      * above) — candidates, never n²; the two label attaches are plain
+      * vec_id equi-joins; the top-3 is the bounded TopKByScore heap.
+      * Oracle validity domain (the s96/s117/s135 contract): exact on
+      * the exact tier; above the gate the LSH candidates bound recall
+      * and the all-pairs oracle no longer binds. */
+    "s176_hard_negatives" -> ((s, d) => {
+      graft.functions.TopKAggregate.register(s)
+      val limit = s.conf.get("spark.graft.knn.exactLimit", "10000").toLong
+      val n = DedupQueries.embeddingCount(s, d)
+      val scored = if (n <= limit) knnExactScored(s, d, n)
+        else knnLshScored(s, d)
+      val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+      scored
+        .join(labels.select(col("vec_id").as("src"),
+          col("label").as("label")), "src")
+        .join(labels.select(col("vec_id").as("dst"),
+          col("label").as("neg_label")), "dst")
+        .filter(col("label") =!= col("neg_label"))
+        .groupBy("src", "label")
+        .agg(call_function("topk_by_score", col("cosine"), col("dst"), lit(3))
+          .as("top"))
+        .select(col("src").as("vec_id"), col("label"), posexplode(col("top")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("negative_id"), col("col.score").as("cosine"))
+        .orderBy("vec_id", "rank")
     })
   )
 
@@ -1935,7 +1974,25 @@ object SimilarityQueries {
         |      ORDER BY maxsim DESC, doc) AS rank
         |  FROM summed)
         |SELECT q_doc, CAST(rank AS BIGINT) AS rank, doc, maxsim
-        |FROM ranked WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin,
+    // valid on the exact knnGraph tier (the s94/s96/s117 contract)
+    "s176_hard_negatives" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id, a.label, b.vec_id AS negative_id,
+        |    list_cosine_similarity(a.e, b.e) AS cosine
+        |  FROM emb a JOIN emb b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+        |ranked AS (
+        |  SELECT vec_id, label, negative_id, cosine,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, negative_id) AS rank
+        |  FROM scored)
+        |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank,
+        |  negative_id, cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   )
 
   /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,

@@ -293,6 +293,33 @@ class BiOpsSpec extends SparkSpec {
     assert(u.getDouble(5) == 0.0, s"uniform gini must be 0: $u")
   }
 
+  test("s176_hard_negatives: same-label near neighbor skipped, hardest kept") {
+    import spark.implicits._
+    val dir = tmp()
+    // v0/v1 share label 0 and are near-identical; v2 (label 1) is the
+    // hard negative for v0 — closer than v3 but farther than v1
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.141f), 0),
+      (2L, Array(0.9f, 0.436f), 1),
+      (3L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val m = graft.SimilarityQueries.queries("s176_hard_negatives")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    // v0's negatives are exactly the label-1 vectors, hardest first —
+    // v1 (global nearest, same label) must NOT appear
+    assert(m((0L, 1L))._1 == 2L, s"rank-1 negative: ${m((0L, 1L))}")
+    assert(m((0L, 2L))._1 == 3L, s"rank-2 negative: ${m((0L, 2L))}")
+    assert(m((0L, 1L))._2 > 0.85 && math.abs(m((0L, 2L))._2) < 1e-6)
+    assert(!m.keySet.exists { case (v, _) => v == 0L && m.exists(e =>
+      e._1._1 == 0L && e._2._1 == 1L) }, "same-label vector leaked as negative")
+    // every anchor gets ≤ 2 negatives here (only two different-label docs)
+    assert(m.keySet.count(_._1 == 0L) == 2)
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
