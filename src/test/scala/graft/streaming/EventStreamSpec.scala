@@ -104,6 +104,43 @@ class EventStreamSpec extends SparkSpec {
       s"replay duplicated rows: $firstRows -> $replayed")
   }
 
+  test("streaming sketch table: merge-on-read quantiles, replay-idempotent") {
+    // two staged files → two micro-batches → up to two sketch CELLS per
+    // (day, type); merge-on-read must still answer rank-accurate
+    // quantiles, and a full stream replay must not double-count
+    val srcDir = java.nio.file.Files.createTempDirectory("sketch_src")
+    EventStream.stageEvents(spark, sf, srcDir, "a")
+    EventStream.stageEvents(spark, sf, srcDir, "b") // same corpus again
+    val dir = java.nio.file.Files.createTempDirectory("sketch_tab").toString + "/t"
+    def runOnce(): Unit = EventStream.runSketchCells(
+      EventStream.readEvents(spark, srcDir.toString), dir)
+    runOnce()
+    val q = EventStream.sketchQuantiles(spark, dir).collect()
+    assert(q.nonEmpty)
+    // rank contract per type vs the doubled raw corpus (both copies)
+    val raw = graft.Tables.events(spark, sf).select("event_type", "value")
+    val doubled = raw.union(raw)
+    q.foreach { r =>
+      val (typ, nRows, p50, p90) =
+        (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val vals = doubled.filter(col("event_type") === typ)
+        .select("value").collect().map(_.getDouble(0))
+      assert(nRows == vals.length.toLong,
+        s"$typ: sketch table row accounting $nRows != ${vals.length}")
+      val r50 = vals.count(_ <= p50).toDouble / vals.length
+      val r90 = vals.count(_ <= p90).toDouble / vals.length
+      assert(math.abs(r50 - 0.5) <= 0.03, s"$typ p50 rank drift: $r50")
+      assert(math.abs(r90 - 0.9) <= 0.03, s"$typ p90 rank drift: $r90")
+    }
+    // replay with a fresh checkpoint: every batch id already committed
+    // inside the manifest → appendBatch no-ops, cell count unchanged
+    val cellsBefore = graft.sources.SnapshotTable.read(spark, dir, None).count()
+    runOnce()
+    val cellsAfter = graft.sources.SnapshotTable.read(spark, dir, None).count()
+    assert(cellsBefore == cellsAfter,
+      s"replay duplicated sketch cells: $cellsBefore -> $cellsAfter")
+  }
+
   test("streaming dedup by event_id drops replayed events within the watermark") {
     // stage the same parquet file twice — a full replay of every event
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
