@@ -1165,6 +1165,53 @@ object EventQueries {
           round(col("top10") / col("n_rows"), 9).as("top10_share"),
           round(col("iweighted") * 2.0 / (col("n_keys") * col("n_rows")) -
             (col("n_keys") + 1.0) / col("n_keys"), 9).as("gini"))
+    }),
+
+    /** Linear multi-touch attribution (q169's last-touch sibling): every
+      * event of the customer inside the order's 7-day lookback shares
+      * the order's revenue EQUALLY — the multi-touch model marketing
+      * actually reconciles against last-touch. The lookback is a pure
+      * range join (no equi time key), kept off the |orders|×|events|
+      * cliff by q126's bucket co-partitioning at the USER grain: each
+      * order explodes to its ≤8 lookback day-buckets, each event maps
+      * to its one bucket, and the join becomes (user, day) equi with
+      * BETWEEN evaluated only inside matching buckets — a (order,
+      * event) pair meets in exactly one bucket, so no dedup pass is
+      * needed. Untouched orders fall to 'direct' via anti-join.
+      *
+      * Scale shape: the explode is a constant ×8 on the SMALLER side;
+      * the join is a shuffled equi-join on (user, day); per-order touch
+      * counts run on the matched-pair grid (bounded by touches per
+      * order); two partial+final rollups close it out. */
+    "q177_linear_attribution" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id").as("k"),
+        col("ts").as("t"), col("event_type").as("ch"))
+      val ord = orders(s, d).select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp_ntz").as("ot"),
+        col("o_orderkey"), col("o_totalprice"))
+      val obuck = ord.withColumn("db", explode(sequence(
+        to_date(col("ot") - expr("interval 7 days")), to_date(col("ot")))))
+      val ebuck = ev.withColumn("db", to_date(col("t")))
+      val touches = obuck.join(ebuck, Seq("k", "db"))
+        .filter(col("t") >= col("ot") - expr("interval 7 days") &&
+          col("t") <= col("ot"))
+        .select("o_orderkey", "o_totalprice", "ch")
+      val w = Window.partitionBy("o_orderkey")
+      val credited = touches
+        .withColumn("credit",
+          col("o_totalprice") / count(lit(1)).over(w))
+        .groupBy(col("ch").as("channel"))
+        .agg(round(sum("credit"), 4).as("revenue"),
+          countDistinct("o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_touches"))
+      val direct = ord
+        .join(touches.select("o_orderkey").distinct(),
+          Seq("o_orderkey"), "left_anti")
+        .agg(round(sum("o_totalprice"), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(lit("direct").as("channel"), col("revenue"),
+          col("n_orders"), lit(0L).as("n_touches"))
+      credited.unionByName(direct).orderBy("channel")
     })
   )
 
@@ -1770,6 +1817,32 @@ object EventQueries {
         |  round(top10 / n_rows, 9) AS top10_share,
         |  round(iweighted * 2.0 / (n_keys * n_rows) -
         |    (n_keys + 1.0) / n_keys, 9) AS gini
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // the oracle joins non-equi DIRECTLY — the Spark bucket rewrite must
+    // reproduce it row-for-row (the q126 contract)
+    "q177_linear_attribution" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ot,
+        |    o_orderkey, o_totalprice
+        |  FROM orders),
+        |touches AS (
+        |  SELECT o.o_orderkey, o.o_totalprice, e.event_type AS ch
+        |  FROM o JOIN events e ON o.k = e.user_id
+        |    AND e.ts >= o.ot - INTERVAL 7 DAY AND e.ts <= o.ot),
+        |credited AS (
+        |  SELECT ch AS channel,
+        |    o_totalprice / (count(*) OVER (PARTITION BY o_orderkey)) AS credit,
+        |    o_orderkey
+        |  FROM touches),
+        |chan AS (
+        |  SELECT channel, round(sum(credit), 4) AS revenue,
+        |    count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_touches
+        |  FROM credited GROUP BY 1),
+        |direct AS (
+        |  SELECT 'direct' AS channel, round(sum(o_totalprice), 4) AS revenue,
+        |    count(*) AS n_orders, CAST(0 AS BIGINT) AS n_touches
+        |  FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touches))
+        |SELECT * FROM chan UNION ALL SELECT * FROM direct
+        |ORDER BY channel""".stripMargin
   )
 }

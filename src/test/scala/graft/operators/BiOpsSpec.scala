@@ -320,6 +320,31 @@ class BiOpsSpec extends SparkSpec {
     assert(m.keySet.count(_._1 == 0L) == 2)
   }
 
+  test("q177_linear_attribution: equal split, 7-day boundary, direct fallback") {
+    import spark.implicits._
+    val dir = tmp()
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    eventsFixture(dir, Seq(
+      (1L, "2024-01-08 00:00:00", 1L, "click", 0.0),  // in o101's lookback
+      (2L, "2024-01-09 00:00:00", 1L, "view", 0.0),   // in o101's lookback
+      (3L, "2024-01-13 00:00:00", 2L, "click", 0.0),  // EXACTLY 7d before o102
+      (4L, "2024-01-06 00:00:00", 3L, "view", 0.0)))  // AFTER o103 → excluded
+    Seq(
+      (101L, 1L, "F", 100.0, ts("2024-01-10 00:00:00")),
+      (102L, 2L, "F", 30.0, ts("2024-01-20 00:00:00")),
+      (103L, 3L, "F", 40.0, ts("2024-01-05 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val m = graft.EventQueries.queries("q177_linear_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // o101's 100 splits 50/50; o102's 30 goes whole to the boundary click
+    assert(m("click") == ((80.0, 2L, 2L)), s"click: $m")
+    assert(m("view") == ((50.0, 1L, 1L)), s"view: $m")
+    assert(m("direct") == ((40.0, 1L, 0L)), s"direct: $m")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()

@@ -468,5 +468,10 @@ class PlanAuditSpec extends SparkSpec {
     val sk = plan("q175_skew_report")
     assert(sk.contains("partial"), s"q175: map-side partial agg missing:\n$sk")
     assert(!sk.contains("Join"), s"q175: unexpected join:\n$sk")
+    // q177: the lookback range join must run as the bucket equi-join —
+    // hash joins only, never a nested loop over orders×events
+    val la = plan("q177_linear_attribution")
+    assert(!la.contains("CartesianProduct") &&
+      !la.contains("BroadcastNestedLoopJoin"), s"q177: non-equi shape:\n$la")
   }
 }
