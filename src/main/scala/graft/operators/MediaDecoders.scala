@@ -79,6 +79,38 @@ object ImageIoDecoder extends MediaDecoder {
     out
   }
 
+  /** Perceptual difference-hash (dHash) over REAL decoded pixels: the
+    * image is resized to 9×8 (nearest-neighbor — deterministic), each
+    * of the 64 bits records whether BT.601 luma increases left→right
+    * between horizontal neighbors. Because the hash sees PIXELS, it
+    * survives re-encoding (PNG↔JPEG) and metadata churn — the regime
+    * where m136's byte-chunk simhash (codec-sensitive by design)
+    * structurally misses duplicates. Near-dup = small Hamming distance;
+    * the 64-bit longs slot directly into d40's pigeonhole-block banding
+    * for the corpus-scale join, so the scale path is already built.
+    * Spec-gated (VideoDecodeSpec/ImageDecodeSpec pattern): JPEG decode
+    * output is codec-defined, so no DuckDB oracle can replicate it. */
+  def dHash(bytes: Array[Byte]): Long = {
+    val px = resizeNearest(bytes, 9, 8)
+    def luma(x: Int, y: Int): Int = {
+      val i = (y * 9 + x) * 3
+      (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
+        114 * (px(i + 2) & 0xff)) / 1000
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h <<= 1
+        if (luma(x + 1, y) > luma(x, y)) h |= 1L
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** Test/fixture helper: render a deterministic RGB gradient and encode
     * it with the JDK's PNG writer — a REAL compressed image payload with
     * known pixel content, built without any external asset. */

@@ -71,6 +71,40 @@ class VideoDecodeSpec extends SparkSpec {
     assert(acc.value == 1L, "skipped payloads must be ledgered, not silently dropped")
   }
 
+  test("dHash: survives PNG→JPEG re-encoding, separates distinct content") {
+    import java.awt.image.BufferedImage
+    // pure horizontal luma gradient — adjacent-pixel relations are far
+    // from tie, so lossy JPEG noise cannot flip them
+    def gradient(invert: Boolean): BufferedImage = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = x * 255 / 63
+        val g = if (invert) 255 - v else v
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val png = encode(gradient(invert = false), "png")
+    val jpg = encode(gradient(invert = false), "jpg")
+    val inv = encode(gradient(invert = true), "png")
+    // byte-level hashes differ completely (PNG vs JPEG bytes share
+    // nothing) — the pixel-level dHash is what survives the re-encode
+    assert(!java.util.Arrays.equals(png, jpg))
+    val (hp, hj, hi) = (ImageIoDecoder.dHash(png), ImageIoDecoder.dHash(jpg),
+      ImageIoDecoder.dHash(inv))
+    assert(hamming(hp, hj) <= 8,
+      s"re-encode must be a near-dup: hamming ${hamming(hp, hj)}")
+    assert(hamming(hp, hi) >= 48,
+      s"inverted content must be far: hamming ${hamming(hp, hi)}")
+    assert(hp == ImageIoDecoder.dHash(png), "dHash must be deterministic")
+  }
+
   test("three modalities route through one dispatching decoder") {
     import spark.implicits._
     val mixed = Seq(
