@@ -942,28 +942,45 @@ object SimilarityQueries {
       * the exact tier; above the gate the LSH candidates bound recall
       * and the all-pairs oracle no longer binds. */
     "s176_hard_negatives" -> ((s, d) => {
-      graft.functions.TopKAggregate.register(s)
       val limit = s.conf.get("spark.graft.knn.exactLimit", "10000").toLong
       val n = DedupQueries.embeddingCount(s, d)
       val scored = if (n <= limit) knnExactScored(s, d, n)
         else knnLshScored(s, d)
-      val labels = embeddings(s, d).select(col("vec_id"), col("label"))
-      scored
-        .join(labels.select(col("vec_id").as("src"),
-          col("label").as("label")), "src")
-        .join(labels.select(col("vec_id").as("dst"),
-          col("label").as("neg_label")), "dst")
-        .filter(col("label") =!= col("neg_label"))
-        .groupBy("src", "label")
-        .agg(call_function("topk_by_score", col("cosine"), col("dst"), lit(3))
-          .as("top"))
-        .select(col("src").as("vec_id"), col("label"), posexplode(col("top")))
-        .select(col("vec_id"), col("label"),
-          (col("pos") + 1).cast("long").as("rank"),
-          col("col.id").as("negative_id"), col("col.score").as("cosine"))
-        .orderBy("vec_id", "rank")
-    })
+      hardNegativesFrom(s, d, scored)
+    }),
+
+    /** Forced scale tier of s176: hard negatives over the banded
+      * sign-LSH candidates — the >exactLimit code path hash-gated
+      * directly (the s96/d81/d82/d83 discipline: every 100 TB tier gets
+      * its own oracle, not just the auto-selected default). The oracle
+      * replicates the FULL banded pipeline + label filter in SQL, so
+      * precision is 1.0 vs the implementation; recall vs the exact tier
+      * is the banding bound, s96's story. */
+    "s178_hard_negatives_lsh" -> ((s, d) =>
+      hardNegativesFrom(s, d, knnLshScored(s, d)))
   )
+
+  /** Shared s176/s178 tail: label attach, different-label filter, top-3
+    * bounded heap per anchor. */
+  private def hardNegativesFrom(
+      s: SparkSession, d: String, scored: DataFrame): DataFrame = {
+    graft.functions.TopKAggregate.register(s)
+    val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+    scored
+      .join(labels.select(col("vec_id").as("src"),
+        col("label").as("label")), "src")
+      .join(labels.select(col("vec_id").as("dst"),
+        col("label").as("neg_label")), "dst")
+      .filter(col("label") =!= col("neg_label"))
+      .groupBy("src", "label")
+      .agg(call_function("topk_by_score", col("cosine"), col("dst"), lit(3))
+        .as("top"))
+      .select(col("src").as("vec_id"), col("label"), posexplode(col("top")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("negative_id"), col("col.score").as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
 
   // ---- Product quantization (shared by s140 full-corpus / s144 IVF) ----
 
@@ -1992,7 +2009,33 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank,
         |  negative_id, cosine
-        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // full banded-pipeline replica + label filter — the 100 TB path's
+    // own hash gate (precision 1.0 vs the implementation; recall vs the
+    // exact tier is the banding bound, s96's contract)
+    "s178_hard_negatives_lsh" ->
+      s"""WITH ${DedupQueries.lshSigCtes},
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.src AS vec_id, la.label, c.dst AS negative_id,
+         |    list_cosine_similarity(e1.e, e2.e) AS cosine
+         |  FROM cand c
+         |  JOIN lab la ON c.src = la.vec_id
+         |  JOIN lab lb ON c.dst = lb.vec_id AND la.label <> lb.label
+         |  JOIN emb e1 ON c.src = e1.vec_id
+         |  JOIN emb e2 ON c.dst = e2.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, label, negative_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, negative_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank,
+         |  negative_id, cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   )
 
   /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,

@@ -345,6 +345,30 @@ class BiOpsSpec extends SparkSpec {
     assert(m("direct") == ((40.0, 1L, 0L)), s"direct: $m")
   }
 
+  test("s178_hard_negatives_lsh: tier is label-correct; recall vs exact measured") {
+    val exact = graft.SimilarityQueries.queries("s176_hard_negatives")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val lsh = graft.SimilarityQueries.queries("s178_hard_negatives_lsh")(spark, sfDir())
+      .collect()
+    assert(lsh.nonEmpty)
+    // label correctness: no pair shares a label (recomputed driver-side)
+    val labels = graft.Tables.embeddings(spark, sfDir())
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lsh.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(3)),
+        s"same-label pair leaked from the LSH tier: $r")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 3L)
+    }
+    // recall vs the exact tier is the banding bound (s96's contract) —
+    // pin a floor so a broken band join cannot silently empty the tier
+    val pairs = lsh.map(r => (r.getLong(0), r.getLong(3))).toSet
+    val recall = (pairs & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, f"LSH hard-negative recall $recall%.3f below floor")
+  }
+
+  private def sfDir(): String = "/root/testdata/sf0.001"
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
