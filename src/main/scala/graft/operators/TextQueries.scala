@@ -1104,7 +1104,35 @@ object TextQueries {
             .as("pmi"))
         .orderBy(desc("pmi"), col("w1"), col("w2"))
         .limit(50)
-    })
+    }),
+
+    /** Per-language tokenizer fertility (the multilingual budget metric
+      * tokenizer papers report: subword tokens per whitespace word, and
+      * bytes per token — high-fertility languages burn context budget
+      * faster and need vocabulary re-balancing): t33's two tokenizers
+      * (whitespace, BPE-ish regex) + UTF-8 byte lengths, rolled up per
+      * ground-truth `lang`. All-integer sums; three exact divisions at
+      * the end — deterministic doubles cross-engine.
+      *
+      * Scale shape: pure scan (regex counts are per-row, no token
+      * explode) into one partial+final aggregate over |languages| groups. */
+    "t179_fertility" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          size(toks(col("text"))).cast("long").as("ws"),
+          regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+            .cast("long").as("sub"),
+          octet_length(col("text")).cast("long").as("bytes"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("n_words"), sum("sub").as("n_subtokens"),
+          sum("bytes").as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subtokens"), col("n_bytes"),
+          round(col("n_subtokens") / col("n_words"), 9).as("fertility"),
+          round(col("n_bytes") / col("n_subtokens"), 9).as("bytes_per_subtoken"),
+          round(col("n_bytes") / col("n_words"), 9).as("bytes_per_word"))
+        .orderBy("lang"))
   )
 
   /** Shared BPE trainer behind t106/t107: `rounds` greedy merge rounds
@@ -1836,6 +1864,19 @@ object TextQueries {
         |JOIN uc uy ON uy.term = bc.w2
         |CROSS JOIN ntok CROSS JOIN nbig
         |WHERE bc.c_xy >= 5
-        |ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50""".stripMargin
+        |ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50""".stripMargin,
+    "t179_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS sub,
+        |    CAST(strlen(text) AS BIGINT) AS bytes
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(ws) AS n_words, sum(sub) AS n_subtokens, sum(bytes) AS n_bytes,
+        |  round(sum(sub) / sum(ws), 9) AS fertility,
+        |  round(sum(bytes) / sum(sub), 9) AS bytes_per_subtoken,
+        |  round(sum(bytes) / sum(ws), 9) AS bytes_per_word
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -369,6 +369,24 @@ class BiOpsSpec extends SparkSpec {
 
   private def sfDir(): String = "/root/testdata/sf0.001"
 
+  test("t179_fertility: hand-computed multilingual tokenizer stats") {
+    import spark.implicits._
+    val dir = tmp()
+    // en: "ab cd" (2 words, 2 subtokens, 5 bytes) + "don't stop"
+    //     (2 words, 4 subtokens: don|'|t|stop, 10 bytes)
+    // zh: "你好 世界" (2 words, 4 CJK subtokens, 13 UTF-8 bytes)
+    Seq((1L, "ab cd", "en"), (2L, "don't stop", "en"), (3L, "你好 世界", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.TextQueries.queries("t179_fertility")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(m("en") == ((2L, 4L, 6L, 15L, 1.5, 2.5, 3.75)), s"en: ${m("en")}")
+    assert(m("zh") == ((1L, 2L, 4L, 13L, 2.0, 3.25, 6.5)), s"zh: ${m("zh")}")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
