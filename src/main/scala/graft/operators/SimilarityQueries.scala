@@ -957,7 +957,59 @@ object SimilarityQueries {
       * precision is 1.0 vs the implementation; recall vs the exact tier
       * is the banding bound, s96's story. */
     "s178_hard_negatives_lsh" -> ((s, d) =>
-      hardNegativesFrom(s, d, knnLshScored(s, d)))
+      hardNegativesFrom(s, d, knnLshScored(s, d))),
+
+    /** Clustering-quality report (Davies–Bouldin components over s90's
+      * integer k-means — the "did my clustering work" readout an ML
+      * pipeline checks before trusting SemDeDup/IVF downstream): per
+      * cluster, the RMS intra-cluster spread Sᵢ = √(Σ‖q−cᵢ‖²/nᵢ) about
+      * the floor-integer metric centroid of its FINAL members, and the
+      * DB component maxⱼ (Sᵢ+Sⱼ)/Mᵢⱼ against every other centroid
+      * (lower = tighter/better-separated). Every accumulation is exact
+      * integer; doubles appear only in the final sqrt/divides, so both
+      * engines agree to the comparator's tolerance.
+      *
+      * Scale shape: one posexplode aggregate for the K metric
+      * centroids (K×dims rows), one zip_with fold per member against
+      * its broadcast centroid, and a K² centroid cross — all
+      * K-bounded; the corpus is touched exactly twice (assign +
+      * spread). */
+    "s180_cluster_quality" -> ((s, d) => {
+      val a = kmeansAssignQ(s, d)
+      val mc = a.select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum("col").cast("double") / count(lit(1)))
+          .cast("long").as("c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("mc"))
+      val stats = a.join(broadcast(mc), "cid")
+        .withColumn("ss", expr(
+          "aggregate(zip_with(q, mc, (x, y) -> (x-y)*(x-y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum("ss").as("ssum"))
+        .withColumn("s_rms", sqrt(col("ssum").cast("double") / col("n_members")))
+      val pairs = mc.select(col("cid"), col("mc"))
+        .crossJoin(broadcast(mc.select(col("cid").as("cid_b"), col("mc").as("mc_b"))))
+        .filter(col("cid") =!= col("cid_b"))
+        .withColumn("m_ij", sqrt(expr(
+          "aggregate(zip_with(mc, mc_b, (x, y) -> (x-y)*(x-y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .cast("double")))
+        .filter(col("m_ij") > 0.0)
+      val db = pairs
+        .join(broadcast(stats.select(col("cid"), col("s_rms"))), "cid")
+        .join(broadcast(stats.select(col("cid").as("cid_b"),
+          col("s_rms").as("s_b"))), "cid_b")
+        .groupBy("cid")
+        .agg(max((col("s_rms") + col("s_b")) / col("m_ij")).as("db_comp"),
+          min("m_ij").as("m_nearest"))
+      stats.join(db, "cid")
+        .select(col("cid").as("cluster"), col("n_members"),
+          round(col("s_rms"), 9).as("s_rms"),
+          round(col("m_nearest"), 9).as("m_nearest"),
+          round(col("db_comp"), 9).as("db_component"))
+        .orderBy("cluster")
+    })
   )
 
   /** Shared s176/s178 tail: label attach, different-label filter, top-3
@@ -2035,7 +2087,50 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank,
          |  negative_id, cosine
-         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // shared Lloyd CTEs + one more m-step on the final assignment (the
+    // metric centroid), all-integer until the final sqrt/divides
+    "s180_cluster_quality" ->
+      s"""$kmeansCtes,
+         |mcf AS (
+         |  SELECT a.cid, gs.j,
+         |    CAST(floor(CAST(sum(qz.q[CAST(gs.j AS INTEGER)]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM af a JOIN qz USING (vec_id)
+         |  CROSS JOIN unnest(range(1, len(qz.q) + 1)) AS gs(j)
+         |  GROUP BY 1, 2),
+         |mc AS (SELECT cid, list(c ORDER BY j) AS mc FROM mcf GROUP BY cid),
+         |stats AS (
+         |  SELECT a.cid, count(*) AS n_members,
+         |    sum(list_sum(list_transform(range(1, len(qz.q) + 1), j ->
+         |      (qz.q[CAST(j AS INTEGER)] - m.mc[CAST(j AS INTEGER)])
+         |      * (qz.q[CAST(j AS INTEGER)] - m.mc[CAST(j AS INTEGER)])))) AS ssum
+         |  FROM af a JOIN qz USING (vec_id) JOIN mc m ON a.cid = m.cid
+         |  GROUP BY 1),
+         |s AS (
+         |  SELECT cid, n_members,
+         |    sqrt(CAST(ssum AS DOUBLE) / n_members) AS s_rms
+         |  FROM stats),
+         |cdist AS (
+         |  SELECT a.cid, b.cid AS cid_b,
+         |    sqrt(CAST(list_sum(list_transform(range(1, len(a.mc) + 1), j ->
+         |      (a.mc[CAST(j AS INTEGER)] - b.mc[CAST(j AS INTEGER)])
+         |      * (a.mc[CAST(j AS INTEGER)] - b.mc[CAST(j AS INTEGER)]))) AS DOUBLE)) AS m_ij
+         |  FROM mc a JOIN mc b ON a.cid <> b.cid),
+         |db AS (
+         |  SELECT cdist.cid,
+         |    max((sa.s_rms + sb.s_rms) / cdist.m_ij) AS db_comp,
+         |    min(cdist.m_ij) AS m_nearest
+         |  FROM cdist
+         |  JOIN s sa ON cdist.cid = sa.cid
+         |  JOIN s sb ON cdist.cid_b = sb.cid
+         |  WHERE cdist.m_ij > 0.0
+         |  GROUP BY 1)
+         |SELECT CAST(s.cid AS BIGINT) AS cluster, s.n_members,
+         |  round(s.s_rms, 9) AS s_rms,
+         |  round(db.m_nearest, 9) AS m_nearest,
+         |  round(db.db_comp, 9) AS db_component
+         |FROM s JOIN db ON s.cid = db.cid
+         |ORDER BY cluster""".stripMargin
   )
 
   /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,

@@ -387,6 +387,26 @@ class BiOpsSpec extends SparkSpec {
     assert(m("zh") == ((1L, 2L, 4L, 13L, 2.0, 3.25, 6.5)), s"zh: ${m("zh")}")
   }
 
+  test("s180_cluster_quality: accounts for every vector, agrees with s90") {
+    val q = graft.SimilarityQueries.queries("s180_cluster_quality")(spark, sfDir())
+      .collect()
+    assert(q.nonEmpty)
+    // cluster membership accounting must agree with s90's gated assignment
+    val s90 = graft.SimilarityQueries.queries("s90_kmeans")(spark, sfDir())
+      .collect().groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length.toLong }
+    val total = graft.Tables.embeddings(spark, sfDir()).count()
+    assert(q.map(_.getLong(1)).sum == total, "clusters must cover the corpus")
+    q.foreach { r =>
+      val (c, n, srms, mNear, dbc) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(s90(c) == n, s"cluster $c size $n != s90's ${s90(c)}")
+      assert(srms >= 0.0 && mNear > 0.0 && dbc > 0.0, s"degenerate stats: $r")
+      // the DB component is at least the nearest-centroid ratio with the
+      // tightest possible partner (S_j >= 0), a cheap lower-bound sanity
+      assert(dbc >= srms / mNear - 1e-9, s"DB bound violated: $r")
+    }
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
