@@ -1062,6 +1062,44 @@ object DedupQueries {
           coalesce(col("cluster_id"), col("doc_id")).as("keep_id"))
         .withColumn("is_kept", col("keep_id") === col("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    /** LSH banding auto-tuner — the DECISION step d128's design curve
+      * measures: for every (b, r) factorization of the 48-permutation
+      * signature, the S-curve threshold (1/b)^(1/r) and the capture
+      * probabilities 1−(1−s^r)^b at the design threshold τ=0.4 and at
+      * the margins τ±0.1; the recommended banding is the factorization
+      * whose threshold lands closest to τ (ties to more bands = higher
+      * recall). Pure closed-form arithmetic over the divisor lattice —
+      * a 10-row computation whose value is being VERSIONED NEXT TO THE
+      * DATA it governs (rerunnable as τ or the permutation budget
+      * changes), not its cost.
+      *
+      * pow() agrees across engines far inside the comparator's 1e-9
+      * relative tolerance, and threshold gaps between factorizations
+      * are orders of magnitude wider than any ulp drift, so the
+      * chosen-row flag cannot flip. */
+    "d181_lsh_tuner" -> ((s, d) => {
+      val tau = 0.4
+      val pairs = (1 to 48).filter(48 % _ == 0).map(b => (b.toLong, (48 / b).toLong))
+      import s.implicits._
+      val grid = pairs.toDF("b", "r")
+      def capture(sim: Double) =
+        lit(1.0) - pow(lit(1.0) - pow(lit(sim), col("r").cast("double")), col("b").cast("double"))
+      val curve = grid
+        .withColumn("threshold", pow(lit(1.0) / col("b"), lit(1.0) / col("r")))
+        .withColumn("dist", abs(col("threshold") - tau))
+      val best = curve
+        .orderBy(col("dist"), col("b").desc).limit(1)
+        .select(col("b").as("best_b"))
+      curve.crossJoin(broadcast(best))
+        .select(col("b"), col("r"),
+          round(col("threshold"), 6).as("threshold"),
+          round(capture(tau - 0.1), 6).as("p_below"),
+          round(capture(tau), 6).as("p_at_tau"),
+          round(capture(tau + 0.1), 6).as("p_above"),
+          (col("b") === col("best_b")).as("recommended"))
+        .orderBy("b")
     })
   )
 
@@ -1677,7 +1715,26 @@ object DedupQueries {
         |SELECT d.doc_id, coalesce(m.keep_id, d.doc_id) AS keep_id,
         |  coalesce(m.keep_id, d.doc_id) = d.doc_id AS is_kept
         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "d181_lsh_tuner" ->
+      """WITH grid AS (
+        |  SELECT CAST(b AS BIGINT) AS b, CAST(48 // b AS BIGINT) AS r
+        |  FROM unnest([1, 2, 3, 4, 6, 8, 12, 16, 24, 48]) AS t(b)),
+        |curve AS (
+        |  SELECT b, r,
+        |    pow(1.0 / b, 1.0 / r) AS threshold,
+        |    abs(pow(1.0 / b, 1.0 / r) - 0.4) AS dist
+        |  FROM grid),
+        |best AS (
+        |  SELECT b AS best_b FROM curve ORDER BY dist, b DESC LIMIT 1)
+        |SELECT c.b, c.r,
+        |  round(c.threshold, 6) AS threshold,
+        |  round(1.0 - pow(1.0 - pow(0.30000000000000004, CAST(c.r AS DOUBLE)), CAST(c.b AS DOUBLE)), 6) AS p_below,
+        |  round(1.0 - pow(1.0 - pow(0.4, CAST(c.r AS DOUBLE)), CAST(c.b AS DOUBLE)), 6) AS p_at_tau,
+        |  round(1.0 - pow(1.0 - pow(0.5, CAST(c.r AS DOUBLE)), CAST(c.b AS DOUBLE)), 6) AS p_above,
+        |  c.b = best.best_b AS recommended
+        |FROM curve c CROSS JOIN best
+        |ORDER BY c.b""".stripMargin
   )
 
   private lazy val decontaminateOracle =

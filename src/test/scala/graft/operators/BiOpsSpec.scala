@@ -407,6 +407,23 @@ class BiOpsSpec extends SparkSpec {
     }
   }
 
+  test("d181_lsh_tuner: S-curve monotonicity and a single closest choice") {
+    val rows = graft.DedupQueries.queries("d181_lsh_tuner")(spark, sfDir())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(4),
+        r.getBoolean(6)))
+    assert(rows.length == 10 && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // more bands → lower threshold, higher capture at fixed similarity
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3, s"threshold must fall with b: $a vs $b")
+      assert(a._4 <= b._4 + 1e-12, s"capture must rise with b: $a vs $b")
+    }
+    val rec = rows.filter(_._5)
+    assert(rec.length == 1, s"exactly one recommendation: ${rec.toSeq}")
+    val best = rows.minBy(r => math.abs(r._3 - 0.4))
+    assert(rec.head._1 == best._1, s"choice ${rec.head} != closest $best")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
