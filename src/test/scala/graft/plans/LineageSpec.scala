@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Column-level lineage contracts: computed columns carry every source
+  * column they reference, joins attribute columns to the right tables,
+  * unions merge positionally, aggregates/windows/explodes propagate
+  * through, and lineage never touches the data (plan-only).
+  */
+class LineageSpec extends SparkSpec {
+
+  test("join + computed column: provenance crosses expressions and tables") {
+    val df = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
+        col("p_brand"))
+    val lin = Lineage.columnLineage(df).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
+    assert(lin("l_orderkey") == Set("lineitem" -> "l_orderkey"))
+    assert(lin("net") == Set("lineitem" -> "l_extendedprice",
+      "lineitem" -> "l_discount"))
+    assert(lin("p_brand") == Set("part" -> "p_brand"))
+  }
+
+  test("aggregate + window + explode propagate provenance") {
+    val agg = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"))
+    val aLin = Lineage.columnLineage(agg).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
+    assert(aLin("sum_qty") == Set("lineitem" -> "l_quantity"))
+    assert(aLin("l_returnflag") == Set("lineitem" -> "l_returnflag"))
+
+    val win = Tables.orders(spark, sf)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus").orderBy("o_totalprice")))
+    val wLin = Lineage.columnLineage(win).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
+    assert(wLin("rank") == Set("orders" -> "o_orderstatus",
+      "orders" -> "o_totalprice"))
+
+    val ex = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val eLin = Lineage.columnLineage(ex).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
+    assert(eLin("tok") == Set("documents" -> "text"))
+  }
+
+  test("union merges positionally across different source tables") {
+    val u = Tables.lineitem(spark, sf).select(col("l_orderkey").as("id"))
+      .unionByName(Tables.orders(spark, sf).select(col("o_orderkey").as("id")))
+    val lin = Lineage.columnLineage(u).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSet }
+    assert(lin("id") == Set("lineitem" -> "l_orderkey", "orders" -> "o_orderkey"))
+  }
+
+  test("lineage of a real gated query names only true sources; plan-only") {
+    // q7's star join: revenue must trace to lineitem's two price columns,
+    // and the region name to region — across four join hops
+    val df = graft.SparkEntry.queries("q7_join_star")(spark, sf)
+    val lin = Lineage.columnLineage(df)
+    val byCol = lin.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(byCol.keySet.nonEmpty)
+    val tables = lin.map(_._2).toSet
+    assert(tables.subsetOf(Set("lineitem", "orders", "customer", "nation", "region")),
+      s"unexpected source tables: $tables")
+    // the lineage DataFrame shape a catalog ingests
+    val ldf = Lineage.lineageDf(df)
+    assert(ldf.columns.toSeq ==
+      Seq("output_column", "source_table", "source_column"))
+    assert(ldf.count() == lin.length.toLong)
+  }
+}
