@@ -490,6 +490,44 @@ object CoreQueries {
           greatest(coalesce(col("bhi"), col("dhi")), coalesce(col("dhi"), col("bhi")))
             .as("last_order"))
         .orderBy("o_custkey")
+    }),
+
+    /** Incremental view maintenance for a JOIN view (q125's algebra one
+      * level up — the warehouse nightly-refresh question when BOTH fact
+      * sides grow): with L = L₀∪ΔL (lineitem split at the ship-date
+      * cutoff) and O = O₀∪ΔO (orders split at the order-date cutoff),
+      * the join view refreshes as
+      * L⋈O = L₀⋈O₀ ∪ ΔL⋈O₀ ∪ L₀⋈ΔO ∪ ΔL⋈ΔO —
+      * the three delta terms each touch at most one full side, so the
+      * refresh cost tracks the DELTAS while the result is gated by
+      * EQUALITY to the plain full recompute (the oracle computes the
+      * ordinary join — the maintenance algebra is exactly what the hash
+      * verifies). Emits the per-(status, returnflag) revenue rollup of
+      * the maintained view plus the term the row came through, proving
+      * all four terms contribute.
+      *
+      * Scale shape: four hash equi-joins on the same key (one shuffle
+      * family, AQE coalesces), partial+final rollup; cutoff predicates
+      * reach all four scans by pushdown. */
+    "q182_join_ivm" -> ((s, d) => {
+      val lCut = lit("1996-01-01").cast("timestamp")
+      val oCut = lit("1998-01-01").cast("timestamp")
+      val l0 = lineitem(s, d).filter(col("l_shipdate") < lCut)
+      val dl = lineitem(s, d).filter(col("l_shipdate") >= lCut)
+      val o0 = orders(s, d).filter(col("o_orderdate") < oCut)
+      val dd = orders(s, d).filter(col("o_orderdate") >= oCut)
+      def term(l: DataFrame, o: DataFrame, name: String) =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderstatus"), col("l_returnflag"),
+            col("l_extendedprice"), lit(name).as("via_term"))
+      val view = term(l0, o0, "base_base")
+        .unionByName(term(dl, o0, "delta_left"))
+        .unionByName(term(l0, dd, "delta_right"))
+        .unionByName(term(dl, dd, "delta_delta"))
+      view.groupBy("o_orderstatus", "l_returnflag", "via_term")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus", "l_returnflag", "via_term")
     })
   )
 
@@ -705,6 +743,22 @@ object CoreQueries {
         |  round(sum(o_totalprice), 2) AS total_price,
         |  min(o_orderdate) AS first_order,
         |  max(o_orderdate) AS last_order
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the oracle runs the PLAIN single join and classifies rows by the
+    // cutoff predicates — equality proves the 4-term union partitions
+    // the join exactly (the maintenance algebra is what the hash gates)
+    "q182_join_ivm" ->
+      """SELECT o_orderstatus, l_returnflag,
+        |  CASE
+        |    WHEN l_shipdate < TIMESTAMP '1996-01-01'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01' THEN 'base_base'
+        |    WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01' THEN 'delta_left'
+        |    WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 'delta_right'
+        |    ELSE 'delta_delta' END AS via_term,
+        |  count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -473,5 +473,13 @@ class PlanAuditSpec extends SparkSpec {
     val la = plan("q177_linear_attribution")
     assert(!la.contains("CartesianProduct") &&
       !la.contains("BroadcastNestedLoopJoin"), s"q177: non-equi shape:\n$la")
+    // q182: all four IVM terms are hash equi-joins with the cutoff
+    // predicates pushed to the parquet scans
+    val ivm = plan("q182_join_ivm")
+    assert(!ivm.contains("CartesianProduct") &&
+      !ivm.contains("BroadcastNestedLoopJoin"), s"q182: non-equi shape:\n$ivm")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(ivm).isDefined &&
+      "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(ivm).isDefined,
+      s"q182: cutoff predicates must reach the scans:\n$ivm")
   }
 }
