@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, JaroSimilarity, JaroWinklerSimilarity, MinHashSignature, RollingMinHash, SquaredL2Distance, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, JaroSimilarity, JaroWinklerSimilarity, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashSignature, RollingMinHash, SquaredL2Distance, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionEstimate, TopKByScore}
 
 /** Session-extension entry point: makes the custom expressions available
   * in every session created with
@@ -71,5 +71,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature",
         "minhash_signature(shingles, n) - n-permutation MinHash signature in one pass"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs(0), exprs(1))))
+    // mergeable sketches (the persisted-sketch-table surface)
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      info("kll_sketch_agg",
+        "kll_sketch_agg(value, k) - mergeable KLL quantile sketch of double values (binary)"),
+      (exprs: Seq[Expression]) => KllSketchAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      info("kll_merge_agg",
+        "kll_merge_agg(sketch, k) - union of serialized KLL sketches (binary)"),
+      (exprs: Seq[Expression]) => KllMergeAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "kll_quantile(sketch, rank) - quantile estimate from a serialized KLL sketch"),
+      (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg",
+        "theta_sketch_agg(key, lgK) - mergeable theta distinct sketch of long keys (binary)"),
+      (exprs: Seq[Expression]) => ThetaSketchAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("theta_intersect_estimate"),
+      info("theta_intersect_estimate",
+        "theta_intersect_estimate(a, b) - |A intersect B| estimate from two theta sketches"),
+      (exprs: Seq[Expression]) => ThetaIntersectEstimate(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union_estimate"),
+      info("theta_union_estimate",
+        "theta_union_estimate(a, b) - |A union B| estimate from two theta sketches"),
+      (exprs: Seq[Expression]) => ThetaUnionEstimate(exprs(0), exprs(1))))
   }
 }

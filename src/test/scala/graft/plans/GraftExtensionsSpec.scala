@@ -19,9 +19,13 @@ class GraftExtensionsSpec extends SparkSpec {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TopKAggregate.register(spark)
     graft.functions.StringSimilarity.register(spark)
+    graft.functions.KllAggregates.register(spark)
+    graft.functions.ThetaAggregates.register(spark)
     for (fn <- Seq("cosine_sim", "dot_product", "topk_by_score", "xxhash64_seed",
         "rolling_min_hash", "minhash_signature", "l2sq",
-        "jaro_sim", "jaro_winkler_sim")) {
+        "jaro_sim", "jaro_winkler_sim",
+        "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
+        "theta_sketch_agg", "theta_intersect_estimate", "theta_union_estimate")) {
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
         s"$fn missing from runtime registry")
