@@ -528,7 +528,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_rows"),
           round(sum("l_extendedprice"), 2).as("revenue"))
         .orderBy("o_orderstatus", "l_returnflag", "via_term")
-    })
+    }),
+
+    /** Safe structured-string parsing (the dirty-data coercion surface
+      * every ingest pipeline needs): regexp group extraction of the
+      * priority code and label from '1-URGENT'-style fields, try_cast
+      * semantics on values that may not parse (the non-numeric label
+      * yields NULL, not a crash — ANSI-safe), split + element_at
+      * navigation of the 'Customer#000000042' key format, and parsed
+      * numeric round-trip proving the extractions agree. Pure
+      * codegen'd scan — string functions never shuffle. */
+    "q183_safe_parse" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d)-(.*)$", 1)
+            .cast("long").as("priority_code"),
+          regexp_extract(col("o_orderpriority"), "^(\\d)-(.*)$", 2)
+            .as("priority_label"),
+          // try-cast semantics: the LABEL is not numeric → NULL not error
+          expr("try_cast(regexp_extract(o_orderpriority, '^(\\\\d)-(.*)$', 2) AS BIGINT)")
+            .as("label_as_number"),
+          element_at(split(col("c_name"), "#"), 2).cast("long").as("cust_num"),
+          (element_at(split(col("c_name"), "#"), 2).cast("long") ===
+            col("o_custkey")).as("key_roundtrip"))
+        .orderBy("o_orderkey"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -759,6 +783,17 @@ object CoreQueries {
         |  count(*) AS n_rows,
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q183_safe_parse" ->
+      """SELECT o_orderkey,
+        |  CAST(regexp_extract(o_orderpriority, '^(\d)-(.*)$', 1) AS BIGINT)
+        |    AS priority_code,
+        |  regexp_extract(o_orderpriority, '^(\d)-(.*)$', 2) AS priority_label,
+        |  TRY_CAST(regexp_extract(o_orderpriority, '^(\d)-(.*)$', 2) AS BIGINT)
+        |    AS label_as_number,
+        |  CAST(split_part(c_name, '#', 2) AS BIGINT) AS cust_num,
+        |  CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey AS key_roundtrip
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
