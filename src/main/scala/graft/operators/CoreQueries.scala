@@ -553,6 +553,27 @@ object CoreQueries {
           (element_at(split(col("c_name"), "#"), 2).cast("long") ===
             col("o_custkey")).as("key_roundtrip"))
         .orderBy("o_orderkey"))
+,
+
+    /** Top-N per group (the canonical grouped-ranking ask: each
+      * customer's 3 most expensive orders): row_number over the
+      * customer partition, filtered at ≤3 — ONE shuffle on the group
+      * key, per-partition sort. At pathological group widths the
+      * TopKByScore bounded heap (s42's aggregate) is the swap-in that
+      * caps per-group memory; at normal fan-in the window form wins
+      * because it needs no explode back out. Deterministic tie-break
+      * on o_orderkey. */
+    "q184_topn_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -794,6 +815,14 @@ object CoreQueries {
         |  CAST(split_part(c_name, '#', 2) AS BIGINT) AS cust_num,
         |  CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey AS key_roundtrip
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q184_topn_per_group" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
   )
 }
