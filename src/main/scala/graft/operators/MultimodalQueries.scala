@@ -54,6 +54,44 @@ object MultimodalQueries {
     * the 100 TB crawl mode — corrupt blobs are routine there and must
     * not kill a stage, so they are SKIPPED and counted in the passed
     * accumulator (never dropped silently without a ledger). */
+  /** One sampled-frame feature row. */
+  case class FrameFeatures(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      mean_luma: Double)
+
+  /** REAL frame sampling over MJPEG-AVI payloads (the real-codec
+    * counterpart of m47's stubbed explode-before-decode): every
+    * `stride`-th frame is demuxed by [[graft.MjpegAviDecoder.frames]]
+    * and decoded as a single image by [[graft.ImageIoDecoder]] — the
+    * fan-out happens per PARTITION-LOCAL record before any shuffle, so
+    * frame rows inherit the payload's partition (no payload ever
+    * crosses the wire twice). Same fail-vs-skip ledger policy as
+    * [[featurize]]. Spec-gated (VideoDecodeSpec): codec output is
+    * engine-defined, the real-codec contract. */
+  private[graft] def sampleRealFrames(
+      records: org.apache.spark.sql.Dataset[MediaRecord], stride: Int,
+      failOnError: Boolean = true,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[FrameFeatures] =
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        def decodeAll(): Seq[FrameFeatures] = {
+          val fs = graft.MjpegAviDecoder.frames(r.media)
+          fs.indices.by(stride).map { i =>
+            val f = graft.ImageIoDecoder.decode(r.doc_id, fs(i), "image")
+            FrameFeatures(r.doc_id, i.toLong, f.width, f.height, f.mean_byte)
+          }
+        }
+        if (failOnError) decodeAll()
+        else
+          try decodeAll()
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              skipped.foreach(_.add(1L)); Seq.empty
+          }
+      }
+    }(org.apache.spark.sql.Encoders.product[FrameFeatures])
+
   private[graft] def featurize(records: org.apache.spark.sql.Dataset[MediaRecord],
       decoder: MediaDecoder, failOnError: Boolean = true,
       skipped: Option[org.apache.spark.util.LongAccumulator] = None)

@@ -105,6 +105,35 @@ class VideoDecodeSpec extends SparkSpec {
     assert(hp == ImageIoDecoder.dHash(png), "dHash must be deterministic")
   }
 
+  test("real frame sampling: stride demux matches single-image decodes") {
+    import spark.implicits._
+    val avi = MjpegAviDecoder.syntheticAvi(10, 8, nFrames = 5, seed = 21)
+    val ds = Seq(MultimodalQueries.MediaRecord(7L, avi, "video")).toDS()
+    val out = MultimodalQueries.sampleRealFrames(ds, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // frames 0, 2, 4 of 5 at stride 2
+    assert(out.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(out.forall(f => f.width == 10L && f.height == 8L))
+    // each sampled frame's luma equals the standalone image decode of the
+    // same demuxed bytes
+    val fs = MjpegAviDecoder.frames(avi)
+    out.foreach { f =>
+      val solo = ImageIoDecoder.decode(7L, fs(f.frame_idx.toInt), "image")
+      assert(f.mean_luma == solo.mean_byte, s"frame ${f.frame_idx}: $f vs $solo")
+    }
+    // skip-with-ledger on a corrupt payload mixed into the corpus
+    val bad = Seq(
+      MultimodalQueries.MediaRecord(1L, avi, "video"),
+      MultimodalQueries.MediaRecord(2L, Array.tabulate[Byte](32)(_.toByte), "video"))
+      .toDS()
+    val acc = spark.sparkContext.longAccumulator("skipped")
+    val kept = MultimodalQueries
+      .sampleRealFrames(bad, stride = 2, failOnError = false, skipped = Some(acc))
+      .collect()
+    assert(kept.map(_.doc_id).distinct.toSeq == Seq(1L))
+    assert(acc.value == 1L)
+  }
+
   test("three modalities route through one dispatching decoder") {
     import spark.implicits._
     val mixed = Seq(
