@@ -98,6 +98,43 @@ object SnapshotTable {
       .parquet(files.map(f => new Path(root, f).toString): _*)
   }
 
+  /** Commit history, newest first: (version, commit epoch millis, meta
+    * headers) — the DESCRIBE HISTORY surface. Manifests written before
+    * timestamps were stamped fall back to the manifest file's mtime. */
+  def history(spark: SparkSession, dir: String): Seq[(Long, Long, Map[String, String])] = {
+    val (fs, root) = fsFor(spark, dir)
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) return Seq.empty
+    fs.listStatus(mdir).toSeq
+      .flatMap(f => manifestVersion(f.getPath).map(v => (v, f)))
+      .sortBy(-_._1)
+      .map { case (v, f) =>
+        val meta = readManifest(fs, f.getPath)
+          .filter(_.startsWith("#"))
+          .flatMap { l =>
+            l.stripPrefix("#").split("=", 2) match {
+              case Array(k, value) => Some(k -> value)
+              case _ => None
+            }
+          }.toMap
+        val ts = meta.get("ts").flatMap(_.toLongOption)
+          .getOrElse(f.getModificationTime)
+        (v, ts, meta)
+      }
+  }
+
+  /** Timestamp time travel (the `TIMESTAMP AS OF` surface): read the
+    * highest-version snapshot committed at or before `tsMillis`. Commit
+    * stamps live inside the atomically-renamed manifest, so the mapping
+    * from timestamp to snapshot is as crash-consistent as the commits
+    * themselves. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val eligible = history(spark, dir).filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"$dir has no snapshot committed at or before $tsMillis")
+    read(spark, dir, Some(eligible.maxBy(_._1)._1))
+  }
+
   /** Stage `df` under unique file names inside `dir`'s hive layout and
     * return the new files' relative paths (nothing is committed yet). */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
@@ -134,7 +171,10 @@ object SnapshotTable {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
-    val header = meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
+    // every commit stamps its wall-clock millis INSIDE the manifest —
+    // the timestamp-travel anchor (readAsOf); atomic with the file list
+    val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
+    val header = stamped.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
     var attempt = 0
     while (attempt < 20) {
       val v = latest(spark, dir).map(_._1).getOrElse(0L) + 1

@@ -23,6 +23,31 @@ class SnapshotTableSpec extends SparkSpec {
     pairs.toDF("k", "p")
   }
 
+  test("timestamp travel: readAsOf resolves each commit stamp to its snapshot") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L))), "p")
+    Thread.sleep(5) // distinct commit millis
+    SnapshotTable.append(spark, dir, mkDf(Seq((2L, 0L))), "p")
+    Thread.sleep(5)
+    SnapshotTable.append(spark, dir, mkDf(Seq((3L, 1L))), "p")
+    val hist = SnapshotTable.history(spark, dir)
+    assert(hist.map(_._1) == Seq(3L, 2L, 1L), s"history: $hist")
+    assert(hist.forall(_._3.contains("ts")), "every commit must carry its stamp")
+    val ts = hist.map(h => h._1 -> h._2).toMap
+    assert(ts(1L) < ts(2L) && ts(2L) < ts(3L), s"stamps must be monotone: $ts")
+    def asOf(t: Long): Set[(Long, Long)] =
+      SnapshotTable.readAsOf(spark, dir, t)
+        .select(col("k").cast("long"), col("p").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asOf(ts(1L)) == Set((1L, 0L)), "at v1's stamp: v1")
+    assert(asOf(ts(3L) - 1) == Set((1L, 0L), (2L, 0L)), "just before v3: v2")
+    assert(asOf(ts(3L)) == Set((1L, 0L), (2L, 0L), (3L, 1L)), "at v3: v3")
+    assert(asOf(System.currentTimeMillis() + 60000) == rows(dir), "future: latest")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, dir, ts(1L) - 1)
+    }
+  }
+
   test("deleteWhere commits atomically: every racing read is exactly old or new") {
     val dir = tempTable()
     val all = (1L to 400L).map(k => (k, k % 4))
