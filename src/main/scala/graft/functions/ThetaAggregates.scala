@@ -76,6 +76,68 @@ case class ThetaSketchAgg(
   override def prettyName: String = "theta_sketch_agg"
 }
 
+/** Union of serialized theta sketches — the rollup step over a persisted
+  * sketch-cell table (the KllMergeAgg twin). */
+case class ThetaMergeAgg(
+    child: Expression,
+    lgK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  private def newUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): Union = newUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.union(CompactSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    }
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult())
+    buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult().toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult().toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(CompactSketch.heapify(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "theta_merge_agg"
+}
+
+/** Distinct-count estimate of a single serialized theta sketch. */
+case class ThetaEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    Sketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]])).getEstimate
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "theta_estimate"
+}
+
 /** |A ∩ B| estimate from two serialized theta sketches. Runs on the
   * post-rollup segment-pair rows (|segments|² of them), never a scan hot
   * path — interpreted eval is fine. */
@@ -121,6 +183,14 @@ object ThetaAggregates {
           exprs(1).eval(null).asInstanceOf[Number].intValue())
           .toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_merge_agg", exprs =>
+        ThetaMergeAgg(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+          .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_estimate", exprs => ThetaEstimate(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_intersect_estimate",
       exprs => ThetaIntersectEstimate(exprs(0), exprs(1)), "built-in")

@@ -96,6 +96,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => ThetaSketchAgg(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("theta_merge_agg"),
+      info("theta_merge_agg",
+        "theta_merge_agg(sketch, lgK) - union of serialized theta sketches (binary)"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaMergeAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("theta_estimate"),
+      info("theta_estimate",
+        "theta_estimate(sketch) - distinct estimate of a serialized theta sketch"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaEstimate(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("theta_intersect_estimate"),
       info("theta_intersect_estimate",
         "theta_intersect_estimate(a, b) - |A intersect B| estimate from two theta sketches"),

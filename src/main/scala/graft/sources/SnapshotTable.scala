@@ -135,6 +135,30 @@ object SnapshotTable {
     read(spark, dir, Some(eligible.maxBy(_._1)._1))
   }
 
+  /** Incremental append reader (change-feed-lite for append-only
+    * workloads — the "process only what's new since my last run"
+    * contract a downstream job wants): the rows of every data file
+    * present in the latest snapshot but absent from `sinceVersion`'s
+    * manifest. Exact for append/appendBatch workloads because data
+    * files are immutable and uniquely named; after a rewriting
+    * operation (deleteWhere/merge/compact) rewritten partitions'
+    * files reappear as "new" — callers needing row-level semantics
+    * under rewrites should diff snapshots by content (q142's CDC).
+    * Returns None when nothing changed. */
+  def readAppendsSince(spark: SparkSession, dir: String,
+      sinceVersion: Long): Option[DataFrame] = {
+    val (fs, root) = fsFor(spark, dir)
+    val sinceP = new Path(new Path(root, ManifestDir), s"v$sinceVersion.manifest")
+    require(fs.exists(sinceP), s"$dir has no snapshot v$sinceVersion")
+    val before = dataLines(readManifest(fs, sinceP)).toSet
+    val now = latest(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))._2
+    val fresh = now.filterNot(before)
+    if (fresh.isEmpty) None
+    else Some(spark.read.option("basePath", dir).option("mergeSchema", "true")
+      .parquet(fresh.map(f => new Path(root, f).toString): _*))
+  }
+
   /** Stage `df` under unique file names inside `dir`'s hive layout and
     * return the new files' relative paths (nothing is committed yet). */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,

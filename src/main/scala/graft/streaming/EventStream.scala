@@ -401,6 +401,47 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Streaming DISTINCT-audience sketch table ([[runSketchCells]]'s
+    * theta twin): per-(day, event_type) theta sketches of user_id
+    * appended exactly-once. Unlike a streaming countDistinct (whose
+    * state store must hold every key), cells are fixed-size and the
+    * reader answers distincts AND set algebra (overlap of any two
+    * segments, any day range) by merging blobs — the question HLL cells
+    * (q157) structurally cannot answer. */
+  def runDistinctCells(streamed: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = streamed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.functions.ThetaAggregates.register(s)
+          val cells = batch.toDF()
+            .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+            .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+          graft.sources.SnapshotTable.appendBatch(
+            s, dir, cells, "event_type", batchId): Unit
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Merge-on-read over the streamed distinct-cell table: per-type
+    * estimated distinct users from unioning every persisted cell. */
+  def distinctRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.ThetaAggregates.register(spark)
+    graft.sources.SnapshotTable.read(spark, dir, None)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        expr("theta_estimate(theta_merge_agg(sk, 12))").as("est_users"))
+      .orderBy("event_type")
+  }
+
   /** Drive a streaming DataFrame to completion against a static directory
     * via the memory sink (test/driver harness; Trigger semantics are
     * identical on a live source). Returns the materialized result. */

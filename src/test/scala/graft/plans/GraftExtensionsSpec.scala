@@ -25,7 +25,8 @@ class GraftExtensionsSpec extends SparkSpec {
         "rolling_min_hash", "minhash_signature", "l2sq",
         "jaro_sim", "jaro_winkler_sim",
         "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
-        "theta_sketch_agg", "theta_intersect_estimate", "theta_union_estimate")) {
+        "theta_sketch_agg", "theta_merge_agg", "theta_estimate",
+        "theta_intersect_estimate", "theta_union_estimate")) {
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
         s"$fn missing from runtime registry")

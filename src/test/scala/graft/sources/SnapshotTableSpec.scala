@@ -48,6 +48,24 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("readAppendsSince: exactly the appended rows; None when unchanged") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 1L))), "p")
+    val v1 = SnapshotTable.history(spark, dir).head._1
+    SnapshotTable.append(spark, dir, mkDf(Seq((3L, 0L), (4L, 2L))), "p")
+    val delta = SnapshotTable.readAppendsSince(spark, dir, v1).get
+      .select(col("k").cast("long"), col("p").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == Set((3L, 0L), (4L, 2L)), s"delta: $delta")
+    // caught up: nothing new since the latest version
+    val v2 = SnapshotTable.history(spark, dir).head._1
+    assert(SnapshotTable.readAppendsSince(spark, dir, v2).isEmpty)
+    // a second append chains: delta since v1 now spans both appends
+    SnapshotTable.append(spark, dir, mkDf(Seq((5L, 1L))), "p")
+    val both = SnapshotTable.readAppendsSince(spark, dir, v1).get.count()
+    assert(both == 3L, s"since-v1 delta rows: $both")
+  }
+
   test("deleteWhere commits atomically: every racing read is exactly old or new") {
     val dir = tempTable()
     val all = (1L to 400L).map(k => (k, k % 4))

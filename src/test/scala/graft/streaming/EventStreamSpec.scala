@@ -141,6 +141,26 @@ class EventStreamSpec extends SparkSpec {
       s"replay duplicated sketch cells: $cellsBefore -> $cellsAfter")
   }
 
+  test("streaming distinct-cell table: theta merge-on-read equals exact distincts") {
+    val srcDir = java.nio.file.Files.createTempDirectory("theta_src")
+    EventStream.stageEvents(spark, sf, srcDir, "a")
+    val dir = java.nio.file.Files.createTempDirectory("theta_tab").toString + "/t"
+    EventStream.runDistinctCells(
+      EventStream.readEvents(spark, srcDir.toString), dir)
+    val est = EventStream.distinctRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // exact mode at this corpus (≪ 4096 retained hashes per sketch), so
+    // the merged estimate IS the exact per-type distinct user count
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (t, e) =>
+      assert(e == exact(t).toDouble, s"$t: theta $e != exact ${exact(t)}")
+    }
+  }
+
   test("streaming dedup by event_id drops replayed events within the watermark") {
     // stage the same parquet file twice — a full replay of every event
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
