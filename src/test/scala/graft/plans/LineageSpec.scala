@@ -57,6 +57,35 @@ class LineageSpec extends SparkSpec {
     assert(lin("id") == Set("lineitem" -> "l_orderkey", "orders" -> "o_orderkey"))
   }
 
+  test("whole-surface sweep: every gated query's lineage resolves cleanly") {
+    // plan-only analysis over every registered query — 180+ distinct plan
+    // shapes (windows, expands, generates, unions, typed mapPartitions,
+    // self-joins, sketch aggregates) exercise every propagation rule; a
+    // crash or an unknown leaf here means a plan shape Lineage mishandles
+    val known = Set("lineitem", "orders", "customer", "supplier", "part",
+      "nation", "region", "events", "documents", "embeddings")
+    // non-table leaves that legitimately appear inside plans
+    val synthetic = Set("range", "inline", "onerowrelation",
+      "localrelation", "externalrds", "logicalrdd", "memoryplan")
+    // q79/q80 RUN a streaming pipeline and read back its sink — their
+    // lineage legitimately roots at the staged run output, not a table
+    val streamStaged = Set("q79_stream_dedup", "q80_stream_hourly_sink")
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val sources = Lineage.columnLineage(fn(spark, sf)).map(_._2).toSet
+        val unknown = sources.filterNot(s =>
+          known.contains(s) || synthetic.contains(s))
+        if (unknown.nonEmpty && !streamStaged.contains(name))
+          bad += s"$name -> unknown sources $unknown"
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          bad += s"$name -> ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }
+    assert(bad.isEmpty, s"lineage sweep failures:\n${bad.mkString("\n")}")
+  }
+
   test("lineage of a real gated query names only true sources; plan-only") {
     // q7's star join: revenue must trace to lineitem's two price columns,
     // and the region name to region — across four join hops
