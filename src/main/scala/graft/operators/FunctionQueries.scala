@@ -394,7 +394,46 @@ object FunctionQueries {
           (abs(col("r50") - 0.5) <= 0.03).as("p50_ok"),
           (abs(col("r90") - 0.9) <= 0.03).as("p90_ok"))
         .orderBy("event_type")
-    })
+    }),
+
+    /** Linear-regression aggregate suite (the regr_* surface ANSI SQL
+      * and every BI "trend line" needs): per return flag, OLS of
+      * extended price on quantity — slope, intercept, R², the
+      * regression-pair count, and both means. One partial+final
+      * aggregate pass (regr_* are algebraic aggregates — sums of
+      * products — so map-side combine applies exactly like sum/avg). */
+    "q185_regression" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("regr_count(l_extendedprice, l_quantity)").as("n_pairs"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+            .as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 9).as("r2"),
+          round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avg_x"),
+          round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avg_y"))
+        .orderBy("l_returnflag")),
+
+    /** Mean with a 95% normal-approximation confidence interval per
+      * group (the "is this KPI move real" readout): mean ± 1.96·s/√n
+      * from one stddev_samp pass; half-width and bounds rounded to 6 on
+      * identical expression trees so both engines agree bit-for-bit.
+      * One partial+final aggregate — Spark's moment aggregates use
+      * numerically-stable merge formulas, so partial combination is
+      * safe at any partition count. */
+    "q186_mean_ci" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          avg("o_totalprice").as("m"),
+          stddev_samp("o_totalprice").as("sd"))
+        .select(col("o_orderstatus"), col("n"),
+          round(col("m"), 6).as("mean_price"),
+          round(lit(1.96) * col("sd") / sqrt(col("n")), 6).as("ci_half"),
+          round(col("m") - lit(1.96) * col("sd") / sqrt(col("n")), 6).as("ci_lo"),
+          round(col("m") + lit(1.96) * col("sd") / sqrt(col("n")), 6).as("ci_hi"))
+        .orderBy("o_orderstatus"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -584,6 +623,24 @@ object FunctionQueries {
         |  TRUE AS p50_ok,
         |  TRUE AS p90_ok
         |FROM events e JOIN cells c USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q185_regression" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 9) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q186_mean_ci" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(avg(o_totalprice), 6) AS mean_price,
+        |  round(1.96 * stddev_samp(o_totalprice) / sqrt(count(*)), 6) AS ci_half,
+        |  round(avg(o_totalprice)
+        |    - 1.96 * stddev_samp(o_totalprice) / sqrt(count(*)), 6) AS ci_lo,
+        |  round(avg(o_totalprice)
+        |    + 1.96 * stddev_samp(o_totalprice) / sqrt(count(*)), 6) AS ci_hi
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
