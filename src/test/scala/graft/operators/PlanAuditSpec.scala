@@ -94,7 +94,11 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q5_join_inner", "q21_date_diff", "t52_tfidf",
         "d38_dedup_jaccard", "t51_top_bigrams", "t85_repetition",
         "t92_pipeline_e2e", "t98_unigram_logprob", "t101_dsir", "t102_novelty",
-        "t114_bigram_logprob", "d112_dup_span_coverage", "s116_knn_classify")) {
+        "t114_bigram_logprob", "d112_dup_span_coverage", "s116_knn_classify",
+        // round-8: label/event/order tables are corpus-sized — their
+        // joins must stay hint-free (AQE decides)
+        "s176_hard_negatives", "s178_hard_negatives_lsh",
+        "q169_attribution", "q177_linear_attribution", "q182_join_ivm")) {
       val bad = hintedCorpusScalingOutputs(SparkEntry.queries(q)(spark, sf))
       assert(bad.isEmpty,
         s"$q: forced broadcast of a corpus-scaling relation " +
