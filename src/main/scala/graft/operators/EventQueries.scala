@@ -768,20 +768,8 @@ object EventQueries {
       * (|types|×|hours| rows), with the (|types|×168)-row baseline
       * broadcast back — the raw table is scanned exactly once. */
     "q158_seasonal_anomaly" -> ((s, d) => {
-      val hourly = events(s, d)
-        .groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("hr_ts"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("dow", weekday(col("hr_ts")) + lit(1))
-        .withColumn("hod", hour(col("hr_ts")))
-      val med = hourly.groupBy("event_type", "dow", "hod")
-        .agg(expr("percentile(n, 0.5)").as("med"))
-      val base = hourly.join(broadcast(med), Seq("event_type", "dow", "hod"))
-        .groupBy("event_type", "dow", "hod")
-        .agg(first("med").as("med"),
-          expr("percentile(abs(n - med), 0.5)").as("mad"),
-          count(lit(1)).as("n_hours"))
-      hourly.join(broadcast(base), Seq("event_type", "dow", "hod"))
+      val hourly = hourlyGrid(s, d)
+      hourly.join(broadcast(seasonalBaseline(s, d)), Seq("event_type", "dow", "hod"))
         .filter(abs(col("n") - col("med")) > lit(3.0) * col("mad"))
         .select(col("event_type"), col("hr_ts"), col("n"),
           col("med"), col("mad"), col("n_hours"))
@@ -1214,6 +1202,30 @@ object EventQueries {
       credited.unionByName(direct).orderBy("channel")
     })
   )
+
+  /** Hourly count grid with (iso weekday, hour-of-day) season keys —
+    * q158's aggregation stage, shared with the streaming scorer. */
+  private[graft] def hourlyGrid(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr_ts"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", weekday(col("hr_ts")) + lit(1))
+      .withColumn("hod", hour(col("hr_ts")))
+
+  /** q158's robust seasonal baseline (median + MAD per (event_type,
+    * dow, hod) over hourly counts) — the PERSISTABLE model table the
+    * streaming scorer ([[graft.streaming.EventStream
+    * .scoreAgainstBaseline]]) joins against. */
+  private[graft] def seasonalBaseline(s: SparkSession, d: String): DataFrame = {
+    val hourly = hourlyGrid(s, d)
+    val med = hourly.groupBy("event_type", "dow", "hod")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    hourly.join(broadcast(med), Seq("event_type", "dow", "hod"))
+      .groupBy("event_type", "dow", "hod")
+      .agg(first("med").as("med"),
+        expr("percentile(abs(n - med), 0.5)").as("mad"),
+        count(lit(1)).as("n_hours"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q130_funnel" ->

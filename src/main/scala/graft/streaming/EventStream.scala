@@ -442,6 +442,38 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Persist q158's seasonal baseline (median+MAD per (type, weekday,
+    * hour) of hourly counts) as a snapshot table — the model-in-table
+    * half of the streaming anomaly monitor. Rebuild nightly; readers of
+    * the scorer see baseline swaps atomically (snapshot semantics). */
+  def buildSeasonalBaseline(spark: SparkSession, sfDir: String,
+      dir: String): Long = {
+    graft.sources.SnapshotTable.write(spark, dir,
+      graft.EventQueries.seasonalBaseline(spark, sfDir), "event_type")
+  }
+
+  /** Streaming seasonal anomaly scoring (the score-in-stream half):
+    * watermarked hourly tumbling counts per type, stream–static joined
+    * to the persisted baseline grid on the season key, emitting only
+    * hours whose count deviates from the seasonal median by more than
+    * 3×MAD — q158's flag rule applied continuously. The baseline is a
+    * (|types|×168)-row static table, so the join broadcasts; streaming
+    * state is the watermark-bounded window store only. */
+  def scoreAgainstBaseline(events: DataFrame, spark: SparkSession,
+      baselineDir: String): DataFrame = {
+    val base = graft.sources.SnapshotTable.read(spark, baselineDir, None)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hr_ts"), col("event_type"), col("n"))
+      .withColumn("dow", weekday(col("hr_ts")) + lit(1))
+      .withColumn("hod", hour(col("hr_ts")))
+      .join(base, Seq("event_type", "dow", "hod"))
+      .filter(abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+      .select(col("event_type"), col("hr_ts"), col("n"), col("med"), col("mad"))
+  }
+
   /** Drive a streaming DataFrame to completion against a static directory
     * via the memory sink (test/driver harness; Trigger semantics are
     * identical on a live source). Returns the materialized result. */

@@ -161,6 +161,32 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly scorer agrees with batch q158 on closed windows") {
+    val baseDir = java.nio.file.Files.createTempDirectory("anom_base").toString + "/b"
+    EventStream.buildSeasonalBaseline(spark, sf, baseDir)
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.scoreAgainstBaseline(
+        EventStream.readEvents(spark, eventsDir), spark, baseDir),
+      "anomaly_score_test")
+    val batch = graft.SparkEntry.queries("q158_seasonal_anomaly")(spark, sf)
+      .collect()
+      .map(r => (millis(r.get(1)), r.getString(0)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val emitted = streamed.collect()
+    assert(emitted.nonEmpty, "the stream should flag at least one closed hour")
+    emitted.foreach { r =>
+      val key = (millis(r.get(1)), r.getString(0))
+      assert(batch.contains(key), s"stream flagged a non-batch anomaly: $key")
+      val (n, med, mad) = batch(key)
+      assert(r.getLong(2) == n && r.getDouble(3) == med && r.getDouble(4) == mad,
+        s"flag payload mismatch at $key: $r vs ${batch(key)}")
+    }
+    // closed-window coverage: all but the final (unclosed) hours flag
+    assert(emitted.length >= batch.size - 5,
+      s"stream flagged ${emitted.length} of ${batch.size} batch anomalies")
+  }
+
   test("streaming dedup by event_id drops replayed events within the watermark") {
     // stage the same parquet file twice — a full replay of every event
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
