@@ -1132,7 +1132,34 @@ object TextQueries {
           round(col("n_subtokens") / col("n_words"), 9).as("fertility"),
           round(col("n_bytes") / col("n_subtokens"), 9).as("bytes_per_subtoken"),
           round(col("n_bytes") / col("n_words"), 9).as("bytes_per_word"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    /** Per-document language-mixture detection (the code-switching flag
+      * single-label langid (t35) structurally misses — a half-English
+      * half-Spanish doc gets ONE label there and silently pollutes both
+      * language buckets downstream): per doc the marker hits for every
+      * language, languages hit, the top language's hit share, and a
+      * mixed verdict (≥4 total hits, ≥2 languages, top share < 3/4 —
+      * evaluated as 4·top < 3·total so the boundary is INTEGER-exact,
+      * never a double comparison). Shuffle-free scan; the share is the
+      * only double and rounds on an exact small-integer ratio. */
+    "t187_language_mixture" -> ((s, d) => {
+      val t = toks(col("text"))
+      val scores = langMarkers.map { case (l, ms) => l -> markerCount(t, ms) }
+      val total = scores.map(_._2).reduce(_ + _)
+      val top = greatest(scores.map(_._2): _*)
+      val nhit = scores.map(_._2 > 0L).map(_.cast("long")).reduce(_ + _)
+      documents(s, d)
+        .select(Seq(col("doc_id")) ++
+          scores.map { case (l, c) => c.as(s"hits_$l") } ++ Seq(
+          total.as("total_hits"),
+          nhit.as("n_langs_hit"),
+          when(total > 0L, round(top / total, 9)).otherwise(lit(null))
+            .as("top_share"),
+          (total >= 4L && nhit >= 2L && top * 4L < total * 3L)
+            .as("is_mixed")): _*)
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared BPE trainer behind t106/t107: `rounds` greedy merge rounds
@@ -1877,6 +1904,28 @@ object TextQueries {
         |  round(sum(sub) / sum(ws), 9) AS fertility,
         |  round(sum(bytes) / sum(sub), 9) AS bytes_per_subtoken,
         |  round(sum(bytes) / sum(ws), 9) AS bytes_per_word
-        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "t187_language_mixture" -> {
+      val hitCols = langMarkers.map { case (l, ms) =>
+        s"CAST(${duckMarkerCount(ms)} AS BIGINT) AS hits_$l"
+      }.mkString(",\n        |    ")
+      val hs = langMarkers.map { case (l, _) => s"hits_$l" }
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    $hitCols
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, ${hs.mkString(", ")},
+         |    ${hs.mkString(" + ")} AS total_hits,
+         |    greatest(${hs.mkString(", ")}) AS top,
+         |    ${hs.map(h => s"CAST($h > 0 AS BIGINT)").mkString(" + ")} AS n_langs_hit
+         |  FROM h)
+         |SELECT doc_id, ${hs.mkString(", ")}, total_hits, n_langs_hit,
+         |  CASE WHEN total_hits > 0
+         |    THEN round(top / total_hits, 9) ELSE NULL END AS top_share,
+         |  total_hits >= 4 AND n_langs_hit >= 2 AND top * 4 < total_hits * 3
+         |    AS is_mixed
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
   )
 }

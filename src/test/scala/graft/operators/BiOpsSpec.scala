@@ -424,6 +424,34 @@ class BiOpsSpec extends SparkSpec {
     assert(rec.head._1 == best._1, s"choice ${rec.head} != closest $best")
   }
 
+  test("t187_language_mixture: code-switched doc flagged, pure docs not") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(
+      // pure English: 5 en markers, nothing else → not mixed
+      (1L, "the cat is of the and is house"),
+      // half en / half es markers (4+4; 'la' avoided — it hits fr too) → mixed
+      (2L, "the of and is de y es el"),
+      // dominant en with es hits at EXACTLY top share 3/4 (6 vs 2) →
+      // NOT mixed (the 4·top < 3·total boundary is strict)
+      (3L, "the the of of and is de y"),
+      // too few hits to judge (2 total) → not mixed
+      (4L, "the el bonjour"))
+      .map { case (id, text) => (id, text, "en") }
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.TextQueries.queries("t187_language_mixture")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(6), r.getLong(7), Option(r.get(8)), r.getBoolean(9)))
+      .toMap
+    assert(m(1L) == ((6L, 1L, Some(1.0), false)), s"pure: ${m(1L)}")
+    assert(m(2L)._4 == true && m(2L)._2 == 2L, s"mixed: ${m(2L)}")
+    assert(m(2L)._3 == Some(0.5))
+    assert(m(3L) == ((8L, 2L, Some(0.75), false)), s"boundary: ${m(3L)}")
+    assert(m(4L)._4 == false && m(4L)._1 == 2L, s"sparse: ${m(4L)}")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
