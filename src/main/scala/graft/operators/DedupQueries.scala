@@ -1100,6 +1100,32 @@ object DedupQueries {
           round(capture(tau + 0.1), 6).as("p_above"),
           (col("b") === col("best_b")).as("recommended"))
         .orderBy("b")
+    }),
+
+    /** Normalization-robust exact dedup (the preprocessing step byte
+      * hashing misses: case folds, whitespace reflows, and punctuation
+      * churn make byte-distinct copies of IDENTICAL content — the most
+      * common "near"-dup in web text is not near at all after
+      * normalization): lowercase → strip [^a-z0-9 ] → collapse runs of
+      * whitespace → trim, THEN md5 keep-first. Emits per normalized
+      * cluster the keeper, copy count, and the count of members d37's
+      * raw-byte hash would NOT have grouped (the incremental catch —
+      * byte-distinct members beyond the raw group containing the
+      * keeper). Same single-shuffle shape as d37; normalization is
+      * scan-local codegen'd string work. */
+    "d188_normalized_dedup" -> ((s, d) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 \\t\\n]", ""), "\\s+", " "))
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(norm.cast("binary")).as("norm_md5"),
+          md5(col("text").cast("binary")).as("raw_md5"))
+        .groupBy("norm_md5")
+        .agg(min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          (count(lit(1)) - countDistinct("raw_md5")).as("n_raw_dups"),
+          (countDistinct("raw_md5") - 1L).as("n_extra_caught"))
+        .orderBy("keep_id")
     })
   )
 
@@ -1734,7 +1760,19 @@ object DedupQueries {
         |  round(1.0 - pow(1.0 - pow(0.5, CAST(c.r AS DOUBLE)), CAST(c.b AS DOUBLE)), 6) AS p_above,
         |  c.b = best.best_b AS recommended
         |FROM curve c CROSS JOIN best
-        |ORDER BY c.b""".stripMargin
+        |ORDER BY c.b""".stripMargin,
+    "d188_normalized_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')))
+        |      AS norm_md5,
+        |    md5(text) AS raw_md5
+        |  FROM documents)
+        |SELECT norm_md5, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  count(*) - count(DISTINCT raw_md5) AS n_raw_dups,
+        |  count(DISTINCT raw_md5) - 1 AS n_extra_caught
+        |FROM n GROUP BY norm_md5 ORDER BY keep_id""".stripMargin
   )
 
   private lazy val decontaminateOracle =

@@ -452,6 +452,29 @@ class BiOpsSpec extends SparkSpec {
     assert(m(4L)._4 == false && m(4L)._1 == 2L, s"sparse: ${m(4L)}")
   }
 
+  test("d188_normalized_dedup: reformatted copies collapse, raw hash would miss") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(
+      (1L, "Hello, World!  How are you?"),
+      (2L, "hello world how are you"),        // normalized twin of 1
+      (3L, "HELLO   WORLD\nHOW ARE YOU"),     // another reformat of 1
+      (4L, "hello world how are you"),        // BYTE-exact dup of 2
+      (5L, "something else entirely"))
+      .map { case (id, t) => (id, t, "en") }
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.DedupQueries.queries("d188_normalized_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // docs 1-4 share one normalized cluster: 4 copies over 3 raw hashes
+    // (2 and 4 are byte-identical) → 1 raw dup + 2 extra caught beyond
+    // what d37's raw-byte grouping could collapse
+    assert(m(1L) == ((4L, 1L, 2L)), s"cluster: ${m(1L)}")
+    assert(m(5L) == ((1L, 0L, 0L)), s"singleton: ${m(5L)}")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
