@@ -1200,6 +1200,58 @@ object EventQueries {
         .select(lit("direct").as("channel"), col("revenue"),
           col("n_orders"), lit(0L).as("n_touches"))
       credited.unionByName(direct).orderBy("channel")
+    }),
+
+    /** New vs returning daily actives (the growth dashboard's first
+      * panel): per activity day, users active for the FIRST time vs
+      * users returning — derived from each user's min activity day
+      * (q131's cohort anchor) joined back onto the deduped (user, day)
+      * activity grid. Identity: Σ new over all days = distinct users.
+      *
+      * Scale shape: one (user, day) dedup shuffle, one user-keyed
+      * min-day aggregate joined back on user_id (co-partitioned at
+      * scale), one daily rollup — no windows over the corpus. */
+    "q189_new_vs_returning" -> ((s, d) => {
+      val userDays = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
+      val firstDay = userDays.groupBy("user_id")
+        .agg(min("dy").as("first_dy"))
+      userDays.join(firstDay, "user_id")
+        .groupBy("dy")
+        .agg(
+          sum(when(col("dy") === col("first_dy"), 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("dy") =!= col("first_dy"), 1L).otherwise(0L))
+            .as("returning_users"),
+          count(lit(1)).as("active_users"))
+        .orderBy("dy")
+    }),
+
+    /** DAU/MAU stickiness per day (the engagement ratio growth teams
+      * steer by): daily actives over trailing-28-day actives, via
+      * q134's bounded-explode trick at day grain — each (user, day)
+      * activity contributes membership to the ≤28 future days whose
+      * trailing window contains it, so the rolling DISTINCT needs no
+      * range self-join and no window over the corpus. Only days with
+      * actual activity are emitted (the events grid is dense daily).
+      *
+      * Scale shape: dedup shuffle on (user, day), constant ×28 map-side
+      * expansion on the DEDUPED grid (users×days rows, not raw events),
+      * one distinct count per day; ratio rounded to 9 on exact integer
+      * counts. */
+    "q190_stickiness" -> ((s, d) => {
+      val userDays = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
+      val dau = userDays.groupBy("dy").agg(count(lit(1)).as("dau"))
+      val mau = userDays
+        .select(col("user_id"), explode(sequence(col("dy"),
+          date_add(col("dy"), 27))).as("win_dy"))
+        .distinct()
+        .groupBy(col("win_dy").as("dy")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, "dy")
+        .select(col("dy"), col("dau"), col("mau"),
+          round(col("dau") / col("mau"), 9).as("stickiness"))
+        .orderBy("dy")
     })
   )
 
@@ -1855,6 +1907,30 @@ object EventQueries {
         |    count(*) AS n_orders, CAST(0 AS BIGINT) AS n_touches
         |  FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touches))
         |SELECT * FROM chan UNION ALL SELECT * FROM direct
-        |ORDER BY channel""".stripMargin
+        |ORDER BY channel""".stripMargin,
+    "q189_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events),
+        |fd AS (SELECT user_id, min(dy) AS first_dy FROM ud GROUP BY 1)
+        |SELECT dy,
+        |  sum(CASE WHEN dy = first_dy THEN 1 ELSE 0 END) AS new_users,
+        |  sum(CASE WHEN dy <> first_dy THEN 1 ELSE 0 END) AS returning_users,
+        |  count(*) AS active_users
+        |FROM ud JOIN fd USING (user_id)
+        |GROUP BY dy ORDER BY dy""".stripMargin,
+    // the oracle computes the trailing-28-day distinct via the non-equi
+    // membership join directly — the bounded-explode rewrite must match
+    // row-for-row (the q126/q134/q177 contract)
+    "q190_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events),
+        |dau AS (SELECT dy, count(*) AS dau FROM ud GROUP BY 1),
+        |mau AS (
+        |  SELECT d.dy, count(DISTINCT u.user_id) AS mau
+        |  FROM (SELECT DISTINCT dy FROM ud) d
+        |  JOIN ud u ON u.dy BETWEEN d.dy - INTERVAL 27 DAY AND d.dy
+        |  GROUP BY 1)
+        |SELECT dy, dau, mau, round(dau / mau, 9) AS stickiness
+        |FROM dau JOIN mau USING (dy) ORDER BY dy""".stripMargin
   )
 }

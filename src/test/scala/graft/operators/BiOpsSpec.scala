@@ -475,6 +475,44 @@ class BiOpsSpec extends SparkSpec {
     assert(m(5L) == ((1L, 0L, 0L)), s"singleton: ${m(5L)}")
   }
 
+  test("q189/q190: growth metrics — accounting identities and a crafted fixture") {
+    val sfD = sfDir()
+    val nvr = graft.EventQueries.queries("q189_new_vs_returning")(spark, sfD)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Σ new = distinct users; per-day new + returning = active
+    val users = graft.Tables.events(spark, sfD)
+      .select("user_id").distinct().count()
+    assert(nvr.map(_._1).sum == users)
+    nvr.foreach { case (nw, ret, act) => assert(nw + ret == act) }
+    val st = graft.EventQueries.queries("q190_stickiness")(spark, sfD)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    st.foreach { case (dau, mau, s) =>
+      assert(dau <= mau && s > 0.0 && s <= 1.0, s"bounds: $dau/$mau=$s")
+    }
+    // crafted: u1 active d1 & d3; u2 active d3 only; u3 active d40
+    // (outside d3's 28-day window going forward, inside nothing shared)
+    val dir = tmp()
+    eventsFixture(dir, Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-03 01:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-03 02:00:00", 2L, "view", 0.0),
+      (4L, "2024-02-09 01:00:00", 3L, "view", 0.0)))
+    val m = graft.EventQueries.queries("q189_new_vs_returning")(spark, dir)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(m("2024-01-01") == ((1L, 0L)))
+    assert(m("2024-01-03") == ((1L, 1L)))  // u2 new, u1 returning
+    assert(m("2024-02-09") == ((1L, 0L)))
+    val sm = graft.EventQueries.queries("q190_stickiness")(spark, dir)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(sm("2024-01-01") == ((1L, 1L)))
+    assert(sm("2024-01-03") == ((2L, 2L)))  // u1+u2 within the window
+    assert(sm("2024-02-09") == ((1L, 1L)))  // January activity aged out
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
