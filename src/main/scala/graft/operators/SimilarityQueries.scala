@@ -1009,6 +1009,46 @@ object SimilarityQueries {
           round(col("m_nearest"), 9).as("m_nearest"),
           round(col("db_comp"), 9).as("db_component"))
         .orderBy("cluster")
+    }),
+
+    /** Feature covariance via the mergeable Gram-matrix aggregate
+      * ([[graft.functions.GramMatrixAgg]] — the distributed
+      * PCA/whitening primitive): ONE pass folds every int8-quantized
+      * vector (s90's quantization, so sums are EXACT integers and
+      * order-independent) into a single (d²+d+1)-long buffer; the
+      * upper-triangle covariance matrix derives from that one result
+      * row. The naive posexplode-twice plan fans the corpus ×d² through
+      * the shuffle (4096× at d=64, fatal at d=1536); here only the
+      * ~33 KB buffer crosses the exchange regardless of corpus size —
+      * exactly the shape the oracle CANNOT use (it pays the ×d²
+      * unnest), which is the point of gating it.
+      *
+      * Scale shape: partial+final ObjectHashAggregate; the long-form
+      * expansion runs on the single result row's 4096 array slots. */
+    "s191_embedding_gram" -> ((s, d) => {
+      graft.functions.GramMatrixAgg.register(s)
+      val D = 64
+      val maxabs = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      val q = embeddings(s, d).select(
+        transform(col("embedding"), x =>
+          when(maxabs === 0.0, 0L)
+            .otherwise(floor(x.cast("double") / maxabs * 127.0).cast("long")))
+          .as("q"))
+      q.agg(expr(s"gram_matrix_agg(q, $D)").as("g"))
+        .select(col("g"), posexplode(slice(col("g"), 1, D * D)))
+        .selectExpr(
+          s"CAST(pos DIV $D AS BIGINT) AS i",
+          s"CAST(pos % $D AS BIGINT) AS j",
+          "col AS sum_xy",
+          s"g[CAST(pos DIV $D AS INT) + ${D * D}] AS sum_x",
+          s"g[CAST(pos % $D AS INT) + ${D * D}] AS sum_y",
+          s"g[${D * D + D}] AS n")
+        .filter(col("i") <= col("j"))
+        .withColumn("cov", round(
+          (col("sum_xy") - col("sum_x") * col("sum_y") / col("n")) /
+            (col("n") - 1L), 9))
+        .orderBy("i", "j")
     })
   )
 
@@ -2130,7 +2170,38 @@ object SimilarityQueries {
          |  round(db.m_nearest, 9) AS m_nearest,
          |  round(db.db_comp, 9) AS db_component
          |FROM s JOIN db ON s.cid = db.cid
-         |ORDER BY cluster""".stripMargin
+         |ORDER BY cluster""".stripMargin,
+    // the oracle PAYS the ×d² unnest the Spark aggregate avoids — same
+    // integer-exact sums, structurally different (and unscalable) plan
+    "s191_embedding_gram" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0.0
+        |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |        CAST(floor(x / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+        |          * 127.0) AS BIGINT)) END AS q
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT gi.i AS i, gj.j AS j,
+        |    sum(q[CAST(gi.i + 1 AS INTEGER)] * q[CAST(gj.j + 1 AS INTEGER)]) AS sum_xy
+        |  FROM qz
+        |  CROSS JOIN unnest(range(0, 64)) AS gi(i)
+        |  CROSS JOIN unnest(range(0, 64)) AS gj(j)
+        |  WHERE gi.i <= gj.j
+        |  GROUP BY 1, 2),
+        |el AS (
+        |  SELECT ge.i AS i, sum(q[CAST(ge.i + 1 AS INTEGER)]) AS sx
+        |  FROM qz CROSS JOIN unnest(range(0, 64)) AS ge(i)
+        |  GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM qz)
+        |SELECT p.i, p.j, p.sum_xy, ex.sx AS sum_x, ey.sx AS sum_y, nn.n,
+        |  round((p.sum_xy - ex.sx * ey.sx / nn.n) / (nn.n - 1), 9) AS cov
+        |FROM pairs p
+        |JOIN el ex ON p.i = ex.i
+        |JOIN el ey ON p.j = ey.i
+        |CROSS JOIN nn
+        |ORDER BY p.i, p.j""".stripMargin
   )
 
   /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,

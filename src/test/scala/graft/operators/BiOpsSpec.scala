@@ -513,6 +513,21 @@ class BiOpsSpec extends SparkSpec {
     assert(sm("2024-02-09") == ((1L, 1L)))  // January activity aged out
   }
 
+  test("gram matrix aggregate: hand-computed moments, partition-order-free") {
+    import spark.implicits._
+    graft.functions.GramMatrixAgg.register(spark)
+    // vectors (1,2) and (3,4): Σxy = [[10,14],[14,20]], Σx = [4,6], n = 2
+    def run(parts: Int): Seq[Long] =
+      Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("q").repartition(parts)
+        .agg(expr("gram_matrix_agg(q, 2)")).head().getSeq[Long](0)
+    val g = run(1)
+    assert(g == Seq(10L, 14L, 14L, 20L, 4L, 6L, 2L), s"moments: $g")
+    // integer accumulation ⇒ identical buffer under any partitioning
+    assert(run(4) == g, "partial merge must be order-independent")
+    // s191's covariance derives exactly: cov(0,1) = (14 − 4·6/2)/1 = 2
+    assert((g(1) - g(4).toDouble * g(5) / g(6)) / (g(6) - 1) == 2.0)
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()

@@ -472,6 +472,13 @@ class PlanAuditSpec extends SparkSpec {
     val sk = plan("q175_skew_report")
     assert(sk.contains("partial"), s"q175: map-side partial agg missing:\n$sk")
     assert(!sk.contains("Join"), s"q175: unexpected join:\n$sk")
+    // s191: the Gram matrix must fold in ONE ObjectHashAggregate pass —
+    // the corpus is never exploded ×d² before the exchange
+    val gram = plan("s191_embedding_gram")
+    assert(gram.contains("partial_gram_matrix_agg"),
+      s"s191: map-side partial Gram fold missing:\n$gram")
+    assert("Scan parquet".r.findAllIn(gram).size == 1,
+      s"s191: embeddings must be scanned exactly once:\n$gram")
     // q177: the lookback range join must run as the bucket equi-join —
     // hash joins only, never a nested loop over orders×events
     val la = plan("q177_linear_attribution")
