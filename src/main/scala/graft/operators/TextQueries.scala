@@ -1159,6 +1159,39 @@ object TextQueries {
           (total >= 4L && nhit >= 2L && top * 4L < total * 3L)
             .as("is_mixed")): _*)
         .orderBy("doc_id")
+    }),
+
+    /** Zipf rank–frequency fit (the corpus-statistics classic: natural
+      * text follows freq ∝ rank^(−s), s ≈ 1 — a slope far from −1 flags
+      * synthetic/templated corpora): token counts → top-200 terms by
+      * frequency (TakeOrdered bounded heap, NOT a vocabulary-wide sort)
+      * → OLS of ln(freq) on ln(rank) via the regr_* aggregates over the
+      * 200-row fit set. Corpus totals ride along.
+      *
+      * Scale shape: one partial+final term count (the only corpus-sized
+      * work), a 200-row bounded heap, and window+regression over 200
+      * rows — vocabulary size never sorts globally. Tie-break (count
+      * desc, term) makes the fit set deterministic; ln() on exact
+      * integer counts is bit-identical cross-engine. */
+    "t193_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val totals = counts.agg(count(lit(1)).as("n_vocab"),
+        sum("cnt").as("n_tokens"))
+      val top = counts.orderBy(desc("cnt"), col("term")).limit(200)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("cnt"), col("term")))
+            .cast("long"))
+      top.agg(
+        count(lit(1)).as("n_fit"),
+        round(expr("regr_slope(ln(cnt), ln(rank))"), 6).as("zipf_slope"),
+        round(expr("regr_intercept(ln(cnt), ln(rank))"), 6).as("intercept"),
+        round(expr("regr_r2(ln(cnt), ln(rank))"), 9).as("r2"))
+        .crossJoin(broadcast(totals))
+        .select(col("n_fit"), col("zipf_slope"), col("intercept"),
+          col("r2"), col("n_vocab"), col("n_tokens"))
     })
   )
 
@@ -1926,6 +1959,23 @@ object TextQueries {
          |  total_hits >= 4 AND n_langs_hit >= 2 AND top * 4 < total_hits * 3
          |    AS is_mixed
          |FROM m ORDER BY doc_id""".stripMargin
-    }
+    },
+    "t193_zipf_slope" ->
+      """WITH c AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS cnt FROM c GROUP BY 1),
+        |totals AS (SELECT count(*) AS n_vocab, sum(cnt) AS n_tokens FROM counts),
+        |top AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |  FROM counts ORDER BY cnt DESC, term LIMIT 200)
+        |SELECT count(*) AS n_fit,
+        |  round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+        |  round(regr_r2(ln(cnt), ln(rank)), 9) AS r2,
+        |  t.n_vocab, t.n_tokens
+        |FROM top CROSS JOIN totals t
+        |GROUP BY t.n_vocab, t.n_tokens""".stripMargin
   )
 }

@@ -528,6 +528,29 @@ class BiOpsSpec extends SparkSpec {
     assert((g(1) - g(4).toDouble * g(5) / g(6)) / (g(6) - 1) == 2.0)
   }
 
+  test("t193_zipf_slope: exact power law fits slope -1 with r2 = 1") {
+    import spark.implicits._
+    val dir = tmp()
+    // term wk appears 2520/k times for k = 1..10 (2520 = lcm(1..10), so
+    // every count is exact): ln(freq) = ln(2520) − ln(rank) exactly
+    val text = (1 to 10).flatMap(k => Seq.fill(2520 / k)(s"w$k")).mkString(" ")
+    Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.TextQueries.queries("t193_zipf_slope")(spark, dir).head()
+    assert(r.getLong(0) == 10L && r.getLong(4) == 10L)
+    assert(r.getDouble(1) == -1.0, s"slope: $r")
+    assert(r.getDouble(3) == 1.0, s"r2: $r")
+    assert(math.abs(r.getDouble(2) - math.log(2520.0)) < 1e-5, s"intercept: $r")
+    assert(r.getLong(5) == (1 to 10).map(2520 / _).sum.toLong)
+    // rank ties broken by term: a uniform corpus still fits deterministically
+    val dir2 = tmp()
+    Seq((1L, "a b c a b c", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val u = graft.TextQueries.queries("t193_zipf_slope")(spark, dir2).head()
+    assert(u.getDouble(1) == 0.0 && u.getLong(0) == 3L,
+      s"uniform corpus must fit slope 0: $u")
+  }
+
   test("q169_attribution: as-of pick, equal-ts touch, and direct fallback") {
     import spark.implicits._
     val dir = tmp()
