@@ -1718,9 +1718,9 @@ object EventQueries {
         |  FROM pu GROUP BY 1),
         |w AS (SELECT
         |    max(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
-        |    max(CASE WHEN variant = 'A' THEN n_conv END) AS conv_a,
+        |    CAST(max(CASE WHEN variant = 'A' THEN n_conv END) AS BIGINT) AS conv_a,
         |    max(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
-        |    max(CASE WHEN variant = 'B' THEN n_conv END) AS conv_b
+        |    CAST(max(CASE WHEN variant = 'B' THEN n_conv END) AS BIGINT) AS conv_b
         |  FROM v)
         |SELECT n_a, conv_a, round(conv_a / n_a, 9) AS rate_a,
         |  n_b, conv_b, round(conv_b / n_b, 9) AS rate_b,
@@ -1876,7 +1876,7 @@ object EventQueries {
         |    sum(i * cnt) AS iweighted,
         |    sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS top10
         |  FROM r)
-        |SELECT n_rows, n_keys, max_cnt,
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows, n_keys, max_cnt,
         |  round(max_cnt / n_rows, 9) AS max_share,
         |  round(top10 / n_rows, 9) AS top10_share,
         |  round(iweighted * 2.0 / (n_keys * n_rows) -
@@ -1913,8 +1913,8 @@ object EventQueries {
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events),
         |fd AS (SELECT user_id, min(dy) AS first_dy FROM ud GROUP BY 1)
         |SELECT dy,
-        |  sum(CASE WHEN dy = first_dy THEN 1 ELSE 0 END) AS new_users,
-        |  sum(CASE WHEN dy <> first_dy THEN 1 ELSE 0 END) AS returning_users,
+        |  CAST(sum(CASE WHEN dy = first_dy THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN dy <> first_dy THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
         |  count(*) AS active_users
         |FROM ud JOIN fd USING (user_id)
         |GROUP BY dy ORDER BY dy""".stripMargin,

@@ -697,9 +697,11 @@ object SimilarityQueries {
       * near-random vectors: mean recall@10 measured 0.36 unreranked vs
       * 0.88 reranked at sf0.01, DedupSimilaritySpec pins the floor).
       *
-      * Per-subspace distances are rounded to the 1e-9 lattice and summed
-      * as DECIMAL(28,9) (the s103 trick) so the 8-row sum is
-      * order-independent and byte-stable across engines/partitionings.
+      * Per-subspace distances are quantized to the 1e-9 BIGINT lattice
+      * (floor(x·1e9 + 0.5)) and summed as integers, so the 8-row sum is
+      * order-independent and byte-stable across engines/partitionings —
+      * and immune to round(DOUBLE, n) half-mode drift across DuckDB
+      * releases (the round-8 driver-gate lesson).
       *
       * Scale shape (100 TB): encoding is one broadcast join (codebook is
       * KB-sized) + a per-(vector,subspace) argmin — linear, shuffled on
@@ -710,12 +712,13 @@ object SimilarityQueries {
     "s140_pq_ann" -> ((s, d) => {
       VectorFunctions.register(s)
       val Shortlist = 5 * K
-      val wA = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
+      val wA = Window.partitionBy("query_id")
+        .orderBy(col("approx_dist_e9"), col("neighbor_id"))
       val short = pqEncode(s, d).join(broadcast(pqDistTables(s, d)),
           Seq("sub", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-        .agg(sum(col("dt")).cast("decimal(28,9)").as("approx_dist"))
+        .agg(sum(col("dt")).as("approx_dist_e9"))
         .withColumn("arank", row_number().over(wA))
         .filter(col("arank") <= Shortlist)
         .drop("arank")
@@ -741,7 +744,7 @@ object SimilarityQueries {
         val w = Window.partitionBy(idCol).orderBy(desc("c_sim"), col("centroid_id"))
         df.join(broadcast(cents), lit(true))
           .select(col(idCol), col("centroid_id"),
-            call_function("cosine_sim", col(vCol), col("cv")).as("c_sim"))
+            e9(call_function("cosine_sim", col(vCol), col("cv"))).as("c_sim"))
           .withColumn("c_rank", row_number().over(w))
           .filter(col("c_rank") <= keep)
           .select(col(idCol), col("centroid_id"))
@@ -758,12 +761,13 @@ object SimilarityQueries {
         .select("query_id", "neighbor_id")
       // ADC over the probed lists only — candidates first, codes second
       val Shortlist = 5 * K
-      val wA = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
+      val wA = Window.partitionBy("query_id")
+        .orderBy(col("approx_dist_e9"), col("neighbor_id"))
       val short = cand
         .join(pqEncode(s, d).withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .join(broadcast(pqDistTables(s, d)), Seq("query_id", "sub", "code"))
         .groupBy("query_id", "neighbor_id")
-        .agg(sum(col("dt")).cast("decimal(28,9)").as("approx_dist"))
+        .agg(sum(col("dt")).as("approx_dist_e9"))
         .withColumn("arank", row_number().over(wA))
         .filter(col("arank") <= Shortlist)
         .drop("arank")
@@ -1097,20 +1101,27 @@ object SimilarityQueries {
 
   /** (vec_id, sub, code): nearest codebook centroid per subspace;
     * min(struct) is a deterministic argmin with ties to the lowest id. */
+  /** Quantize a nonneg-ish double onto the 1e-9 integer lattice:
+    * floor(x·1e9 + 0.5) as BIGINT. Used for every PQ distance/score so
+    * sums and rank cuts are integer-exact across engines — floor() and
+    * IEEE multiply are bit-stable in a way round(DOUBLE, n) (whose
+    * half-rounding mode has shifted across DuckDB releases) is not. */
+  private def e9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
+
   private def pqEncode(s: SparkSession, d: String): DataFrame =
     pqSubvectors(embeddings(s, d), "vec_id")
       .join(broadcast(pqCentSubs(s, d)), "sub")
       .groupBy("vec_id", "sub")
-      .agg(min(struct(l2sqC(col("sv"), col("cv")).as("l2"),
+      .agg(min(struct(e9(l2sqC(col("sv"), col("cv"))).as("l2"),
         col("cent_id"))).getField("cent_id").as("code"))
 
-  /** (query_id, sub, code, dt): ADC distance tables on the 1e-9
-    * DECIMAL(28,9) lattice, so the 8-row sums are order-independent. */
+  /** (query_id, sub, code, dt): ADC distance tables on the 1e-9 BIGINT
+    * lattice, so the 8-row sums are integer — order-independent. */
   private def pqDistTables(s: SparkSession, d: String): DataFrame =
     pqSubvectors(embeddings(s, d).filter(col("vec_id") < NumQueries), "query_id")
       .join(broadcast(pqCentSubs(s, d)), "sub")
       .select(col("query_id"), col("sub"), col("cent_id").as("code"),
-        round(l2sqC(col("sv"), col("cv")), 9).cast("decimal(28,9)").as("dt"))
+        e9(l2sqC(col("sv"), col("cv"))).as("dt"))
 
   /** Exact-L2 rerank of a (query_id, neighbor_id, approx_dist) shortlist
     * down to top-K — only the shortlist's original vectors are touched. */
@@ -1121,13 +1132,13 @@ object SimilarityQueries {
     val qv = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
-    val wE = Window.partitionBy("query_id").orderBy(col("exact_dist"), col("neighbor_id"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("exact_dist_e9"), col("neighbor_id"))
     short.join(nv, "neighbor_id").join(broadcast(qv), "query_id")
-      .withColumn("exact_dist",
-        round(l2sqC(col("qv"), col("nv")), 9).cast("decimal(28,9)"))
+      .withColumn("exact_dist_e9", e9(l2sqC(col("qv"), col("nv"))))
       .withColumn("rank", row_number().over(wE).cast("long"))
       .filter(col("rank") <= K)
-      .select("query_id", "neighbor_id", "rank", "approx_dist", "exact_dist")
+      .select("query_id", "neighbor_id", "rank", "approx_dist_e9", "exact_dist_e9")
       .orderBy("query_id", "rank")
   }
 
@@ -1889,30 +1900,28 @@ object SimilarityQueries {
       s"""WITH $pqCtesSql,
          |scored AS (
          |  SELECT d.query_id, x.vec_id AS neighbor_id,
-         |    CAST(sum(d.dt) AS DECIMAL(28,9)) AS approx_dist
+         |    CAST(sum(d.dt) AS BIGINT) AS approx_dist_e9
          |  FROM encd x JOIN qdt d ON x.sub = d.sub AND x.code = d.cent_id
          |  WHERE d.query_id <> x.vec_id
          |  GROUP BY 1, 2),
          |short AS (
-         |  SELECT query_id, neighbor_id, approx_dist,
+         |  SELECT query_id, neighbor_id, approx_dist_e9,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY approx_dist, neighbor_id) AS arank
+         |      ORDER BY approx_dist_e9, neighbor_id) AS arank
          |  FROM scored QUALIFY arank <= ${5 * K}),
          |reranked AS (
-         |  SELECT s.query_id, s.neighbor_id, s.approx_dist,
-         |    CAST(round(list_sum(list_transform(range(1, 65),
-         |      i -> (q.emb[i] - c.emb[i]) * (q.emb[i] - c.emb[i]))), 9)
-         |      AS DECIMAL(28,9)) AS exact_dist
+         |  SELECT s.query_id, s.neighbor_id, s.approx_dist_e9,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 64))} AS exact_dist_e9
          |  FROM short s
          |  JOIN e q ON q.vec_id = s.query_id
          |  JOIN e c ON c.vec_id = s.neighbor_id),
          |ranked AS (
-         |  SELECT query_id, neighbor_id, approx_dist, exact_dist,
+         |  SELECT query_id, neighbor_id, approx_dist_e9, exact_dist_e9,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY exact_dist, neighbor_id) AS rank
+         |      ORDER BY exact_dist_e9, neighbor_id) AS rank
          |  FROM reranked)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-         |  approx_dist, exact_dist
+         |  approx_dist_e9, exact_dist_e9
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // s44's coarse assignment (8 cents, probe 2) pruning s140's ADC+rerank
     "s144_ivf_pq" ->
@@ -1921,7 +1930,8 @@ object SimilarityQueries {
          |assign AS (
          |  SELECT v.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY list_cosine_similarity(v.emb, c.ce) DESC, c.centroid_id)
+         |      ORDER BY ${e9Sql(cosChainSql("v.emb", "c.ce", 64))} DESC,
+         |        c.centroid_id)
          |      AS c_rank
          |  FROM e v CROSS JOIN cents c),
          |lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE c_rank <= 1),
@@ -1934,32 +1944,30 @@ object SimilarityQueries {
          |  WHERE p.query_id <> l.neighbor_id),
          |scored AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |    CAST(sum(d.dt) AS DECIMAL(28,9)) AS approx_dist
+         |    CAST(sum(d.dt) AS BIGINT) AS approx_dist_e9
          |  FROM cand c
          |  JOIN encd x ON x.vec_id = c.neighbor_id
          |  JOIN qdt d ON d.query_id = c.query_id AND d.sub = x.sub
          |    AND d.cent_id = x.code
          |  GROUP BY 1, 2),
          |short AS (
-         |  SELECT query_id, neighbor_id, approx_dist,
+         |  SELECT query_id, neighbor_id, approx_dist_e9,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY approx_dist, neighbor_id) AS arank
+         |      ORDER BY approx_dist_e9, neighbor_id) AS arank
          |  FROM scored QUALIFY arank <= ${5 * K}),
          |reranked AS (
-         |  SELECT s.query_id, s.neighbor_id, s.approx_dist,
-         |    CAST(round(list_sum(list_transform(range(1, 65),
-         |      i -> (q.emb[i] - c.emb[i]) * (q.emb[i] - c.emb[i]))), 9)
-         |      AS DECIMAL(28,9)) AS exact_dist
+         |  SELECT s.query_id, s.neighbor_id, s.approx_dist_e9,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 64))} AS exact_dist_e9
          |  FROM short s
          |  JOIN e q ON q.vec_id = s.query_id
          |  JOIN e c ON c.vec_id = s.neighbor_id),
          |ranked AS (
-         |  SELECT query_id, neighbor_id, approx_dist, exact_dist,
+         |  SELECT query_id, neighbor_id, approx_dist_e9, exact_dist_e9,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY exact_dist, neighbor_id) AS rank
+         |      ORDER BY exact_dist_e9, neighbor_id) AS rank
          |  FROM reranked)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-         |  approx_dist, exact_dist
+         |  approx_dist_e9, exact_dist_e9
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // s42's top-K replica, then the greedy MMR recursion unrolled into
     // three argmax CTEs; scores rounded to 9 before each argmax on both
@@ -2195,7 +2203,8 @@ object SimilarityQueries {
         |  FROM qz CROSS JOIN unnest(range(0, 64)) AS ge(i)
         |  GROUP BY 1),
         |nn AS (SELECT count(*) AS n FROM qz)
-        |SELECT p.i, p.j, p.sum_xy, ex.sx AS sum_x, ey.sx AS sum_y, nn.n,
+        |SELECT p.i, p.j, CAST(p.sum_xy AS BIGINT) AS sum_xy,
+        |  CAST(ex.sx AS BIGINT) AS sum_x, CAST(ey.sx AS BIGINT) AS sum_y, nn.n,
         |  round((p.sum_xy - ex.sx * ey.sx / nn.n) / (nn.n - 1), 9) AS cov
         |FROM pairs p
         |JOIN el ex ON p.i = ex.i
@@ -2204,8 +2213,29 @@ object SimilarityQueries {
         |ORDER BY p.i, p.j""".stripMargin
   )
 
+  /** Explicit left-associated Σ(aᵢ−bᵢ)² chain — the same IEEE op sequence
+    * as [[graft.functions.SquaredL2Distance]]'s fold, spelled out so the
+    * oracle does not depend on any DuckDB list_sum ordering. */
+  private def l2ChainSql(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
+
+  /** Explicit cosine similarity mirroring CosineSimilarity's single pass:
+    * dot and both norms each fold left-to-right, final dot/sqrt(nx·ny). */
+  private def cosChainSql(a: String, b: String, n: Int): String = {
+    val dot = (1 to n).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+    val nx = (1 to n).map(i => s"$a[$i] * $a[$i]").mkString(" + ")
+    val ny = (1 to n).map(i => s"$b[$i] * $b[$i]").mkString(" + ")
+    s"($dot) / sqrt(($nx) * ($ny))"
+  }
+
+  /** floor(x·1e9 + 0.5) as BIGINT — the engine-stable e9 lattice quantizer
+    * (round(DOUBLE, n) half-mode differs across DuckDB releases; floor and
+    * IEEE multiply do not). */
+  private def e9Sql(x: String): String =
+    s"CAST(floor(($x) * 1e9 + 0.5) AS BIGINT)"
+
   /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,
-    * argmin encode with id tiebreak, lattice distance tables. */
+    * argmin encode with id tiebreak, e9-integer distance tables. */
   private lazy val pqCtesSql: String =
     s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -2218,15 +2248,12 @@ object SimilarityQueries {
        |  SELECT vec_id, sub, cent_id AS code FROM (
        |    SELECT v.vec_id, v.sub, c.cent_id,
        |      row_number() OVER (PARTITION BY v.vec_id, v.sub
-       |        ORDER BY list_sum(list_transform(range(1, 9),
-       |          i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), c.cent_id) AS rn
+       |        ORDER BY ${e9Sql(l2ChainSql("v.sv", "c.cv", 8))}, c.cent_id) AS rn
        |    FROM sv v JOIN cent c USING (sub))
        |  WHERE rn = 1),
        |qdt AS (
        |  SELECT q.vec_id AS query_id, q.sub, c.cent_id,
-       |    CAST(round(list_sum(list_transform(range(1, 9),
-       |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), 9)
-       |      AS DECIMAL(28,9)) AS dt
+       |    ${e9Sql(l2ChainSql("q.sv", "c.cv", 8))} AS dt
        |  FROM sv q JOIN cent c USING (sub) WHERE q.vec_id < $NumQueries)""".stripMargin
 }
 

@@ -1895,10 +1895,10 @@ object TextQueries {
         |inst AS (SELECT bucket, count(*) AS bucket_tokens FROM tok GROUP BY 1)
         |SELECT i.bucket, i.bucket_tokens,
         |  coalesce(fs.new_tokens, 0) AS new_tokens,
-        |  sum(i.bucket_tokens) OVER (ORDER BY i.bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-        |  sum(coalesce(fs.new_tokens, 0)) OVER (ORDER BY i.bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+        |  CAST(sum(i.bucket_tokens) OVER (ORDER BY i.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(fs.new_tokens, 0)) OVER (ORDER BY i.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
         |FROM inst i LEFT JOIN fs ON i.bucket = fs.first_bucket
         |ORDER BY i.bucket""".stripMargin,
     // pmi rounded to 6 BEFORE the rank-order on both engines, so the
@@ -1933,7 +1933,9 @@ object TextQueries {
         |    CAST(strlen(text) AS BIGINT) AS bytes
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(ws) AS n_words, sum(sub) AS n_subtokens, sum(bytes) AS n_bytes,
+        |  CAST(sum(ws) AS BIGINT) AS n_words,
+        |  CAST(sum(sub) AS BIGINT) AS n_subtokens,
+        |  CAST(sum(bytes) AS BIGINT) AS n_bytes,
         |  round(sum(sub) / sum(ws), 9) AS fertility,
         |  round(sum(bytes) / sum(sub), 9) AS bytes_per_subtoken,
         |  round(sum(bytes) / sum(ws), 9) AS bytes_per_word
@@ -1965,7 +1967,8 @@ object TextQueries {
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |  FROM documents),
         |counts AS (SELECT term, count(*) AS cnt FROM c GROUP BY 1),
-        |totals AS (SELECT count(*) AS n_vocab, sum(cnt) AS n_tokens FROM counts),
+        |totals AS (SELECT count(*) AS n_vocab,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens FROM counts),
         |top AS (
         |  SELECT cnt,
         |    row_number() OVER (ORDER BY cnt DESC, term) AS rank

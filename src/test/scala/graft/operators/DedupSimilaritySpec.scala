@@ -472,11 +472,11 @@ class DedupSimilaritySpec extends SparkSpec {
     out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       val sorted = rows.sortBy(_.getLong(2))
       assert(sorted.map(_.getLong(2)).toSeq == (1L to 10L))
-      val exact = sorted.map(_.getDecimal(4))
-      assert(exact.zip(exact.tail).forall { case (a, b) => a.compareTo(b) <= 0 },
+      val exact = sorted.map(_.getLong(4))
+      assert(exact.zip(exact.tail).forall { case (a, b) => a <= b },
         "exact rerank distance must be non-decreasing down the ranking")
-      assert(sorted.map(_.getDecimal(3)).forall(_.signum() >= 0) &&
-        exact.forall(_.signum() >= 0), "squared distances are non-negative")
+      assert(sorted.map(_.getLong(3)).forall(_ >= 0L) &&
+        exact.forall(_ >= 0L), "squared distances are non-negative")
     }
     // recall vs EXACT L2 top-10, computed independently from raw vectors
     val vecs = Tables.embeddings(spark, sf)
@@ -504,21 +504,21 @@ class DedupSimilaritySpec extends SparkSpec {
     ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       val sorted = rows.sortBy(_.getLong(2))
       assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
-      val exact = sorted.map(_.getDecimal(4))
-      assert(exact.zip(exact.tail).forall { case (a, b) => a.compareTo(b) <= 0 })
+      val exact = sorted.map(_.getLong(4))
+      assert(exact.zip(exact.tail).forall { case (a, b) => a <= b })
     }
     // the full-corpus PQ is the upper bound: every IVF-PQ result that the
     // unpruned s140 also surfaces must carry identical ADC + exact
     // distances (same codes, same tables — pruning changes the candidate
     // set, never a surviving candidate's scores)
     val full = SparkEntry.queries("s140_pq_ann")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDecimal(3), r.getDecimal(4)))
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
       .toMap
     var shared = 0
     ivfpq.foreach { r =>
       full.get((r.getLong(0), r.getLong(1))).foreach { case (ad, ed) =>
         shared += 1
-        assert(r.getDecimal(3).compareTo(ad) == 0 && r.getDecimal(4).compareTo(ed) == 0,
+        assert(r.getLong(3) == ad && r.getLong(4) == ed,
           s"scores diverge for shared candidate ${(r.getLong(0), r.getLong(1))}")
       }
     }

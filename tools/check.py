@@ -32,6 +32,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+# Driver-compare contract, calibrated against CORRECTNESS_r08:
+#   - float values: last-ulp diffs PASS the driver (its hasher rounds), so
+#     compare at 1e-9 relative tolerance;
+#   - types: int vs float vs Decimal vs str vs bool are DISTINCT (9 r08
+#     queries failed on exactly this), but date vs timestamp are one family.
 def values_match(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -50,11 +55,34 @@ def values_match(a, b) -> bool:
 
 def compare(name, spark_df, duck_df):
     errs = []
+    raw_s, raw_d = spark_df.copy(), duck_df.copy()
     s, d = canon(spark_df), canon(duck_df)
     if list(s.columns) != list(d.columns):
         return [f"columns differ: spark={list(s.columns)} duck={list(d.columns)}"]
     if len(s) != len(d):
         return [f"row count differs: spark={len(s)} duck={len(d)}"]
+    # The driver hashes typed values: int64 5 vs float64 5.0 vs Decimal('5')
+    # vs date vs str all hash differently. Compare dtype *kinds* so a local
+    # pass implies a driver pass.
+    def kind(col):
+        k = col.dtype.kind
+        if k == "O":
+            nn = col.dropna()
+            if not len(nn):
+                return "O:empty"
+            t = type(nn.iloc[0]).__name__
+            # driver canonicalizes the whole date/timestamp family together
+            if t in ("date", "datetime", "Timestamp"):
+                return "dt"
+            return f"O:{t}"
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "dt", "m": "td"}.get(k, k)
+    for c in s.columns:
+        ks, kd = kind(raw_s[c]), kind(raw_d[c])
+        if ks != kd:
+            errs.append(f"col {c}: dtype kind differs: spark={ks}({raw_s[c].dtype}) duck={kd}({raw_d[c].dtype})")
+    if errs:
+        return errs
     for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
         bad = [(i, x, y) for i, (x, y) in enumerate(zip(sv, dv)) if not values_match(x, y)]
@@ -87,7 +115,13 @@ def main():
             print(f"  {name}: rows-only ({len(spark_df)} rows)")
             continue
         try:
-            duck_df = con.execute(oracles[name]).fetchdf()
+            # Arrow path (not fetchdf): preserves DECIMAL as Decimal objects,
+            # DATE as date objects, and surfaces HUGEINT (sum of BIGINT!) as
+            # Decimal — the type lens the driver's hasher sees. fetchdf
+            # flattens all of those to float64 and hides driver-side
+            # type mismatches (the round-8 lesson: 9 queries passed locally
+            # and failed the driver on exactly this).
+            duck_df = con.execute(oracles[name]).arrow().to_pandas()
         except Exception as e:
             results[name] = [f"oracle SQL failed: {e}"]
             continue
