@@ -390,6 +390,89 @@ object DedupQueries {
     labeled
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the third tier of the components family, and the one
+    * whose round count is O(log² n) REGARDLESS of component shape:
+    *
+    *   large-star: per node u over the symmetrized neighborhood Γ(u),
+    *     m = min(Γ(u) ∪ {u}); re-point every strictly-larger neighbor
+    *     at m — emit (v, m) for v ∈ Γ(u), v > u.
+    *   small-star: orient every edge child-ward ((max, min)); per node
+    *     u with smaller neighbors Γ⁻(u), m = min(Γ⁻(u) ∪ {u}); emit
+    *     (v, m) for v ∈ Γ⁻(u) ∪ {u}, v ≠ m.
+    *
+    * The fixpoint is a forest of depth-1 stars rooted at each
+    * component's minimum id. [[labelComponents]]' pointer-jumping tier
+    * converges in O(log diameter) rounds but each round JOINS the full
+    * label table against the edge list; star rounds are groupBy-only
+    * (one shuffle on node id each), never carry a label table, and the
+    * edge list physically CONTRACTS toward one edge per non-root node —
+    * at 100 TB that shrinking working set (vs label-prop's constant
+    * n-row labels frame) is what keeps late rounds cheap. Termination
+    * detection rides the materializing count: a round that changes
+    * nothing (same edge multiset, checked by count + order-free
+    * hash-sum signature) is the fixpoint; a 60-round ceiling (2·log²
+    * of any realistic n) backstops it. Output contract is d62's:
+    * pair-graph nodes only, (doc_id, cluster_id = component min). */
+  private[graft] def starComponents(s: SparkSession, pairs0: DataFrame): DataFrame = {
+    val dedup = pairs0.select(col("doc1").cast("long"), col("doc2").cast("long"))
+      .filter(col("doc1") =!= col("doc2"))
+    var edges = dedup
+      .select(greatest(col("doc1"), col("doc2")).as("u"),
+        least(col("doc1"), col("doc2")).as("v"))
+      .distinct().persist()
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal(38,0) accumulator: a plain long sum of xxhash64 values
+      // overflows under ANSI mode
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges are already child-ward oriented (u > v) by construction
+      // and both star ops preserve that orientation
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val withM = e.join(mins, "u")
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 60) {
+      // each star op references its input 3-4× (sym union + grouped-min
+      // join-back), so the UNtruncated plan grows ~12× per round and
+      // Catalyst planning time — not data — dominates by round 2 (48 s
+      // on a 13-row debug graph). localCheckpoint EVERY round: one
+      // materialization of a contracting edge set per round, plans stay
+      // O(1).
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    // fixpoint edges are (child, root); roots label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+    edges.unpersist()
+    labels
+  }
+
   /* Fuzzy-key near-dup pairs at edit distance ≤ 2 — see the d145
    * scaladoc below for the PassJoin design; shared with d152's keep-first
    * composition. Returns (doc1 < doc2, edit_dist). */
@@ -578,6 +661,25 @@ object DedupQueries {
       s.conf.set(key, "0")
       try queries("d62_dedup_clusters")(s, d)
       finally s.conf.set(key, prev)
+    }),
+
+    /** Third components tier: [[starComponents]] (alternating
+      * large-star/small-star) over the SAME Jaccard pair graph, sharing
+      * d62/d83's oracle verbatim — the d83 contract: a different 100 TB
+      * algorithm must reproduce the same bytes, not just a same-ish
+      * clustering. Exists because d83's pointer-jumped label propagation
+      * pays per-round label-table joins and O(log diameter) rounds;
+      * the star rounds are groupBy-only with a contracting edge set and
+      * an O(log² n) bound independent of component shape — the variant
+      * to reach for when near-dup chains get long (quote threads,
+      * boilerplate gradients) rather than star-shaped. */
+    "d194_clusters_bigstar" -> ((s, d) => {
+      val labeled = starComponents(s, jaccardPairs(s, d, 0.5))
+      labeled
+        .join(labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+          "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
     }),
 
     /** Corpus-level exact CHUNK dedup (the sub-document granularity the
@@ -1535,6 +1637,7 @@ object DedupQueries {
     "d81_jaccard_prefix" -> jaccardOracle,
     "d82_embedding_lsh" -> lshReplicaOracle,
     "d83_clusters_distributed" -> clustersOracle,
+    "d194_clusters_bigstar" -> clustersOracle,
     "d38_dedup_jaccard" -> jaccardOracle,
     // same shingle CTE as d38's oracle; containment divides by the
     // CONTAINED side's size and keeps both directions

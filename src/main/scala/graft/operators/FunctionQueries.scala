@@ -262,6 +262,47 @@ object FunctionQueries {
         .orderBy("event_type")
     }),
 
+    /** Count-min frequency sketch (Cormode & Muthukrishnan) — the
+      * frequency member of the sketch family (theta/HLL = distinct,
+      * KLL = quantiles, CMS = point counts): one 5×2048 counter blob per
+      * event_type answers "how often did user u appear" without a per-key
+      * count table. Probes are each type's exact top-3 users; the gate
+      * asserts CMS's two guarantees as claim booleans (q65/q91 pattern):
+      * estimates never under-count, and over-count stays within the
+      * blown-up 8·N/width Markov bound (per-row failure < 1/8, min over
+      * 5 independent rows < 8⁻⁵ — deterministic data makes the claim
+      * reproducible, the slack makes it scale-robust).
+      *
+      * Scale shape: the sketch build is one partial+final aggregate whose
+      * merge is elementwise addition on ~82 KB buffers — per-day blobs
+      * roll up to any grain by pure addition (the q157 persisted-sketch
+      * story, but for frequencies). The exact side exists only to gate
+      * the claims; the probe-side estimate expression runs on 3 rows per
+      * group, never the corpus. */
+    "q195_count_min" -> ((s, d) => {
+      graft.functions.CountMinAgg.register(s)
+      val (depth, width) = (5, 2048)
+      val ev = events(s, d)
+      val sk = ev.groupBy("event_type")
+        .agg(expr(s"count_min_agg(user_id, $depth, $width)").as("sk"),
+          count(lit(1)).as("n_events"))
+      val probes = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(desc("exact_cnt"), col("user_id"))).cast("long"))
+        .filter(col("rk") <= 3)
+      probes.join(broadcast(sk), "event_type")
+        .withColumn("est",
+          expr(s"cms_estimate(sk, user_id, $depth, $width)"))
+        .select(col("event_type"), col("rk"), col("user_id"),
+          col("exact_cnt"), col("n_events"),
+          (col("est") >= col("exact_cnt")).as("cms_ge_exact"),
+          (col("est") - col("exact_cnt") <=
+            floor(lit(8.0) * col("n_events") / width) + 1L).as("cms_within_eps"))
+        .orderBy("event_type", "rk")
+    }),
+
     /** Market-basket association rules (Agrawal/Srikant Apriori at
       * itemset size 2 — the retail cross-sell miner): baskets are
       * orders, items are part brands; for every directional brand pair
@@ -554,6 +595,22 @@ object FunctionQueries {
         |JOIN (SELECT event_type, count(*) AS n_day_cells
         |      FROM daily GROUP BY 1) d USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // sketch counters are engine-internal (q157 pattern): the oracle
+    // recomputes the exact probe counts and asserts the claim booleans
+    "q195_count_min" ->
+      """WITH ex AS (
+        |  SELECT event_type, user_id, count(*) AS exact_cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT event_type, user_id, exact_cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY exact_cnt DESC, user_id) AS BIGINT) AS rk
+        |  FROM ex QUALIFY rk <= 3)
+        |SELECT p.event_type, p.rk, p.user_id, p.exact_cnt, n.n_events,
+        |  TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+        |FROM p JOIN n USING (event_type)
+        |ORDER BY p.event_type, p.rk""".stripMargin,
     "q164_basket_rules" ->
       """WITH baskets AS (
         |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item

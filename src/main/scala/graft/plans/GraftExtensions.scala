@@ -116,5 +116,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("theta_union_estimate",
         "theta_union_estimate(a, b) - |A union B| estimate from two theta sketches"),
       (exprs: Seq[Expression]) => ThetaUnionEstimate(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("gram_matrix_agg"),
+      info("gram_matrix_agg",
+        "gram_matrix_agg(qvec, dim) - mergeable integer moment matrix (sum qi*qj, sum qi, n)"),
+      (exprs: Seq[Expression]) => graft.functions.GramMatrixAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("count_min_agg"),
+      info("count_min_agg",
+        "count_min_agg(key, depth, width) - mergeable count-min frequency sketch of long keys"),
+      (exprs: Seq[Expression]) => graft.functions.CountMinAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(sketch, key, depth, width) - point frequency estimate from a count-min sketch"),
+      (exprs: Seq[Expression]) => graft.functions.CmsEstimate(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue(),
+        exprs(3).eval(null).asInstanceOf[Number].intValue())))
   }
 }

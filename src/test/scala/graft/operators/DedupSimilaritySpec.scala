@@ -271,6 +271,35 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.clusters.unionFindLimit")
   }
 
+  test("d194: starComponents labels chains, stars, cycles, and parallel edges like union-find") {
+    // adversarial little graph: a 9-node path (worst case for per-round
+    // contraction), a star NOT rooted at its min, a 4-cycle, duplicate
+    // and reversed edges, and a self-loop-adjacent pair
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (21L, 20L), (21L, 22L), (21L, 23L), // star rooted at 21, min is 20
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 30L), // cycle
+      (40L, 41L), (41L, 40L), (40L, 41L) // parallel + reversed
+    ).toDF("doc1", "doc2")
+    val got = DedupQueries.starComponents(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect =
+      (0L to 8L).map(_ -> 0L).toMap ++
+        Seq(20L, 21L, 22L, 23L).map(_ -> 20L) ++
+        Seq(30L, 31L, 32L, 33L).map(_ -> 30L) ++
+        Seq(40L, 41L).map(_ -> 40L)
+    assert(got == expect, s"only-got=${got.toSet -- expect.toSet} only-exp=${expect.toSet -- got.toSet}")
+  }
+
+  test("d194: big-star tier reproduces d62's clustering byte-for-byte at this sf") {
+    val star = SparkEntry.queries("d194_clusters_bigstar")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val uf = SparkEntry.queries("d62_dedup_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(star.nonEmpty && star == uf,
+      s"only-star=${star -- uf} only-uf=${uf -- star}")
+  }
+
   test("cosine_sim expression matches manual computation and handles zero vectors") {
     graft.functions.VectorFunctions.register(spark)
     val df = Seq(
