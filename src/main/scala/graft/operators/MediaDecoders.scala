@@ -204,6 +204,44 @@ object WavDecoder extends MediaDecoder {
     * features from first principles. */
   def sample(i: Int, seed: Int): Short =
     (((seed.toLong + 997L * i) % 65536L) - 32768L).toShort
+
+  /** First `nWindows` window energies (Σ|sample| per `window`-sample
+    * block, first channel stream order) of a decoded WAV — the
+    * integer-exact frame-energy sequence the m198 fingerprint folds.
+    * All-long arithmetic: |sample| ≤ 32768, so a window sum can never
+    * approach overflow and the result is bit-stable everywhere. */
+  def windowEnergies(bytes: Array[Byte], window: Int, nWindows: Int): Array[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16, "only 16-bit signed PCM WAV")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      require(n >= window * nWindows,
+        s"need ${window * nWindows} samples for $nWindows windows, got $n")
+      val out = new Array[Long](nWindows)
+      var w = 0
+      while (w < nWindows) {
+        var e = 0L
+        var i = w * window
+        val end = i + window
+        while (i < end) {
+          val lo = pcm(2 * i) & 0xff
+          val hi = pcm(2 * i + 1).toInt
+          val sample: Int =
+            if (fmt.isBigEndian) (lo << 24 >> 16) | (hi & 0xff)
+            else (hi << 8) | lo
+          e += math.abs(sample.toLong)
+          i += 1
+        }
+        out(w) = e
+        w += 1
+      }
+      out
+    } finally ais.close()
+  }
 }
 
 /** Real VIDEO decode for Motion-JPEG-in-AVI — the one widely-used video

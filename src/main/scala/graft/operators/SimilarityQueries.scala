@@ -1029,6 +1029,49 @@ object SimilarityQueries {
       *
       * Scale shape: partial+final ObjectHashAggregate; the long-form
       * expansion runs on the single result row's 4096 array slots. */
+    /** Matryoshka truncation-quality eval (Kusupati et al. 2022 — MRL
+      * embeddings are trained so PREFIXES of the vector are usable
+      * embeddings; serving systems exploit that by retrieving with the
+      * first 16/32 dims and paying full-dim cost only on a shortlist).
+      * This query measures what prefix retrieval costs on THIS corpus:
+      * recall@10 of the 16-dim and 32-dim prefix rankings against the
+      * full 64-dim exact top-10, per query. All three distances are
+      * e9-quantized before their rank cuts (the s140 lattice) so the
+      * three top-10 sets are cross-engine identical.
+      *
+      * Scale shape: candidate scoring is the s42 brute tier (queries
+      * broadcast, one corpus scan, three distances per pair in one
+      * pass); at 100 TB the candidate generation swaps to any ANN tier
+      * unchanged — the eval only needs the three per-pair distances.
+      * The three windows run on queries×corpus rows of 3 longs each,
+      * and the roll-up is one query_id-keyed aggregate. */
+    "s197_mrl_recall" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ne"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          e9(l2sqC(col("qe"), col("ne"))).as("d64"),
+          e9(l2sqC(slice(col("qe"), 1, 16), slice(col("ne"), 1, 16))).as("d16"),
+          e9(l2sqC(slice(col("qe"), 1, 32), slice(col("ne"), 1, 32))).as("d32"))
+      def rk(dc: String) = row_number().over(
+        Window.partitionBy("query_id").orderBy(col(dc), col("neighbor_id")))
+      scored
+        .withColumn("r64", rk("d64")).withColumn("r16", rk("d16"))
+        .withColumn("r32", rk("d32"))
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("r64") <= K && col("r16") <= K, 1L).otherwise(0L)).as("hits_16"),
+          sum(when(col("r64") <= K && col("r32") <= K, 1L).otherwise(0L)).as("hits_32"))
+        .select(col("query_id"), col("hits_16"), col("hits_32"),
+          (col("hits_16").cast("double") / K).as("recall_16"),
+          (col("hits_32").cast("double") / K).as("recall_32"))
+        .orderBy("query_id")
+    }),
+
     "s191_embedding_gram" -> ((s, d) => {
       graft.functions.GramMatrixAgg.register(s)
       val D = 64
@@ -2181,6 +2224,32 @@ object SimilarityQueries {
          |ORDER BY cluster""".stripMargin,
     // the oracle PAYS the ×d² unnest the Spark aggregate avoids — same
     // integer-exact sums, structurally different (and unscalable) plan
+    // same e9 lattice, same explicit prefix chains, same tie-break
+    "s197_mrl_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 64))} AS d64,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 16))} AS d16,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 32))} AS d32
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |r AS (
+         |  SELECT query_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d64, neighbor_id) AS r64,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d16, neighbor_id) AS r16,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d32, neighbor_id) AS r32
+         |  FROM sc),
+         |agg AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN r64 <= $K AND r16 <= $K THEN 1 ELSE 0 END) AS BIGINT) AS hits_16,
+         |    CAST(sum(CASE WHEN r64 <= $K AND r32 <= $K THEN 1 ELSE 0 END) AS BIGINT) AS hits_32
+         |  FROM r GROUP BY 1)
+         |SELECT query_id, hits_16, hits_32,
+         |  CAST(hits_16 AS DOUBLE) / $K AS recall_16,
+         |  CAST(hits_32 AS DOUBLE) / $K AS recall_32
+         |FROM agg ORDER BY query_id""".stripMargin,
     "s191_embedding_gram" ->
       """WITH qz AS (
         |  SELECT vec_id,

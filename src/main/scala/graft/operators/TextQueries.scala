@@ -1173,6 +1173,50 @@ object TextQueries {
       * rows — vocabulary size never sorts globally. Tie-break (count
       * desc, term) makes the fit set deterministic; ln() on exact
       * integer counts is bit-identical cross-engine. */
+    /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
+      * 2010 — the classic domain-data selector, and the counterpart to
+      * t101's DSIR: DSIR reweights by hashed-n-gram importance ratios,
+      * Moore–Lewis RANKS each candidate document by how much better an
+      * in-domain LM explains it than an out-domain LM). In-domain =
+      * source `src0`; both sides are add-1-smoothed unigram LMs over
+      * the shared corpus vocabulary; a doc's score is the mean per-token
+      * ln P_in(w) − ln P_out(w), rounded to 6 before the `selected`
+      * cut at 0 (the t114 lattice discipline, so libm ulps and
+      * summation order cannot flip a flag).
+      *
+      * Scale shape: two vocab-sized count tables built by one token-keyed
+      * partial+final aggregate each; the scoring join co-partitions the
+      * token stream with both count tables on `term` (vocab tables are
+      * NOT broadcast — at web scale vocabulary outgrows an executor);
+      * three scalar totals attach via the F15 lazy-broadcast pattern;
+      * the per-doc roll-up is one doc_id-keyed aggregate. Nothing is
+      * ever corpus × vocab. */
+    "t196_moore_lewis" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("term"))
+      val cin = tok.filter(col("source") === "src0")
+        .groupBy("term").agg(count(lit(1)).as("c_in"))
+      val cout = tok.filter(col("source") =!= "src0")
+        .groupBy("term").agg(count(lit(1)).as("c_out"))
+      val vocab = tok.select("term").distinct().agg(count(lit(1)).as("v"))
+      val nIn = tok.filter(col("source") === "src0").agg(count(lit(1)).as("n_in"))
+      val nOut = tok.filter(col("source") =!= "src0").agg(count(lit(1)).as("n_out"))
+      val lp =
+        log((coalesce(col("c_in"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_in") + col("v"))) -
+        log((coalesce(col("c_out"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_out") + col("v")))
+      tok
+        .join(cin, Seq("term"), "left")
+        .join(cout, Seq("term"), "left")
+        .crossJoin(broadcast(vocab)).crossJoin(broadcast(nIn)).crossJoin(broadcast(nOut))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"), round(avg(lp), 6).as("ce_diff"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ce_diff"),
+          (col("ce_diff") > 0.0).as("selected"))
+        .orderBy("doc_id")
+    }),
+
     "t193_zipf_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = documents(s, d)
@@ -1962,6 +2006,30 @@ object TextQueries {
          |    AS is_mixed
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    // same add-1 LMs, same ln-ratio; mean rounded to 6 BEFORE the
+    // selected cut on both engines
+    "t196_moore_lewis" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |ci AS (SELECT term, count(*) AS c_in FROM tok WHERE source = 'src0' GROUP BY 1),
+        |co AS (SELECT term, count(*) AS c_out FROM tok WHERE source <> 'src0' GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT term) AS v FROM tok),
+        |ni AS (SELECT count(*) AS n_in FROM tok WHERE source = 'src0'),
+        |nx AS (SELECT count(*) AS n_out FROM tok WHERE source <> 'src0'),
+        |sc AS (
+        |  SELECT t.doc_id, t.source, count(*) AS n_tokens,
+        |    round(avg(
+        |      ln(CAST(coalesce(ci.c_in, 0) + 1 AS DOUBLE) / (ni.n_in + vv.v)) -
+        |      ln(CAST(coalesce(co.c_out, 0) + 1 AS DOUBLE) / (nx.n_out + vv.v))), 6)
+        |      AS ce_diff
+        |  FROM tok t
+        |  LEFT JOIN ci USING (term) LEFT JOIN co USING (term)
+        |  CROSS JOIN vv CROSS JOIN ni CROSS JOIN nx
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tokens, ce_diff, ce_diff > 0 AS selected
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "t193_zipf_slope" ->
       """WITH c AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term

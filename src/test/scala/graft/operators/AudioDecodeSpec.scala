@@ -38,6 +38,30 @@ class AudioDecodeSpec extends SparkSpec {
     assert(a(0).byte_len == payloads(0)._2.length.toLong, "byte_len is the raw payload size")
   }
 
+  test("windowEnergies matches the sample formula and m198's fingerprint collides on shared seeds") {
+    val seed = 7
+    val wav = WavDecoder.syntheticWav(nFrames = 1952, sampleRate = 16000,
+      channels = 1, seed = seed)
+    val en = WavDecoder.windowEnergies(wav, 32, 61)
+    val expected = Array.tabulate(61) { w =>
+      (w * 32 until (w + 1) * 32).map(i => math.abs(WavDecoder.sample(i, seed).toLong)).sum
+    }
+    assert(en.toSeq == expected.toSeq)
+    // same seed, longer payload: identical first-61-window fingerprint
+    val longer = WavDecoder.syntheticWav(2016, 16000, 1, seed)
+    assert(WavDecoder.windowEnergies(longer, 32, 61).toSeq == en.toSeq,
+      "shared-prefix payloads must share the fingerprint windows")
+    // the m198 query surfaces those collisions as near-dups
+    val out = graft.SparkEntry.queries("m198_audio_fingerprint")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bySig = out.groupBy(_.getLong(2))
+    out.foreach { r =>
+      val sameSig = bySig(r.getLong(2)).length - 1
+      assert(r.getLong(3) >= sameSig,
+        s"doc ${r.getLong(0)}: ${r.getLong(3)} near-dups but $sameSig identical-sig partners")
+    }
+  }
+
   test("error policy: corrupt payload fails loudly by default, skip mode counts it") {
     val ok = WavDecoder.syntheticWav(100, 8000, 1, seed = 9)
     val bad = Array.tabulate[Byte](64)(i => (i * 37).toByte) // not a WAV
