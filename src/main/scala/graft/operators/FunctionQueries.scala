@@ -303,6 +303,73 @@ object FunctionQueries {
         .orderBy("event_type", "rk")
     }),
 
+    /** k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala
+      * '07) — the privacy gate a dataset passes before it ships as
+      * training data or a BI extract: group records by their
+      * quasi-identifier tuple (nation × market segment — the columns an
+      * attacker can link externally), flag cells smaller than k = 5
+      * (re-identifiable), and check each cell carries ≥ 2 distinct
+      * sensitive values (account-balance band) so membership in a cell
+      * doesn't disclose the sensitive attribute. The suppression set a
+      * release would need is exactly the flagged rows.
+      *
+      * Scale shape: one partial+final aggregate to |QI-cell| rows —
+      * count + distinct-band per cell (distinct over 4 bands is a
+      * bounded grouping-set, not a countDistinct shuffle explosion);
+      * nothing row-scoped survives the aggregate. */
+    "q200_k_anonymity" -> ((s, d) => {
+      val band = when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 3000, "low")
+        .when(col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+      customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"), band.as("band"))
+        .groupBy("nation", "segment")
+        .agg(count(lit(1)).as("cell_size"),
+          countDistinct(col("band")).as("n_bands"))
+        .select(col("nation"), col("segment"), col("cell_size"),
+          col("n_bands"),
+          (col("cell_size") >= 5L).as("k_anonymous"),
+          (col("n_bands") >= 2L).as("l_diverse"))
+        .orderBy("nation", "segment")
+    }),
+
+    /** Misra–Gries heavy hitters — the deterministic frequency summary
+      * paired with q195's count-min: CMS over-estimates within a
+      * probabilistic ε·N, MG under-estimates within a HARD N/(k+1), no
+      * hash functions anywhere. The k-entry map is merge-order-sensitive
+      * (which keys survive depends on partial merge order), so the gate
+      * asserts only the two PODS'12-theorem bounds — true−N/(k+1) ≤ est
+      * ≤ true — which hold on any data, any partitioning, any scale.
+      *
+      * Scale shape: one partial+final aggregate whose buffer is a
+      * ≤ 16-entry map per event_type — the frequency table never exists;
+      * probe estimates are element_at lookups on the tiny map. */
+    "q199_heavy_hitters_mg" -> ((s, d) => {
+      graft.functions.MisraGriesAgg.register(s)
+      val k = 16
+      val ev = events(s, d)
+      val sk = ev.groupBy("event_type")
+        .agg(expr(s"misra_gries_agg(user_id, $k)").as("mg"),
+          count(lit(1)).as("n_events"))
+      val probes = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(desc("exact_cnt"), col("user_id"))).cast("long"))
+        .filter(col("rk") <= 3)
+      probes.join(broadcast(sk), "event_type")
+        .withColumn("est",
+          coalesce(element_at(col("mg"), col("user_id")), lit(0L)))
+        .select(col("event_type"), col("rk"), col("user_id"),
+          col("exact_cnt"), col("n_events"),
+          (col("est") <= col("exact_cnt")).as("mg_le_exact"),
+          ((col("exact_cnt") - col("est")).cast("double") <=
+            col("n_events").cast("double") / (k + 1)).as("mg_within_bound"))
+        .orderBy("event_type", "rk")
+    }),
+
     /** Market-basket association rules (Agrawal/Srikant Apriori at
       * itemset size 2 — the retail cross-sell miner): baskets are
       * orders, items are part brands; for every directional brand pair
@@ -609,6 +676,35 @@ object FunctionQueries {
         |  FROM ex QUALIFY rk <= 3)
         |SELECT p.event_type, p.rk, p.user_id, p.exact_cnt, n.n_events,
         |  TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+        |FROM p JOIN n USING (event_type)
+        |ORDER BY p.event_type, p.rk""".stripMargin,
+    "q200_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg'
+        |         WHEN c_acctbal < 3000 THEN 'low'
+        |         WHEN c_acctbal < 7000 THEN 'mid'
+        |         ELSE 'high' END AS band
+        |  FROM customer)
+        |SELECT nation, segment, count(*) AS cell_size,
+        |  count(DISTINCT band) AS n_bands,
+        |  count(*) >= 5 AS k_anonymous,
+        |  count(DISTINCT band) >= 2 AS l_diverse
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // summary keys are merge-order-internal; the oracle recomputes the
+    // exact probes and asserts the two theorem bounds
+    "q199_heavy_hitters_mg" ->
+      """WITH ex AS (
+        |  SELECT event_type, user_id, count(*) AS exact_cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT event_type, user_id, exact_cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY exact_cnt DESC, user_id) AS BIGINT) AS rk
+        |  FROM ex QUALIFY rk <= 3)
+        |SELECT p.event_type, p.rk, p.user_id, p.exact_cnt, n.n_events,
+        |  TRUE AS mg_le_exact, TRUE AS mg_within_bound
         |FROM p JOIN n USING (event_type)
         |ORDER BY p.event_type, p.rk""".stripMargin,
     "q164_basket_rules" ->

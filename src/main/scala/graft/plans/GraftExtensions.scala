@@ -130,6 +130,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("misra_gries_agg"),
+      info("misra_gries_agg",
+        "misra_gries_agg(key, k) - mergeable Misra-Gries heavy-hitter summary (map<long,long>)"),
+      (exprs: Seq[Expression]) => graft.functions.MisraGriesAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("cms_estimate"),
       info("cms_estimate",
         "cms_estimate(sketch, key, depth, width) - point frequency estimate from a count-min sketch"),

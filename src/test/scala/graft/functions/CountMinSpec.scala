@@ -44,6 +44,29 @@ class CountMinSpec extends SparkSpec {
     assert(exactHits >= 90, s"only $exactHits/97 estimates exact — hash spread broken?")
   }
 
+  test("misra-gries: theorem bounds hold under every partitioning, on a skewed stream") {
+    MisraGriesAgg.register(spark)
+    val k = 8
+    // zipf-ish skew: key j appears ~ 2000/(j+1) times, 40 distinct keys
+    val rows = (0 until 40).flatMap(j => Seq.fill(2000 / (j + 1))(j.toLong))
+    val exact = rows.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+    val n = rows.size.toLong
+    for (parts <- Seq(1, 7, 32)) {
+      val mg = rows.toDF("key").repartition(parts)
+        .agg(expr(s"misra_gries_agg(key, $k)")).head()
+        .getMap[Long, Long](0)
+      assert(mg.size <= k, s"summary overflowed: ${mg.size} > $k")
+      exact.foreach { case (key, c) =>
+        val est = mg.getOrElse(key, 0L)
+        assert(est <= c, s"parts=$parts key $key over-counts: $est > $c")
+        assert(c - est <= n / (k + 1) + 1,
+          s"parts=$parts key $key bound broken: $c - $est > N/(k+1)=${n / (k + 1)}")
+      }
+      // the top key (freq 2000 of ~8600 >> N/9) must be tracked
+      assert(mg.contains(0L), s"parts=$parts: dominant key evicted")
+    }
+  }
+
   test("total slot in the buffer carries n") {
     CountMinAgg.register(spark)
     val keys = (0L until 1234L).toDF("k")

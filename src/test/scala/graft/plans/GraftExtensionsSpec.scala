@@ -23,13 +23,15 @@ class GraftExtensionsSpec extends SparkSpec {
     graft.functions.ThetaAggregates.register(spark)
     graft.functions.GramMatrixAgg.register(spark)
     graft.functions.CountMinAgg.register(spark)
+    graft.functions.MisraGriesAgg.register(spark)
     for (fn <- Seq("cosine_sim", "dot_product", "topk_by_score", "xxhash64_seed",
         "rolling_min_hash", "minhash_signature", "l2sq",
         "jaro_sim", "jaro_winkler_sim",
         "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
         "theta_sketch_agg", "theta_merge_agg", "theta_estimate",
         "theta_intersect_estimate", "theta_union_estimate",
-        "gram_matrix_agg", "count_min_agg", "cms_estimate")) {
+        "gram_matrix_agg", "count_min_agg", "cms_estimate",
+        "misra_gries_agg")) {
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)),
         s"$fn missing from runtime registry")
