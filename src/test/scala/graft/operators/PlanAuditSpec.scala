@@ -258,6 +258,52 @@ class PlanAuditSpec extends SparkSpec {
       s"q142: non-equi join shape:\n$p")
   }
 
+  test("d194: star rounds are groupBy-only — no cartesian, no nested loop, no label-table join") {
+    val p = plan("d194_clusters_bigstar")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d194: non-equi join shape:\n$p")
+    // the fixpoint edge set is a localCheckpoint scan, so the final plan
+    // must not re-derive the pair graph
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"d194: expected checkpointed edges at the leaves:\n$p")
+  }
+
+  test("q195/q199: sketch builds are single partial+final object aggregates") {
+    for (name <- Seq("q195_count_min", "q199_heavy_hitters_mg")) {
+      val p = plan(name)
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$name: typed-imperative aggregate missing:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: probe join must be an equi-join:\n$p")
+    }
+  }
+
+  test("t196: term joins are equi-joins with no forced broadcast (AQE picks the strategy)") {
+    // at this sf AQE auto-broadcasts the tiny vocab tables — correct
+    // adaptively, and it flips to shuffled joins once vocab outgrows the
+    // threshold BECAUSE the code never hints broadcast on the term joins.
+    // The audit pins the forbidden shapes only.
+    val p = plan("t196_moore_lewis")
+    assert(!p.contains("CartesianProduct"), s"t196: cartesian:\n$p")
+    val lp = SparkEntry.queries("t196_moore_lewis")(spark, sf)
+      .queryExecution.logical.toString
+    // the only broadcast HINTS allowed are the three 1-row scalar totals
+    assert("ResolvedHint".r.findAllIn(lp).size <= 3,
+      s"t196: a vocab-sized join carries a broadcast hint:\n$lp")
+  }
+
+  test("s197: candidate scoring broadcasts only the query set") {
+    val p = plan("s197_mrl_recall")
+    assert(!p.contains("CartesianProduct"), s"s197: cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s197: query-set broadcast missing:\n$p")
+    // the =!= join condition makes the broadcast side the 5-row query
+    // set; the corpus side must remain a streamed scan (no corpus-sized
+    // exchange before the scoring join)
+    assert(p.contains("l2sq") || p.contains("squaredl2"),
+      s"s197: codegen'd L2 missing:\n$p")
+  }
+
   test("s140: PQ encode/ADC/rerank joins broadcast the KB-sized sides only") {
     // codebook (2048 rows), distance tables (2048/query-set), query
     // vectors (5): every join's build side is bounded by the codebook,
