@@ -51,6 +51,43 @@ object CoreQueries {
 
     // ---- scans / projections / filters (S1, P1, P3-P5) ----------------
 
+    /** Format round-trip gate (source/sink breadth beyond the
+      * reference's CSV+Parquet): lineitem's measure columns are written
+      * through the ORC, headered-CSV, and JSON sinks, read back through
+      * the matching sources, and each copy must produce byte-identical
+      * aggregates to the parquet original — losslessness of the
+      * double/long/string round-trip is the claim (Spark serializes
+      * doubles shortest-round-trip in text formats, so CSV/JSON read
+      * back bit-equal). Sums round on the q1 lattice so split-order
+      * summation differences between formats cannot surface.
+      *
+      * Scale shape: each leg is scan → partial+final aggregate; the
+      * writes are the engine's native distributed sinks (the temp dir
+      * stands in for a table location). */
+    "q204_format_roundtrip" -> ((s, d) => {
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      base.write.mode("overwrite").orc(s"$tmp/orc")
+      base.write.mode("overwrite").option("header", true).csv(s"$tmp/csv")
+      base.write.mode("overwrite").json(s"$tmp/json")
+      val legs: Seq[(String, DataFrame)] = Seq(
+        "csv" -> s.read.option("header", true).schema(base.schema).csv(s"$tmp/csv"),
+        "json" -> s.read.schema(base.schema).json(s"$tmp/json"),
+        "orc" -> s.read.orc(s"$tmp/orc"),
+        "parquet" -> base)
+      legs.map { case (fmt, df) =>
+        df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_price"))
+          .withColumn("format", lit(fmt))
+      }.reduce(_.unionByName(_))
+        .select("format", "l_returnflag", "n_rows", "sum_qty", "sum_price")
+        .orderBy("format", "l_returnflag")
+    }),
+
     /** S1+P1: scan with projection + pushed filter. `.explain` shows
       * PushedFilters + 3-column ReadSchema (ref: src/etl_functions.py:199-353). */
     "q2_scan_project" -> ((s, d) =>
@@ -590,6 +627,17 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // every format leg must equal the parquet aggregate — the oracle is
+    // the parquet side replicated once per format label
+    "q204_format_roundtrip" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |    round(sum(l_quantity), 4) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT f.format, a.l_returnflag, a.n_rows, a.sum_qty, a.sum_price
+        |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
+        |ORDER BY f.format, a.l_returnflag""".stripMargin,
     "q3_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,

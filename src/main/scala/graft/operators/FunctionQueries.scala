@@ -303,6 +303,43 @@ object FunctionQueries {
         .orderBy("event_type", "rk")
     }),
 
+    /** Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+      * forensic-accounting screen: organically-grown monetary amounts
+      * follow P(d) = log10(1 + 1/d); strong deviation flags fabricated
+      * or synthetic figures). Per leading digit of o_totalprice:
+      * observed vs expected share plus the χ² statistic attached to
+      * every row (F15 lazy-scalar) — and it correctly SCREAMS on this
+      * synthetic uniform-ish testdata (χ² in the thousands), which is
+      * the point: the audit reports, it does not assume.
+      *
+      * The leading digit comes from integer cents via string-head —
+      * float log10 at power-of-ten boundaries is exactly the ulp trap
+      * the e9/lattice discipline exists to avoid; integer→string is
+      * identical on every engine.
+      *
+      * Scale shape: one scan → 9-group aggregate; χ² is a 9-row fold
+      * broadcast back. */
+    "q202_benford" -> ((s, d) => {
+      val digits = orders(s, d)
+        .select(substring(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val n = digits.agg(sum("n_obs").cast("long").as("n_total"))
+      val expShare = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      val withExp = digits.crossJoin(broadcast(n))
+        .withColumn("exp_share", expShare)
+        .withColumn("exp_n", col("exp_share") * col("n_total"))
+      val chi2 = withExp.agg(
+        round(sum(pow(col("n_obs") - col("exp_n"), 2) / col("exp_n")), 6)
+          .as("chi2_total"))
+      withExp.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs").cast("double") / col("n_total"), 9).as("obs_share"),
+          round(col("exp_share"), 9).as("exp_share"),
+          col("chi2_total"))
+        .orderBy("digit")
+    }),
+
     /** k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala
       * '07) — the privacy gate a dataset passes before it ships as
       * training data or a BI extract: group records by their
@@ -678,6 +715,25 @@ object FunctionQueries {
         |  TRUE AS cms_ge_exact, TRUE AS cms_within_eps
         |FROM p JOIN n USING (event_type)
         |ORDER BY p.event_type, p.rk""".stripMargin,
+    // integer-cents string-head digit on both engines; chi2 rounded 6
+    "q202_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n_obs FROM dg GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c),
+        |w AS (
+        |  SELECT c.digit, c.n_obs, n.n_total,
+        |    ln(1.0 + 1.0 / c.digit) / ln(10.0) AS exp_share,
+        |    (ln(1.0 + 1.0 / c.digit) / ln(10.0)) * n.n_total AS exp_n
+        |  FROM c CROSS JOIN n),
+        |x AS (SELECT round(sum(pow(n_obs - exp_n, 2) / exp_n), 6) AS chi2_total FROM w)
+        |SELECT w.digit, w.n_obs,
+        |  round(CAST(w.n_obs AS DOUBLE) / w.n_total, 9) AS obs_share,
+        |  round(w.exp_share, 9) AS exp_share,
+        |  x.chi2_total
+        |FROM w CROSS JOIN x ORDER BY w.digit""".stripMargin,
     "q200_k_anonymity" ->
       """WITH b AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,

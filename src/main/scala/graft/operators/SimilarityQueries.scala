@@ -1072,6 +1072,51 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    /** NDCG@10 of the 16-dim Matryoshka prefix ranking (s197's serving
+      * path) against graded relevance from the exact 64-dim ranking —
+      * the third member of the eval family (s123 recall of the LSH tier,
+      * s197 prefix recall, s201 graded position-discounted quality):
+      * the exact top-10 item at rank r carries gain 11−r, anything
+      * outside gain 0; DCG discounts by 1/log2(pos+1); NDCG divides by
+      * the ideal DCG (the exact ranking's own). Rank sets are e9-lattice
+      * deterministic; the only doubles are the ten-term discounted sums,
+      * rounded to 6 at the end.
+      *
+      * Scale shape: identical to s197 — one brute-scored candidate pass
+      * (swap in any ANN tier at scale), two windows, a 10-row-per-query
+      * roll-up. */
+    "s201_ndcg" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ne"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          e9(l2sqC(col("qe"), col("ne"))).as("d64"),
+          e9(l2sqC(slice(col("qe"), 1, 16), slice(col("ne"), 1, 16))).as("d16"))
+      def rk(dc: String) = row_number().over(
+        Window.partitionBy("query_id").orderBy(col(dc), col("neighbor_id")))
+      val ranked = scored
+        .withColumn("r64", rk("d64")).withColumn("r16", rk("d16"))
+        .withColumn("gain",
+          when(col("r64") <= K, (lit(K + 1) - col("r64")).cast("double"))
+            .otherwise(lit(0.0)))
+      ranked.groupBy("query_id")
+        .agg(
+          sum(when(col("r16") <= K,
+            col("gain") / log2(col("r16").cast("double") + 1.0))
+            .otherwise(lit(0.0))).as("dcg_raw"),
+          sum(when(col("r64") <= K,
+            col("gain") / log2(col("r64").cast("double") + 1.0))
+            .otherwise(lit(0.0))).as("idcg_raw"))
+        .select(col("query_id"), round(col("dcg_raw"), 6).as("dcg"),
+          round(col("idcg_raw"), 6).as("idcg"),
+          round(col("dcg_raw") / col("idcg_raw"), 6).as("ndcg"))
+        .orderBy("query_id")
+    }),
+
     "s191_embedding_gram" -> ((s, d) => {
       graft.functions.GramMatrixAgg.register(s)
       val D = 64
@@ -2224,6 +2269,36 @@ object SimilarityQueries {
          |ORDER BY cluster""".stripMargin,
     // the oracle PAYS the ×d² unnest the Spark aggregate avoids — same
     // integer-exact sums, structurally different (and unscalable) plan
+    // same e9 rank lattice; graded gains and log2 discounts replicated,
+    // rounded to 6 after the ten-term sums
+    "s201_ndcg" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 64))} AS d64,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 16))} AS d16
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |r AS (
+         |  SELECT query_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d64, neighbor_id) AS r64,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d16, neighbor_id) AS r16
+         |  FROM sc),
+         |g AS (
+         |  SELECT query_id, r64, r16,
+         |    CASE WHEN r64 <= $K THEN CAST(${K + 1} - r64 AS DOUBLE) ELSE 0.0 END AS gain
+         |  FROM r),
+         |agg AS (
+         |  SELECT query_id,
+         |    sum(CASE WHEN r16 <= $K THEN gain / log2(CAST(r16 AS DOUBLE) + 1.0)
+         |        ELSE 0.0 END) AS dcg_raw,
+         |    sum(CASE WHEN r64 <= $K THEN gain / log2(CAST(r64 AS DOUBLE) + 1.0)
+         |        ELSE 0.0 END) AS idcg_raw
+         |  FROM g GROUP BY 1)
+         |SELECT query_id, round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+         |  round(dcg_raw / idcg_raw, 6) AS ndcg
+         |FROM agg ORDER BY query_id""".stripMargin,
     // same e9 lattice, same explicit prefix chains, same tie-break
     "s197_mrl_recall" ->
       s"""WITH e AS (
