@@ -88,6 +88,78 @@ object CoreQueries {
         .orderBy("format", "l_returnflag")
     }),
 
+    // ---- TPC-H classic join shapes (the recognizable multi-way-join
+    // benchmarks, adapted to this schema's columns) --------------------
+
+    /** TPC-H Q3 shape (shipping priority): segment-filtered customers'
+      * orders placed before the cutoff with items shipped after it,
+      * top-10 orders by revenue. The join tree is fact ⋈ shrinking
+      * orders ⋈ key-only customers — no broadcast hints; AQE broadcasts
+      * the filtered sides while they fit and falls back to shuffled
+      * joins at scale (the q5 lesson). Revenue rounds on the 4-dec
+      * lattice BEFORE the top-10 order, o_orderkey tie-break. */
+    "q205_tpch_q3" -> ((s, d) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = orders(s, d).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), revenue.as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum("rev"), 4).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    /** TPC-H Q5 shape (local supplier volume): revenue of lineitems
+      * where the supplier and the ordering customer share a nation in
+      * ASIA, one order-date year, rolled up per nation. Six-way join;
+      * the nation/region dims broadcast (KB-sized at any scale), the
+      * customer/supplier sides stay hint-free. */
+    "q206_tpch_q5" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val asia = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("rev"), 4).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    /** TPC-H Q18 shape (large-volume customers): orders whose total
+      * quantity exceeds 250, joined back to customer. The HAVING filter
+      * runs on the pre-aggregated order grain BEFORE any join — the
+      * aggregate-then-join ordering that keeps the join input at
+      * |qualifying orders|, not |lineitem|. Quantities are integral
+      * doubles, so the sums and the threshold cut are exact. */
+    "q207_tpch_q18" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(20)
+    }),
+
     /** S1+P1: scan with projection + pushed filter. `.explain` shows
       * PushedFilters + 3-column ReadSchema (ref: src/etl_functions.py:199-353). */
     "q2_scan_project" -> ((s, d) =>
@@ -627,6 +699,41 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q205_tpch_q3" ->
+      """SELECT l.l_orderkey AS o_orderkey, any_value(o.o_orderdate) AS o_orderdate,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q206_tpch_q5" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q207_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250.0)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, b.sum_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
     // every format leg must equal the parquet aggregate — the oracle is
     // the parquet side replicated once per format label
     "q204_format_roundtrip" ->
