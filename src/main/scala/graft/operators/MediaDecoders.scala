@@ -297,6 +297,29 @@ object MjpegAviDecoder extends MediaDecoder {
     out.toSeq
   }
 
+  /** Per-frame integer mean luma ((77r + 150g + 29b) >> 8 per pixel,
+    * floor-averaged) — the scene-cut signal: all-long arithmetic after
+    * the JPEG decode, so the sequence is bit-stable per JVM. */
+  def frameMeanLumas(bytes: Array[Byte]): Array[Long] = {
+    frames(bytes).map { f =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(f))
+      require(img != null, "frame is not a decodable image")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sum += (77L * r + 150L * g + 29L * b) >> 8
+          x += 1
+        }
+        y += 1
+      }
+      sum / (img.getWidth.toLong * img.getHeight)
+    }.toArray
+  }
+
   def decode(id: Long, bytes: Array[Byte],
       mediaType: String): MultimodalQueries.MediaFeatures = {
     val fs = frames(bytes)
@@ -349,6 +372,32 @@ object MjpegAviDecoder extends MediaDecoder {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    packAvi(w, h, frames)
+  }
+
+  /** Solid-gray-frame AVI: one JPEG per entry of `grays` — the
+    * scene-cut fixture (a solid frame JPEG-decodes to within ±2 of its
+    * gray, so planned luma jumps survive the lossy codec by design). */
+  def syntheticAviSolid(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val frames = grays.map { g0 =>
+      val g = g0 & 0xff
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    packAvi(w, h, frames)
+  }
+
+  /** RIFF/AVI container packer shared by the synthetic fixtures. */
+  private def packAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
     val bo = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

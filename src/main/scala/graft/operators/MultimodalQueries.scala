@@ -305,6 +305,39 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** Video scene-cut detection over REAL MJPEG-AVI payloads (the m198
+      * pattern for the video modality): each video-typed doc synthesizes
+      * a genuine RIFF/AVI whose solid-gray frames alternate 60 ↔ 180 at
+      * PLANNED scene boundaries (every 4 frames for even docs, every 6
+      * for odd), round-trips through the real container parse + JPEG
+      * decode, and flags a cut where consecutive frame mean-lumas jump
+      * by > 40. Solid frames JPEG-decode within ±2 of their gray, so the
+      * 120-level planned jumps and the ~0 within-scene deltas sit far
+      * from the threshold on BOTH sides — the lossy codec cannot flip a
+      * classification, which is what makes the cut positions (not just
+      * counts) oracle-exact from the synthesis formula.
+      *
+      * Scale shape: one typed mapPartitions scan per doc emitting 4
+      * longs; no shuffle before the per-doc fold. */
+    "m203_video_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val period = if (id % 2 == 0) 4 else 6
+            val grays = (0 until 12).map(i => if ((i / period) % 2 == 0) 60 else 180)
+            val avi = graft.MjpegAviDecoder.syntheticAviSolid(32, 24, grays)
+            val lumas = graft.MjpegAviDecoder.frameMeanLumas(avi)
+            val cuts = (1 until lumas.length)
+              .filter(i => math.abs(lumas(i) - lumas(i - 1)) > 40L)
+            (id, lumas.length.toLong, cuts.length.toLong,
+              cuts.headOption.map(_.toLong).getOrElse(-1L))
+          }
+        }.toDF("doc_id", "n_frames", "n_cuts", "first_cut")
+        .orderBy("doc_id")
+    }),
+
     "m136_media_near_dup" -> ((s, d) => {
       val hashed = documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
@@ -411,6 +444,15 @@ object MultimodalQueries {
     // same 16-byte hex chunking, md5-60bit feature hash, simhash fold,
     // and hamming test as the Spark side (fold fragments shared with the
     // d40 oracle via DedupQueries)
+    // the planned scene grid (60↔180 gray alternation every 4 or 6
+    // frames) makes frame count, cut count, AND first cut position
+    // formula-exact — the gate covers container pack→parse→JPEG
+    // decode→luma→threshold end to end
+    "m203_video_scene_cuts" ->
+      """SELECT doc_id, CAST(12 AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_cuts,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 6 END AS BIGINT) AS first_cut
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
     // the oracle recomputes the EXACT fingerprint from the synthetic
     // PCM formula sample(i) = ((seed + 997 i) mod 65536) - 32768 — the
     // hash gate covers the real WAV encode→decode round-trip bit-for-bit
