@@ -1211,6 +1211,43 @@ object EventQueries {
       * Scale shape: one (user, day) dedup shuffle, one user-keyed
       * min-day aggregate joined back on user_id (co-partitioned at
       * scale), one daily rollup — no windows over the corpus. */
+    /** CEP-style sequence pattern matching (the Flink-CEP / SQL
+      * MATCH_RECOGNIZE workload): each user's event history becomes a
+      * code string ('c','e','p','s','v' ordered by ts with event_id
+      * tie-break) and patterns are regexes with NEXT (contiguity)
+      * semantics — `vc+p` counts view→clicks→purchase funnels with no
+      * intervening event, `ee+` counts error bursts, and the longest
+      * error run is the max `e+` match length. Greedy non-overlapping
+      * regex scanning is left-to-right deterministic and identical in
+      * Java and DuckDB's regex engines, so counts hash-match.
+      *
+      * Scale shape: one user-keyed shuffle collects each history
+      * (bounded by events-per-user — for unbounded histories compose
+      * with q32's sessionization first, the same contract streaming CEP
+      * engines impose via windows); the regex pass is per-row scan
+      * work, no further shuffle. */
+    "q208_event_pattern_cep" -> ((s, d) => {
+      val code = when(col("event_type") === "click", "c")
+        .when(col("event_type") === "error", "e")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("v")
+      events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), code.as("k")).as("st"))
+        .groupBy("user_id")
+        .agg(concat_ws("",
+          expr("transform(sort_array(collect_list(st)), x -> x.k)")).as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          expr("regexp_count(seq, 'vc+p')").cast("long").as("n_funnel"),
+          expr("regexp_count(seq, 'ee+')").cast("long").as("n_error_bursts"),
+          coalesce(expr(
+            "array_max(transform(regexp_extract_all(seq, 'e+', 0), x -> length(x)))"),
+            lit(0)).cast("long").as("max_error_run"))
+        .orderBy("user_id")
+    }),
+
     "q189_new_vs_returning" -> ((s, d) => {
       val userDays = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
@@ -1908,6 +1945,22 @@ object EventQueries {
         |  FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touches))
         |SELECT * FROM chan UNION ALL SELECT * FROM direct
         |ORDER BY channel""".stripMargin,
+    // same code string (ts, event_id order), same greedy non-overlapping
+    // regex semantics in DuckDB's engine
+    "q208_event_pattern_cep" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'click' THEN 'c'
+        |      WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p'
+        |      WHEN 'signup' THEN 's' ELSE 'v' END, ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_funnel,
+        |  CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_bursts,
+        |  CAST(coalesce(list_max(list_transform(regexp_extract_all(seq, 'e+'),
+        |    x -> length(x))), 0) AS BIGINT) AS max_error_run
+        |FROM s ORDER BY user_id""".stripMargin,
     "q189_new_vs_returning" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events),

@@ -1072,6 +1072,48 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    /** Trained product quantization — s140 with a LEARNED codebook: the
+      * 16-centroid-per-subspace codebook comes from [[pqTrainedCents]]'
+      * per-subspace Lloyd rounds instead of s140's first-256-vectors
+      * convention (FAISS's `train()` vs a data-sample codebook). The
+      * entire pipeline — int8 quantization, integer Lloyd, argmin
+      * encode, integer ADC tables, shortlist, float rerank — is
+      * deterministic-exact, so the oracle replays the TRAINING (both
+      * Lloyd rounds unrolled as CTEs) and must reproduce the same
+      * codes, the same integer approximate distances, and the same
+      * final ranking byte-for-byte.
+      *
+      * Scale shape: training touches K×subs×dims driver longs per
+      * round (the s90 bounded-centroid barrier); everything after is
+      * s140's shape — broadcast codebook/tables, per-(vector,subspace)
+      * argmin, 8-small-rows-per-candidate ADC. 4-bit codes (K=16)
+      * halve s140's 8-bit sketch: a 64-dim float vector serves from 4
+      * bytes. */
+    "s210_pq_trained" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val cents = pqTrainedCents(s, d)
+      val qsv = pqQuantSubs(s, d)
+      val enc = qsv.join(broadcast(cents), "sub")
+        .withColumn("dist", l2sqInt(col("qv"), col("cv")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cent_id"))).getField("cent_id").as("code"))
+      val qdt = qsv.filter(col("vec_id") < NumQueries)
+        .join(broadcast(cents), "sub")
+        .select(col("vec_id").as("query_id"), col("sub"),
+          col("cent_id").as("code"), l2sqInt(col("qv"), col("cv")).as("dt"))
+      val Shortlist = 5 * K
+      val wA = Window.partitionBy("query_id")
+        .orderBy(col("approx_dist_q"), col("neighbor_id"))
+      val short = enc.join(broadcast(qdt), Seq("sub", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dt")).as("approx_dist_q"))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= Shortlist)
+        .drop("arank")
+      pqRerank(s, d, short, approxCol = "approx_dist_q")
+    }),
+
     /** NDCG@10 of the 16-dim Matryoshka prefix ranking (s197's serving
       * path) against graded relevance from the exact 64-dim ranking —
       * the third member of the eval family (s123 recall of the LSH tier,
@@ -1187,6 +1229,78 @@ object SimilarityQueries {
     pqSubvectors(embeddings(s, d).filter(col("vec_id") < PqCent), "cent_id")
       .withColumnRenamed("sv", "cv")
 
+  // ---- trained PQ (s210): per-subspace Lloyd on int8-quantized
+  // subvectors — every distance/centroid is integer-exact, so the whole
+  // train→encode→ADC pipeline hash-matches an unrolled SQL replica ----
+
+  private val PqTrainK = 16
+  private val PqTrainIters = 2
+
+  /** (vec_id, sub, qv: array<long>) — s90/s191's symmetric max-abs int8
+    * quantization, then the PQ subvector split. Integer subvectors make
+    * Lloyd exactly replicable: distances are BIGINT sums, centroid
+    * updates are floor(Σq/n) (floor of a double division whose operands
+    * are small ints — exact on every engine). */
+  private def pqQuantSubs(s: SparkSession, d: String): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("ma") === 0.0, 0L)
+            .otherwise(floor(x.cast("double") / col("ma") * 127.0).cast("long")))
+          .as("q"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(PqSub - 1)), i =>
+          slice(col("q"), (i * PqSubDim + 1).cast("int"), lit(PqSubDim)))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qv")
+  }
+
+  /** Integer L2² between two long arrays via the codegen'd double fold —
+    * squares of int8 deltas sum far below 2^53, so the double is exact
+    * and the long cast loses nothing. */
+  private def l2sqInt(a: Column, b: Column): Column =
+    l2sqC(a.cast("array<double>"), b.cast("array<double>")).cast("long")
+
+  /** Train the per-subspace codebook: init = subvectors of vec_id <
+    * PqTrainK, then PqTrainIters rounds of integer argmin-assign +
+    * floor-mean update. Driver state is K×subs×dims longs (1 KB-class)
+    * per round — the same bounded-centroid barrier as s90; empty
+    * clusters keep their previous centroid. Returns (sub, cent_id, cv). */
+  private def pqTrainedCents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qsv = pqQuantSubs(s, d).persist()
+    try {
+      var cents: Map[(Int, Long), Seq[Long]] = qsv
+        .filter(col("vec_id") < PqTrainK)
+        .collect()
+        .map(r => (r.getInt(1), r.getLong(0)) -> r.getSeq[Long](2).toList).toMap
+      def centsDf = cents.toSeq
+        .map { case ((sub, cid), cv) => (sub, cid, cv) }
+        .toDF("sub", "cent_id", "cv")
+      def assign(c: DataFrame) = qsv.join(broadcast(c), "sub")
+        .withColumn("dist", l2sqInt(col("qv"), col("cv")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cent_id").as("cid"))
+      for (_ <- 1 to PqTrainIters) {
+        val sums = assign(centsDf)
+          .join(qsv, Seq("vec_id", "sub"))
+          .select(col("sub"), col("cid"), posexplode(col("qv")))
+          .groupBy("sub", "cid", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getLong(1)))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getInt(2)).map(r =>
+              math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong).toList
+          }
+        cents = cents.map { case (k, old) => k -> sums.getOrElse(k, old) }
+      }
+      centsDf.localCheckpoint(true)
+    } finally qsv.unpersist()
+  }
+
   /** (vec_id, sub, code): nearest codebook centroid per subspace;
     * min(struct) is a deterministic argmin with ties to the lowest id. */
   /** Quantize a nonneg-ish double onto the 1e-9 integer lattice:
@@ -1211,9 +1325,10 @@ object SimilarityQueries {
       .select(col("query_id"), col("sub"), col("cent_id").as("code"),
         e9(l2sqC(col("sv"), col("cv"))).as("dt"))
 
-  /** Exact-L2 rerank of a (query_id, neighbor_id, approx_dist) shortlist
+  /** Exact-L2 rerank of a (query_id, neighbor_id, <approxCol>) shortlist
     * down to top-K — only the shortlist's original vectors are touched. */
-  private def pqRerank(s: SparkSession, d: String, short: DataFrame): DataFrame = {
+  private def pqRerank(s: SparkSession, d: String, short: DataFrame,
+      approxCol: String = "approx_dist_e9"): DataFrame = {
     val emb = embeddings(s, d)
     val nv = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").cast("array<double>").as("nv"))
@@ -1226,7 +1341,7 @@ object SimilarityQueries {
       .withColumn("exact_dist_e9", e9(l2sqC(col("qv"), col("nv"))))
       .withColumn("rank", row_number().over(wE).cast("long"))
       .filter(col("rank") <= K)
-      .select("query_id", "neighbor_id", "rank", "approx_dist_e9", "exact_dist_e9")
+      .select("query_id", "neighbor_id", "rank", approxCol, "exact_dist_e9")
       .orderBy("query_id", "rank")
   }
 
@@ -2269,6 +2384,64 @@ object SimilarityQueries {
          |ORDER BY cluster""".stripMargin,
     // the oracle PAYS the ×d² unnest the Spark aggregate avoids — same
     // integer-exact sums, structurally different (and unscalable) plan
+    // the TRAINING replays in SQL: int8 quantization, both Lloyd rounds
+    // unrolled (argmin → integer sums → floor-mean with empty-cluster
+    // fallback), then the s140 ADC/rerank pipeline on the learned
+    // codebook — codes, integer distances, and ranking all bit-exact
+    "s210_pq_trained" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |    CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0.0
+         |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS BIGINT))
+         |      ELSE list_transform(CAST(embedding AS DOUBLE[]), x ->
+         |        CAST(floor(x / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+         |          * 127.0) AS BIGINT)) END AS q
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |qsv AS (
+         |  SELECT vec_id, CAST(s.i AS INTEGER) AS sub,
+         |    q[CAST(s.i * 8 + 1 AS INTEGER):CAST(s.i * 8 + 8 AS INTEGER)] AS qv
+         |  FROM qz CROSS JOIN unnest(generate_series(0, 7)) AS s(i)),
+         |c0 AS (SELECT sub, vec_id AS cent_id, qv AS cv FROM qsv
+         |  WHERE vec_id < $PqTrainK),
+         |${lloydIterSql("c0", "a0", "s1", "c1")},
+         |${lloydIterSql("c1", "a1", "s2", "c2")},
+         |encd AS (
+         |  SELECT vec_id, sub, cent_id AS code FROM (
+         |    SELECT v.vec_id, v.sub, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY ${l2ChainSql("v.qv", "c.cv", 8)}, c.cent_id) AS rn
+         |    FROM qsv v JOIN c2 c USING (sub)) WHERE rn = 1),
+         |qdt AS (
+         |  SELECT q.vec_id AS query_id, q.sub, c.cent_id,
+         |    CAST(${l2ChainSql("q.qv", "c.cv", 8)} AS BIGINT) AS dt
+         |  FROM qsv q JOIN c2 c USING (sub) WHERE q.vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT d.query_id, x.vec_id AS neighbor_id,
+         |    CAST(sum(d.dt) AS BIGINT) AS approx_dist_q
+         |  FROM encd x JOIN qdt d ON x.sub = d.sub AND x.code = d.cent_id
+         |  WHERE d.query_id <> x.vec_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, neighbor_id, approx_dist_q,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_dist_q, neighbor_id) AS arank
+         |  FROM scored QUALIFY arank <= ${5 * K}),
+         |reranked AS (
+         |  SELECT s.query_id, s.neighbor_id, s.approx_dist_q,
+         |    ${e9Sql(l2ChainSql("q.emb", "c.emb", 64))} AS exact_dist_e9
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e c ON c.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, approx_dist_q, exact_dist_e9,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY exact_dist_e9, neighbor_id) AS rank
+         |  FROM reranked)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  approx_dist_q, exact_dist_e9
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // same e9 rank lattice; graded gains and log2 discounts replicated,
     // rounded to 6 after the ten-term sums
     "s201_ndcg" ->
@@ -2377,6 +2550,34 @@ object SimilarityQueries {
     * IEEE multiply do not). */
   private def e9Sql(x: String): String =
     s"CAST(floor(($x) * 1e9 + 0.5) AS BIGINT)"
+
+  /** One unrolled Lloyd round for the s210 oracle: argmin assignment
+    * against `cPrev`, per-(sub, cent, dim) integer sums, floor-mean
+    * update with empty-cluster fallback to the previous centroid —
+    * the exact arithmetic [[pqTrainedCents]] runs. */
+  private def lloydIterSql(cPrev: String, aName: String, sName: String,
+      cName: String): String =
+    s"""$aName AS (
+       |  SELECT vec_id, sub, cent_id FROM (
+       |    SELECT v.vec_id, v.sub, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY ${l2ChainSql("v.qv", "c.cv", 8)}, c.cent_id) AS rn
+       |    FROM qsv v JOIN $cPrev c USING (sub)) WHERE rn = 1),
+       |$sName AS (
+       |  SELECT a.sub, a.cent_id, CAST(g.i AS INTEGER) AS pos,
+       |    sum(v.qv[CAST(g.i AS INTEGER)]) AS s, count(*) AS n
+       |  FROM $aName a JOIN qsv v USING (vec_id, sub)
+       |  CROSS JOIN unnest(generate_series(1, 8)) AS g(i)
+       |  GROUP BY 1, 2, 3),
+       |$cName AS (
+       |  SELECT c.sub, c.cent_id,
+       |    list(CASE WHEN s.n IS NULL THEN c.cv[CAST(g.i AS INTEGER)]
+       |      ELSE CAST(floor(CAST(s.s AS DOUBLE) / s.n) AS BIGINT) END
+       |      ORDER BY g.i) AS cv
+       |  FROM $cPrev c CROSS JOIN unnest(generate_series(1, 8)) AS g(i)
+       |  LEFT JOIN $sName s ON s.sub = c.sub AND s.cent_id = c.cent_id
+       |    AND s.pos = CAST(g.i AS INTEGER)
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Shared PQ oracle CTEs (s140/s144): subvector split, codebook,
     * argmin encode with id tiebreak, e9-integer distance tables. */

@@ -1173,6 +1173,49 @@ object TextQueries {
       * rows — vocabulary size never sorts globally. Tie-break (count
       * desc, term) makes the fit set deterministic; ln() on exact
       * integer counts is bit-identical cross-engine. */
+    /** Corpus card (the dataset-card summary every training-data release
+      * ships — HuggingFace dataset cards, Datasheets for Datasets): one
+      * long-form (metric, value) table profiling the corpus in a single
+      * query — sizes, token/vocab counts, length distribution (mean +
+      * exact p50), exact-duplicate rate, English share. Counts are exact
+      * doubles (< 2^53); ratios round to 9, means to 6 — every value on
+      * a lattice BEFORE the union, so the card is hash-stable.
+      *
+      * Scale shape: each metric is one scan → partial+final aggregate
+      * (the token metrics share one explode); the union is 9 rows. The
+      * exact p50 is the q56 sort-based percentile — swap to the KLL
+      * sketch (q65/q166) at corpus scale, same card schema. */
+    "t209_corpus_card" -> ((s, d) => {
+      val doc = documents(s, d)
+      val counts = doc.select(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_toks"),
+        md5(col("text").cast("binary")).as("h"))
+      def row(name: String, value: Column): DataFrame =
+        counts.agg(value.as("value")).select(lit(name).as("metric"), col("value"))
+      val vocab = documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .agg(countDistinct("term").cast("double").as("value"))
+        .select(lit("vocab_size").as("metric"), col("value"))
+      row("n_docs", count(lit(1)).cast("double"))
+        .unionByName(row("n_tokens", sum("n_toks").cast("double")))
+        .unionByName(vocab)
+        .unionByName(row("mean_doc_tokens",
+          round(sum("n_toks").cast("double") / count(lit(1)), 6)))
+        .unionByName(row("p50_doc_tokens",
+          expr("percentile(n_toks, 0.5)")))
+        .unionByName(row("mean_doc_chars",
+          round(sum("n_chars").cast("double") / count(lit(1)), 6)))
+        .unionByName(row("exact_dup_rate",
+          round(lit(1.0) - countDistinct("h").cast("double") / count(lit(1)), 9)))
+        .unionByName(row("share_en",
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 9)))
+        .unionByName(documents(s, d)
+          .agg(countDistinct("source").cast("double").as("value"))
+          .select(lit("n_sources").as("metric"), col("value")))
+        .orderBy("metric")
+    }),
+
     /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
       * 2010 — the classic domain-data selector, and the counterpart to
       * t101's DSIR: DSIR reweights by hashed-n-gram importance ratios,
@@ -2006,6 +2049,42 @@ object TextQueries {
          |    AS is_mixed
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    // every value on a lattice before the union; p50 = quantile_cont
+    // (the q56 exact-percentile equivalence)
+    "t209_corpus_card" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    md5(text) AS h
+        |  FROM documents),
+        |v AS (
+        |  SELECT count(DISTINCT term) AS vocab FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM c
+        |  UNION ALL
+        |  SELECT 'n_tokens', CAST(sum(n_toks) AS DOUBLE) FROM c
+        |  UNION ALL
+        |  SELECT 'vocab_size', CAST(vocab AS DOUBLE) FROM v
+        |  UNION ALL
+        |  SELECT 'mean_doc_tokens',
+        |    round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) FROM c
+        |  UNION ALL
+        |  SELECT 'p50_doc_tokens', quantile_cont(n_toks, 0.5) FROM c
+        |  UNION ALL
+        |  SELECT 'mean_doc_chars',
+        |    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) FROM c
+        |  UNION ALL
+        |  SELECT 'exact_dup_rate',
+        |    round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 9) FROM c
+        |  UNION ALL
+        |  SELECT 'share_en',
+        |    round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 9) FROM c
+        |  UNION ALL
+        |  SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM c)
+        |ORDER BY metric""".stripMargin,
     // same add-1 LMs, same ln-ratio; mean rounded to 6 BEFORE the
     // selected cut on both engines
     "t196_moore_lewis" ->

@@ -527,6 +527,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"PQ mean recall $mean below 0.8 (per-query: $recalls)")
   }
 
+  test("s210: trained-PQ invariants + recall vs exact L2 top-10") {
+    val out = SparkEntry.queries("s210_pq_trained")(spark, sf).collect()
+    assert(out.length == 50, s"expected 5x10 rows, got ${out.length}")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to 10L))
+      assert(sorted.map(_.getLong(3)).forall(_ >= 0L) &&
+        sorted.map(_.getLong(4)).forall(_ >= 0L))
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val recalls = (0L until 5L).map { q =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2sq(vecs(q), vecs(n)), n)).take(10).toSet
+      val pq = out.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      (pq & exact).size.toDouble / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // K=16 4-bit codes (vs s140's 256) + the same 5x rerank: the coarser
+    // codebook costs recall on near-random vectors; the trained centroids
+    // must still clear a usable floor (measured 0.92 at sf0.001)
+    assert(mean >= 0.5, s"trained-PQ mean recall $mean below 0.5 (per-query: $recalls)")
+  }
+
   test("s144: IVF-PQ results come only from probed lists and agree with s140 on shared candidates") {
     val ivfpq = SparkEntry.queries("s144_ivf_pq")(spark, sf).collect()
     assert(ivfpq.nonEmpty)
