@@ -160,6 +160,30 @@ object CoreQueries {
         .limit(20)
     }),
 
+    /** The full TPC-H Q1 pricing summary, executed through the
+      * `spark.sql` TEXT surface over a registered temp view — the gate
+      * that a SQL-first user (no Column DSL) gets the identical engine:
+      * same Catalyst plan, same lattice discipline (sums rounded at
+      * their natural decimal precision, averages at 6). Completes the
+      * TPC-H set beside q205/q206/q207's DSL join shapes. */
+    "q212_sql_entry" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_sqlv")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 4) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_base_price,
+          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+          round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+          round(avg(l_quantity), 6) AS avg_qty,
+          round(avg(l_extendedprice), 6) AS avg_price,
+          round(avg(l_discount), 6) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem_sqlv
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
     /** S1+P1: scan with projection + pushed filter. `.explain` shows
       * PushedFilters + 3-column ReadSchema (ref: src/etl_functions.py:199-353). */
     "q2_scan_project" -> ((s, d) =>
@@ -699,6 +723,20 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q212_sql_entry" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q205_tpch_q3" ->
       """SELECT l.l_orderkey AS o_orderkey, any_value(o.o_orderdate) AS o_orderdate,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue

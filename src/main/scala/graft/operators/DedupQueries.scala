@@ -682,6 +682,36 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    /** Soft dedup (count-weighted down-sampling — the gentler
+      * alternative when hard dedup is too aggressive, e.g. templated
+      * boilerplate that still carries signal): every doc gets sampling
+      * weight 1/cluster_size from the d62 near-dup clustering (isolated
+      * docs form their own singleton cluster), and survives when its
+      * deterministic md5 uniform u < weight — one expected survivor per
+      * cluster, but drawn independently, so no cluster is ever
+      * guaranteed extinct. The keep test is INTEGER — u52 ≤
+      * ⌊(2^52−1)/size⌋ on the 52-bit md5 prefix (the division form
+      * avoids ANSI overflow of u52·size and no float boundary can flip
+      * a flag).
+      *
+      * Scale shape: d62's clustering cost + one broadcast-free left
+      * join on doc_id + scan-local hashing. */
+    "d211_soft_dedup" -> ((s, d) => {
+      val clusters = queries("d62_dedup_clusters")(s, d)
+        .select(col("doc_id"), col("cluster_size"))
+      val u52 = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 13), 16, 10).cast("long")
+      documents(s, d).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          u52.as("u52"))
+        .select(col("doc_id"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 9).as("weight"),
+          expr("u52 <= (4503599627370495 div cluster_size)").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     /** Corpus-level exact CHUNK dedup (the sub-document granularity the
       * doc-level d37 can't reach — boilerplate shared across otherwise
       * distinct documents): split each doc into non-overlapping 30-token
@@ -1638,6 +1668,27 @@ object DedupQueries {
     "d82_embedding_lsh" -> lshReplicaOracle,
     "d83_clusters_distributed" -> clustersOracle,
     "d194_clusters_bigstar" -> clustersOracle,
+    // clusters CTEs + the same 52-bit md5 uniform and integer keep test
+    "d211_soft_dedup" ->
+      s"""WITH RECURSIVE $clustersCtes,
+         |cl AS (
+         |  SELECT c.s AS doc_id,
+         |    CAST(count(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS cluster_size
+         |  FROM nodes c
+         |  JOIN (SELECT s, min(t) AS cluster_id FROM closure GROUP BY s) m
+         |    ON c.s = m.s),
+         |w AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_size, 1) AS cluster_size,
+         |    CAST(list_sum(list_transform(range(0, 13), i ->
+         |      CAST(strpos('0123456789abcdef',
+         |        substr(md5(CAST(d.doc_id AS VARCHAR)),
+         |          CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+         |        << CAST(4 * (12 - i) AS INTEGER))) AS BIGINT) AS u52
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  round(1.0 / cluster_size, 9) AS weight,
+         |  u52 <= (4503599627370495 // cluster_size) AS kept
+         |FROM w ORDER BY doc_id""".stripMargin,
     "d38_dedup_jaccard" -> jaccardOracle,
     // same shingle CTE as d38's oracle; containment divides by the
     // CONTAINED side's size and keeps both directions
@@ -1918,8 +1969,11 @@ object DedupQueries {
         |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin
 
-  private lazy val clustersOracle =
-      """WITH RECURSIVE pairs AS (
+  /** The Jaccard pair graph → transitive-closure CTE block, shared by
+    * the clusters oracle (d62/d83/d194) and d211's soft-dedup oracle.
+    * Must follow a `WITH RECURSIVE` header. */
+  private lazy val clustersCtes =
+      """pairs AS (
         |  SELECT doc1, doc2 FROM (
         |    WITH toks AS (
         |      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -1945,12 +1999,15 @@ object DedupQueries {
         |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
         |nodes AS (SELECT DISTINCT s FROM edges),
         |closure AS (
-        |  SELECT s, t FROM reach UNION ALL SELECT s, s FROM nodes)
-        |SELECT c.s AS doc_id, m.cluster_id,
-        |  CAST(count(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS cluster_size
-        |FROM nodes c
-        |JOIN (SELECT s, min(t) AS cluster_id FROM closure GROUP BY s) m ON c.s = m.s
-        |ORDER BY doc_id""".stripMargin
+        |  SELECT s, t FROM reach UNION ALL SELECT s, s FROM nodes)""".stripMargin
+
+  private lazy val clustersOracle =
+    s"""WITH RECURSIVE $clustersCtes
+       |SELECT c.s AS doc_id, m.cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS cluster_size
+       |FROM nodes c
+       |JOIN (SELECT s, min(t) AS cluster_id FROM closure GROUP BY s) m ON c.s = m.s
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replica of the d82 LSH tier (the s43 inlined-plane pattern):
     * the 32×64 gaussian plane constants serialize as shortest-round-trip
