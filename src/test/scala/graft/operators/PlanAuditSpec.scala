@@ -304,6 +304,28 @@ class PlanAuditSpec extends SparkSpec {
       s"s197: codegen'd L2 missing:\n$p")
   }
 
+  test("s210: trained-PQ serving joins broadcast only codebook-sized sides") {
+    val p = plan("s210_pq_trained")
+    assert(!p.contains("CartesianProduct"), s"s210: cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"s210: expected broadcast joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"s210: nested loop:\n$p")
+    assert(p.contains("l2sq") || p.contains("squaredl2"),
+      s"s210: codegen'd integer L2 missing:\n$p")
+  }
+
+  test("q208: CEP collapses to one user-keyed aggregate; the regex pass is scan work") {
+    val p = plan("q208_event_pattern_cep")
+    assert(!p.contains("Join"), s"q208 should be join-free:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"q208: more than one user-keyed shuffle:\n$p")
+  }
+
+  test("d211: soft dedup adds only an equi-join and scan-local hashing over d62") {
+    val p = plan("d211_soft_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d211: non-equi join shape:\n$p")
+  }
+
   test("s140: PQ encode/ADC/rerank joins broadcast the KB-sized sides only") {
     // codebook (2048 rows), distance tables (2048/query-set), query
     // vectors (5): every join's build side is bounded by the codebook,
