@@ -114,6 +114,47 @@ object ImageIoDecoder extends MediaDecoder {
   /** Test/fixture helper: render a deterministic RGB gradient and encode
     * it with the JDK's PNG writer — a REAL compressed image payload with
     * known pixel content, built without any external asset. */
+  /** Gray-gradient BMP fixture: pixel (x,y) has gray (a·x + b·y + c)
+    * mod 256. BMP is LOSSLESS, so the decode returns these exact grays —
+    * the property m213's formula-exact oracle rests on (JPEG could
+    * not provide it). */
+  def syntheticBmp(w: Int, h: Int, a: Int, b: Int, c: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (a * x + b * y + c) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** 8×8 grid of 4×4-block gray sums from a decoded image — integer
+    * exact; the DCT input for the m213 perceptual hash. Row-major
+    * (by, bx)… indexed [by*8 + bx]. */
+  def blockSums8x8(bytes: Array[Byte]): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null && img.getWidth == 32 && img.getHeight == 32,
+      "m213 expects a 32x32 image")
+    val out = new Array[Long](64)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        out((y / 4) * 8 + (x / 4)) += (img.getRGB(x, y) & 0xff).toLong
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def syntheticPng(w: Int, h: Int, seed: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0

@@ -17,6 +17,37 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
   import Tables._
 
+  /** DCT-II basis C(u)(x) = cos((2x+1)·u·π/16) — shared by m213's JVM
+    * fold and its oracle's generated chains: Scala's Double.toString is
+    * shortest-round-trip, so the serialized literal parses back to the
+    * identical bits in DuckDB (the Hyperplanes-oracle precedent). */
+  private lazy val dctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
+  /** One pHash bit for the m213 oracle: coefficient (u,v) = bit+1 in
+    * row-major order (DC skipped). The 64-term DCT fold is grouped as 8
+    * parenthesized 8-term subchains summed left-to-right — DuckDB's
+    * binder recursion cap (128) rejects a flat 64-deep chain, and the
+    * JVM loop accumulates in the IDENTICAL grouped order so the IEEE
+    * sequence still matches bit-for-bit. */
+  private def phashBitSql(bit: Int): String = {
+    val uv = bit + 1
+    val u = uv / 8
+    val v = uv % 8
+    // CAST(... AS DOUBLE) per literal: DuckDB types bare decimal
+    // literals as DECIMAL and a BIGINT×DECIMAL chain overflows scale 34
+    // (the Hyperplanes-oracle precedent)
+    val chain = (0 until 8).map { grp =>
+      "(" + (0 until 8).map { j =>
+        val p = grp * 8 + j
+        s"sl[${p + 1}] * CAST(${dctCos(u)(p % 8)} AS DOUBLE)" +
+          s" * CAST(${dctCos(v)(p / 8)} AS DOUBLE)"
+      }.mkString(" + ") + ")"
+    }.mkString(" + ")
+    s"(CASE WHEN CAST(floor(($chain) * 1e9 + 0.5) AS BIGINT) > 0" +
+      s" THEN CAST(1 AS BIGINT) << $bit ELSE CAST(0 AS BIGINT) END)"
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** One media record: payload + metadata. Built from `documents` text
@@ -305,6 +336,71 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** Perceptual image hash (pHash — DCT low-frequency sign bits) over
+      * REAL BMP payloads, completing the query-gated real-codec triple
+      * (m198 audio, m203 video, m213 image): each image-typed doc
+      * synthesizes a 32×32 gray-gradient BMP ((a·x+b·y+c) mod 256 with
+      * params from doc_id mod 17, so param-sharing docs are identical
+      * images), round-trips through the real `javax.imageio` decode —
+      * LOSSLESS, which is why BMP and not JPEG: the decoded grays are
+      * the formula's — then 8×8 block sums → 8×8 DCT-II → the first 60
+      * non-DC coefficients' e9-quantized signs become a 60-bit hash.
+      * The DCT runs as one fixed left-associated 64-term fold per
+      * coefficient with shortest-round-trip cos literals, the IDENTICAL
+      * IEEE sequence the oracle's generated chains replay — so the hash
+      * gate pins encode→decode→blocks→DCT→bits bit-for-bit. Near-dups
+      * via the shared 4×15-bit pigeonhole join.
+      *
+      * Scale shape: one typed mapPartitions scan emitting 16 bytes/doc;
+      * the near-dup join runs on hashes only. */
+    "m213_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val fp = documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 17).toInt
+            val bmp = graft.ImageIoDecoder.syntheticBmp(
+              32, 32, 3 + k % 5, 5 + k % 7, k * 11)
+            val sl = graft.ImageIoDecoder.blockSums8x8(bmp)
+            var sig = 0L
+            var i = 0
+            while (i < 60) {
+              val uv = i + 1
+              val u = uv / 8; val v = uv % 8
+              // grouped 8+8 accumulation — the oracle's parenthesized
+              // subchain order (flat 64-deep chains trip DuckDB's
+              // binder recursion cap)
+              var acc = 0.0
+              var grp = 0
+              while (grp < 8) {
+                var sub = 0.0
+                var j = 0
+                while (j < 8) {
+                  val p = grp * 8 + j
+                  sub += sl(p) * dctCos(u)(p % 8) * dctCos(v)(p / 8)
+                  j += 1
+                }
+                acc += sub
+                grp += 1
+              }
+              if (math.floor(acc * 1e9 + 0.5).toLong > 0L) sig |= 1L << i
+              i += 1
+            }
+            (id, sig)
+          }
+        }.toDF("doc_id", "sig")
+      val pairs = DedupQueries.simhashNearDupPairs(
+        fp.select(col("doc_id"), col("sig")))
+      val counts = pairs.select(col("doc1").as("doc_id"))
+        .unionByName(pairs.select(col("doc2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+      fp.join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sig"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy("doc_id")
+    }),
+
     /** Video scene-cut detection over REAL MJPEG-AVI payloads (the m198
       * pattern for the video modality): each video-typed doc synthesizes
       * a genuine RIFF/AVI whose solid-gray frames alternate 60 ↔ 180 at
@@ -444,6 +540,44 @@ object MultimodalQueries {
     // same 16-byte hex chunking, md5-60bit feature hash, simhash fold,
     // and hamming test as the Spark side (fold fragments shared with the
     // d40 oracle via DedupQueries)
+    // block sums from the pixel formula (BMP is lossless), DCT chains
+    // generated in the same fold order with the same cos literals —
+    // shortest-round-trip doubles parse to identical bits
+    "m213_image_phash" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id, 3 + (doc_id % 17) % 5 AS a, 5 + (doc_id % 17) % 7 AS b,
+         |    (doc_id % 17) * 11 AS c
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |g AS (
+         |  SELECT doc_id, a, b, c, CAST(gp.p AS BIGINT) AS p, CAST(gq.q AS BIGINT) AS q
+         |  FROM imgs
+         |  CROSS JOIN unnest(generate_series(0, 63)) AS gp(p)
+         |  CROSS JOIN unnest(generate_series(0, 15)) AS gq(q)),
+         |blocks AS (
+         |  SELECT doc_id, p,
+         |    CAST(sum((a * ((p % 8) * 4 + (q % 4)) + b * ((p // 8) * 4 + (q // 4)) + c)
+         |      % 256) AS BIGINT) AS s
+         |  FROM g GROUP BY 1, 2),
+         |brow AS (SELECT doc_id, list(s ORDER BY p) AS sl FROM blocks GROUP BY 1),
+         |bitvals AS (
+         |  SELECT doc_id,
+         |    ${(0 until 60).map(i => s"${phashBitSql(i)} AS b$i").mkString(",\n    ")}
+         |  FROM brow),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(${(0 until 60).map(i => s"b$i").mkString(" + ")} AS BIGINT) AS sig
+         |  FROM bitvals),
+         |pr AS (
+         |  SELECT f1.doc_id AS d1, f2.doc_id AS d2
+         |  FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
+         |  WHERE bit_count(xor(f1.sig, f2.sig)) <= 3),
+         |nd AS (
+         |  SELECT doc_id, count(*) AS n
+         |  FROM (SELECT d1 AS doc_id FROM pr UNION ALL SELECT d2 FROM pr)
+         |  GROUP BY 1)
+         |SELECT f.doc_id, f.sig, coalesce(nd.n, CAST(0 AS BIGINT)) AS n_near_dups
+         |FROM fp f LEFT JOIN nd USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin,
     // the planned scene grid (60↔180 gray alternation every 4 or 6
     // frames) makes frame count, cut count, AND first cut position
     // formula-exact — the gate covers container pack→parse→JPEG
