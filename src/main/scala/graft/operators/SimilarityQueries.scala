@@ -1072,6 +1072,56 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    /** IVF-Flat with the TRAINED coarse quantizer — s44's layout
+      * upgraded from "first 8 vectors as centroids" to the s90 k-means
+      * codebook (FAISS IVFx: `train()` then `add()`): inverted lists
+      * are the trained assignments, queries probe their 2 nearest
+      * trained centroids by the same integer distance, and probed
+      * candidates score with exact e9-lattice L2. Training, probe
+      * ranking, and final ranking all replay in the oracle (the
+      * unrolled s90 CTE chain exposes both `af` assignments and the
+      * per-(vector, centroid) distance table it probes from).
+      *
+      * Scale shape: the s44 story with a real codebook — lists
+      * partition the corpus, a query touches nprobe/nlist of the data,
+      * the codebook is K rows broadcast; training is the s90 bounded-
+      * centroid driver barrier. */
+    "s214_ivf_trained" -> ((s, d) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val q0 = quantizedVecs(s, d).persist()
+      try {
+        val cents = kmeansCentsQ(s, d, q0)
+        val lists = kmeansAssignOver(s, q0, cents)
+          .select(col("vec_id").as("neighbor_id"), col("cid"))
+        val wP = Window.partitionBy("query_id").orderBy(col("dist_sq"), col("cid"))
+        val probes = q0.filter(col("vec_id") < NumQueries)
+          .crossJoin(broadcast(cents.toDF("cid", "cv")))
+          .withColumn("dist_sq", expr(
+            "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .select(col("vec_id").as("query_id"), col("cid"), col("dist_sq"))
+          .withColumn("rn", row_number().over(wP))
+          .filter(col("rn") <= 2)
+          .select("query_id", "cid")
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val wR = Window.partitionBy("query_id")
+          .orderBy(col("dist_e9"), col("neighbor_id"))
+        probes.join(lists, "cid")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id").distinct()
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("e").as("ne")),
+            "neighbor_id")
+          .join(broadcast(emb.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("query_id"), col("e").as("qe"))), "query_id")
+          .withColumn("dist_e9", e9(l2sqC(col("qe"), col("ne"))))
+          .withColumn("rank", row_number().over(wR).cast("long"))
+          .filter(col("rank") <= K)
+          .select("query_id", "neighbor_id", "rank", "dist_e9")
+          .orderBy("query_id", "rank")
+      } finally q0.unpersist()
+    }),
+
     /** Trained product quantization — s140 with a LEARNED codebook: the
       * 16-centroid-per-subspace codebook comes from [[pqTrainedCents]]'
       * per-subspace Lloyd rounds instead of s140's first-256-vectors
@@ -1454,41 +1504,58 @@ object SimilarityQueries {
     * (VERDICT r4 #7); the checkpoint materializes WHILE q0 is cached —
     * unpersisting before the lazy result executed forced a full
     * re-quantization scan at output time (ADVICE r4). */
-  private def kmeansAssignQ(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val Kc = 8; val Iters = 3
+  /** (vec_id, q): symmetric max-abs int8 quantization of every vector —
+    * the integer domain the k-means family trains and assigns in. */
+  private def quantizedVecs(s: SparkSession, d: String): DataFrame = {
     val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-    val q0 = embeddings(s, d)
+    embeddings(s, d)
       .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
       .select(col("vec_id"),
         transform(col("embedding"), x =>
           when(col("ma") === 0.0, 0L)
             .otherwise(floor(x.cast("double") / col("ma") * 127.0).cast("long")))
           .as("q"))
-      .persist()
+  }
+
+  private def kmeansAssignOver(s: SparkSession, q0: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
+  }
+
+  /** The trained k-means centroids (K=8, 3 integer Lloyd rounds, init =
+    * first 8 quantized vectors) — extracted from the s90 trainer so IVF
+    * (s214) can probe the same codebook the assignments came from. */
+  private def kmeansCentsQ(s: SparkSession, d: String,
+      q0: DataFrame): Seq[(Long, Seq[Long])] = {
+    val Kc = 8; val Iters = 3
+    var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
+    for (_ <- 1 to Iters) {
+      val updated = kmeansAssignOver(s, q0, cents).join(q0, "vec_id")
+        .select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum("col").cast("double") / count(lit(1))).cast("long").as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toList
+        }
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    cents
+  }
+
+  private def kmeansAssignQ(s: SparkSession, d: String): DataFrame = {
+    val q0 = quantizedVecs(s, d).persist()
     try {
-      def assign(cents: Seq[(Long, Seq[Long])]) =
-        q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
-          .withColumn("dist_sq", expr(
-            "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
-      var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
-      for (_ <- 1 to Iters) {
-        val updated = assign(cents).join(q0, "vec_id")
-          .select(col("cid"), posexplode(col("q")))
-          .groupBy("cid", "pos")
-          .agg(floor(sum("col").cast("double") / count(lit(1))).cast("long").as("c"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cid, rows) =>
-            cid -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toList
-          }
-        cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
-      }
-      assign(cents).join(q0, "vec_id")
+      val cents = kmeansCentsQ(s, d, q0)
+      kmeansAssignOver(s, q0, cents).join(q0, "vec_id")
         .select(col("vec_id"), col("cid"), col("dist_sq"), col("q"))
         .localCheckpoint(true)
     } finally q0.unpersist()
@@ -2384,6 +2451,34 @@ object SimilarityQueries {
          |ORDER BY cluster""".stripMargin,
     // the oracle PAYS the ×d² unnest the Spark aggregate avoids — same
     // integer-exact sums, structurally different (and unscalable) plan
+    // the s90 training chain (qz/c0..c3/df/af) replayed, probes from the
+    // same integer distance table, exact e9 L2 over probed lists
+    "s214_ivf_trained" ->
+      s"""$kmeansCtes,
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT vec_id AS query_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM df WHERE vec_id < $NumQueries) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN af a USING (cid)
+         |  WHERE a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${e9Sql(l2ChainSql("q.emb", "n.emb", 64))} AS dist_e9
+         |  FROM cand c
+         |  JOIN e q ON q.vec_id = c.query_id
+         |  JOIN e n ON n.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dist_e9,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist_e9, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist_e9
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     // the TRAINING replays in SQL: int8 quantization, both Lloyd rounds
     // unrolled (argmin → integer sums → floor-mean with empty-cluster
     // fallback), then the s140 ADC/rerank pipeline on the learned
