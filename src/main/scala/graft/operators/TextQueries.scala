@@ -1173,6 +1173,61 @@ object TextQueries {
       * rows — vocabulary size never sorts globally. Tie-break (count
       * desc, term) makes the fit set deterministic; ln() on exact
       * integer counts is bit-identical cross-engine. */
+    /** Dedup-strategy impact report (the curation question "which dedup
+      * grain buys how much"): for each of the three exact grains — whole
+      * document (d37), sentence (t144), aligned 30-token chunk (d86) —
+      * keep-first dedup's unit and TOKEN reduction, side by side in one
+      * long-form table. Token accounting is per-strategy (the sentence
+      * split drops punctuation-only segments, so totals legitimately
+      * differ); everything is integer except the final ratio, rounded
+      * to 9.
+      *
+      * Scale shape: three independent scan → keyed-window/first-keeper →
+      * aggregate pipelines, each the shape of the operator it audits;
+      * the union is 3 rows. */
+    "t215_dedup_impact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def summarize(units: DataFrame, name: String): DataFrame =
+        // units: (kept boolean, nt long)
+        units.agg(count(lit(1)).as("n_units"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum("nt").as("tokens_total"),
+          sum(when(col("kept"), col("nt")).otherwise(0L)).as("tokens_kept"))
+          .select(lit(name).as("strategy"), col("n_units"), col("n_kept"),
+            col("tokens_total"), col("tokens_kept"),
+            round(lit(1.0) - col("tokens_kept").cast("double") /
+              col("tokens_total"), 9).as("token_reduction"))
+      val docs = documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("nt"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("kept", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")) === 1)
+      val sents = documents(s, d)
+        .select(col("doc_id"),
+          filter(transform(split(col("text"), "[.!?]+"), x => trim(x)),
+            x => length(x) > 0).as("sents"))
+        .select(col("doc_id"), posexplode(col("sents")))
+        .toDF("doc_id", "pos", "sentence")
+        .withColumn("nt", size(toks(col("sentence"))).cast("long"))
+        .withColumn("kept", row_number().over(
+          Window.partitionBy("sentence").orderBy("doc_id", "pos")) === 1)
+      val chunks = documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(30))).as("start"),
+          col("t"))
+        .select(col("doc_id"), (col("start") / 30).cast("long").as("chunk_idx"),
+          least(lit(30L), size(col("t")).cast("long") - col("start")).as("nt"),
+          md5(concat_ws(" ", slice(col("t"), col("start") + 1, lit(30)))
+            .cast("binary")).as("chunk_key"))
+        .withColumn("kept", row_number().over(
+          Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_idx")) === 1)
+      summarize(docs, "doc")
+        .unionByName(summarize(sents, "sentence"))
+        .unionByName(summarize(chunks, "chunk"))
+        .orderBy("strategy")
+    }),
+
     /** Corpus card (the dataset-card summary every training-data release
       * ships — HuggingFace dataset cards, Datasheets for Datasets): one
       * long-form (metric, value) table profiling the corpus in a single
@@ -2049,6 +2104,60 @@ object TextQueries {
          |    AS is_mixed
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    // the three grains replicated at their own operators' oracle
+    // conventions (doc md5 / [.!?]+ sentences / 30-token chunk text)
+    "t215_dedup_impact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS kept
+        |  FROM documents),
+        |sent AS (
+        |  SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+        |    trim(parts[CAST(g.i AS INTEGER)]) AS sentence,
+        |    CAST(len(regexp_split_to_array(trim(parts[CAST(g.i AS INTEGER)]), '\s+'))
+        |      AS BIGINT) AS nt
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
+        |        FROM documents)
+        |  CROSS JOIN unnest(generate_series(1, len(parts))) AS g(i)
+        |  WHERE length(trim(parts[CAST(g.i AS INTEGER)])) > 0),
+        |s2 AS (
+        |  SELECT nt,
+        |    row_number() OVER (PARTITION BY sentence ORDER BY doc_id, pos) = 1 AS kept
+        |  FROM sent),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST((gs.s - 1) / 30 AS BIGINT) AS chunk_idx,
+        |    CAST(least(30, len(t) - gs.s + 1) AS BIGINT) AS nt,
+        |    md5(array_to_string(t[gs.s:gs.s + 29], ' ')) AS chunk_key
+        |  FROM tok CROSS JOIN unnest(generate_series(1, len(t), 30)) AS gs(s)),
+        |c2 AS (
+        |  SELECT nt,
+        |    row_number() OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_idx) = 1 AS kept
+        |  FROM ch),
+        |u AS (
+        |  SELECT 'doc' AS strategy, count(*) AS n_units,
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(nt) AS BIGINT) AS tokens_total,
+        |    CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'sentence', count(*),
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT),
+        |    CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT 'chunk', count(*),
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT),
+        |    CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
+        |  FROM c2)
+        |SELECT strategy, n_units, n_kept, tokens_total, tokens_kept,
+        |  round(1.0 - CAST(tokens_kept AS DOUBLE) / tokens_total, 9)
+        |    AS token_reduction
+        |FROM u ORDER BY strategy""".stripMargin,
     // every value on a lattice before the union; p50 = quantile_cont
     // (the q56 exact-percentile equivalence)
     "t209_corpus_card" ->
