@@ -160,6 +160,27 @@ object CoreQueries {
         .limit(20)
     }),
 
+    /** Forced skew tier: the q5-style fact ⋈ orders join routed through
+      * [[graft.sources.Layouts.saltedJoin]] (n = 8) — the manual remedy
+      * when one hot key floods a shuffle partition past what AQE's
+      * skew-split handles. The forced-tier contract (d81/d83): the
+      * salted plan must reproduce the plain join's bytes exactly — the
+      * salt routes rows, it never changes the relation. The oracle IS
+      * the plain join.
+      *
+      * Scale shape: left rows scatter across n salted copies of their
+      * key, the right side replicates ×n (dims/medium tables only —
+      * that's the trade), so the hottest key's work spreads over n
+      * tasks. */
+    "q216_salted_join" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), revenue.as("rev"))
+      val ord = orders(s, d).select("o_orderkey", "o_orderpriority")
+      graft.sources.Layouts.saltedJoin(li, ord, "l_orderkey", "o_orderkey", n = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), round(sum("rev"), 4).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** The full TPC-H Q1 pricing summary, executed through the
       * `spark.sql` TEXT surface over a registered temp view — the gate
       * that a SQL-first user (no Column DSL) gets the identical engine:
@@ -723,6 +744,12 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the oracle is the PLAIN join — the salt must not change the bytes
+    "q216_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q212_sql_entry" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
