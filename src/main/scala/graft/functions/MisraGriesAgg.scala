@@ -41,7 +41,11 @@ case class MisraGriesAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[Long, Long]] {
 
-  require(k >= 1 && k <= 100000, s"misra_gries_agg: bad k=$k")
+  require(k >= 1 && k <= 4096,
+    s"misra_gries_agg: bad k=$k — update() pays an O(k) decrement sweep per " +
+      "untracked arrival when the buffer is full, so k is capped at the " +
+      "cache-resident regime the scaladoc assumes; use count_min_agg for " +
+      "wider summaries")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -465,6 +465,11 @@ object DedupQueries {
       sig = nextSig
       iter += 1
     }
+    // A (count, hash-sum) signature match is necessary but not sufficient
+    // for a fixpoint; hitting the round ceiling is never silent (ADVICE r9).
+    require(converged,
+      s"starComponents: no fixpoint after $iter rounds — graph too deep " +
+        "or signature oscillation; raise the ceiling or checkpoint inputs")
     // fixpoint edges are (child, root); roots label themselves
     val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))

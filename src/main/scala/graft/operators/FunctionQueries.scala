@@ -700,7 +700,14 @@ object FunctionQueries {
         |      FROM daily GROUP BY 1) d USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // sketch counters are engine-internal (q157 pattern): the oracle
-    // recomputes the exact probe counts and asserts the claim booleans
+    // recomputes the exact probe counts and asserts the claim booleans.
+    // cms_ge_exact is a hard CMS theorem (estimates never undercount);
+    // cms_within_eps is PROBABILISTIC — with depth d=5 rows the Markov
+    // bound fails a probe with prob <= 8^-5 ~ 3e-5 (the query uses slack
+    // 8x, not the e/w textbook constant), so over the <=30 gated probes
+    // the claim is wrong with prob < 1e-3 on adversarial data and is
+    // deterministic on this fixed dataset/seed. A re-seeded or swapped
+    // dataset can legitimately flip it; widen the slack if that happens.
     "q195_count_min" ->
       """WITH ex AS (
         |  SELECT event_type, user_id, count(*) AS exact_cnt

@@ -70,11 +70,15 @@ def compare(name, spark_df, duck_df):
             nn = col.dropna()
             if not len(nn):
                 return "O:empty"
-            t = type(nn.iloc[0]).__name__
-            # driver canonicalizes the whole date/timestamp family together
-            if t in ("date", "datetime", "Timestamp"):
-                return "dt"
-            return f"O:{t}"
+            # driver canonicalizes the whole date/timestamp family together;
+            # inspect ALL non-null values so a heterogeneous column (Decimal
+            # in row 0, float later) is flagged rather than slipping past.
+            ts = {type(v).__name__ for v in nn}
+            ts = {"dt" if t in ("date", "datetime", "Timestamp") else t for t in ts}
+            if len(ts) > 1:
+                return "O:mixed{" + ",".join(sorted(ts)) + "}"
+            t = next(iter(ts))
+            return t if t == "dt" else f"O:{t}"
         return {"i": "int", "u": "int", "f": "float", "b": "bool",
                 "M": "dt", "m": "td"}.get(k, k)
     for c in s.columns:
