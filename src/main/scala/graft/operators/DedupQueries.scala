@@ -701,6 +701,59 @@ object DedupQueries {
       *
       * Scale shape: d62's clustering cost + one broadcast-free left
       * join on doc_id + scan-local hashing. */
+    /** Fellegi–Sunter probabilistic record linkage (JASA 1969 — the
+      * entity-resolution classic): link the customer table against a
+      * deterministically corrupted copy of itself (truncated names on
+      * custkey%3, swapped segments on %5, shifted nations on %7 — the
+      * corruption stands in for a second noisy source). Candidate pairs
+      * come from BLOCKING on the stable 8-digit name-prefix (blocks of
+      * ≤10×10 rows at any scale — linkage's standard answer to the
+      * quadratic-pairs problem); each pair is scored with per-field
+      * agreement/disagreement log-likelihood weights ln(m/u) and
+      * ln((1−m)/(1−u)), classified match / possible / non-match on the
+      * textbook thresholds; non-matches are dropped.
+      *
+      * Determinism: the four weights are computed ONCE in Scala and the
+      * identical shortest-roundtrip literals are inlined into both
+      * engines; the score is a fixed left-assoc 3-term sum of those
+      * exact doubles — no transcendental evaluated at query time.
+      *
+      * Scale shape: two scans → shuffle on the block key → bounded
+      * within-block join → scan-local scoring. No broadcast of either
+      * side; block width is data-independent. */
+    "d219_record_linkage" -> ((s, d) => {
+      val c = customer(s, d)
+      val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("name_a"),
+        col("c_mktsegment").as("seg_a"), col("c_nationkey").cast("long").as("nat_a"),
+        substring(col("c_name"), 10, 8).as("blk"))
+      val b = c.select(
+        (col("c_custkey") + 1000000L).as("b_id"),
+        when(col("c_custkey") % 3 === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("name_b"),
+        when(col("c_custkey") % 5 === 0, lit("FURNITURE"))
+          .otherwise(col("c_mktsegment")).as("seg_b"),
+        when(col("c_custkey") % 7 === 0, (col("c_nationkey").cast("long") + 1L) % 25L)
+          .otherwise(col("c_nationkey").cast("long")).as("nat_b"),
+        substring(col("c_name"), 10, 8).as("blk"))
+      val score =
+        (when(col("agree_name"), lit(FsWeights.nameA)).otherwise(lit(FsWeights.nameD)) +
+          when(col("agree_segment"), lit(FsWeights.segA)).otherwise(lit(FsWeights.segD))) +
+          when(col("agree_nation"), lit(FsWeights.natA)).otherwise(lit(FsWeights.natD))
+      a.join(b, "blk")
+        .select(col("a_id"), col("b_id"),
+          (col("name_a") === col("name_b")).as("agree_name"),
+          (col("seg_a") === col("seg_b")).as("agree_segment"),
+          (col("nat_a") === col("nat_b")).as("agree_nation"))
+        .withColumn("fs_score", score)
+        .withColumn("decision",
+          when(col("fs_score") > 8.0, "match")
+            .when(col("fs_score") > 0.0, "possible")
+            .otherwise("non-match"))
+        .filter(col("fs_score") > 0.0)
+        .orderBy("a_id", "b_id")
+    }),
+
     "d211_soft_dedup" -> ((s, d) => {
       val clusters = queries("d62_dedup_clusters")(s, d)
         .select(col("doc_id"), col("cluster_size"))
@@ -1597,7 +1650,54 @@ object DedupQueries {
        |WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.5
        |ORDER BY $orderBy""".stripMargin
 
+  /** d219's per-field agreement/disagreement log-weights ln(m/u) and
+    * ln((1−m)/(1−u)), evaluated once here; both engines consume the same
+    * shortest-roundtrip literal so no ln() runs at query time. m/u values
+    * are the textbook ballpark (name is discriminating, segment is weak,
+    * nation is in between). */
+  private object FsWeights {
+    val nameA: Double = math.log(0.95 / 0.001)
+    val nameD: Double = math.log(0.05 / 0.999)
+    val segA: Double = math.log(0.90 / 0.20)
+    val segD: Double = math.log(0.10 / 0.80)
+    val natA: Double = math.log(0.90 / 0.04)
+    val natD: Double = math.log(0.10 / 0.96)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d219_record_linkage" ->
+      s"""WITH a AS (
+         |  SELECT c_custkey AS a_id, c_name AS name_a, c_mktsegment AS seg_a,
+         |    CAST(c_nationkey AS BIGINT) AS nat_a, substr(c_name, 10, 8) AS blk
+         |  FROM customer),
+         |b AS (
+         |  SELECT c_custkey + 1000000 AS b_id,
+         |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, length(c_name) - 1)
+         |         ELSE c_name END AS name_b,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'FURNITURE' ELSE c_mktsegment END AS seg_b,
+         |    CASE WHEN c_custkey % 7 = 0 THEN (CAST(c_nationkey AS BIGINT) + 1) % 25
+         |         ELSE CAST(c_nationkey AS BIGINT) END AS nat_b,
+         |    substr(c_name, 10, 8) AS blk
+         |  FROM customer),
+         |p AS (
+         |  SELECT a_id, b_id,
+         |    name_a = name_b AS agree_name,
+         |    seg_a = seg_b AS agree_segment,
+         |    nat_a = nat_b AS agree_nation
+         |  FROM a JOIN b USING (blk)),
+         |sc AS (
+         |  SELECT a_id, b_id, agree_name, agree_segment, agree_nation,
+         |    ((CASE WHEN agree_name THEN CAST(${FsWeights.nameA} AS DOUBLE) ELSE CAST(${FsWeights.nameD} AS DOUBLE) END
+         |      + CASE WHEN agree_segment THEN CAST(${FsWeights.segA} AS DOUBLE) ELSE CAST(${FsWeights.segD} AS DOUBLE) END)
+         |      + CASE WHEN agree_nation THEN CAST(${FsWeights.natA} AS DOUBLE) ELSE CAST(${FsWeights.natD} AS DOUBLE) END)
+         |      AS fs_score
+         |  FROM p)
+         |SELECT a_id, b_id, agree_name, agree_segment, agree_nation, fs_score,
+         |  CASE WHEN fs_score > 8.0 THEN 'match'
+         |       WHEN fs_score > 0.0 THEN 'possible'
+         |       ELSE 'non-match' END AS decision
+         |FROM sc WHERE fs_score > 0.0
+         |ORDER BY a_id, b_id""".stripMargin,
     // the shared MinHash CTE chain + the sampled pairwise measurement:
     // same jaccard deciles, same any-band-equal test from the bandkeys
     // lists, same closed-form 1-(1-s^r)^b at the midpoint

@@ -1248,6 +1248,139 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    /** Tie-corrected ROC AUC (Mann–Whitney U form) — the model-eval
+      * primitive a training pipeline runs on every scored eval set:
+      * label = purchase events, score = the event value, one AUC per
+      * user-cohort fold. Ties are handled exactly (each pos/neg tie
+      * contributes ½) by grouping to distinct scores FIRST, so the
+      * whole statistic is integer until one final division: U2 = 2U is
+      * Σ n_pos(s)·(2·cum_neg_below(s) + n_neg(s)), AUC = U2 / (2·P·N).
+      *
+      * Scale shape: one shuffle to (cohort, score) grain, one
+      * cohort-partitioned window over DISTINCT scores (bounded by value
+      * cardinality, not row count), one final aggregate. No row-level
+      * window, no self-join — the O(P·N) pairwise definition never
+      * materializes. */
+    "q220_auc_roc" -> ((s, d) => {
+      val ev = events(s, d).select(
+        (col("user_id") % 4L).as("cohort"), col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val g = ev.groupBy("cohort", "score")
+        .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+      val w = Window.partitionBy("cohort").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_nn", sum("nn").over(w) - col("nn"))
+        .groupBy("cohort")
+        .agg(sum("np").cast("long").as("n_pos"),
+          sum("nn").cast("long").as("n_neg"),
+          sum(col("np") * (col("cum_nn") * 2L + col("nn"))).cast("long").as("u2"))
+        .select(col("cohort"), col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"))
+        .orderBy("cohort")
+    }),
+
+    /** Confusion matrix + precision/recall/F1 per fold (threshold
+      * classifier: value ≥ 50 predicts purchase). Every ratio is ONE
+      * integer-ratio IEEE division — F1 uses the 2tp/(2tp+fp+fn)
+      * identity so no compound float arithmetic exists anywhere.
+      *
+      * Scale shape: scan → one partial+final aggregate on the 5-fold
+      * key; conditional sums ride the same pass. */
+    "q221_confusion_f1" -> ((s, d) => {
+      val ev = events(s, d).select(
+        (col("user_id") % 5L).as("fold"),
+        (col("event_type") === "purchase").as("truth"),
+        (col("value") >= 50.0).as("pred"))
+      ev.groupBy("fold").agg(
+        sum(when(col("truth") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("truth") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("truth") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("truth") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+        .select(col("fold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("precision_"),
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("recall_"),
+          ((col("tp") * 2L).cast("double") /
+            (col("tp") * 2L + col("fp") + col("fn")).cast("double")).as("f1"))
+        .orderBy("fold")
+    }),
+
+    /** Expected-calibration-error table (Guo et al. 2017's reliability
+      * diagram): pseudo-probability = fractional part of the event
+      * value, 10 equal-width bins, per-bin confidence vs accuracy. The
+      * per-bin confidence sum rides an integer MILLI-lattice (⌊p·1000⌉
+      * summed exactly in any order — the t115 rule) and the |acc−conf|
+      * gap lands on the e9 lattice, so no float accumulates anywhere.
+      *
+      * Scale shape: scan → one aggregate on the 10-bin key. */
+    "q222_ece_calibration" -> ((s, d) => {
+      val p = col("value") - floor(col("value"))
+      val ev = events(s, d).select(
+        floor(p * 1000.0 + 0.5).cast("long").as("p_milli"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+        .withColumn("bin", least(floor(col("p_milli") / 100L), lit(9L)))
+      ev.groupBy("bin").agg(
+        count(lit(1)).as("n_samples"),
+        sum("label").cast("long").as("n_pos"),
+        sum("p_milli").cast("long").as("conf_milli_sum"))
+        .select(col("bin"), col("n_samples"), col("n_pos"),
+          (col("conf_milli_sum").cast("double") /
+            (col("n_samples") * 1000L).cast("double")).as("mean_conf"),
+          (col("n_pos").cast("double") / col("n_samples").cast("double"))
+            .as("frac_pos"))
+        .withColumn("gap_e9",
+          floor(abs(col("frac_pos") - col("mean_conf")) * 1e9 + 0.5).cast("long"))
+        .orderBy("bin")
+    }),
+
+    /** Kaplan–Meier survival estimator (1958) over user lifetimes:
+      * duration = whole days between a user's first and last event;
+      * users whose last event falls in the final 7 days of the corpus
+      * are right-censored. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) evaluated as
+      * exp of a windowed ln-sum (the t114 round-6 wash), with the
+      * d=n full-extinction row handled exactly (survival 0 from there
+      * on, no ln(0) evaluated — Spark's log(0) is NULL, DuckDB's is
+      * -inf, so the guard is correctness, not style).
+      *
+      * Scale shape: one shuffle to user grain, one aggregate to the
+      * duration grain (≤ corpus-age rows), then window arithmetic over
+      * that tiny table. The 1-row corpus max is a legitimate broadcast. */
+    "q223_kaplan_meier" -> ((s, d) => {
+      val life = events(s, d).groupBy("user_id")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+      val mx = life.agg(max("last_ts").as("corpus_max"))
+      val durations = life.crossJoin(broadcast(mx))
+        .select(
+          floor((unix_timestamp(col("last_ts")) - unix_timestamp(col("first_ts")))
+            / 86400L).cast("long").as("t_days"),
+          (unix_timestamp(col("last_ts")) >
+            unix_timestamp(col("corpus_max")) - 7L * 86400L).as("censored"))
+      val byT = durations.groupBy("t_days").agg(
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_deaths"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+      val ordered = Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val after = Window.orderBy("t_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      byT
+        .withColumn("n_at_risk",
+          sum(col("n_deaths") + col("n_censored")).over(after).cast("long"))
+        .withColumn("extinct",
+          max(when(col("n_deaths") === col("n_at_risk"), 1L).otherwise(0L))
+            .over(ordered))
+        .withColumn("survival",
+          when(col("extinct") === 1L, 0.0).otherwise(
+            round(exp(sum(
+              when(col("n_deaths") < col("n_at_risk"),
+                log((col("n_at_risk") - col("n_deaths")).cast("double") /
+                  col("n_at_risk").cast("double"))).otherwise(0.0))
+              .over(ordered)), 6)))
+        .select("t_days", "n_at_risk", "n_deaths", "n_censored", "survival")
+        .orderBy("t_days")
+    }),
+
     "q189_new_vs_returning" -> ((s, d) => {
       val userDays = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
@@ -1317,6 +1450,104 @@ object EventQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // integer U-statistic, one terminal division (see query scaladoc)
+    "q220_auc_roc" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS cohort, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |g AS (
+        |  SELECT cohort, score, CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS nn
+        |  FROM e GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort, np, nn,
+        |    CAST(sum(nn) OVER (PARTITION BY cohort ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS BIGINT)
+        |      AS cum_nn
+        |  FROM g),
+        |r AS (
+        |  SELECT cohort, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (cum_nn * 2 + nn)) AS BIGINT) AS u2
+        |  FROM c GROUP BY 1)
+        |SELECT cohort, n_pos, n_neg, u2,
+        |  CAST(u2 AS DOUBLE) / CAST(n_pos * n_neg * 2 AS DOUBLE) AS auc
+        |FROM r ORDER BY cohort""".stripMargin,
+    "q221_confusion_f1" ->
+      """WITH e AS (
+        |  SELECT user_id % 5 AS fold,
+        |    event_type = 'purchase' AS truth, value >= 50.0 AS pred
+        |  FROM events),
+        |m AS (
+        |  SELECT fold,
+        |    CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM e GROUP BY 1)
+        |SELECT fold, tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_,
+        |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1
+        |FROM m ORDER BY fold""".stripMargin,
+    // milli-lattice confidence sums, e9-lattice gap (see query scaladoc)
+    "q222_ece_calibration" ->
+      """WITH e AS (
+        |  SELECT CAST(floor((value - floor(value)) * 1000 + 0.5) AS BIGINT) AS p_milli,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |b AS (
+        |  SELECT least(p_milli // 100, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(label) AS BIGINT) AS n_pos,
+        |    CAST(sum(p_milli) AS BIGINT) AS conf_milli_sum
+        |  FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT bin, n_samples, n_pos,
+        |    CAST(conf_milli_sum AS DOUBLE) / CAST(n_samples * 1000 AS DOUBLE)
+        |      AS mean_conf,
+        |    CAST(n_pos AS DOUBLE) / CAST(n_samples AS DOUBLE) AS frac_pos
+        |  FROM b)
+        |SELECT bin, n_samples, n_pos, mean_conf, frac_pos,
+        |  CAST(floor(abs(frac_pos - mean_conf) * 1e9 + 0.5) AS BIGINT) AS gap_e9
+        |FROM r ORDER BY bin""".stripMargin,
+    // ln-sum windows with the d=n extinction guard (see query scaladoc)
+    "q223_kaplan_meier" ->
+      """WITH life AS (
+        |  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_ts) AS corpus_max FROM life),
+        |dur AS (
+        |  SELECT date_diff('second', first_ts, last_ts) // 86400 AS t_days,
+        |    last_ts > corpus_max - INTERVAL 7 DAY AS censored
+        |  FROM life CROSS JOIN mx),
+        |byt AS (
+        |  SELECT t_days,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_deaths,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |  FROM dur GROUP BY 1),
+        |w AS (
+        |  SELECT t_days, n_deaths, n_censored,
+        |    CAST(sum(n_deaths + n_censored) OVER (ORDER BY t_days
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM byt),
+        |sv AS (
+        |  SELECT t_days, n_at_risk, n_deaths, n_censored,
+        |    max(CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS extinct,
+        |    sum(CASE WHEN n_deaths < n_at_risk
+        |      THEN ln(CAST(n_at_risk - n_deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END) OVER (
+        |      ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS lnsum
+        |  FROM w)
+        |SELECT t_days, n_at_risk, n_deaths, n_censored,
+        |  CASE WHEN extinct = 1 THEN CAST(0 AS DOUBLE)
+        |       ELSE round(exp(lnsum), 6) END AS survival
+        |FROM sv ORDER BY t_days""".stripMargin,
     "q130_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

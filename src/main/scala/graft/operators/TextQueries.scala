@@ -1185,6 +1185,71 @@ object TextQueries {
       * Scale shape: three independent scan → keyed-window/first-keeper →
       * aggregate pipelines, each the shape of the operator it audits;
       * the union is 3 rows. */
+    /** Gopher quality-rule battery (Rae et al. 2021, MassiveText filters,
+      * Appendix A.1.1): word-count bounds, mean-word-length band,
+      * symbol-to-word ratio (# / ellipsis), alphabetic-word ratio, and
+      * the ≥2-stopword requirement — each rule emitted as its own flag
+      * plus the conjunction. Distinct from t34's blended score: the rule
+      * battery is what curation pipelines actually gate and tune on.
+      *
+      * Determinism: every ratio is ONE IEEE division of two exact longs
+      * (identical bits on both engines); flags compare those exact
+      * quotients. Scale shape: pure per-row scan — the tokens array is
+      * projected once and every rule folds over it; no shuffle except
+      * the presentation sort. */
+    "t217_gopher_filters" -> ((s, d) => {
+      val base = documents(s, d).select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace"),
+        size(filter(toks(col("text")), w => w.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha_words"),
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_symbols"),
+        markerCount(toks(col("text")), gopherStops).as("stop_hits"))
+      val meanWl = col("n_nonspace").cast("double") / col("n_words").cast("double")
+      val symbolRatio = col("n_symbols").cast("double") / col("n_words").cast("double")
+      val alphaRatio = col("n_alpha_words").cast("double") / col("n_words").cast("double")
+      base.select(
+        col("doc_id"), col("n_words"), col("n_alpha_words"), col("n_symbols"),
+        col("stop_hits"),
+        meanWl.as("mean_word_len"),
+        col("n_words").between(50L, 100000L).as("pass_word_count"),
+        (meanWl >= 3.0 && meanWl <= 10.0).as("pass_mean_word_len"),
+        (symbolRatio < 0.1).as("pass_symbol_ratio"),
+        (alphaRatio > 0.8).as("pass_alpha_ratio"),
+        (col("stop_hits") >= 2L).as("pass_stopwords"))
+        .withColumn("gopher_keep",
+          col("pass_word_count") && col("pass_mean_word_len") &&
+            col("pass_symbol_ratio") && col("pass_alpha_ratio") &&
+            col("pass_stopwords"))
+        .orderBy("doc_id")
+    }),
+
+    /** C4 heuristic filter battery (Raffel et al. 2020 §2.2): the
+      * lorem-ipsum / curly-brace / "javascript" content screens, the
+      * ≥3-sentence minimum, and the terminal-punctuation rule, per doc
+      * with the conjunction. On this corpus the sentence rule fails
+      * everywhere (the synthetic docs carry no punctuation) — the audit
+      * reports what the data shows, q202's rule.
+      *
+      * Scale shape: per-row boolean scans over codegen'd string
+      * predicates; no shuffle except the presentation sort. */
+    "t218_c4_filters" -> ((s, d) => {
+      val lowered = lower(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_sentences"),
+        col("text").contains("{").as("has_brace"),
+        lowered.contains("lorem ipsum").as("has_lorem"),
+        lowered.contains("javascript").as("has_javascript"),
+        col("text").rlike("[.!?\"]$").as("ends_terminal"))
+        .withColumn("c4_keep",
+          col("n_sentences") >= 3L && col("n_words") >= 5L &&
+            !col("has_brace") && !col("has_lorem") && !col("has_javascript"))
+        .orderBy("doc_id")
+    }),
+
     "t215_dedup_impact" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       def summarize(units: DataFrame, name: String): DataFrame =
@@ -1493,6 +1558,10 @@ object TextQueries {
        |  ((rolling_fp % 1024) + 1024) % 1024 AS fp_bucket
        |FROM fp ORDER BY doc_id""".stripMargin
   }
+
+  /** Gopher's "must contain ≥2 of" stopword list (Rae et al. 2021 A.1.1). */
+  private val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   private def duckMarkerCount(markers: Seq[String]): String = {
     val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -2104,6 +2173,52 @@ object TextQueries {
          |    AS is_mixed
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    // same one-division-per-ratio arithmetic as the Spark side; the
+    // stopword fold reuses the t35 marker-count helper shape
+    "t217_gopher_filters" -> {
+      val stops = gopherStops.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> list_contains($stops, w))) AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words, n_alpha_words, n_symbols, stop_hits,
+         |    CAST(n_nonspace AS DOUBLE) / n_words AS mean_word_len,
+         |    CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+         |    CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_ratio
+         |  FROM b)
+         |SELECT doc_id, n_words, n_alpha_words, n_symbols, stop_hits, mean_word_len,
+         |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mean_word_len,
+         |  symbol_ratio < 0.1 AS pass_symbol_ratio,
+         |  alpha_ratio > 0.8 AS pass_alpha_ratio,
+         |  stop_hits >= 2 AS pass_stopwords,
+         |  (n_words BETWEEN 50 AND 100000)
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+         |    AND stop_hits >= 2 AS gopher_keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    "t218_c4_filters" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |  contains(text, '{') AS has_brace,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(lower(text), 'javascript') AS has_javascript,
+        |  regexp_matches(text, '[.!?"]$') AS ends_terminal,
+        |  len(regexp_extract_all(text, '[.!?]+')) >= 3
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |    AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(lower(text), 'javascript') AS c4_keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the three grains replicated at their own operators' oracle
     // conventions (doc md5 / [.!?]+ sentences / 30-token chunk text)
     "t215_dedup_impact" ->
