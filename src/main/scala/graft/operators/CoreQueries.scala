@@ -182,6 +182,31 @@ object CoreQueries {
         .limit(20)
     }),
 
+    /** TPC-H Q10 shape (returned-item reporting): revenue lost to
+      * returns per customer for one order quarter, top 20 customers.
+      * The returnflag filter prunes the fact scan, the quarter filter
+      * prunes orders BEFORE the join, and the nation dim broadcasts;
+      * revenue lands on the 4-dec lattice BEFORE the top-20 cut
+      * (round-then-rank, the q205 rule) with c_custkey tie-break. */
+    "q224_tpch_q10" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revenue.as("rev"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum("rev"), 4).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
     /** Forced skew tier: the q5-style fact ⋈ orders join routed through
       * [[graft.sources.Layouts.saltedJoin]] (n = 8) — the manual remedy
       * when one hot key floods a shuffle partition past what AQE's
@@ -821,6 +846,19 @@ object CoreQueries {
         |JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    "q224_tpch_q10" ->
+      """SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+        |  any_value(c.c_acctbal) AS c_acctbal, any_value(n.n_name) AS n_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
     // every format leg must equal the parquet aggregate — the oracle is
     // the parquet side replicated once per format label
     "q204_format_roundtrip" ->

@@ -905,6 +905,71 @@ object SimilarityQueries {
       * per-query-token max and the summed score; the final top-k is the
       * K-bounded heap per query. At 100 TB with real token grids the
       * same plan holds — fan-out is |query tokens|, never corpus-sized. */
+    /** Radius (range) similarity search — the fixed-threshold sibling
+      * of s42's top-k: EVERY corpus vector within cosine ≥ 0.2 of each
+      * query, not a fixed count. The membership cut runs on the e9
+      * lattice so ulp-level cosine divergence between engines cannot
+      * flip a boundary row.
+      *
+      * Scale shape: bounded query broadcast × one corpus scan (s42's
+      * shape); when the query set itself is corpus-sized the banded
+      * LSH tier (s43/d82) is the documented scale path. */
+    "s225_radius_search" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val corpus = embeddings(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          e9(call_function("cosine_sim", col("qv"), col("nv"))).as("cos_e9"))
+        .filter(col("cos_e9") >= 200000000L)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    /** Item-item collaborative filtering (Sarwar et al. 2001; the
+      * "customers also bought" shape): part co-occurrence within a
+      * customer's purchase history, cosine co/√(n₁·n₂) on the e9
+      * lattice, top-3 neighbors per part. Baskets are capped at 40
+      * items per customer (deterministic lowest-partkey keep) — the
+      * skew guard that bounds within-basket pair fan-out to O(40²)
+      * per customer regardless of how hot the customer is.
+      *
+      * Scale shape: fact ⋈ orders shuffles on orderkey; baskets
+      * shuffle once on custkey (cap window + pair fan-out stay
+      * partition-local); pair counts shuffle on the item pair; the
+      * top-3 is a rank window on the item key. No broadcast of
+      * anything corpus-sized, no driver state. */
+    "s226_item_cf" -> ((s, d) => {
+      val baskets0 = lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct()
+      val capped = baskets0
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cust").orderBy("item")))
+        .filter(col("rn") <= 40).drop("rn")
+      val nItem = capped.groupBy("item").agg(count(lit(1)).as("n"))
+      val pairs = capped.as("a").join(capped.as("b"), Seq("cust"))
+        .filter(col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("co"))
+      val directed = pairs.unionByName(
+        pairs.select(col("j").as("i"), col("i").as("j"), col("co")))
+      directed
+        .join(nItem.select(col("item").as("i"), col("n").as("ni")), "i")
+        .join(nItem.select(col("item").as("j"), col("n").as("nj")), "j")
+        .select(col("i").as("item_id"), col("j").as("neighbor_id"), col("co"),
+          e9(col("co").cast("double") /
+            sqrt((col("ni") * col("nj")).cast("double"))).as("cos_e9"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("item_id").orderBy(desc("cos_e9"), col("neighbor_id")))
+          .cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("item_id", "rk")
+    }),
+
     "s163_maxsim" -> ((s, d) => {
       VectorFunctions.register(s)
       graft.functions.TopKAggregate.register(s)
@@ -2334,6 +2399,47 @@ object SimilarityQueries {
          |LEFT JOIN deg d ON d.src = v.vec_id
          |LEFT JOIN reach r ON r.src = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+    "s225_radius_search" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${e9Sql(cosChainSql("q.emb", "c.emb", 64))} AS cos_e9
+         |  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |SELECT query_id, neighbor_id, cos_e9 FROM sc
+         |WHERE cos_e9 >= 200000000
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+    "s226_item_cf" -> {
+      val cos = "CAST(d.co AS DOUBLE) / sqrt(CAST(x.n * y.n AS DOUBLE))"
+      s"""WITH b0 AS (
+         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |capped AS (
+         |  SELECT cust, item FROM (
+         |    SELECT cust, item,
+         |      row_number() OVER (PARTITION BY cust ORDER BY item) AS rn
+         |    FROM b0) WHERE rn <= 40),
+         |ni AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS co
+         |  FROM capped a JOIN capped b ON a.cust = b.cust AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |directed AS (
+         |  SELECT i, j, co FROM pairs
+         |  UNION ALL SELECT j AS i, i AS j, co FROM pairs),
+         |scored AS (
+         |  SELECT d.i AS item_id, d.j AS neighbor_id, d.co,
+         |    ${e9Sql(cos)} AS cos_e9
+         |  FROM directed d JOIN ni x ON d.i = x.item JOIN ni y ON d.j = y.item),
+         |r AS (
+         |  SELECT item_id, neighbor_id, co, cos_e9,
+         |    CAST(row_number() OVER (PARTITION BY item_id
+         |      ORDER BY cos_e9 DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT item_id, neighbor_id, co, cos_e9, rk FROM r WHERE rk <= 3
+         |ORDER BY item_id, rk""".stripMargin
+    },
     // 4-vector units from consecutive vec_ids; per-query-token max, then
     // the summed MaxSim rounded to 6 BEFORE the rank cut (ulp guard)
     "s163_maxsim" ->
