@@ -319,6 +319,86 @@ object FunctionQueries {
       *
       * Scale shape: one scan → 9-group aggregate; χ² is a 9-row fold
       * broadcast back. */
+    /** Population-stability-index drift monitor (the scorecard-era PSI,
+      * the standard production check that a feature's distribution has
+      * not shifted between a reference window and the current one):
+      * orders before/after a date cut, o_totalprice in 10 fixed 50k
+      * bands, PSI term (q−p)·ln(q/p) per band with Laplace add-1
+      * smoothing so an empty band never evaluates ln(0). Terms land on
+      * the e9 lattice; the total PSI is the INTEGER sum of the lattice
+      * terms (order-free), attached to every row F15-style. PSI > 0.2
+      * is the textbook "investigate" flag.
+      *
+      * Scale shape: one scan → one aggregate on the 10-band key; the
+      * two totals and the 10-row term sum are 1-row broadcasts. */
+    "q227_psi_drift" -> ((s, d) => {
+      val cut = lit("1998-07-01").cast("timestamp")
+      val banded = orders(s, d).select(
+        least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long").as("band"),
+        when(col("o_orderdate") < cut, 1L).otherwise(0L).as("is_ref"))
+      val g = banded.groupBy("band").agg(
+        sum("is_ref").as("n_ref"),
+        sum(lit(1L) - col("is_ref")).as("n_cur"))
+      val tot = g.agg(sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+      val smoothed = g.crossJoin(broadcast(tot))
+        .select(col("band"), col("n_ref").cast("long").as("n_ref"),
+          col("n_cur").cast("long").as("n_cur"),
+          ((col("n_ref") + 1L).cast("double") /
+            (col("tot_ref") + 10L).cast("double")).as("p_ref"),
+          ((col("n_cur") + 1L).cast("double") /
+            (col("tot_cur") + 10L).cast("double")).as("p_cur"))
+        .withColumn("psi_term_e9",
+          floor((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))
+            * 1e9 + 0.5).cast("long"))
+      val total = smoothed.agg(sum("psi_term_e9").cast("long").as("psi_e9_total"))
+      smoothed.crossJoin(broadcast(total))
+        .select(col("band"), col("n_ref"), col("n_cur"), col("p_ref"),
+          col("p_cur"), col("psi_term_e9"), col("psi_e9_total"),
+          (col("psi_e9_total") > 200000000L).as("drift_flag"))
+        .orderBy("band")
+    }),
+
+    /** RFM customer segmentation (Hughes 1994 — the classic CRM
+      * recency/frequency/monetary quintile scoring): per customer the
+      * days since last order (vs corpus max date), order count, and
+      * total spend; each scored 1–5 by ntile over a TOTAL order
+      * (metric + custkey tie-break, so bucket edges are deterministic
+      * on both engines), then a fixed-precedence segment label.
+      *
+      * Scale shape: one aggregate to customer grain, three global
+      * ntile windows over that grain (at 100 TB the exact ntile gives
+      * way to approx-percentile cuts — same output contract), one
+      * presentation sort. */
+    "q228_rfm_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val mx = orders(s, d).agg(max("o_orderdate").as("corpus_max"))
+      val rfm = orders(s, d).crossJoin(broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+          floor((unix_timestamp(max(col("corpus_max"))) -
+            unix_timestamp(max(col("o_orderdate")))) / 86400L).cast("long")
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          round(sum("o_totalprice"), 2).as("monetary"))
+      val scored = rfm
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(desc("recency_days"), col("o_custkey"))).cast("long"))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("frequency"), col("o_custkey"))).cast("long"))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary"), col("o_custkey"))).cast("long"))
+      scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4L && col("f_score") >= 4L && col("m_score") >= 4L,
+          "champion")
+          .when(col("f_score") >= 4L, "loyal")
+          .when(col("m_score") >= 4L, "big_spender")
+          .when(col("r_score") <= 2L && col("f_score") >= 3L, "at_risk")
+          .when(col("r_score") <= 2L, "hibernating")
+          .otherwise("regular").as("segment"))
+        .orderBy("o_custkey")
+    }),
+
     "q202_benford" -> ((s, d) => {
       val digits = orders(s, d)
         .select(substring(floor(col("o_totalprice") * 100 + 0.5).cast("long")
@@ -722,6 +802,58 @@ object FunctionQueries {
         |  TRUE AS cms_ge_exact, TRUE AS cms_within_eps
         |FROM p JOIN n USING (event_type)
         |ORDER BY p.event_type, p.rk""".stripMargin,
+    // Laplace-smoothed band shares; e9-lattice terms summed as integers
+    "q227_psi_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(o_totalprice / CAST(50000 AS DOUBLE)), 9) AS BIGINT)
+        |    AS band,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END AS is_ref
+        |  FROM orders),
+        |g AS (
+        |  SELECT band, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |  CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM g),
+        |sm AS (
+        |  SELECT band, n_ref, n_cur,
+        |    CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE) AS p_ref,
+        |    CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE) AS p_cur
+        |  FROM g CROSS JOIN t),
+        |e AS (
+        |  SELECT band, n_ref, n_cur, p_ref, p_cur,
+        |    CAST(floor((p_cur - p_ref) * ln(p_cur / p_ref) * 1e9 + 0.5) AS BIGINT)
+        |      AS psi_term_e9
+        |  FROM sm),
+        |tt AS (SELECT CAST(sum(psi_term_e9) AS BIGINT) AS psi_e9_total FROM e)
+        |SELECT band, n_ref, n_cur, p_ref, p_cur, psi_term_e9, psi_e9_total,
+        |  psi_e9_total > 200000000 AS drift_flag
+        |FROM e CROSS JOIN tt ORDER BY band""".stripMargin,
+    "q228_rfm_segments" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS corpus_max FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    date_diff('second', max(o_orderdate), any_value(corpus_max)) // 86400
+        |      AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders CROSS JOIN mx GROUP BY 1),
+        |sc AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        |  FROM rfm)
+        |SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score,
+        |  m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN m_score >= 4 THEN 'big_spender'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
     // integer-cents string-head digit on both engines; chi2 rounded 6
     "q202_benford" ->
       """WITH dg AS (

@@ -353,6 +353,51 @@ object MultimodalQueries {
       *
       * Scale shape: one typed mapPartitions scan emitting 16 bytes/doc;
       * the near-dup join runs on hashes only. */
+    /** Image contrast screen over REAL decoded pixels (the LAION-style
+      * media quality gate: drop flat/low-information images before
+      * they cost encoder FLOPs): each image-typed doc's 32×32 BMP
+      * round-trips through the real `javax.imageio` decode, then the
+      * population-variance NUMERATOR n·Σg²−(Σg)² is computed in pure
+      * 64-bit integers — no float exists anywhere, so the gate pins
+      * the whole encode→decode→sum pipeline exactly; low_contrast is
+      * the integer compare var_num < n²·400 (σ < 20 gray levels).
+      *
+      * Scale shape: one typed mapPartitions scan emitting 3 longs per
+      * doc; no shuffle before the presentation sort. */
+    "m229_image_contrast" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val k = (id % 17).toInt
+            val bmp = graft.ImageIoDecoder.syntheticBmp(
+              32, 32, 3 + k % 5, 5 + k % 7, k * 11)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bmp))
+            var sg = 0L
+            var sg2 = 0L
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                val g = img.getRGB(x, y) & 0xff
+                sg += g
+                sg2 += g.toLong * g
+                x += 1
+              }
+              y += 1
+            }
+            (id, sg, sg2)
+          }
+        }.toDF("doc_id", "sum_g", "sum_g2")
+        .select(col("doc_id"), col("sum_g"), col("sum_g2"),
+          (lit(1024L) * col("sum_g2") - col("sum_g") * col("sum_g"))
+            .as("var_num"))
+        .withColumn("low_contrast", col("var_num") < 419430400L)
+        .orderBy("doc_id")
+    }),
+
     "m213_image_phash" -> ((s, d) => {
       import s.implicits._
       val fp = documents(s, d).filter(col("doc_id") % 3 === 0)
@@ -543,6 +588,26 @@ object MultimodalQueries {
     // block sums from the pixel formula (BMP is lossless), DCT chains
     // generated in the same fold order with the same cos literals —
     // shortest-round-trip doubles parse to identical bits
+    // pure-integer variance numerator recomputed from the gradient
+    // formula — covers BMP encode→imageio decode→integer sums exactly
+    "m229_image_contrast" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, 3 + (doc_id % 17) % 5 AS a, 5 + (doc_id % 17) % 7 AS b,
+        |    (doc_id % 17) * 11 AS c
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    (a * (CAST(g.i AS BIGINT) % 32) + b * (CAST(g.i AS BIGINT) // 32) + c)
+        |      % 256 AS gray
+        |  FROM imgs CROSS JOIN unnest(generate_series(0, 1023)) AS g(i)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(gray) AS BIGINT) AS sum_g,
+        |    CAST(sum(gray * gray) AS BIGINT) AS sum_g2
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id, sum_g, sum_g2,
+        |  CAST(1024 * sum_g2 - sum_g * sum_g AS BIGINT) AS var_num,
+        |  (1024 * sum_g2 - sum_g * sum_g) < 419430400 AS low_contrast
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "m213_image_phash" ->
       s"""WITH imgs AS (
          |  SELECT doc_id, 3 + (doc_id % 17) % 5 AS a, 5 + (doc_id % 17) % 7 AS b,
