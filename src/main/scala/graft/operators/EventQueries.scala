@@ -1381,6 +1381,63 @@ object EventQueries {
         .orderBy("t_days")
     }),
 
+    /** Wilson score interval (1927) for per-event-type conversion
+      * proportions — the CI that behaves at small n and extreme p̂
+      * where q186's normal interval collapses. "Success" = value ≥ 100.
+      * z and z² are Scala-computed constants inlined as identical
+      * shortest-roundtrip literals in both engines; the interval
+      * endpoints are the same left-associated IEEE chain on both sides
+      * and land on the e9 lattice.
+      *
+      * Scale shape: one partial+final aggregate on event_type; the
+      * interval arithmetic is per-group scalar math. */
+    "q231_wilson_ci" -> ((s, d) => {
+      val ev = events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("x"))
+      val n = col("n").cast("double")
+      val x = col("x").cast("double")
+      val phat = x / n
+      val denom = lit(1.0) + lit(WilsonZ.z2) / n
+      val center = (phat + lit(WilsonZ.z2) / (n * lit(2.0))) / denom
+      val half = lit(WilsonZ.z) *
+        sqrt(phat * (lit(1.0) - phat) / n + lit(WilsonZ.z2) / (n * n * lit(4.0))) /
+        denom
+      ev.select(col("event_type"), col("n"), col("x"), phat.as("phat"),
+        floor((center - half) * lit(1e9) + lit(0.5)).cast("long").as("lo_e9"),
+        floor((center + half) * lit(1e9) + lit(0.5)).cast("long").as("hi_e9"))
+        .orderBy("event_type")
+    }),
+
+    /** Funnel conversion latency: exact p50/p90/mean of the
+      * signup→purchase delay in whole seconds per converting user —
+      * the "how long does the funnel take" companion to q130's "how
+      * many make it". Integer seconds all the way; the percentiles
+      * interpolate identically on both engines (the q14 contract) and
+      * the mean is one integer-ratio division.
+      *
+      * Scale shape: two first-touch aggregates on user_id (one
+      * shuffle), then a single global aggregate; at 100 TB the exact
+      * percentile swaps for approx_percentile with the same contract. */
+    "q232_funnel_latency" -> ((s, d) => {
+      val ev = events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t_signup"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts") > col("t_signup"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"),
+          first("t_signup").as("t_signup"))
+        .select((unix_timestamp(col("t_purchase")) -
+          unix_timestamp(col("t_signup"))).as("lat_sec"))
+      pu.agg(
+        count(lit(1)).as("n_converted"),
+        expr("percentile(lat_sec, 0.5)").as("p50_sec"),
+        expr("percentile(lat_sec, 0.9)").as("p90_sec"),
+        (sum("lat_sec").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_sec"))
+    }),
+
     "q189_new_vs_returning" -> ((s, d) => {
       val userDays = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
@@ -1449,7 +1506,56 @@ object EventQueries {
         count(lit(1)).as("n_hours"))
   }
 
+  /** q231's z-constants, computed once and inlined into both engines as
+    * identical shortest-roundtrip literals (the d219 FsWeights rule). */
+  private object WilsonZ {
+    val z: Double = 1.96
+    val z2: Double = z * z
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q231_wilson_ci" -> {
+      val z = WilsonZ.z
+      val z2 = WilsonZ.z2
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT event_type, n, x,
+         |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+         |    CAST(1 AS DOUBLE) + CAST($z2 AS DOUBLE) / CAST(n AS DOUBLE) AS denom
+         |  FROM g),
+         |w AS (
+         |  SELECT event_type, n, x, phat,
+         |    (phat + CAST($z2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(2 AS DOUBLE)))
+         |      / denom AS center,
+         |    CAST($z AS DOUBLE) * sqrt(phat * (CAST(1 AS DOUBLE) - phat)
+         |        / CAST(n AS DOUBLE)
+         |      + CAST($z2 AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(4 AS DOUBLE)))
+         |      / denom AS half
+         |  FROM c)
+         |SELECT event_type, n, x, phat,
+         |  CAST(floor((center - half) * 1e9 + 0.5) AS BIGINT) AS lo_e9,
+         |  CAST(floor((center + half) * 1e9 + 0.5) AS BIGINT) AS hi_e9
+         |FROM w ORDER BY event_type""".stripMargin
+    },
+    "q232_funnel_latency" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT e.user_id,
+        |    date_diff('second', s.t_signup, min(e.ts)) AS lat_sec
+        |  FROM events e JOIN su s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+        |  GROUP BY e.user_id, s.t_signup)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(lat_sec, 0.5) AS p50_sec,
+        |  quantile_cont(lat_sec, 0.9) AS p90_sec,
+        |  CAST(sum(lat_sec) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_sec
+        |FROM pu""".stripMargin,
     // integer U-statistic, one terminal division (see query scaladoc)
     "q220_auc_roc" ->
       """WITH e AS (

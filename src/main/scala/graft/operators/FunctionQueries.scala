@@ -319,6 +319,40 @@ object FunctionQueries {
       *
       * Scale shape: one scan → 9-group aggregate; χ² is a 9-row fold
       * broadcast back. */
+    /** ABC / Pareto inventory classification (the 80/15/5 revenue-share
+      * banding every supply-chain dashboard runs): parts ranked by
+      * revenue, band A while the running share ≤ 80%, B to 95%, C
+      * after. Revenue is quantized to integer CENTS per lineitem row
+      * BEFORE any sum, so the running total is exact in any order and
+      * the band cuts are pure integer compares cum·5 ≤ total·4 and
+      * cum·20 ≤ total·19 — no float boundary anywhere.
+      *
+      * Scale shape: one aggregate to part grain, one global
+      * rank/running-sum window over that grain (parts ≪ lineitems; at
+      * 100 TB the window runs on the part catalog, not the fact). */
+    "q233_abc_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = lineitem(s, d).select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+          + 0.5).cast("long").as("rev_cents"))
+      val perPart = cents.groupBy("l_partkey")
+        .agg(sum("rev_cents").as("part_cents"))
+      val w = Window.orderBy(desc("part_cents"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perPart
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("part_cents"), col("l_partkey"))).cast("long"))
+        .withColumn("cum_cents", sum("part_cents").over(w).cast("long"))
+        .crossJoin(broadcast(perPart.agg(
+          sum("part_cents").cast("long").as("total_cents"))))
+        .select(col("l_partkey"), col("part_cents").cast("long").as("part_cents"),
+          col("rk"), col("cum_cents"), col("total_cents"),
+          when(col("cum_cents") * 5L <= col("total_cents") * 4L, "A")
+            .when(col("cum_cents") * 20L <= col("total_cents") * 19L, "B")
+            .otherwise("C").as("band"))
+        .orderBy("rk")
+    }),
+
     /** Population-stability-index drift monitor (the scorecard-era PSI,
       * the standard production check that a feature's distribution has
       * not shifted between a reference window and the current one):
@@ -802,6 +836,30 @@ object FunctionQueries {
         |  TRUE AS cms_ge_exact, TRUE AS cms_within_eps
         |FROM p JOIN n USING (event_type)
         |ORDER BY p.event_type, p.rk""".stripMargin,
+    // integer-cents running share; band cuts are pure integer compares
+    "q233_abc_pareto" ->
+      """WITH cents AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem),
+        |pp AS (
+        |  SELECT l_partkey, CAST(sum(rev_cents) AS BIGINT) AS part_cents
+        |  FROM cents GROUP BY 1),
+        |t AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents FROM pp),
+        |r AS (
+        |  SELECT l_partkey, part_cents,
+        |    CAST(row_number() OVER (ORDER BY part_cents DESC, l_partkey) AS BIGINT)
+        |      AS rk,
+        |    CAST(sum(part_cents) OVER (ORDER BY part_cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM pp)
+        |SELECT r.l_partkey, r.part_cents, r.rk, r.cum_cents, t.total_cents,
+        |  CASE WHEN r.cum_cents * 5 <= t.total_cents * 4 THEN 'A'
+        |       WHEN r.cum_cents * 20 <= t.total_cents * 19 THEN 'B'
+        |       ELSE 'C' END AS band
+        |FROM r CROSS JOIN t ORDER BY r.rk""".stripMargin,
     // Laplace-smoothed band shares; e9-lattice terms summed as integers
     "q227_psi_drift" ->
       """WITH b AS (

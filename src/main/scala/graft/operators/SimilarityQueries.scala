@@ -927,6 +927,36 @@ object SimilarityQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    /** Filtered vector search (the pgvector/Qdrant "metadata filter +
+      * ANN" shape): top-5 cosine neighbors RESTRICTED to the query's
+      * own label. The predicate applies BEFORE scoring — at 100 TB a
+      * label-partitioned layout turns this into partition pruning, so
+      * the filter must live inside the candidate join, not after the
+      * top-k (post-filtering a k-limited result loses recall, the
+      * classic filtered-ANN bug). Scores rank on the e9 lattice.
+      *
+      * Scale shape: bounded query broadcast; the corpus scan prunes on
+      * label; rank window bounded at 5 per query. */
+    "s230_ann_filtered" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val q = embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val corpus = embeddings(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+          col("label").cast("long").as("nlabel"))
+      corpus.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("qlabel") === col("nlabel"))
+        .select(col("query_id"), col("nlabel").as("label"), col("neighbor_id"),
+          e9(call_function("cosine_sim", col("qv"), col("nv"))).as("cos_e9"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos_e9"), col("neighbor_id")))
+          .cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    }),
+
     /** Item-item collaborative filtering (Sarwar et al. 2001; the
       * "customers also bought" shape): part co-occurrence within a
       * customer's purchase history, cosine co/√(n₁·n₂) on the e9
@@ -2399,6 +2429,24 @@ object SimilarityQueries {
          |LEFT JOIN deg d ON d.src = v.vec_id
          |LEFT JOIN reach r ON r.src = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+    "s230_ann_filtered" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    CAST(label AS BIGINT) AS label
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.label, c.vec_id AS neighbor_id,
+         |    ${e9Sql(cosChainSql("q.emb", "c.emb", 64))} AS cos_e9
+         |  FROM emb q JOIN emb c
+         |    ON q.vec_id <> c.vec_id AND q.label = c.label
+         |  WHERE q.vec_id < $NumQueries),
+         |r AS (
+         |  SELECT query_id, label, neighbor_id, cos_e9,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e9 DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM sc)
+         |SELECT query_id, label, neighbor_id, cos_e9, rk FROM r
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "s225_radius_search" ->
       s"""WITH emb AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
