@@ -1381,6 +1381,25 @@ object EventQueries {
         .orderBy("t_days")
     }),
 
+    /** Cumulative user-growth curve: users attributed to their
+      * first-seen day, daily new-user count plus the running total —
+      * the growth-accounting view q189's new/returning split does not
+      * give. All integers; the running sum is a window over the tiny
+      * day grain.
+      *
+      * Scale shape: one shuffle to user grain (min ts), one aggregate
+      * to day grain, one window over days. */
+    "q234_user_growth" -> ((s, d) => {
+      val firstSeen = events(s, d).groupBy("user_id")
+        .agg(to_date(min("ts")).as("day"))
+      val daily = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new"))
+      daily.withColumn("cum_users",
+        sum("n_new").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .orderBy("day")
+    }),
+
     /** Wilson score interval (1927) for per-event-type conversion
       * proportions — the CI that behaves at small n and extreme p̂
       * where q186's normal interval collapses. "Success" = value ≥ 100.
@@ -1514,6 +1533,16 @@ object EventQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q234_user_growth" ->
+      """WITH fs AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY 1),
+        |daily AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
     "q231_wilson_ci" -> {
       val z = WilsonZ.z
       val z2 = WilsonZ.z2

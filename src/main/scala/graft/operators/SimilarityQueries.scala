@@ -927,6 +927,49 @@ object SimilarityQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    /** Embedding drift monitor (q227's PSI idea lifted to vector
+      * space — the check that yesterday's and today's embedding
+      * distributions still agree, per label): split the corpus into
+      * even/odd snapshots, quantize every component onto the e3
+      * integer lattice, sum per (label, dimension) EXACTLY (integer
+      * sums are order-free, so no float accumulates across the
+      * shuffle), then the cosine between the two 64-dim integer sum
+      * vectors per label — computed relationally as Σsr·sc / (√Σsr²·
+      * √Σsc²), no array ever materializes. Drift flags when the
+      * snapshot centroids diverge (cos < 0.999 on the e9 lattice).
+      *
+      * Scale shape: explode to (label, dim) grain — 64× row fan-out
+      * but constant width — one partial+final integer aggregate, then
+      * a 64-rows-per-label reduce. At 100 TB the e3 sums outgrow
+      * int64 around 10¹² rows per label; the documented escape is the
+      * same sums on DECIMAL(38,0) (the sum-of-xxhash64 rule). */
+    "s235_embedding_drift" -> ((s, d) => {
+      val base = embeddings(s, d).select(
+        col("label").cast("long").as("label"),
+        (col("vec_id") % 2 === 0).as("is_ref"),
+        posexplode(col("embedding")).as(Seq("pos", "c")))
+        .select(col("label"), col("is_ref"), col("pos"),
+          floor(col("c").cast("double") * 1000.0 + 0.5).cast("long").as("q"))
+      val perDim = base.groupBy("label", "pos").agg(
+        sum(when(col("is_ref"), col("q")).otherwise(0L)).as("sr"),
+        sum(when(!col("is_ref"), col("q")).otherwise(0L)).as("sc"))
+      val dots = perDim.groupBy("label").agg(
+        sum(col("sr") * col("sc")).cast("long").as("dot"),
+        sum(col("sr") * col("sr")).cast("long").as("nref"),
+        sum(col("sc") * col("sc")).cast("long").as("ncur"))
+      val counts = embeddings(s, d).groupBy(col("label").cast("long").as("label"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+      dots.join(counts, "label")
+        .withColumn("cos_e9",
+          e9(col("dot").cast("double") /
+            (sqrt(col("nref").cast("double")) * sqrt(col("ncur").cast("double")))))
+        .select(col("label"), col("n_ref").cast("long").as("n_ref"),
+          col("n_cur").cast("long").as("n_cur"), col("dot"), col("cos_e9"),
+          (col("cos_e9") < 999000000L).as("drift_flag"))
+        .orderBy("label")
+    }),
+
     /** Filtered vector search (the pgvector/Qdrant "metadata filter +
       * ANN" shape): top-5 cosine neighbors RESTRICTED to the query's
       * own label. The predicate applies BEFORE scoring — at 100 TB a
@@ -2429,6 +2472,39 @@ object SimilarityQueries {
          |LEFT JOIN deg d ON d.src = v.vec_id
          |LEFT JOIN reach r ON r.src = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+    "s235_embedding_drift" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 = 0 AS is_ref,
+        |    CAST(g.i AS BIGINT) AS pos,
+        |    CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE) * 1000
+        |      + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS g(i)),
+        |pd AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CASE WHEN is_ref THEN qv ELSE 0 END) AS BIGINT) AS sr,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE qv END) AS BIGINT) AS sc
+        |  FROM q GROUP BY 1, 2),
+        |d AS (
+        |  SELECT label, CAST(sum(sr * sc) AS BIGINT) AS dot,
+        |    CAST(sum(sr * sr) AS BIGINT) AS nref,
+        |    CAST(sum(sc * sc) AS BIGINT) AS ncur
+        |  FROM pd GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM embeddings GROUP BY 1),
+        |r AS (
+        |  SELECT d.label, c.n_ref, c.n_cur, d.dot,
+        |    CAST(floor(CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(d.nref AS DOUBLE)) * sqrt(CAST(d.ncur AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT) AS cos_e9
+        |  FROM d JOIN c USING (label))
+        |SELECT label, n_ref, n_cur, dot, cos_e9,
+        |  cos_e9 < 999000000 AS drift_flag
+        |FROM r ORDER BY label""".stripMargin,
     "s230_ann_filtered" ->
       s"""WITH emb AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
