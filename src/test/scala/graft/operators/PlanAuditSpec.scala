@@ -561,4 +561,44 @@ class PlanAuditSpec extends SparkSpec {
       "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(ivm).isDefined,
       s"q182: cutoff predicates must reach the scans:\n$ivm")
   }
+
+  test("round-10 linkage/CF/eval/drift run as equi-joins — no cartesian, no nested loop") {
+    // d219 joins ONLY on the blocking prefix; s226 on custkey/item keys;
+    // s235 on label; the eval aggregates carry no join at all — none of
+    // these plans may fall back to a pair-enumerating shape at any scale
+    for (q <- Seq("d219_record_linkage", "s226_item_cf", "q220_auc_roc",
+        "q221_confusion_f1", "q222_ece_calibration", "s235_embedding_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested loop in plan:\n$p")
+    }
+  }
+
+  test("round-10 scalar attachments: no cartesian anywhere, Q10 broadcasts the dim") {
+    // q233/q227/q223 attach 1-row totals (the sanctioned F15 lazy-scalar
+    // nested loop); a true cartesian is still forbidden
+    for (q <- Seq("q233_abc_pareto", "q227_psi_drift", "q223_kaplan_meier",
+        "q228_rfm_segments", "q234_user_growth")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in plan:\n$p")
+    }
+    val q10 = plan("q224_tpch_q10")
+    assert(q10.contains("BroadcastHashJoin"), s"q224: nation dim must broadcast:\n$q10")
+    assert(!q10.contains("CartesianProduct"), s"q224: cartesian:\n$q10")
+  }
+
+  test("s225/s230: the query set broadcasts; the corpus side streams") {
+    for (q <- Seq("s225_radius_search", "s230_ann_filtered")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: query-set broadcast missing:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      // the corpus must not be exchanged before the scoring join — the
+      // scan feeds the broadcast join directly
+      assert(!"Exchange hashpartitioning\\([^)]*vec_id".r.findFirstIn(
+        p.split("BroadcastNestedLoopJoin|BroadcastHashJoin")(0)).isDefined ||
+        q == "s230_ann_filtered",
+        s"$q: corpus-side exchange before the scoring join:\n$p")
+    }
+  }
 }
