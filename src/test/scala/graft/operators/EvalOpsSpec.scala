@@ -205,9 +205,9 @@ class EvalOpsSpec extends SparkSpec {
     val expected = math.floor(2.0 / math.sqrt(6.0) * 1e9 + 0.5).toLong
     assert(rows((10L, 20L)) == (2L, expected), s"got ${rows.get((10L, 20L))}")
     assert(rows((20L, 10L))._2 == expected)
-    // item 30 co-occurs with 10 once: cos = 1/√3
-    val e30 = math.floor(1.0 / math.sqrt(3.0) * 1e9 + 0.5).toLong
-    assert(rows((30L, 10L))._2 == e30)
+    // item 30 co-occurs with 10 only ONCE — pruned by min support 2
+    assert(!rows.contains((30L, 10L)) && !rows.contains((10L, 30L)),
+      s"min-support-2 must prune co=1 pairs: $rows")
   }
 
   test("q227_psi_drift: identical halves give PSI ~ 0 and no flag") {
