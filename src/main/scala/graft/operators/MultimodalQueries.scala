@@ -353,6 +353,52 @@ object MultimodalQueries {
       *
       * Scale shape: one typed mapPartitions scan emitting 16 bytes/doc;
       * the near-dup join runs on hashes only. */
+    /** Container/MIME sniffing over REAL payload magic bytes (the
+      * ingest-time file-type detector — at 100 TB crawl scale the
+      * declared type lies routinely, so routing must trust the BYTES):
+      * each doc synthesizes its modality's genuine container (BMP /
+      * RIFF-WAVE / RIFF-AVI), the sniffer reads ONLY the 12-byte header
+      * (never the body — sniffing must not decode), and the gate pins
+      * sniffed type, the declared-type agreement, and the magic-hex
+      * prefix per container family.
+      *
+      * Scale shape: one mapPartitions scan emitting 3 small strings per
+      * doc; header-only inspection is what keeps this viable on
+      * petabyte blob stores (ranged 12-byte reads). */
+    "m236_mime_sniff" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload: Array[Byte] = (id % 3) match {
+              case 0 =>
+                val k = (id % 17).toInt
+                graft.ImageIoDecoder.syntheticBmp(32, 32, 3 + k % 5, 5 + k % 7, k * 11)
+              case 1 =>
+                graft.WavDecoder.syntheticWav(64, 8000, 1, (id % 23).toInt)
+              case _ =>
+                graft.MjpegAviDecoder.syntheticAviSolid(16, 16, Seq(60, 180))
+            }
+            val hdr = payload.take(12)
+            def ascii(from: Int, until: Int): String =
+              new String(hdr.slice(from, until), "US-ASCII")
+            val sniffed =
+              if (ascii(0, 2) == "BM") "image/bmp"
+              else if (ascii(0, 4) == "RIFF" && ascii(8, 12) == "WAVE") "audio/wav"
+              else if (ascii(0, 4) == "RIFF" && ascii(8, 12) == "AVI ") "video/avi"
+              else "application/octet-stream"
+            val declared = (id % 3) match {
+              case 0 => "image/bmp"
+              case 1 => "audio/wav"
+              case _ => "video/avi"
+            }
+            val magicHex = hdr.take(2).map("%02x".format(_)).mkString
+            (id, sniffed, declared, sniffed == declared, magicHex)
+          }
+        }.toDF("doc_id", "sniffed", "declared", "type_match", "magic_hex")
+        .orderBy("doc_id")
+    }),
+
     /** Image contrast screen over REAL decoded pixels (the LAION-style
       * media quality gate: drop flat/low-information images before
       * they cost encoder FLOPs): each image-typed doc's 32×32 BMP
@@ -588,6 +634,18 @@ object MultimodalQueries {
     // block sums from the pixel formula (BMP is lossless), DCT chains
     // generated in the same fold order with the same cos literals —
     // shortest-round-trip doubles parse to identical bits
+    // sniffed/declared/magic are all pure functions of doc_id % 3 ON
+    // WELL-FORMED containers — the gate proves the real writers emit
+    // the correct magics and the sniffer reads them back
+    "m236_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+        |    ELSE 'video/avi' END AS sniffed,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+        |    ELSE 'video/avi' END AS declared,
+        |  TRUE AS type_match,
+        |  CASE doc_id % 3 WHEN 0 THEN '424d' ELSE '5249' END AS magic_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // pure-integer variance numerator recomputed from the gradient
     // formula — covers BMP encode→imageio decode→integer sums exactly
     "m229_image_contrast" ->

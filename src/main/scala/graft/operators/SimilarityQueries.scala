@@ -1000,6 +1000,42 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     }),
 
+    /** Forced scale tier for s225: LSH-bucketed radius search. The
+      * brute tier scans the whole corpus per query; when the QUERY SET
+      * itself is corpus-sized that is quadratic, and this is the path
+      * that survives — candidates must share one of the 8 sign-LSH
+      * bands with the query (the d82 gaussian planes), then the exact
+      * e9 cosine verifies. Its own banded oracle (the d82 contract:
+      * precision 1.0 by exact verify; recall vs brute is the banding
+      * bound, spec-measured) — NOT s42's, because banding legitimately
+      * misses cross-bucket neighbors.
+      *
+      * Scale shape: signature scan → one equi-join on (band, band_val)
+      * → bounded verify; no corpus×corpus term anywhere. */
+    "s237_radius_lsh" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val banded = DedupQueries.bandedEmbeddings(s, d)
+        .select("vec_id", "band", "band_val")
+      val qb = banded.filter(col("vec_id") < NumQueries)
+        .toDF("query_id", "band", "band_val")
+      val cand = qb
+        .join(banded.toDF("neighbor_id", "band", "band_val"),
+          Seq("band", "band_val"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates("query_id", "neighbor_id")
+      val ev = embeddings(s, d)
+      cand
+        .join(ev.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          "query_id")
+        .join(ev.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          e9(call_function("cosine_sim", col("qv"), col("nv"))).as("cos_e9"))
+        .filter(col("cos_e9") >= 200000000L)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     /** Item-item collaborative filtering (Sarwar et al. 2001; the
       * "customers also bought" shape): part co-occurrence within a
       * customer's purchase history, cosine co/√(n₁·n₂) on the e9
@@ -2536,6 +2572,24 @@ object SimilarityQueries {
          |  FROM sc)
          |SELECT query_id, label, neighbor_id, cos_e9, rk FROM r
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // the banded pipeline replicated (d82's sig CTEs) + exact e9 verify
+    "s237_radius_lsh" ->
+      s"""WITH ${DedupQueries.lshSigCtes},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sig q JOIN sig c
+         |    ON q.band = c.band AND q.band_val = c.band_val
+         |    AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${e9Sql(cosChainSql("e1.e", "e2.e", 64))} AS cos_e9
+         |  FROM cand
+         |  JOIN emb e1 ON cand.query_id = e1.vec_id
+         |  JOIN emb e2 ON cand.neighbor_id = e2.vec_id)
+         |SELECT query_id, neighbor_id, cos_e9 FROM sc
+         |WHERE cos_e9 >= 200000000
+         |ORDER BY query_id, neighbor_id""".stripMargin,
     "s225_radius_search" ->
       s"""WITH emb AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -257,6 +257,27 @@ class EvalOpsSpec extends SparkSpec {
       "radius result must contain every above-threshold top-k neighbor")
   }
 
+  test("s237_radius_lsh: exact-verified subset of the brute radius with usable recall") {
+    def pairs(name: String): Set[(Long, Long)] =
+      graft.SimilarityQueries.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs("s225_radius_search")
+    val lsh = pairs("s237_radius_lsh")
+    assert(lsh.nonEmpty && lsh.subsetOf(brute),
+      "exact verify makes the LSH tier precision-1.0 — never a false pair")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.3,
+      f"banding recall $recall%.2f collapsed below the design band")
+  }
+
+  test("m236_mime_sniff: every container sniffs to its declared type") {
+    val rows = graft.MultimodalQueries.queries("m236_mime_sniff")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("type_match")))
+    assert(rows.map(_.getAs[String]("sniffed")).toSet ==
+      Set("image/bmp", "audio/wav", "video/avi"))
+  }
+
   test("m229_image_contrast: constant image has exactly zero variance") {
     val bmp = graft.ImageIoDecoder.syntheticBmp(32, 32, 0, 0, 77)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
