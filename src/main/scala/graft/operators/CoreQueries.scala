@@ -182,6 +182,45 @@ object CoreQueries {
         .limit(20)
     }),
 
+    /** Lakehouse time travel, query-gated end to end: the
+      * [[graft.sources.SnapshotTable]] manifest-commit table is built
+      * fresh (write → snapshot-isolated deleteWhere → append) and all
+      * THREE versions are read back and aggregated — the oracle
+      * recomputes each version's expected state from the base table, so
+      * the hash gate covers stage→atomic-rename-commit→manifest-resolved
+      * read for every mutation kind. Version 1 must still be fully
+      * readable after the delete (old files never rewritten), which IS
+      * the snapshot-isolation claim.
+      *
+      * Scale shape: the mutations are the table's own partition-scoped
+      * staging (delete re-stages only partitions containing matches);
+      * the reads are manifest-pruned parquet scans + one aggregate. */
+    "q238_time_travel" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_tt_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      // fresh table per invocation: version numbers must be deterministic
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      SnapshotTable.write(s, dir.toString, base, "l_returnflag")
+      SnapshotTable.deleteWhere(s, dir.toString, "l_returnflag",
+        col("l_returnflag") === "R")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("l_quantity") > 45.0), "l_returnflag")
+      (1L to 3L).map { v =>
+        SnapshotTable.read(s, dir.toString, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum("l_quantity"), 4).as("sum_qty"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_qty"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     /** TPC-H Q10 shape (returned-item reporting): revenue lost to
       * returns per customer for one order quarter, top 20 customers.
       * The returnflag filter prunes the fact scan, the quarter filter
@@ -846,6 +885,27 @@ object CoreQueries {
         |JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    // each version's expected state recomputed from the base table —
+    // v1 full, v2 minus the deleted partition, v3 = v2 + the appended
+    // high-quantity slice
+    "q238_time_travel" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(sum(l_quantity), 4) AS sum_qty
+        |  FROM base),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(sum(l_quantity), 4) AS sum_qty
+        |  FROM base WHERE l_returnflag <> 'R'),
+        |v3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(sum(l_quantity), 4) AS sum_qty
+        |  FROM (SELECT * FROM base WHERE l_returnflag <> 'R'
+        |        UNION ALL SELECT * FROM base WHERE l_quantity > 45.0))
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+        |ORDER BY version""".stripMargin,
     "q224_tpch_q10" ->
       """SELECT c.c_custkey, any_value(c.c_name) AS c_name,
         |  any_value(c.c_acctbal) AS c_acctbal, any_value(n.n_name) AS n_name,
