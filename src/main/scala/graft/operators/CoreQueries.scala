@@ -221,6 +221,49 @@ object CoreQueries {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    /** Lakehouse MERGE (upsert), query-gated like q238: a fresh
+      * SnapshotTable takes one merge batch that UPDATES every key
+      * divisible by 10 (bumping it into a different partition — the
+      * partition-move case merge must rewrite correctly) and INSERTS a
+      * shifted copy of every key ≡ 5 (mod 10); both versions read back
+      * and the oracle recomputes each state from the base table. The
+      * hash gate covers match-probe → partition-scoped survivor
+      * re-stage → atomic commit.
+      *
+      * Scale shape: merge's cost model is q238's — one key-probe join
+      * plus re-staging only the partitions containing matched keys. */
+    "q239_merge_upsert" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_mg_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+      SnapshotTable.write(s, dir.toString, base, "prio")
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("1-URGENT").as("prio"),
+          (col("price") + 1000.0).as("price"))
+      val ins = base.filter(col("o_orderkey") % 10 === 5)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("prio"), (col("price") * 0.5).as("price"))
+      SnapshotTable.merge(s, dir.toString, "prio", "o_orderkey",
+        upd.unionByName(ins))
+      (1L to 2L).map { v =>
+        SnapshotTable.read(s, dir.toString, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("o_orderkey").as("n_keys"),
+            round(sum("price"), 2).as("sum_price"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_keys"),
+            col("sum_price"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     /** TPC-H Q10 shape (returned-item reporting): revenue lost to
       * returns per customer for one order quarter, top 20 customers.
       * The returnflag filter prunes the fact scan, the quarter filter
@@ -885,6 +928,31 @@ object CoreQueries {
         |JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    // v2 = base minus matched keys, plus their updated rows, plus the
+    // shifted inserts — recomputed straight from orders
+    "q239_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority AS prio, o_totalprice AS price
+        |  FROM orders),
+        |v2rows AS (
+        |  SELECT o_orderkey, prio, price FROM base WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, '1-URGENT' AS prio, price + 1000.0 AS price
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000 AS o_orderkey, prio, price * 0.5 AS price
+        |  FROM base WHERE o_orderkey % 10 = 5),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |    round(sum(price), 2) AS sum_price
+        |  FROM base),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |    round(sum(price), 2) AS sum_price
+        |  FROM v2rows)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
     // each version's expected state recomputed from the base table —
     // v1 full, v2 minus the deleted partition, v3 = v2 + the appended
     // high-quantity slice
