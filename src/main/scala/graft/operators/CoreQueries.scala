@@ -289,6 +289,42 @@ object CoreQueries {
         .limit(20)
     }),
 
+    /** Forced bucketed-layout tier (q216's sibling): the fact ⋈ orders
+      * join routed through [[graft.sources.Layouts.writeBucketed]]
+      * tables — both sides pre-hashed into 8 matching buckets, so the
+      * join runs WITHOUT a shuffle on either side (PlanAuditSpec pins
+      * the no-exchange shape). The forced-tier contract: the bucketed
+      * plan must reproduce the plain join's bytes exactly — the layout
+      * routes rows, it never changes the relation. The oracle IS the
+      * plain join.
+      *
+      * Scale shape: at 100 TB this is the nightly-written co-located
+      * fact layout every warehouse maintains precisely so repeated
+      * key joins stop paying the shuffle. */
+    "q240_bucketed_join" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), revenue.as("rev"))
+      val ord = orders(s, d).select("o_orderkey", "o_orderpriority")
+      // a PREVIOUS JVM may have left the managed location behind while
+      // this session's in-memory catalog has never heard of the table —
+      // saveAsTable refuses that state, so drop both sides explicitly
+      for (t <- Seq("graft_q240_li", "graft_q240_ord")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(wh, t))
+      }
+      graft.sources.Layouts.writeBucketed(li, "graft_q240_li", 8, Seq("l_orderkey"))
+      graft.sources.Layouts.writeBucketed(ord, "graft_q240_ord", 8, Seq("o_orderkey"))
+      s.table("graft_q240_li")
+        .join(s.table("graft_q240_ord"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), round(sum("rev"), 4).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Forced skew tier: the q5-style fact ⋈ orders join routed through
       * [[graft.sources.Layouts.saltedJoin]] (n = 8) — the manual remedy
       * when one hot key floods a shuffle partition past what AQE's
@@ -873,6 +909,14 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the oracle is the PLAIN join — the bucket layout must not change
+    // the bytes (q216's contract; column names differ from q216's so
+    // both gates stay independent)
+    "q240_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_rows,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle is the PLAIN join — the salt must not change the bytes
     "q216_salted_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,

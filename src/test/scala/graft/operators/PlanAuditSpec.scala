@@ -587,6 +587,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q10.contains("CartesianProduct"), s"q224: cartesian:\n$q10")
   }
 
+  test("q240: the bucketed join runs with NO exchange on either side") {
+    // both tables pre-hashed into 8 matching buckets — the whole point
+    // of the layout is that the join pays zero shuffle; a regression
+    // here (lost bucketing metadata, mismatched bucket counts) is
+    // exactly the 100 TB incident this tier exists to prevent
+    val df = SparkEntry.queries("q240_bucketed_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val joinSection = p.split("HashAggregate")(p.split("HashAggregate").length - 1)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"q240: join missing:\n$p")
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"q240: the bucketed join must not shuffle its inputs:\n$p")
+    assert(p.contains("Bucketed: true"), s"q240: scans not bucketed:\n$p")
+  }
+
   test("s225/s230: the query set broadcasts; the corpus side streams") {
     for (q <- Seq("s225_radius_search", "s230_ann_filtered")) {
       val p = plan(q)
