@@ -182,6 +182,41 @@ object CoreQueries {
         .limit(20)
     }),
 
+    /** TPC-H Q6 shape (forecasting revenue change): the pure-scan
+      * benchmark — one table, three pushable predicates, one sum. Its
+      * entire point at scale is that EVERY filter reaches the parquet
+      * scan (`PushedFilters`) and the aggregate is partial+final with
+      * nothing else in the plan. */
+    "q241_tpch_q6" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24.0)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    /** TPC-H Q14 shape (promotion effect): share of one month's revenue
+      * from PROMO-typed parts. Both sums land on the 4-dec lattice
+      * BEFORE the share division (one IEEE op over two exact inputs),
+      * so the ratio is engine-stable. The part dim joins hint-free —
+      * AQE broadcasts while it fits (the q205 rule). */
+    "q242_tpch_q14" -> ((s, d) => {
+      val l = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"), revenue.as("rev"))
+      l.join(part(s, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)), 4)
+            .as("promo_revenue"),
+          round(sum("rev"), 4).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") * 100.0 / col("total_revenue"))
+            .as("promo_share_pct"))
+    }),
+
     /** Lakehouse time travel, query-gated end to end: the
       * [[graft.sources.SnapshotTable]] manifest-commit table is built
       * fresh (write → snapshot-isolated deleteWhere → append) and all
@@ -972,6 +1007,29 @@ object CoreQueries {
         |JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    "q241_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24.0""".stripMargin,
+    // sums rounded to the 4-dec lattice BEFORE the share division
+    "q242_tpch_q14" ->
+      """WITH m AS (
+        |  SELECT
+        |    round(sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |      ELSE CAST(0 AS DOUBLE) END), 4) AS promo_revenue,
+        |    round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4)
+        |      AS total_revenue
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |  promo_revenue * 100.0 / total_revenue AS promo_share_pct
+        |FROM m""".stripMargin,
     // v2 = base minus matched keys, plus their updated rows, plus the
     // shifted inserts — recomputed straight from orders
     "q239_merge_upsert" ->
