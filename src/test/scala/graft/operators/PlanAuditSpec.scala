@@ -587,6 +587,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q10.contains("CartesianProduct"), s"q224: cartesian:\n$q10")
   }
 
+  test("q241: every Q6 predicate reaches the parquet scan") {
+    val p = plan("q241_tpch_q6")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined &&
+      "PushedFilters: \\[[^\\]]*l_discount".r.findFirstIn(p).isDefined &&
+      "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"q241: predicates must push to the scan:\n$p")
+    assert(!p.contains("Join"), s"q241 is single-table:\n$p")
+  }
+
   test("q240: the bucketed join runs with NO exchange on either side") {
     // both tables pre-hashed into 8 matching buckets — the whole point
     // of the layout is that the join pays zero shuffle; a regression
