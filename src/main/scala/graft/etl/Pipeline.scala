@@ -20,11 +20,14 @@ object Pipeline {
     }
 
   /** Build + write every table as CSV + Parquet, plus the S9 instructions
-    * side output (`reports/dashboard/power_bi_instructions.md`). */
+    * side output (`reports/dashboard/power_bi_instructions.md`) and the
+    * S8 chart sink (the five reference-named dashboard PNGs). */
   def run(spark: SparkSession, rawPath: String, outDir: String): Either[String, Result] =
     build(spark, rawPath).map { r =>
       Load.writeAll(r.star, r.aggs, outDir)
       Instructions.write(outDir)
+      Charts.writeDashboard(r.aggs.byName,
+        java.nio.file.Paths.get(outDir, "reports", "dashboard").toString)
       r
     }
 
@@ -78,6 +81,8 @@ object Pipeline {
         val tL = System.nanoTime()
         Load.writeAll(r.star, r.aggs, outDir)
         Instructions.write(outDir)
+        Charts.writeDashboard(r.aggs.byName,
+          java.nio.file.Paths.get(outDir, "reports", "dashboard").toString)
         val loadSecs = (System.nanoTime() - tL) / 1e9
         // in-process ETL seconds (extract→export), excluding JVM/session
         // startup — the number comparable across engines at scale

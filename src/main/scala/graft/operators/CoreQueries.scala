@@ -217,6 +217,276 @@ object CoreQueries {
             .as("promo_share_pct"))
     }),
 
+    /** TPC-H Q4 shape (order priority checking): orders in one quarter
+      * that had at least one late-shipped item (ship after order date —
+      * this schema has no commit/receipt dates), counted per priority.
+      * The EXISTS is a LEFT SEMI join with a correlated non-equi term:
+      * Spark dedups the probe side inside the hash join, so the plan
+      * never materializes the one-to-many blowup — at 100 TB the build
+      * side is the quarter's orders, shuffled once on the key. */
+    "q243_tpch_q4" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      o.join(lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** TPC-H Q13 shape (customer order-count distribution): LEFT join
+      * customer → urgent orders, count per customer INCLUDING the
+      * zero-order customers the left join preserves, then histogram the
+      * counts. Two aggregates, both partial+final; the second runs on
+      * |customers| rows grouped to ≤ max-order-count keys. */
+    "q244_tpch_q13" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    /** TPC-H Q17 shape (small-quantity-order revenue): per-part average
+      * quantity as a self-aggregate joined back to the fact, keeping
+      * rows below 20% of their part's average, one brand only. The avg
+      * is exact (integral-double sums / exact counts → one IEEE divide)
+      * so the 0.2·avg threshold is engine-stable; the final sum lands
+      * on the 4-dec lattice before the /7 yearly normalization. At
+      * scale both sides shuffle once on l_partkey and the brand filter
+      * prunes the probe side at the scan. */
+    "q245_tpch_q17" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val avgQ = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      l.join(part(s, d).filter(col("p_brand") === "Brand#23")
+            .select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum("l_extendedprice"), 4).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .select((round(col("sum_price") / 7.0, 2)).as("avg_yearly"),
+          col("n_rows"))
+    }),
+
+    /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+      * three brand/size/quantity OR-arms evaluated in one pass after
+      * the part join. The per-table conjuncts Catalyst can factor out
+      * (p_size ≥ 1, quantity bounds) push to the scans; the residual
+      * disjunction runs post-join — the classic OR-pushdown benchmark. */
+    "q246_tpch_q19" -> ((s, d) => {
+      val j = lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+      j.filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1.0, 11.0)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10.0, 20.0)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20.0, 30.0)))
+        .agg(round(sum(revenue), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    /** TPC-H Q21 shape (suppliers who kept orders waiting): on finished
+      * multi-supplier orders, suppliers whose item shipped >90 days
+      * after the order date while EVERY other supplier on the order
+      * shipped on time — one LEFT SEMI (some other supplier exists) and
+      * one LEFT ANTI (no other LATE supplier exists) over the same
+      * order-grain build sides. Both subquery sides are distinct
+      * (order, supplier) pairs, so the joins stay at order grain;
+      * everything shuffles on l_orderkey once. */
+    "q247_tpch_q21" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+      val late = l.filter(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val anySupp = l.select(col("l_orderkey").as("k2"),
+        col("l_suppkey").as("s2")).distinct()
+      val lateSupp = late.select(col("l_orderkey").as("k3"),
+        col("l_suppkey").as("s3")).distinct()
+      late
+        .join(anySupp, col("k2") === col("l_orderkey") &&
+          col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(lateSupp, col("k3") === col("l_orderkey") &&
+          col("s3") =!= col("l_suppkey"), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(supplier(s, d).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(desc("numwait"), col("s_suppkey"))
+        .limit(20)
+    }),
+
+    /** TPC-H Q22 shape (global sales opportunity): customers richer
+      * than the average positive balance with no recent orders, rolled
+      * up per nation. The threshold lives on the integer-cents lattice
+      * (BIGINT sum ÷ count, truncating — both engines floor the
+      * positive ratio identically), attached by the lazy-scalar cross
+      * join; the "no recent orders" is a LEFT ANTI against the
+      * date-filtered orders, shuffled on custkey. */
+    "q248_tpch_q22" -> ((s, d) => {
+      val c = customer(s, d).withColumn("cents",
+        round(col("c_acctbal") * 100.0, 0).cast("long"))
+      val thresh = c.filter(col("cents") > 0L)
+        .agg(floor(sum("cents") / count(lit(1))).as("thresh_cents"))
+      val recent = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+      c.crossJoin(broadcast(thresh))
+        .filter(col("cents") > col("thresh_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("n_name")
+    }),
+
+    /** TPC-H Q15 shape (top supplier): quarter revenue per supplier,
+      * then the suppliers achieving the maximum — the scalar max joins
+      * back via the lazy-scalar broadcast, comparing on the 4-dec
+      * lattice both sides rounded to, so "equals max" is exact. */
+    "q249_tpch_q15" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(revenue), 4).as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("max_revenue"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    /** TPC-H Q7 shape (volume shipping between two nations): revenue
+      * flowing supplier-nation → customer-nation for one ordered pair
+      * of nations in either direction, split by ship year. The two
+      * nation lookups broadcast (KB at any scale); the fact joins
+      * orders and the two key-only dims on their natural keys. */
+    "q250_tpch_q7" -> ((s, d) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val n1 = nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          revenue.as("rev"))
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum("rev"), 4).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    /** TPC-H Q8 shape (national market share): within one market region
+      * (the customer's), the share of yearly revenue supplied by one
+      * nation. Both the numerator and denominator sums land on the
+      * 4-dec lattice before the single share division. */
+    "q251_tpch_q8" -> ((s, d) => {
+      val amer = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amer), col("c_nationkey") === col("cn_key"), "left_semi")
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("s_nationkey") === 7, col("rev"))
+            .otherwise(0.0)), 4).as("nation_revenue"),
+          round(sum("rev"), 4).as("total_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    /** TPC-H Q2 shape (minimum-cost supplier, argmin join): for each
+      * filtered part, the supplier with the lowest account balance
+      * among suppliers that actually shipped it (this schema has no
+      * partsupp cost, so acctbal is the cost stand-in). The correlated
+      * min-subquery is the partitioned-window argmin: distinct
+      * (part, supplier) pairs ← one shuffle on partkey, row_number over
+      * (acctbal, suppkey) — fully distributed, no driver state. */
+    "q252_tpch_q2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+        .join(part(s, d)
+            .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+            .select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_name", "s_acctbal"),
+          col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("p_partkey")
+        .limit(100)
+    }),
+
+    /** TPC-H Q9 shape (product-type profit): profit per supplier nation
+      * per order year over a part-name pattern, with the schema's cost
+      * stand-in (half retail price × quantity). LIKE pushes to the part
+      * scan; the 4-way join shuffles the fact once per key. */
+    "q253_tpch_q9" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), revenue.as("rev"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("rev") -
+          lit(0.5) * col("p_retailprice") * col("l_quantity")), 4)
+          .as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    }),
+
     /** Lakehouse time travel, query-gated end to end: the
       * [[graft.sources.SnapshotTable]] manifest-commit table is built
       * fresh (write → snapshot-isolated deleteWhere → append) and all
@@ -1030,6 +1300,179 @@ object CoreQueries {
         |SELECT promo_revenue, total_revenue,
         |  promo_revenue * 100.0 / total_revenue AS promo_share_pct
         |FROM m""".stripMargin,
+    "q243_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q244_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN (SELECT * FROM orders
+        |             WHERE o_orderpriority = '1-URGENT') o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // the avg is exact (integral-double sums, exact counts), so the
+    // 0.2*avg cut is engine-stable; round-4 before the /7 division
+    "q245_tpch_q17" ->
+      """WITH a AS (
+        |  SELECT l_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(round(sum(l.l_extendedprice), 4) / 7.0, 2) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+        |JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
+    "q246_tpch_q19" ->
+      """SELECT
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE
+        |  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |    AND l.l_quantity BETWEEN 1.0 AND 11.0)
+        |  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |    AND l.l_quantity BETWEEN 10.0 AND 20.0)
+        |  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q247_tpch_q21" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o.o_orderdate
+        |  FROM lineitem
+        |  JOIN orders o ON l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |late AS (
+        |  SELECT * FROM l
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+        |waiters AS (
+        |  SELECT l1.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM late l1
+        |  WHERE EXISTS (
+        |      SELECT 1 FROM l l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM late l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey)
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, w.numwait
+        |FROM waiters w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    // threshold on the integer-cents lattice: BIGINT sum / exact count,
+    // floored — IEEE division of exact integers cannot round an exact
+    // integer ratio down, so both engines land the same BIGINT
+    "q248_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS cents
+        |  FROM customer),
+        |t AS (
+        |  SELECT CAST(floor(sum(cents) * 1.0 / count(*)) AS BIGINT)
+        |    AS thresh_cents
+        |  FROM c WHERE cents > 0)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM c
+        |CROSS JOIN t
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.cents > t.thresh_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // "equals max" compares 4-dec-lattice values, so it is exact
+    "q249_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q250_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND n1.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // numerator and denominator both land on the 4-dec lattice before
+    // the single share division
+    "q251_tpch_q8" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(sum(CASE WHEN s.s_nationkey = 7
+        |    THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |    ELSE CAST(0 AS DOUBLE) END), 4) AS nation_revenue,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4)
+        |    AS total_revenue,
+        |  round(sum(CASE WHEN s.s_nationkey = 7
+        |    THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |    ELSE CAST(0 AS DOUBLE) END), 4)
+        |    / round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4)
+        |    AS mkt_share
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND c.c_nationkey IN (
+        |    SELECT n.n_nationkey FROM nation n
+        |    JOIN region r ON n.n_regionkey = r.r_regionkey
+        |    WHERE r.r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q252_tpch_q2" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ranked AS (
+        |  SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal,
+        |    row_number() OVER (PARTITION BY p.p_partkey
+        |      ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+        |  FROM pairs pr
+        |  JOIN part p ON pr.l_partkey = p.p_partkey
+        |    AND p.p_size = 15 AND p.p_type = 'STANDARD'
+        |  JOIN supplier s ON pr.l_suppkey = s.s_suppkey)
+        |SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+        |FROM ranked WHERE rn = 1
+        |ORDER BY p_partkey LIMIT 100""".stripMargin,
+    "q253_tpch_q9" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+        |    - 0.5 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |  AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     // v2 = base minus matched keys, plus their updated rows, plus the
     // shifted inserts — recomputed straight from orders
     "q239_merge_upsert" ->

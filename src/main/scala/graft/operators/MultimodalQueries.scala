@@ -155,6 +155,53 @@ object MultimodalQueries {
           sha2(col("media"), 256).as("sha256"))
         .orderBy("doc_id")),
 
+    /** S8 — the PNG chart sink, gated end to end: two chart series (order
+      * priorities, top-10 customer nations) aggregate distributed, the
+      * ≤10-row series collect (the presentation sink's documented driver
+      * step, same as the reference's matplotlib call), render through
+      * [[graft.etl.Charts]]' dependency-free rasterizer + PNG codec, are
+      * decoded BACK from the PNG bytes, and every bar's pixel extent is
+      * re-measured from the decoded raster. The oracle recomputes each
+      * extent from the chart-geometry formula floor(v/vmax·300+0.5) over
+      * the lattice-rounded values — so the hash gate covers aggregate →
+      * collect → rasterize → deflate → inflate → un-filter → measure. */
+    "m254_chart_render" -> ((s, d) => {
+      import s.implicits._
+      import graft.etl.{Charts, Png}
+      val pr = orders(s, d).groupBy("o_orderpriority")
+        .agg(round(sum("o_totalprice"), 2).as("value"))
+        .orderBy("o_orderpriority")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val na = customer(s, d)
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).cast("double").as("value"))
+        .orderBy(desc("value"), col("n_name")).limit(10)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val rows = Seq(
+        ("priority_bars", pr, true),
+        ("nation_hbars", na, false)
+      ).flatMap { case (name, data, vertical) =>
+        val png =
+          if (vertical) Charts.barChartVertical(data, name.toUpperCase)
+          else Charts.barChartHorizontal(data, name.toUpperCase)
+        val (w, h, px) = Png.decodeRgb(png)
+        data.zipWithIndex.map { case ((label, v), i) =>
+          val measured: Long =
+            if (vertical) {
+              val x = Charts.vBarCenterX(i, data.size)
+              (0 until h).count(y => px(y * w + x) == Charts.BarColor).toLong
+            } else {
+              val y = Charts.hBarCenterY(i, data.size)
+              (0 until w).count(xx => px(y * w + xx) == Charts.BarColor).toLong
+            }
+          (name, i.toLong, label, v, measured)
+        }
+      }
+      rows.toDF("chart", "idx", "label", "value", "bar_px")
+        .orderBy("chart", "idx")
+    }),
+
     /** Partition-local batch decode via mapPartitions over a typed
       * Dataset — the real shape of a 100 TB media pipeline (each task
       * decodes its partition's blobs; no shuffle, no driver involvement).
@@ -577,6 +624,34 @@ object MultimodalQueries {
         |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 4096.0) AS BIGINT) AS n_chunks,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // bar extents recomputed from the chart-geometry formula over the
+    // same lattice values the renderer collected — floor(v/vmax·300+0.5),
+    // IEEE ops in the renderer's exact order
+    "m254_chart_render" ->
+      """WITH pr AS (
+        |  SELECT o_orderpriority AS label, round(sum(o_totalprice), 2) AS value
+        |  FROM orders GROUP BY 1),
+        |prm AS (SELECT max(value) AS vmax FROM pr),
+        |prx AS (
+        |  SELECT 'priority_bars' AS chart,
+        |    CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS idx,
+        |    label, value,
+        |    CAST(floor(value / vmax * 300.0 + 0.5) AS BIGINT) AS bar_px
+        |  FROM pr CROSS JOIN prm),
+        |na AS (
+        |  SELECT n.n_name AS label, CAST(count(*) AS DOUBLE) AS value
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1 ORDER BY value DESC, label LIMIT 10),
+        |nam AS (SELECT max(value) AS vmax FROM na),
+        |nax AS (
+        |  SELECT 'nation_hbars' AS chart,
+        |    CAST(row_number() OVER (ORDER BY value DESC, label) - 1 AS BIGINT) AS idx,
+        |    label, value,
+        |    CAST(floor(value / vmax * 300.0 + 0.5) AS BIGINT) AS bar_px
+        |  FROM na CROSS JOIN nam)
+        |SELECT chart, idx, label, value, bar_px FROM prx
+        |UNION ALL SELECT chart, idx, label, value, bar_px FROM nax
+        |ORDER BY chart, idx""".stripMargin,
     "m46_media_features" ->
       s"""$decodeCte
          |SELECT doc_id, media_type, CAST(n AS BIGINT) AS byte_len,
