@@ -487,6 +487,115 @@ object CoreQueries {
         .orderBy(col("nation"), desc("o_year"))
     }),
 
+    /** TPC-H Q11 shape (important stock identification): per-part value
+      * held by one nation's suppliers, keeping parts above a fraction of
+      * the nation's total — the group-aggregate + scalar-threshold
+      * benchmark. This schema has no partsupp, so value = shipped
+      * extendedprice·quantity; everything lives on the exact
+      * integer-cents lattice (cents BIGINT × integral-quantity BIGINT),
+      * so the `> total/2000` cut is an exact integer compare in both
+      * engines. The scalar total attaches via the lazy-scalar broadcast
+      * cross join — at 100 TB the per-part aggregate shuffles once on
+      * partkey and the 1-row total broadcasts. */
+    "q255_tpch_q11" -> ((s, d) => {
+      val v = lineitem(s, d)
+        .join(supplier(s, d).filter(col("s_nationkey") === 3)
+            .select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .withColumn("val_cents",
+          round(col("l_extendedprice") * 100.0, 0).cast("long") *
+            col("l_quantity").cast("long"))
+      val perPart = v.groupBy("l_partkey")
+        .agg(sum("val_cents").as("part_cents"))
+      val total = perPart.agg(floor(sum("part_cents") / 2000L)
+        .cast("long").as("thresh_cents"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_cents") > col("thresh_cents"))
+        .select(col("l_partkey"),
+          (col("part_cents") / 100.0).as("part_value"))
+        .orderBy(desc("part_value"), col("l_partkey"))
+    }),
+
+    /** TPC-H Q12 shape (shipping-mode line counts): lines shipped in one
+      * year banded by delivery speed (this schema has no shipmode or
+      * receipt date, so the band is the ship-lag class), counting
+      * high-priority vs other orders per band via conditional sums —
+      * exact integer counts, one fact-orders join shuffled on orderkey,
+      * two-row result. */
+    "q256_tpch_q12" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_band",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) < 30, "FAST")
+            .otherwise("SLOW"))
+        .groupBy("ship_band")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_band")
+    }),
+
+    /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+      * counts per (brand, type, size) over the parts NOT matching an
+      * excluded brand/type, with complained suppliers removed — here the
+      * exclusion list is the negative-balance suppliers, applied as a
+      * LEFT ANTI (the NOT IN shape). Supplier pairs come from the fact
+      * table distinct, shuffled once on partkey; counts are exact. */
+    "q257_tpch_q16" -> ((s, d) => {
+      val pairs = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+        .join(supplier(s, d).filter(col("s_acctbal") < 0.0)
+            .select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+      pairs
+        .join(part(s, d)
+            .filter(col("p_brand") =!= "Brand#45" &&
+              !col("p_type").like("small%"))
+            .select("p_partkey", "p_brand", "p_type", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(100)
+    }),
+
+    /** TPC-H Q20 shape (potential part promotion): suppliers in one
+      * nation band whose next-year shipments of a LIKE-matched part exceeded
+      * half that part's prior-year total — the correlated-agg +
+      * semi-join-chain benchmark (no partsupp availqty, so "excess
+      * availability" is the ramp-up test 2·supp_qty > part_qty, an
+      * exact integer compare on integral quantities). The per-part and
+      * per-(part,supplier) aggregates each shuffle once; the qualifying
+      * supplier set reaches the supplier dim as a LEFT SEMI. */
+    "q258_tpch_q20" -> ((s, d) => {
+      val l = lineitem(s, d)
+        .join(part(s, d).filter(col("p_name").like("red%"))
+            .select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val base = l
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey").as("bp_key"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_1996"))
+      val ramp = l
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty_1997"))
+        .join(base, col("l_partkey") === col("bp_key"))
+        .filter(lit(2L) * col("qty_1997") > col("qty_1996"))
+      supplier(s, d).filter(col("s_nationkey") < 13)
+        .join(ramp.select("l_suppkey"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     /** Lakehouse time travel, query-gated end to end: the
       * [[graft.sources.SnapshotTable]] manifest-commit table is built
       * fresh (write → snapshot-isolated deleteWhere → append) and all
@@ -1473,6 +1582,77 @@ object CoreQueries {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // value on the exact integer-cents × integral-quantity lattice;
+    // the > total/2000 threshold is an exact BIGINT compare
+    "q255_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l.l_partkey,
+        |    sum(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)
+        |      * CAST(l.l_quantity AS BIGINT)) AS part_cents
+        |  FROM lineitem l
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM supplier s
+        |    WHERE s.s_suppkey = l.l_suppkey AND s.s_nationkey = 3)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(floor(sum(part_cents) / 2000) AS BIGINT)
+        |    AS thresh_cents FROM v)
+        |SELECT v.l_partkey, v.part_cents / 100.0 AS part_value
+        |FROM v CROSS JOIN t
+        |WHERE v.part_cents > t.thresh_cents
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q256_tpch_q12" ->
+      """SELECT
+        |  CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+        |    THEN 'FAST' ELSE 'SLOW' END AS ship_band,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q257_tpch_q16" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+        |JOIN part p ON pr.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#45'
+        |  AND p.p_type NOT LIKE 'small%'
+        |  AND pr.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin,
+    // 2*qty_1997 > qty_1996 is an exact integer compare (integral
+    // quantities summed as BIGINT)
+    "q258_tpch_q20" ->
+      """WITH red AS (
+        |  SELECT l.* FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM part p
+        |    WHERE p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%')),
+        |base AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qty_1996
+        |  FROM red
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |ramp AS (
+        |  SELECT r.l_partkey, r.l_suppkey,
+        |    sum(CAST(r.l_quantity AS BIGINT)) AS qty_1997
+        |  FROM red r
+        |  WHERE r.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND r.l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_nationkey < 13
+        |  AND EXISTS (
+        |    SELECT 1 FROM ramp r JOIN base b ON r.l_partkey = b.l_partkey
+        |    WHERE r.l_suppkey = s.s_suppkey
+        |      AND 2 * r.qty_1997 > b.qty_1996)
+        |ORDER BY s_suppkey""".stripMargin,
     // v2 = base minus matched keys, plus their updated rows, plus the
     // shifted inserts — recomputed straight from orders
     "q239_merge_upsert" ->

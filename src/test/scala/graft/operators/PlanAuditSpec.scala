@@ -612,6 +612,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), s"q240: scans not bucketed:\n$p")
   }
 
+  test("round-10 TPC-H wave: hash joins only; scalar thresholds broadcast") {
+    // q248/q249/q255 attach a 1-row scalar via the sanctioned lazy-scalar
+    // broadcast (shows as BroadcastNestedLoopJoin); everything else in the
+    // wave must run pure hash joins — a nested loop or cartesian on any
+    // fact-sized side would be a 100 TB killer
+    // full executedPlan string INCLUDING the initial-plan section — the
+    // final-plan section alone elides subtrees inside already-materialized
+    // ShuffleQueryStages, which would let a negative check pass vacuously
+    def fullPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val scalarAttach = Set("q248_tpch_q22", "q249_tpch_q15", "q255_tpch_q11")
+    for (q <- Seq("q243_tpch_q4", "q244_tpch_q13", "q245_tpch_q17",
+        "q246_tpch_q19", "q247_tpch_q21", "q248_tpch_q22", "q249_tpch_q15",
+        "q250_tpch_q7", "q251_tpch_q8", "q252_tpch_q2", "q253_tpch_q9",
+        "q255_tpch_q11", "q256_tpch_q12", "q257_tpch_q16", "q258_tpch_q20")) {
+      val p = fullPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in plan:\n$p")
+      if (!scalarAttach(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q: nested loop in plan:\n$p")
+      else
+        assert(p.contains("BroadcastExchange"),
+          s"$q: the scalar threshold must broadcast:\n$p")
+    }
+    // Q4's EXISTS must stay a semi join (probe-side dedup inside the join,
+    // never a one-to-many blowup), Q16's NOT IN an anti join. Checked on
+    // the optimized logical plan — AQE's final-plan string elides joins
+    // that land inside already-materialized ShuffleQueryStages.
+    def logical(q: String): String =
+      SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+    assert(logical("q243_tpch_q4").contains("LeftSemi"), "q243: EXISTS not a semi join")
+    assert(logical("q257_tpch_q16").contains("LeftAnti"), "q257: NOT IN not an anti join")
+  }
+
   test("s225/s230: the query set broadcasts; the corpus side streams") {
     for (q <- Seq("s225_radius_search", "s230_ann_filtered")) {
       val p = plan(q)
