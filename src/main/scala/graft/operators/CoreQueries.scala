@@ -739,6 +739,87 @@ object CoreQueries {
         .orderBy("o_orderpriority")
     }),
 
+    /** Forced layout tier: DYNAMIC PARTITION PRUNING (q240's sibling for
+      * the partitioned-fact layout). The fact is staged partitioned by
+      * ship month — the nightly date-partitioned layout every warehouse
+      * writes — then joined to a month dimension filtered on a
+      * NON-partition attribute (the quarter label), so static pruning
+      * cannot fire and only Catalyst's runtime DPP subquery (fed from
+      * the broadcast dim) can skip the untouched month directories.
+      * PlanAuditSpec pins `dynamicpruning` inside the scan's
+      * PartitionFilters. The forced-tier contract: the partitioned plan
+      * must reproduce the plain predicate's bytes — the oracle computes
+      * the same months straight from the raw tables.
+      *
+      * Scale shape: at 100 TB the fact has ~hundreds of month
+      * partitions; DPP means a quarter-scoped query reads 3 of them —
+      * the scan-pruning feature that makes date-partitioned layouts
+      * work without the user hand-writing partition predicates. */
+    "q259_dynamic_pruning" -> ((s, d) => {
+      val stage = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q259_fact_" + math.abs(d.hashCode).toString)
+      lineitem(s, d)
+        .withColumn("l_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .select(col("l_month"), revenue.as("rev"))
+        .write.mode("overwrite").partitionBy("l_month")
+        .parquet(stage.toString)
+      cleanupOnExit(stage)
+      val monthDim = orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m_month"),
+          concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+            quarter(col("o_orderdate")).cast("string")).as("m_quarter"))
+        .distinct()
+      s.read.parquet(stage.toString)
+        .join(broadcast(monthDim.filter(col("m_quarter") === "1996-Q2")),
+          col("l_month") === col("m_month"))
+        .groupBy("l_month")
+        .agg(count(lit(1)).as("n_rows"), round(sum("rev"), 4).as("revenue"))
+        .orderBy("l_month")
+    }),
+
+    /** Forced optimizer tier: RUNTIME BLOOM-FILTER JOIN (the row-level
+      * sibling of q259's partition-level pruning). With the broadcast
+      * path disabled — the 100 TB regime where the filtered build side
+      * is still too big to broadcast — Catalyst injects a
+      * bloom_filter aggregate on the selective side and a
+      * bloom_filter_might_contain probe onto the fact scan, so most
+      * non-matching rows die BEFORE the shuffle instead of after it.
+      * Thresholds are lowered in-session to fire at test scale and the
+      * result is materialized before the confs are restored (the
+      * shared Verify session must not leak a disabled-broadcast
+      * optimizer to other queries). The oracle is the plain join.
+      *
+      * Scale shape: the shuffle writes only probable-match rows —
+      * for a 1%-selective dim filter that is a ~100× cut in shuffled
+      * fact bytes, the difference between a join that fits and one
+      * that spills. */
+    "q260_bloom_join" -> ((s, d) => {
+      import s.implicits._
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      val rows =
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          lineitem(s, d).select(col("l_partkey"), revenue.as("rev"))
+            .join(part(s, d).filter(col("p_brand") === "Brand#23")
+                .select("p_partkey", "p_type"),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy("p_type")
+            .agg(count(lit(1)).as("n_rows"), round(sum("rev"), 4).as("revenue"))
+            .orderBy("p_type")
+            .collect().toSeq
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toDF("p_type", "n_rows", "revenue")
+    }),
+
     /** Forced skew tier: the q5-style fact ⋈ orders join routed through
       * [[graft.sources.Layouts.saltedJoin]] (n = 8) — the manual remedy
       * when one hot key floods a shuffle partition past what AQE's
@@ -1653,6 +1734,29 @@ object CoreQueries {
         |    WHERE r.l_suppkey = s.s_suppkey
         |      AND 2 * r.qty_1997 > b.qty_1996)
         |ORDER BY s_suppkey""".stripMargin,
+    // the partitioned layout routes rows, it never changes the relation:
+    // the oracle computes the same quarter months from the raw tables
+    "q259_dynamic_pruning" ->
+      """WITH q2 AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m_month
+        |  FROM orders
+        |  WHERE CAST(year(o_orderdate) AS INT) = 1996
+        |    AND CAST(quarter(o_orderdate) AS INT) = 2)
+        |SELECT strftime(l.l_shipdate, '%Y-%m') AS l_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN q2 ON strftime(l.l_shipdate, '%Y-%m') = q2.m_month
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bloom probe only drops guaranteed-non-matching rows: the
+    // oracle is the plain join
+    "q260_bloom_join" ->
+      """SELECT p.p_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // v2 = base minus matched keys, plus their updated rows, plus the
     // shifted inserts — recomputed straight from orders
     "q239_merge_upsert" ->

@@ -649,6 +649,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(logical("q257_tpch_q16").contains("LeftAnti"), "q257: NOT IN not an anti join")
   }
 
+  test("q259: the month scan is pruned by a RUNTIME dpp subquery") {
+    // the dim filter is on the quarter label (a non-partition attribute),
+    // so only dynamic partition pruning can skip month directories
+    val df = SparkEntry.queries("q259_dynamic_pruning")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"q259: no dynamic pruning subquery in PartitionFilters:\n$p")
+  }
+
+  test("q260: with broadcast off, a bloom probe lands on the fact scan side") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.Tables.lineitem(spark, sf)
+        .select(col("l_partkey"), (col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))).as("rev"))
+      val j = li.join(graft.Tables.part(spark, sf)
+            .filter(col("p_brand") === "Brand#23").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"q260: no runtime bloom probe injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("s225/s230: the query set broadcasts; the corpus side streams") {
     for (q <- Seq("s225_radius_search", "s230_ann_filtered")) {
       val p = plan(q)
