@@ -203,6 +203,13 @@ object DedupQueries {
 
   private val NumPerms = 48
   private val BandRows = 4
+
+  /** d128's design-curve sample bound: with the 1-in-7 modulus this caps
+    * the sampled documents at ≤300 (≤~45k pairs) at ANY corpus size, so
+    * the curve's quadratic exact-Jaccard side has a fixed cost whether
+    * the corpus is 500 docs or 100 TB. (doc_ids < 500 at the correctness
+    * SFs, so the cap is invisible to the sf0.001/sf0.01 gates.) */
+  private val DesignSampleCap = 2100
   private val NumBands = NumPerms / BandRows // 12
 
   /** SplitMix64 — deterministic per-permutation multipliers/offsets. */
@@ -1037,20 +1044,26 @@ object DedupQueries {
       * Scale shape: the exact-Jaccard side is quadratic IN THE SAMPLE
       * only (the s123 protocol — curve estimation never needs the full
       * corpus; the sample side broadcasts), and the band test evaluates
-      * pairwise on the sampled signatures, not via the full band join. */
+      * pairwise on the sampled signatures, not via the full band join.
+      * The sample is BOUNDED, not fractional: `doc_id % 7 = 0 AND
+      * doc_id < 2100` caps it at ≤300 documents (≤45k pairs) no matter
+      * how large the corpus grows — a fixed-fraction sample would make
+      * the quadratic side scale with corpus², which is exactly the
+      * failure mode this curve exists to prevent. */
     "d128_lsh_design_curve" -> ((s, d) => {
       val r = BandRows
       val bands = NumPerms / r
+      val inSample = col("doc_id") % 7 === 0 && col("doc_id") < DesignSampleCap
       // jaccard over the 60-bit shingle hashes (identical md5-derived
       // values on both engines): long-array intersections run ~4x faster
       // than string-array ones at identical results
-      val hashed = shingleArrays(s, d).filter(col("doc_id") % 7 === 0)
+      val hashed = shingleArrays(s, d).filter(inSample)
         .select(col("doc_id"), array_distinct(expr(
           "transform(shingles, x -> " +
             "CAST(conv(substring(md5(CAST(x AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
           .as("hs"))
       val side = hashed
-        .join(minhashSignatures(s, d).filter(col("doc_id") % 7 === 0), "doc_id")
+        .join(minhashSignatures(s, d).filter(inSample), "doc_id")
       val a = side.toDF("d1", "sh1", "sig1")
       val b = side.toDF("d2", "sh2", "sig2")
       a.join(broadcast(b), col("d1") < col("d2"))
@@ -1711,16 +1724,21 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM bandkeys a JOIN bandkeys b
          |    ON a.band = b.band AND a.bk = b.bk
-         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id),
+         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
+         |    AND a.doc_id < 2100 AND b.doc_id < 2100
+         |    AND a.doc_id < b.doc_id),
          |inters AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
          |  FROM hd a JOIN hd b ON a.h = b.h
-         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
+         |    AND a.doc_id < 2100 AND b.doc_id < 2100
+         |    AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |allp AS (
          |  SELECT sa.doc_id AS d1, sb.doc_id AS d2, sa.sz AS s1, sb.sz AS s2
          |  FROM szs sa JOIN szs sb ON sa.doc_id < sb.doc_id
-         |  WHERE sa.doc_id % 7 = 0 AND sb.doc_id % 7 = 0),
+         |  WHERE sa.doc_id % 7 = 0 AND sb.doc_id % 7 = 0
+         |    AND sa.doc_id < 2100 AND sb.doc_id < 2100),
          |p AS (
          |  SELECT allp.d1, allp.d2,
          |    CAST(coalesce(i.inter, 0) AS DOUBLE)

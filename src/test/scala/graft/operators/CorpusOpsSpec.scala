@@ -572,8 +572,11 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("d128_lsh_design_curve: full sample coverage, theory matches closed form") {
+    // mirror the query's bounded design sample (% 7 under the fixed
+    // id cap — invisible at this SF, binding at production scale)
     val sampleN = graft.Tables.documents(spark, sfDir)
-      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0 &&
+        org.apache.spark.sql.functions.col("doc_id") < 2100).count()
     val rows = graft.DedupQueries.queries("d128_lsh_design_curve")(spark, sfDir)
       .collect()
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == sampleN * (sampleN - 1) / 2,

@@ -70,11 +70,12 @@ class LineageSpec extends SparkSpec {
     // q79/q80 RUN a streaming pipeline and read back its sink, q204
     // writes then re-reads its own csv/json/orc copies, and the
     // lakehouse gates (q238/q239 SnapshotTable versions, q240 bucketed
-    // tables) read back the tables they just built — their lineage
-    // legitimately roots at the staged run output, not a source table
+    // tables, q259's month-partitioned staged fact) read back the tables
+    // they just built — their lineage legitimately roots at the staged
+    // run output, not a source table
     val streamStaged = Set("q79_stream_dedup", "q80_stream_hourly_sink",
       "q204_format_roundtrip", "q238_time_travel", "q239_merge_upsert",
-      "q240_bucketed_join")
+      "q240_bucketed_join", "q259_dynamic_pruning")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
