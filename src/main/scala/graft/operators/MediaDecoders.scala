@@ -246,6 +246,33 @@ object WavDecoder extends MediaDecoder {
   def sample(i: Int, seed: Int): Short =
     (((seed.toLong + 997L * i) % 65536L) - 32768L).toShort
 
+  /** Speech-shaped fixture for the VAD query (m261): the m198 sawtooth
+    * with SILENT gaps punched in — 32-sample block `b` is zeroed iff
+    * `(b + seed) % (4 + seed % 3) == 0`, so voiced runs are 3–5 windows
+    * long with phase and period varying per seed. Real RIFF/WAVE
+    * encode; the silence rule lives HERE (in the fixture), not in the
+    * consumer — the decode+VAD pipeline never sees it. */
+  def syntheticWavSegmented(nFrames: Int, sampleRate: Int,
+      seed: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val period = 4 + seed % 3
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val silent = ((i / 32) + seed) % period == 0
+      val s: Short = if (silent) 0 else sample(i, seed)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** First `nWindows` window energies (Σ|sample| per `window`-sample
     * block, first channel stream order) of a decoded WAV — the
     * integer-exact frame-energy sequence the m198 fingerprint folds.

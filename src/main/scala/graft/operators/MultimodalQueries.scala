@@ -383,6 +383,59 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** Voice-activity detection + silence segmentation over REAL WAV
+      * decode (the energy-threshold VAD of ITU-T G.729B / WebRTC's
+      * level gate — the first preprocessing pass of every speech
+      * pipeline: trim silence, then transcribe only voiced segments;
+      * reference analogue: none): each audio doc synthesizes a genuine
+      * RIFF/WAVE blob with silence gaps punched into the PCM
+      * ([[graft.WavDecoder.syntheticWavSegmented]]), round-trips it
+      * through the real `javax.sound` decode, windows it into
+      * 32-sample frame energies (m198's integer-exact fold), and emits
+      * the maximal VOICED segments — consecutive above-threshold
+      * windows merged via the gaps-and-islands rewrite (win − rank
+      * over the per-doc window order), the same relational merge q153
+      * runs on business intervals.
+      *
+      * Scale shape: decode is one typed mapPartitions scan emitting
+      * fixed-width (doc, win, energy) rows — windows become ROWS, not
+      * per-task arrays, so an hours-long recording costs many rows
+      * (distributed) rather than one giant task; the islands window is
+      * ONE shuffle on the doc key with per-key state bounded by the
+      * rank counter; the segment aggregate rides the same partitioning.
+      * Per-segment output is bounded by voiced-run count, never by
+      * sample rate. */
+    "m261_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nWin = 64
+      val win = 32
+      val winRows = documents(s, d).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val wav = graft.WavDecoder.syntheticWavSegmented(
+              nWin * win, 16000, (id % 23).toInt)
+            graft.WavDecoder.windowEnergies(wav, win, nWin)
+              .iterator.zipWithIndex
+              .map { case (e, w) => (id, w.toLong, e) }
+          }
+        }.toDF("doc_id", "win", "energy")
+      // energy gate: voiced iff mean |sample| over the window > 64
+      // (silence decodes to EXACT zeros — the margin is three orders)
+      val voiced = winRows.filter(col("energy") > win.toLong * 64)
+      val byDoc = Window.partitionBy("doc_id").orderBy("win")
+      voiced
+        .withColumn("island", col("win") - row_number().over(byDoc))
+        .groupBy("doc_id", "island")
+        .agg(min("win").as("seg_start"), max("win").as("seg_end"),
+          count(lit(1)).as("n_windows"),
+          sum("energy").as("seg_energy"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_windows"), col("seg_energy"))
+        .orderBy("doc_id", "seg_start")
+    }),
+
     /** Perceptual image hash (pHash — DCT low-frequency sign bits) over
       * REAL BMP payloads, completing the query-gated real-codec triple
       * (m198 audio, m203 video, m213 image): each image-typed doc
@@ -818,6 +871,31 @@ object MultimodalQueries {
         |  f.sig, coalesce(nd.n, CAST(0 AS BIGINT)) AS n_near_dups
         |FROM fp f LEFT JOIN nd USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+    // the fixture's PCM formula (sawtooth with the (b+seed)%period==0
+    // blocks zeroed) replayed through the same window-energy fold and
+    // the same gaps-and-islands merge — the gate pins real WAV encode →
+    // javax.sound decode → windowing → threshold → segment merge
+    "m261_audio_vad" ->
+      """WITH a AS (
+        |  SELECT doc_id, doc_id % 23 AS seed,
+        |    4 + (doc_id % 23) % 3 AS period
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, seed, period, CAST(g.i AS BIGINT) AS i
+        |  FROM a CROSS JOIN unnest(generate_series(0, 2047)) AS g(i)),
+        |en AS (
+        |  SELECT doc_id, CAST(i // 32 AS BIGINT) AS win,
+        |    CAST(sum(CASE WHEN ((i // 32) + seed) % period = 0 THEN 0
+        |      ELSE abs((seed + 997 * i) % 65536 - 32768) END) AS BIGINT) AS e
+        |  FROM s GROUP BY 1, 2),
+        |v AS (
+        |  SELECT doc_id, win, e,
+        |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS island
+        |  FROM en WHERE e > 2048)
+        |SELECT doc_id, min(win) AS seg_start, max(win) AS seg_end,
+        |  count(*) AS n_windows, CAST(sum(e) AS BIGINT) AS seg_energy
+        |FROM v GROUP BY doc_id, island
+        |ORDER BY doc_id, seg_start""".stripMargin,
     "m136_media_near_dup" ->
       s"""WITH raw AS (
          |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents

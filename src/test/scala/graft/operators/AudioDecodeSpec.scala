@@ -62,6 +62,38 @@ class AudioDecodeSpec extends SparkSpec {
     }
   }
 
+  test("m261 VAD: silent blocks decode to exact zero energy and segments merge maximally") {
+    // fixture formula replayed from first principles: seed 7 -> period 6,
+    // block b silent iff (b + 7) % 6 == 0 (b = 5, 11, 17, ...)
+    val seed = 7
+    val wav = WavDecoder.syntheticWavSegmented(64 * 32, 16000, seed)
+    val en = WavDecoder.windowEnergies(wav, 32, 64)
+    val period = 4 + seed % 3
+    for (b <- 0 until 64) {
+      if ((b + seed) % period == 0)
+        assert(en(b) == 0L, s"silent block $b must decode to EXACT zeros")
+      else {
+        val expected = (b * 32 until (b + 1) * 32)
+          .map(i => math.abs(WavDecoder.sample(i, seed).toLong)).sum
+        assert(en(b) == expected, s"voiced block $b energy")
+        assert(en(b) > 32L * 64, s"voiced block $b must clear the gate threshold")
+      }
+    }
+    // the query's segments are exactly the maximal voiced runs of the rule
+    val segs = graft.SparkEntry.queries("m261_audio_vad")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 7L) // 7 % 23 = 7 -> this seed
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val voicedRuns = (0 until 64).foldLeft(List.empty[(Long, Long)]) { (acc, b) =>
+      if ((b + seed) % period == 0) acc
+      else acc match {
+        case (s0, e0) :: tail if e0 == b - 1 => (s0, b.toLong) :: tail
+        case _ => (b.toLong, b.toLong) :: acc
+      }
+    }.reverse.map { case (s0, e0) => (s0, e0, e0 - s0 + 1) }
+    assert(segs.toSeq == voicedRuns,
+      "segments must be the maximal voiced runs, merged across no gaps")
+  }
+
   test("error policy: corrupt payload fails loudly by default, skip mode counts it") {
     val ok = WavDecoder.syntheticWav(100, 8000, 1, seed = 9)
     val bad = Array.tabulate[Byte](64)(i => (i * 37).toByte) // not a WAV
