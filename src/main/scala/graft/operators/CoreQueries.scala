@@ -110,6 +110,45 @@ object CoreQueries {
         .orderBy("format", "l_returnflag")
     }),
 
+    /** Schema evolution across staged ingest batches (the lakehouse
+      * ingest reality q204's fixed-schema round-trip doesn't exercise:
+      * upstream ADDS a column mid-stream and yesterday's files don't
+      * have it): batch v1 lands WITHOUT `o_orderstatus`, batch v2 WITH
+      * it, and one `mergeSchema` parquet read reconciles both — the
+      * union schema with NULLs where the old files are silent. The
+      * aggregate classes every row by the coalesced status, so the
+      * `<pre-evolution>` bucket is EXACTLY the v1 batch — the gate
+      * proves merged-read semantics, not just that the read survived.
+      *
+      * Scale shape: schema merging is a FOOTER operation — the reader
+      * reconciles per-file schemas from metadata, never rewrites data
+      * files (the alternative, backfilling old partitions, is a 100 TB
+      * rewrite); the aggregate is one partial+final pass. At production
+      * scale the merged schema comes from the table catalog instead of
+      * per-file footer union (spark.sql.parquet.mergeSchema has scan
+      * fan-in cost), which is the SnapshotTable direction. */
+    "q262_schema_evolution" -> ((s, d) => {
+      val cut = lit("1996-01-01").cast("timestamp")
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_evo_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      cleanupOnExit(tmp)
+      val tmpPath = tmp.toString
+      orders(s, d).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmpPath/v1")
+      orders(s, d).filter(col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$tmpPath/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmpPath/v1", s"$tmpPath/v2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>"))
+          .as("status_class"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("status_class")
+    }),
+
     // ---- TPC-H classic join shapes (the recognizable multi-way-join
     // benchmarks, adapted to this schema's columns) --------------------
 
@@ -1827,6 +1866,14 @@ object CoreQueries {
         |SELECT f.format, a.l_returnflag, a.n_rows, a.sum_qty, a.sum_price
         |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
         |ORDER BY f.format, a.l_returnflag""".stripMargin,
+    // the merged-read semantics recomputed from the base table: rows
+    // before the evolution cutoff ARE the NULL-status batch
+    "q262_schema_evolution" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+        |    THEN '<pre-evolution>' ELSE o_orderstatus END AS status_class,
+        |  count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY status_class""".stripMargin,
     "q3_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
