@@ -149,6 +149,50 @@ object CoreQueries {
         .orderBy("status_class")
     }),
 
+    /** Per-row corrupt-record quarantine on semi-structured ingest (the
+      * OTHER ingest failure mode — S2/S3 cover a missing/unreadable
+      * TABLE, but at crawl scale single bad LINES are routine and must
+      * be quarantined, not crash the job or vanish silently): a staged
+      * JSON feed carries deterministically mangled lines (orderkey
+      * % 19 = 0 truncated mid-object), the PERMISSIVE read routes every
+      * unparseable line's RAW TEXT into `_corrupt_record` with data
+      * columns null, and the classed aggregate proves the quarantine
+      * bucket is exactly the mangled set — with its raw bytes retained
+      * for replay (count of non-null `_corrupt_record` doubles as the
+      * dead-letter ledger).
+      *
+      * Scale shape: one text-source scan, parse + classify codegen'd
+      * per partition, one partial+final aggregate; no shuffle before
+      * the group-by. FAILFAST/DROPMALFORMED are the same reader one
+      * option away — PERMISSIVE + ledger is the production default
+      * because silent row loss is unauditable at 100 TB. */
+    "q263_corrupt_records" -> ((s, d) => {
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_corrupt_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      cleanupOnExit(tmp)
+      val tmpPath = tmp.toString
+      orders(s, d)
+        .select(when(col("o_orderkey") % 19 === 0,
+            concat(lit("{\"k\":"), col("o_orderkey"), lit(",\"p\":")))
+          .otherwise(to_json(struct(
+            col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+            col("o_orderstatus").as("st")))).as("value"))
+        .write.mode("overwrite").text(s"$tmpPath/feed")
+      s.read
+        .schema("k LONG, p DOUBLE, st STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$tmpPath/feed")
+        .groupBy(when(col("_corrupt_record").isNotNull, lit("<quarantined>"))
+          .otherwise(col("st")).as("status_class"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_quarantined"),
+          round(sum("p"), 2).as("total_price"))
+        .orderBy("status_class")
+    }),
+
     // ---- TPC-H classic join shapes (the recognizable multi-way-join
     // benchmarks, adapted to this schema's columns) --------------------
 
@@ -1866,6 +1910,17 @@ object CoreQueries {
         |SELECT f.format, a.l_returnflag, a.n_rows, a.sum_qty, a.sum_price
         |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
         |ORDER BY f.format, a.l_returnflag""".stripMargin,
+    // quarantine semantics recomputed from the base table: the mangled
+    // set IS o_orderkey % 19 = 0, whose prices never reach the sum
+    "q263_corrupt_records" ->
+      """SELECT CASE WHEN o_orderkey % 19 = 0
+        |    THEN '<quarantined>' ELSE o_orderstatus END AS status_class,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 19 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quarantined,
+        |  round(sum(CASE WHEN o_orderkey % 19 = 0 THEN NULL
+        |    ELSE o_totalprice END), 2) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY status_class""".stripMargin,
     // the merged-read semantics recomputed from the base table: rows
     // before the evolution cutoff ARE the NULL-status batch
     "q262_schema_evolution" ->
