@@ -193,6 +193,68 @@ object CoreQueries {
         .orderBy("status_class")
     }),
 
+    /** Incrementally maintained materialized view, query-gated end to
+      * end ([[graft.sources.MaterializedView]] over a SnapshotTable
+      * source — q125/q182 gate the maintenance ALGEBRA; this gates the
+      * LIBRARY: stored state, version bookkeeping, crash-atomic
+      * commits): the source table is created with pre-1996 orders and
+      * appended twice (1996–97, then the rest); the view — per
+      * (status, priority) count / sum / min / max — is created at v1
+      * and incrementally refreshed after each append, each refresh
+      * aggregating ONLY the appended files. The returned rows are the
+      * twice-refreshed state; the oracle recomputes the same aggregate
+      * from the WHOLE base table, so the hash gate asserts incremental
+      * ≡ full recompute. The emitted `mv_source_version` (3) proves the
+      * bookkeeping advanced through both refreshes.
+      *
+      * Scale shape: each refresh is one aggregate over the delta scan
+      * plus one key-grain full-outer merge join — source history is
+      * never rescanned; the MV state is key-grain small, so its full
+      * snapshot rewrite per refresh is catalog-sized work. */
+    "q264_mv_refresh" -> ((s, d) => {
+      import graft.sources.{MaterializedView, SnapshotTable}
+      import graft.sources.MaterializedView.AggSpec
+      val srcDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mvsrc_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val mvDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mv_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(srcDir); rm(mvDir)
+      cleanupOnExit(srcDir); cleanupOnExit(mvDir)
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      val aggs = Seq(
+        AggSpec("count", "", "n_rows"),
+        AggSpec("sum", "o_totalprice", "total_price_raw"),
+        AggSpec("min", "o_orderdate", "first_order"),
+        AggSpec("max", "o_orderdate", "last_order"))
+      val base = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      val c1 = lit("1996-01-01").cast("timestamp")
+      val c2 = lit("1997-01-01").cast("timestamp")
+      SnapshotTable.write(s, srcDir.toString,
+        base.filter(col("o_orderdate") < c1), "o_orderstatus")
+      MaterializedView.create(s, mvDir.toString, srcDir.toString,
+        keys, aggs, "o_orderstatus")
+      SnapshotTable.append(s, srcDir.toString,
+        base.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+        "o_orderstatus")
+      MaterializedView.refresh(s, mvDir.toString, srcDir.toString,
+        keys, aggs, "o_orderstatus")
+      SnapshotTable.append(s, srcDir.toString,
+        base.filter(col("o_orderdate") >= c2), "o_orderstatus")
+      MaterializedView.refresh(s, mvDir.toString, srcDir.toString,
+        keys, aggs, "o_orderstatus")
+      MaterializedView.read(s, mvDir.toString)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n_rows"), round(col("total_price_raw"), 2).as("total_price"),
+          col("first_order"), col("last_order"),
+          lit(MaterializedView.sourceVersion(s, mvDir.toString))
+            .as("mv_source_version"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // ---- TPC-H classic join shapes (the recognizable multi-way-join
     // benchmarks, adapted to this schema's columns) --------------------
 
@@ -1910,6 +1972,19 @@ object CoreQueries {
         |SELECT f.format, a.l_returnflag, a.n_rows, a.sum_qty, a.sum_price
         |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
         |ORDER BY f.format, a.l_returnflag""".stripMargin,
+    // incremental == full recompute: the oracle aggregates the WHOLE
+    // base table in one pass; the Spark side produced the same rows by
+    // two delta refreshes against stored state. mv_source_version = 3
+    // (create + two appends, each refresh advancing the bookkeeping)
+    "q264_mv_refresh" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  min(o_orderdate) AS first_order,
+        |  max(o_orderdate) AS last_order,
+        |  CAST(3 AS BIGINT) AS mv_source_version
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     // quarantine semantics recomputed from the base table: the mangled
     // set IS o_orderkey % 19 = 0, whose prices never reach the sum
     "q263_corrupt_records" ->

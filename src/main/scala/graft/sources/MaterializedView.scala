@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained materialized views over [[SnapshotTable]]
+  * sources (reference analogue: none — the reference recomputes every
+  * aggregate table from scratch each run, `src/etl_functions.py`'s
+  * aggregate stage; q125/q182 gate the maintenance ALGEBRA, this module
+  * makes it a library surface with stored state and version
+  * bookkeeping).
+  *
+  * A view is `source.groupBy(keys).agg(...)` for SELF-DECOMPOSABLE
+  * aggregates — count, sum, min, max — whose state merges pointwise:
+  * `state(S ∪ Δ) = merge(state(S), state(Δ))`. Refresh therefore costs
+  * ONE aggregate over the delta plus one key-grain join against the
+  * stored state, never a rescan of the source: at 100 TB the nightly
+  * refresh touches yesterday's partitions only, which is the entire
+  * point of a materialized view.
+  *
+  * Contracts and limits, stated rather than hidden:
+  *   - The source must be APPEND-ONLY between refreshes
+  *     ([[SnapshotTable.readAppendsSince]]'s exactness contract): after
+  *     a rewriting mutation (deleteWhere/merge/compact), re-`create`
+  *     the view, or diff snapshots by content (q142's CDC) upstream.
+  *     min/max are in any case not decrementable under deletes.
+  *   - State is written as a FULL new MV snapshot per refresh: MV state
+  *     is key-grain (catalog-sized), so a full rewrite is cheap and the
+  *     read path stays one manifest-pruned scan. A key-space too large
+  *     for that wants [[SnapshotTable.merge]]'s partition-scoped upsert
+  *     on the touched keys instead — same commit protocol, same reader.
+  *   - Null measure semantics: a group whose every value is null
+  *     surfaces as the merge identity (0 for count/sum, null for
+  *     min/max via null-skipping least/greatest), not SQL's NULL sum.
+  *     Carry the count alongside and post-process if SQL nulls matter.
+  *
+  * The `source_version` each commit records in the MV manifest makes
+  * refresh idempotent and crash-safe: the version and the state commit
+  * in ONE atomic manifest rename, so a refresh that dies mid-write
+  * leaves the previous (version, state) pair fully intact and the next
+  * refresh simply re-reads the same delta.
+  */
+object MaterializedView {
+
+  /** One aggregate column of the view: `fn` ∈ count | sum | min | max,
+    * `col` the source column (ignored for count), `as` the state/output
+    * column name. */
+  final case class AggSpec(fn: String, col: String, as: String) {
+    require(Set("count", "sum", "min", "max").contains(fn),
+      s"unsupported aggregate '$fn' — decomposable fns only " +
+        "(avg = sum/count at read time; distinct counts want the theta " +
+        "sketch cells of functions.ThetaAggregates)")
+  }
+
+  private val SourceVersionKey = "source_version"
+
+  /** The view state of `source` computed from scratch — also the shape
+    * every refresh must be indistinguishable from. */
+  def fullState(source: DataFrame, keys: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    val exprs = aggs.map {
+      case AggSpec("count", _, as) => count(lit(1)).as(as)
+      case AggSpec("sum", c, as)   => sum(col(c)).as(as)
+      case AggSpec("min", c, as)   => min(col(c)).as(as)
+      case AggSpec("max", c, as)   => max(col(c)).as(as)
+      case other => sys.error(s"unreachable: $other")
+    }
+    source.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Pointwise merge of two state tables on the view keys (full outer:
+    * either side may hold keys the other has never seen). */
+  private def mergeStates(oldState: DataFrame, deltaState: DataFrame,
+      keys: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
+    val o = oldState.select(
+      keys.map(col) ++ aggs.map(a => col(a.as).as(s"__o_${a.as}")): _*)
+    val n = deltaState.select(
+      keys.map(col) ++ aggs.map(a => col(a.as).as(s"__n_${a.as}")): _*)
+    val merged = o.join(n, keys, "full_outer")
+    val outCols = keys.map(col) ++ aggs.map { a =>
+      val ov = col(s"__o_${a.as}")
+      val nv = col(s"__n_${a.as}")
+      (a.fn match {
+        case "count" | "sum" =>
+          coalesce(ov, lit(0L)) + coalesce(nv, lit(0L))
+        case "min" => when(ov.isNull, nv).when(nv.isNull, ov)
+          .otherwise(least(ov, nv))
+        case "max" => when(ov.isNull, nv).when(nv.isNull, ov)
+          .otherwise(greatest(ov, nv))
+      }).as(a.as)
+    }
+    merged.select(outCols: _*)
+  }
+
+  /** Build the view from the source's LATEST snapshot and commit it as
+    * MV version 1 with that source version recorded. Returns the MV
+    * version. */
+  def create(spark: SparkSession, mvDir: String, sourceDir: String,
+      keys: Seq[String], aggs: Seq[AggSpec], partCol: String): Long = {
+    val (srcV, _) = SnapshotTable.latest(spark, sourceDir)
+      .getOrElse(sys.error(s"$sourceDir has no committed snapshot"))
+    val state = fullState(SnapshotTable.read(spark, sourceDir), keys, aggs)
+    SnapshotTable.write(spark, mvDir, state, partCol,
+      Map(SourceVersionKey -> srcV.toString))
+  }
+
+  /** Incremental refresh: aggregate ONLY the source files appended
+    * since the recorded source version, merge into the stored state,
+    * commit as a new MV snapshot carrying the new source version.
+    * Returns None when the source has not advanced (no commit made). */
+  def refresh(spark: SparkSession, mvDir: String, sourceDir: String,
+      keys: Seq[String], aggs: Seq[AggSpec], partCol: String): Option[Long] = {
+    val hist = SnapshotTable.history(spark, mvDir)
+    require(hist.nonEmpty, s"$mvDir has no committed view — create() first")
+    val sinceV = hist.maxBy(_._1)._3.getOrElse(SourceVersionKey,
+      sys.error(s"$mvDir latest manifest lacks $SourceVersionKey")).toLong
+    SnapshotTable.readAppendsSince(spark, sourceDir, sinceV).map { delta =>
+      val merged = mergeStates(
+        SnapshotTable.read(spark, mvDir), fullState(delta, keys, aggs),
+        keys, aggs)
+      val (srcV, _) = SnapshotTable.latest(spark, sourceDir).get
+      SnapshotTable.write(spark, mvDir, merged, partCol,
+        Map(SourceVersionKey -> srcV.toString))
+    }
+  }
+
+  /** The current view state (one manifest-pruned scan). */
+  def read(spark: SparkSession, mvDir: String): DataFrame =
+    SnapshotTable.read(spark, mvDir)
+
+  /** The source version the latest MV snapshot reflects. */
+  def sourceVersion(spark: SparkSession, mvDir: String): Long = {
+    val hist = SnapshotTable.history(spark, mvDir)
+    require(hist.nonEmpty, s"$mvDir has no committed view")
+    hist.maxBy(_._1)._3(SourceVersionKey).toLong
+  }
+}

@@ -218,8 +218,8 @@ object SnapshotTable {
 
   /** Create (or replace the content of) the table as snapshot max+1. */
   def write(spark: SparkSession, dir: String, df: DataFrame,
-      partCol: String): Long =
-    commit(spark, dir, stage(spark, dir, df, partCol))
+      partCol: String, meta: Map[String, String] = Map.empty): Long =
+    commit(spark, dir, stage(spark, dir, df, partCol), meta)
 
   /** Append rows as a new snapshot (old files carry over untouched). */
   def append(spark: SparkSession, dir: String, df: DataFrame,

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import MaterializedView.AggSpec
+
+/** Behavioral contract for the incrementally maintained view: refresh
+  * merges ONLY the delta into stored state (new keys appear, counts and
+  * sums add, min/max extend), an up-to-date source refreshes to None
+  * with no new MV commit, and the source-version bookkeeping advances
+  * exactly with effective refreshes.
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"mv_$tag").toString + "/t"
+
+  private def mkDf(rows: Seq[(String, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("grp", "k", "v")
+  }
+
+  private val aggs = Seq(
+    AggSpec("count", "", "n"),
+    AggSpec("sum", "v", "sv"),
+    AggSpec("min", "v", "lo"),
+    AggSpec("max", "v", "hi"))
+
+  private def state(mvDir: String): Map[String, (Long, Double, Double, Double)] =
+    // select by NAME: the hive layout surfaces the partition column last
+    MaterializedView.read(spark, mvDir)
+      .select("grp", "n", "sv", "lo", "hi")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toMap
+
+  test("create + two refreshes: hand-computed state, new keys, min/max extension") {
+    val src = tempDir("src"); val mv = tempDir("view")
+    SnapshotTable.write(spark, src,
+      mkDf(Seq(("a", 1L, 10.0), ("a", 2L, 4.0), ("b", 3L, 7.0))), "grp")
+    MaterializedView.create(spark, mv, src, Seq("grp"), aggs, "grp")
+    assert(state(mv) == Map(
+      "a" -> ((2L, 14.0, 4.0, 10.0)), "b" -> ((1L, 7.0, 7.0, 7.0))))
+    assert(MaterializedView.sourceVersion(spark, mv) == 1L)
+
+    // delta 1: extends a's max, adds brand-new key c
+    SnapshotTable.append(spark, src,
+      mkDf(Seq(("a", 4L, 25.0), ("c", 5L, 1.0))), "grp")
+    assert(MaterializedView.refresh(spark, mv, src, Seq("grp"), aggs, "grp")
+      .contains(2L))
+    assert(state(mv) == Map(
+      "a" -> ((3L, 39.0, 4.0, 25.0)),
+      "b" -> ((1L, 7.0, 7.0, 7.0)),
+      "c" -> ((1L, 1.0, 1.0, 1.0))))
+    assert(MaterializedView.sourceVersion(spark, mv) == 2L)
+
+    // delta 2: extends a's min — merged through least(), not recompute
+    SnapshotTable.append(spark, src, mkDf(Seq(("a", 6L, 2.0))), "grp")
+    assert(MaterializedView.refresh(spark, mv, src, Seq("grp"), aggs, "grp")
+      .contains(3L))
+    assert(state(mv)("a") == ((4L, 41.0, 2.0, 25.0)))
+    // the final state is indistinguishable from a from-scratch build
+    val scratch = MaterializedView
+      .fullState(SnapshotTable.read(spark, src), Seq("grp"), aggs)
+      .select("grp", "n", "sv", "lo", "hi")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(state(mv) == scratch)
+  }
+
+  test("up-to-date source: refresh is a no-op — None, no commit, version unchanged") {
+    val src = tempDir("src2"); val mv = tempDir("view2")
+    SnapshotTable.write(spark, src, mkDf(Seq(("a", 1L, 3.0))), "grp")
+    MaterializedView.create(spark, mv, src, Seq("grp"), aggs, "grp")
+    val versionsBefore = SnapshotTable.history(spark, mv).map(_._1).toSet
+    assert(MaterializedView.refresh(spark, mv, src, Seq("grp"), aggs, "grp")
+      .isEmpty)
+    assert(SnapshotTable.history(spark, mv).map(_._1).toSet == versionsBefore,
+      "a no-op refresh must not commit a new MV snapshot")
+    assert(MaterializedView.sourceVersion(spark, mv) == 1L)
+  }
+
+  test("refresh before create fails loudly; unsupported aggregate rejected") {
+    val src = tempDir("src3"); val mv = tempDir("view3")
+    SnapshotTable.write(spark, src, mkDf(Seq(("a", 1L, 3.0))), "grp")
+    intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mv, src, Seq("grp"), aggs, "grp")
+    }
+    intercept[IllegalArgumentException] {
+      AggSpec("avg", "v", "bad")
+    }
+  }
+}
