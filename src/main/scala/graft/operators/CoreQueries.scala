@@ -32,7 +32,7 @@ object CoreQueries {
     * repeated q204 invocations in one session reuse the same staging dir
     * and the same hook (ADVICE r9: the old per-call temp dirs leaked). */
   private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def cleanupOnExit(dir: java.io.File): Unit =
+  private[graft] def cleanupOnExit(dir: java.io.File): Unit =
     if (cleanupRegistered.add(dir.getAbsolutePath)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {

@@ -349,6 +349,77 @@ object EventQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    /** Streaming → lakehouse → materialized view, composed end to end
+      * (the production CDC pipeline in one gate: q80 proved the stream
+      * sink, q238/q239 the table, q264 the view — this proves they
+      * COMPOSE): phase A's events stream through the exactly-once
+      * snapshot sink ([[graft.streaming.EventStream.runToSnapshotTable]])
+      * and the view is created; phase B's events stream in and the view
+      * refreshes INCREMENTALLY (delta files only). Phase B is then
+      * replayed wholesale — fresh checkpoint, same query id, the
+      * at-least-once window every foreachBatch sink has — and the
+      * batch-id manifest tag makes it a no-op: the final refresh
+      * returns None and the emitted `mv_source_version` stays 2. The
+      * oracle aggregates the raw events table once, so hash equality
+      * asserts the whole composition double-counted NOTHING.
+      *
+      * The streamed value is quantized to an e4 integer lattice at
+      * ingest (one IEEE multiply+floor per row), so the view's sum is
+      * exact in any batch/merge order — the incremental sum and the
+      * oracle's single pass land the same BIGINT.
+      *
+      * Scale shape: q80's micro-batch appends + q264's delta-only
+      * refresh; nothing rescans history at any stage. */
+    "q265_stream_mv" -> ((s, d) => {
+      import graft.sources.MaterializedView
+      import graft.sources.MaterializedView.AggSpec
+      import graft.streaming.EventStream
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      def freshDir(name: String): java.io.File = {
+        val f = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${name}_$tag")
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f); CoreQueries.cleanupOnExit(f); f
+      }
+      val srcA = freshDir("smv_a"); val srcB = freshDir("smv_b")
+      val tbl = freshDir("smv_tbl"); val mv = freshDir("smv_mv")
+      srcA.mkdirs(); srcB.mkdirs()
+      val base = events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+      EventStream.writeEventsFile(base.filter(col("event_id") % 3 =!= 0),
+        srcA.toPath, "a")
+      EventStream.writeEventsFile(base.filter(col("event_id") % 3 === 0),
+        srcB.toPath, "b")
+      def ingest(srcDir: java.io.File, queryId: String): Unit =
+        EventStream.runToSnapshotTable(
+          s.readStream.schema(EventStream.streamSchema)
+            .parquet(srcDir.toString)
+            .select(col("event_id"), col("ts"), col("event_type"),
+              floor(col("value") * 10000.0 + 0.5).cast("long").as("value_e4")),
+          tbl.toString, "event_type", queryId)
+      val keys = Seq("event_type")
+      val aggs = Seq(AggSpec("count", "", "n_rows"),
+        AggSpec("sum", "value_e4", "value_e4_sum"),
+        AggSpec("max", "ts", "last_ts"))
+      ingest(srcA, "runA")
+      MaterializedView.create(s, mv.toString, tbl.toString,
+        keys, aggs, "event_type")
+      ingest(srcB, "runB")
+      require(MaterializedView.refresh(s, mv.toString, tbl.toString,
+        keys, aggs, "event_type").nonEmpty, "delta refresh must commit")
+      // wholesale replay of phase B: fresh checkpoint, same query id —
+      // the manifest batch tag makes it a no-op, so refresh sees nothing
+      ingest(srcB, "runB")
+      require(MaterializedView.refresh(s, mv.toString, tbl.toString,
+        keys, aggs, "event_type").isEmpty, "replayed batch must not commit")
+      MaterializedView.read(s, mv.toString)
+        .select(col("event_type"), col("n_rows"), col("value_e4_sum"),
+          col("last_ts").cast("timestamp_ntz").as("last_ts"),
+          lit(MaterializedView.sourceVersion(s, mv.toString))
+            .as("mv_source_version"))
+        .orderBy("event_type")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -1774,6 +1845,16 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // one pass over the raw events — equality proves the streamed,
+    // snapshot-committed, incrementally-refreshed view double-counted
+    // nothing (the e4 lattice makes the sum order-free on both engines)
+    "q265_stream_mv" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS value_e4_sum,
+        |  max(ts) AS last_ts,
+        |  CAST(2 AS BIGINT) AS mv_source_version
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q30_json_extract" ->
       """SELECT event_type,
         |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,

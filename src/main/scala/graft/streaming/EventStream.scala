@@ -337,13 +337,13 @@ object EventStream {
     * finds its id and no-ops instead of appending duplicates. Readers
     * see snapshot-isolated, never-partial table states throughout. */
   def runToSnapshotTable(streamed: DataFrame, dir: String,
-      partCol: String): Unit = {
+      partCol: String, queryId: String = "q"): Unit = {
     val q = streamed.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.sources.SnapshotTable.appendBatch(
-            batch.sparkSession, dir, batch.toDF(), partCol, batchId): Unit
+            batch.sparkSession, dir, batch.toDF(), partCol, batchId, queryId): Unit
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString)

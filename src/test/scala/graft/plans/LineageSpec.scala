@@ -76,7 +76,7 @@ class LineageSpec extends SparkSpec {
     val streamStaged = Set("q79_stream_dedup", "q80_stream_hourly_sink",
       "q204_format_roundtrip", "q238_time_travel", "q239_merge_upsert",
       "q240_bucketed_join", "q259_dynamic_pruning", "q262_schema_evolution",
-      "q263_corrupt_records", "q264_mv_refresh")
+      "q263_corrupt_records", "q264_mv_refresh", "q265_stream_mv")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
