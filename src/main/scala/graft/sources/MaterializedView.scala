@@ -107,22 +107,38 @@ object MaterializedView {
   /** Incremental refresh: aggregate ONLY the source files appended
     * since the recorded source version, merge into the stored state,
     * commit as a new MV snapshot carrying the new source version.
-    * Returns None when the source has not advanced (no commit made). */
+    * Returns None when the source has not advanced (no commit made).
+    *
+    * Refresh is a read-modify-write, so the commit is CONDITIONAL
+    * ([[SnapshotTable.writeIf]] — CAS on the MV version read at the
+    * start): two refreshes racing the same view cannot both land, which
+    * would double-apply the delta; the loser gets
+    * ConcurrentRefreshException and simply retries — its re-read then
+    * sees the winner's source version and finds nothing new (or only
+    * genuinely newer files). */
   def refresh(spark: SparkSession, mvDir: String, sourceDir: String,
       keys: Seq[String], aggs: Seq[AggSpec], partCol: String): Option[Long] = {
     val hist = SnapshotTable.history(spark, mvDir)
     require(hist.nonEmpty, s"$mvDir has no committed view — create() first")
-    val sinceV = hist.maxBy(_._1)._3.getOrElse(SourceVersionKey,
+    val (mvV, _, latestMeta) = hist.maxBy(_._1)
+    val sinceV = latestMeta.getOrElse(SourceVersionKey,
       sys.error(s"$mvDir latest manifest lacks $SourceVersionKey")).toLong
     SnapshotTable.readAppendsSince(spark, sourceDir, sinceV).map { delta =>
       val merged = mergeStates(
-        SnapshotTable.read(spark, mvDir), fullState(delta, keys, aggs),
+        SnapshotTable.read(spark, mvDir, Some(mvV)), fullState(delta, keys, aggs),
         keys, aggs)
       val (srcV, _) = SnapshotTable.latest(spark, sourceDir).get
-      SnapshotTable.write(spark, mvDir, merged, partCol,
+      SnapshotTable.writeIf(spark, mvDir, merged, partCol, mvV,
         Map(SourceVersionKey -> srcV.toString))
+        .getOrElse(throw new ConcurrentRefreshException(
+          s"$mvDir advanced past v$mvV during refresh — delta NOT applied; " +
+            "re-invoke refresh (the re-read will see the winner's state)"))
     }
   }
+
+  /** A refresh lost its commit race; retry — nothing was applied. */
+  final class ConcurrentRefreshException(msg: String)
+    extends RuntimeException(msg)
 
   /** The current view state (one manifest-pruned scan). */
   def read(spark: SparkSession, mvDir: String): DataFrame =

@@ -221,6 +221,42 @@ object SnapshotTable {
       partCol: String, meta: Map[String, String] = Map.empty): Long =
     commit(spark, dir, stage(spark, dir, df, partCol), meta)
 
+  /** Conditional (compare-and-swap) write: commits `df` as snapshot
+    * `expectedPrev + 1` IFF no other writer has claimed it — the
+    * rename-without-overwrite that makes ordinary commits atomic doubles
+    * as the CAS primitive, this variant just refuses to retry at a
+    * different version. Returns None when the table advanced past
+    * `expectedPrev` (the caller's read is stale; re-read and re-derive).
+    * This is what read-modify-write maintainers (MaterializedView
+    * refresh) need: a lost race must surface as a retryable failure,
+    * never as a double-applied delta. */
+  def writeIf(spark: SparkSession, dir: String, df: DataFrame,
+      partCol: String, expectedPrev: Long,
+      meta: Map[String, String] = Map.empty): Option[Long] = {
+    val current = latest(spark, dir).map(_._1).getOrElse(0L)
+    if (current != expectedPrev) return None
+    val files = stage(spark, dir, df, partCol)
+    val (fs, root) = fsFor(spark, dir)
+    val mdir = new Path(root, ManifestDir)
+    fs.mkdirs(mdir)
+    val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
+    val header = stamped.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
+    val v = expectedPrev + 1
+    val tmp = new Path(mdir,
+      s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.rename(tmp, new Path(mdir, s"v$v.manifest"))) Some(v)
+    else {
+      // lost the race: clean our tmp manifest AND the staged files —
+      // they were never referenced by any committed manifest
+      fs.delete(tmp, false)
+      files.foreach(f => fs.delete(new Path(root, f), false))
+      None
+    }
+  }
+
   /** Append rows as a new snapshot (old files carry over untouched). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       partCol: String): Long = {

@@ -81,6 +81,54 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MaterializedView.sourceVersion(spark, mv) == 1L)
   }
 
+  test("writeIf is a CAS: one winner per expected version, loser leaves no trace") {
+    val dir = tempDir("cas")
+    SnapshotTable.write(spark, dir, mkDf(Seq(("a", 1L, 3.0))), "grp")
+    val w1 = SnapshotTable.writeIf(spark, dir, mkDf(Seq(("a", 2L, 4.0))), "grp", 1L)
+    assert(w1.contains(2L))
+    // stale expectation: table is at v2, writer still believes v1
+    val w2 = SnapshotTable.writeIf(spark, dir, mkDf(Seq(("a", 9L, 99.0))), "grp", 1L)
+    assert(w2.isEmpty)
+    assert(SnapshotTable.latest(spark, dir).map(_._1).contains(2L),
+      "a lost CAS must not advance the table")
+    val vals = SnapshotTable.read(spark, dir).select("v")
+      .collect().map(_.getDouble(0)).toSet
+    assert(vals == Set(4.0), s"loser's rows must be invisible: $vals")
+  }
+
+  test("concurrent refreshes never double-apply a delta") {
+    val src = tempDir("srcR"); val mv = tempDir("viewR")
+    SnapshotTable.write(spark, src, mkDf(Seq(("a", 1L, 10.0))), "grp")
+    MaterializedView.create(spark, mv, src, Seq("grp"), aggs, "grp")
+    SnapshotTable.append(spark, src, mkDf(Seq(("a", 2L, 5.0))), "grp")
+    // two refreshes race the same delta; the CAS guarantees at most one
+    // lands — the loser either sees nothing new (None) or loses the
+    // commit (ConcurrentRefreshException). Either way the state below
+    // must equal a from-scratch build, i.e. the delta applied ONCE.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(Future(refreshOutcome(mv, src)), Future(refreshOutcome(mv, src)))
+      .map(f => Await.result(f, 120.seconds))
+    assert(attempts.count(_ == "committed") >= 1, s"outcomes: $attempts")
+    val scratch = MaterializedView
+      .fullState(SnapshotTable.read(spark, src), Seq("grp"), aggs)
+      .select("grp", "n", "sv", "lo", "hi")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(state(mv) == scratch,
+      s"racing refreshes must apply the delta exactly once (outcomes: $attempts)")
+    assert(state(mv)("a") == ((2L, 15.0, 5.0, 10.0)))
+  }
+
+  private def refreshOutcome(mv: String, src: String): String =
+    try {
+      if (MaterializedView.refresh(spark, mv, src, Seq("grp"), aggs, "grp").isDefined)
+        "committed" else "nothing-new"
+    } catch {
+      case _: MaterializedView.ConcurrentRefreshException => "lost-race"
+    }
+
   test("refresh before create fails loudly; unsupported aggregate rejected") {
     val src = tempDir("src3"); val mv = tempDir("view3")
     SnapshotTable.write(spark, src, mkDf(Seq(("a", 1L, 3.0))), "grp")
