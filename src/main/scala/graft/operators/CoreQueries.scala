@@ -193,6 +193,40 @@ object CoreQueries {
         .orderBy("status_class")
     }),
 
+    /** Null-safe join semantics (`<=>` vs `=` on a NULLABLE key — the
+      * "unknown key" column every dimension model has, here status 'O'
+      * mapped to NULL on both sides): the ordinary equi-join DROPS the
+      * null-key rows (SQL three-valued logic: NULL = NULL is not true,
+      * and Catalyst pushes IsNotNull below the join accordingly — the
+      * null bucket never even reaches the exchange), while the
+      * null-safe join hashes NULL as an ordinary value and keeps the
+      * match. Both variants emitted side by side, so the gate pins the
+      * exact row difference.
+      *
+      * Scale shape: two catalog-sized aggregates then key-grain joins.
+      * The operational warning the scaladoc exists for: at fact scale a
+      * null-HEAVY key under `<=>` concentrates the whole null bucket on
+      * one shuffle partition — q216's salting applies verbatim (salt
+      * the null bucket, join, unsalt) since NULL behaves as just
+      * another hot key there. */
+    "q266_null_safe_join" -> ((s, d) => {
+      val key = nullif(col("o_orderstatus"), lit("O")).as("status_key")
+      val left = orders(s, d).groupBy(key)
+        .agg(count(lit(1)).as("n_left"))
+      val right = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .groupBy(key).agg(count(lit(1)).as("n_right"))
+      val equi = left.as("l").join(right.as("r"),
+          col("l.status_key") === col("r.status_key"))
+        .select(lit("equi").as("join_kind"), col("l.status_key").as("status_key"),
+          col("n_left"), col("n_right"))
+      val nullSafe = left.as("l").join(right.as("r"),
+          col("l.status_key") <=> col("r.status_key"))
+        .select(lit("null_safe").as("join_kind"), col("l.status_key").as("status_key"),
+          col("n_left"), col("n_right"))
+      equi.unionByName(nullSafe)
+        .orderBy(col("join_kind"), col("status_key").asc_nulls_first)
+    }),
+
     /** Incrementally maintained materialized view, query-gated end to
       * end ([[graft.sources.MaterializedView]] over a SnapshotTable
       * source — q125/q182 gate the maintenance ALGEBRA; this gates the
@@ -1972,6 +2006,21 @@ object CoreQueries {
         |SELECT f.format, a.l_returnflag, a.n_rows, a.sum_qty, a.sum_price
         |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
         |ORDER BY f.format, a.l_returnflag""".stripMargin,
+    // IS NOT DISTINCT FROM is the ANSI spelling of <=>; NULLS FIRST
+    // matches Spark's ascending default
+    "q266_null_safe_join" ->
+      """WITH l AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS status_key, count(*) AS n_left
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS status_key, count(*) AS n_right
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1)
+        |SELECT 'equi' AS join_kind, l.status_key, n_left, n_right
+        |FROM l JOIN r ON l.status_key = r.status_key
+        |UNION ALL
+        |SELECT 'null_safe' AS join_kind, l.status_key, n_left, n_right
+        |FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+        |ORDER BY join_kind, status_key NULLS FIRST""".stripMargin,
     // incremental == full recompute: the oracle aggregates the WHOLE
     // base table in one pass; the Spark side produced the same rows by
     // two delta refreshes against stored state. mv_source_version = 3

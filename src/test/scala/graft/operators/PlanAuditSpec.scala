@@ -596,6 +596,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q241 is single-table:\n$p")
   }
 
+  test("q266: the equi side filters null keys before the join; the null-safe side keeps them") {
+    // the scaladoc's claim made falsifiable: Catalyst derives isnotnull
+    // on both inputs of the `=` join (the null bucket never reaches the
+    // exchange), and no such filter may exist for the `<=>` join
+    val p = plan("q266_null_safe_join")
+    val joins = p.split("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin")
+    assert(joins.length >= 3, s"q266 must run two joins:\n$p")
+    // Catalyst rewrites the null test THROUGH the nullif and pushes it
+    // to the equi side's scan: `if ((o_orderstatus = O)) false else
+    // isnotnull(o_orderstatus)` appears in the scan's DataFilters
+    assert("isnotnull\\(o_orderstatus".r.findFirstIn(p).isDefined,
+      s"q266: equi side must null-filter its key below the join:\n$p")
+    // the null-safe join plans as composite coalesce+isnull hash keys —
+    // NULL becomes an ordinary hashable value, which is the semantics
+    assert("coalesce\\(status_key".r.findFirstIn(p).isDefined &&
+      "isnull\\(status_key".r.findFirstIn(p).isDefined,
+      s"q266: the null-safe join must hash NULL as a value:\n$p")
+  }
+
   test("q240: the bucketed join runs with NO exchange on either side") {
     // both tables pre-hashed into 8 matching buckets — the whole point
     // of the layout is that the join pays zero shuffle; a regression
