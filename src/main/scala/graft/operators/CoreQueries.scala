@@ -227,6 +227,35 @@ object CoreQueries {
         .orderBy(col("join_kind"), col("status_key").asc_nulls_first)
     }),
 
+    /** Generator semantics: `explode` vs `explode_outer` on arrays that
+      * can be EMPTY (q266's three-valued-logic twin at the generator
+      * layer — the silent row loss every flatten pipeline hits: a doc
+      * whose filter leaves no tokens simply VANISHES under the inner
+      * generator, which is unauditable in a 100 TB flatten): each doc's
+      * token array is filtered to tokens containing 'qu' (so roughly a
+      * quarter of the arrays come out empty); the inner and
+      * outer variants are aggregated side by side — row counts, DOC
+      * counts (the retention difference is the claim), and the outer
+      * variant's null-token rows equal exactly the empty-array docs.
+      *
+      * Scale shape: generate runs inside the scan's codegen stage (no
+      * shuffle until the aggregate); the outer variant costs one extra
+      * null row per empty doc, not a join. */
+    "q267_explode_outer" -> ((s, d) => {
+      val arr = expr("filter(split(trim(text), '\\\\s+'), t -> t LIKE '%qu%')")
+      val base = documents(s, d).select(col("doc_id"), arr.as("zs"))
+      def agg(df: DataFrame, kind: String) =
+        df.agg(lit(kind).as("variant"),
+          count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum(when(col("tok").isNull, 1L).otherwise(0L)).as("n_null_toks"))
+      agg(base.select(col("doc_id"), explode(col("zs")).as("tok")), "inner")
+        .unionByName(
+          agg(base.select(col("doc_id"), explode_outer(col("zs")).as("tok")),
+            "outer"))
+        .orderBy("variant")
+    }),
+
     /** Incrementally maintained materialized view, query-gated end to
       * end ([[graft.sources.MaterializedView]] over a SnapshotTable
       * source — q125/q182 gate the maintenance ALGEBRA; this gates the
@@ -2006,6 +2035,29 @@ object CoreQueries {
         |SELECT f.format, a.l_returnflag, a.n_rows, a.sum_qty, a.sum_price
         |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
         |ORDER BY f.format, a.l_returnflag""".stripMargin,
+    // explode_outer's kept-row semantics spelled relationally: the
+    // inner rows plus one NULL-token row per empty-array doc
+    "q267_explode_outer" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t LIKE '%qu%') AS zs
+        |  FROM documents),
+        |inner_rows AS (SELECT doc_id, unnest(zs) AS tok FROM a),
+        |outer_rows AS (
+        |  SELECT doc_id, tok FROM inner_rows
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS tok FROM a WHERE len(zs) = 0)
+        |SELECT 'inner' AS variant, count(*) AS n_rows,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_toks
+        |FROM inner_rows
+        |UNION ALL
+        |SELECT 'outer' AS variant, count(*), count(DISTINCT doc_id),
+        |  CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM outer_rows
+        |ORDER BY variant""".stripMargin,
     // IS NOT DISTINCT FROM is the ANSI spelling of <=>; NULLS FIRST
     // matches Spark's ascending default
     "q266_null_safe_join" ->
