@@ -32,6 +32,36 @@ object EventQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    /** Spark 4 VARIANT ingestion of semi-structured props (q30's modern
+      * twin: `parse_json` → binary-encoded VariantType → typed
+      * `variant_get` paths — the open-format answer to repeated JSON
+      * string re-parsing): parse ONCE per row, then path extraction is
+      * a cheap binary walk instead of a text scan per field, which is
+      * the difference that matters when a 100 TB event table carries a
+      * wide props object read by many fields. Also exercises the
+      * schema_of_variant surface (the gate pins the inferred schema
+      * string) and `try_variant_get`'s null-not-crash contract on a
+      * missing path.
+      *
+      * Scale shape: identical to q30 — one codegen'd scan, one
+      * partial+final aggregate; the variant encode/decode never
+      * shuffles. */
+    "q268_variant_json" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'long')").as("absent"),
+          expr("schema_of_variant(v)").as("vschema"))
+        .groupBy("event_type")
+        .agg(avg("k").as("avg_k"),
+          max("k").as("max_k"),
+          count(lit(1)).as("n"),
+          sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_absent"),
+          first("vschema").as("props_schema"))
+        .orderBy("event_type")),
+
     /** Tumbling 1-hour event-time window per event type — identical logic
       * to the streaming job, run in batch (window().start as window_start). */
     "q31_time_window" -> ((s, d) =>
@@ -1860,6 +1890,17 @@ object EventQueries {
         |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
         |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the variant path extractions reduce to the same JSON values; the
+    // missing path is NULL on EVERY row (n_absent = n) and the inferred
+    // schema is constant on this uniform props object
+    "q268_variant_json" ->
+      """SELECT event_type,
+        |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(*) AS n,
+        |  count(*) AS n_absent,
+        |  'OBJECT<k: BIGINT>' AS props_schema
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_time_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
