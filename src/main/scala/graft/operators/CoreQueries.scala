@@ -876,13 +876,20 @@ object CoreQueries {
           col("prio"), (col("price") * 0.5).as("price"))
       SnapshotTable.merge(s, dir.toString, "prio", "o_orderkey",
         upd.unionByName(ins))
+      // Gate on an exact integer-thousandths lattice (the q248 integer-
+      // cents pattern): the insert arm's ×0.5 of 2-dp prices makes exact
+      // quarter-cent values whose double sum sits ON the round(…,2)
+      // half-cent knife edge, so round(sum(double),2) is IEEE-summation-
+      // order-dependent (Spark partial/final vs DuckDB single-pass).
+      // round(price*1000) is exact per row (3 dp covers ×0.5 of 2 dp) and
+      // a BIGINT sum is order-independent.
       (1L to 2L).map { v =>
         SnapshotTable.read(s, dir.toString, Some(v))
           .agg(count(lit(1)).as("n_rows"),
             countDistinct("o_orderkey").as("n_keys"),
-            round(sum("price"), 2).as("sum_price"))
+            sum(round(col("price") * 1000).cast("long")).as("sum_mills"))
           .select(lit(v).as("version"), col("n_rows"), col("n_keys"),
-            col("sum_price"))
+            col("sum_mills"))
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
@@ -1449,7 +1456,7 @@ object CoreQueries {
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max")))
       val one = orders(s, d).agg(aggsD.head, aggsD.tail: _*)
-        .crossJoin(orders(s, d).agg(aggsM.head, aggsM.tail: _*))
+        .crossJoin(broadcast(orders(s, d).agg(aggsM.head, aggsM.tail: _*)))
       one.select(expr(
         s"stack(${cols.length}, " +
           cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
@@ -1982,12 +1989,12 @@ object CoreQueries {
         |v1 AS (
         |  SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-        |    round(sum(price), 2) AS sum_price
+        |    CAST(sum(CAST(round(price * 1000) AS BIGINT)) AS BIGINT) AS sum_mills
         |  FROM base),
         |v2 AS (
         |  SELECT CAST(2 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-        |    round(sum(price), 2) AS sum_price
+        |    CAST(sum(CAST(round(price * 1000) AS BIGINT)) AS BIGINT) AS sum_mills
         |  FROM v2rows)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
     // each version's expected state recomputed from the base table —

@@ -711,28 +711,75 @@ object EventQueries {
       * the outlier-resistant aggregates a metrics layer needs where
       * mean/stddev (q57) are skew-fragile.
       *
-      * Scale shape: pass 1 computes the three exact percentiles per
-      * group (q14's sort-based exact percentile — the reference's own
-      * median barrier, SURVEY §A9/F9); the GROUP-COUNT-sized bounds
-      * table broadcasts back onto the fact for pass 2's clamp/deviation
-      * aggregate. Two scans total, no self-join, nothing corpus-sized
-      * concentrates; at 100 TB swap pass 1 to approx_percentile (q65)
-      * and the plan shape is unchanged. */
-    "q148_robust_stats" -> ((s, d) => {
+      * Scale shape: pass 1 computes the three percentiles per group;
+      * the GROUP-COUNT-sized bounds table broadcasts back onto the fact
+      * for pass 2's clamp/deviation aggregate. Two scans total, no
+      * self-join. The percentile engine is CONF-TIERED on
+      * `spark.graft.stats.exactPercentileLimit` (the knn.exactLimit
+      * pattern): at or below the limit, the exact interpolating
+      * `percentile` (q14 — but it accumulates every fact value into
+      * per-group buffers, a 3-buffer concentration point this table
+      * cannot afford at 100 TB); above it, the mergeable KLL sketch
+      * ([[graft.functions.KllAggregates]]) — fixed ~KB buffers,
+      * partial/final merge, identical plan shape. The forced tier is
+      * hash-gated by q269 (rank-neighborhood claim booleans). */
+    "q148_robust_stats" -> ((s, d) =>
+      robustStats(s, d, forceSketch = false)
+        .select("l_returnflag", "n", "mean_price", "winsor_mean",
+          "median_price", "mad")
+        .orderBy("l_returnflag")),
+
+    /** Forced KLL tier of q148 (the d81/d83/d99 forced-tier pattern):
+      * the sketch path that `exactPercentileLimit` selects above gate
+      * scale, exercised AT gate scale and claim-gated the q65 way —
+      * sketch estimates are randomized engine-internals, so the gate
+      * emits booleans the oracle asserts TRUE: each sketch percentile
+      * must land inside the exact rank-neighborhood [r−ε, r+ε]
+      * (ε = 0.02 > KLL k=200's ~1.65% normalized rank error), the
+      * sketch-bounds winsorized mean must land inside the exact winsor
+      * envelope [winsor(p03,p93), winsor(p07,p97)] (mean of clamp(x,
+      * lo, hi) is monotone nondecreasing in both bounds), and the
+      * sketch MAD must land in the rank-neighborhood of deviations
+      * about the SKETCH median. */
+    "q269_robust_stats_sketch" -> ((s, d) => {
       val li = lineitem(s, d)
-      val bounds = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.05)").as("p05"),
-        expr("percentile(l_extendedprice, 0.5)").as("med"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
-      li.join(broadcast(bounds), "l_returnflag")
+      val st = robustStats(s, d, forceSketch = true)
+      val ex = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, array(0.03d, 0.07d))").as("b05"),
+        expr("percentile(l_extendedprice, array(0.48d, 0.52d))").as("b50"),
+        expr("percentile(l_extendedprice, array(0.93d, 0.97d))").as("b95"),
+        count(lit(1)).as("n_exact"))
+      val env = li.join(broadcast(ex), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-          count(lit(1)).as("n"),
-          avg("l_extendedprice").as("mean_price"),
-          avg(least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
-            .as("winsor_mean"),
-          first("med").as("median_price"),
-          expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"))
+          avg(least(greatest(col("l_extendedprice"), col("b05")(0)),
+            col("b95")(0))).as("w_lo"),
+          avg(least(greatest(col("l_extendedprice"), col("b05")(1)),
+            col("b95")(1))).as("w_hi"),
+          first("b05").as("b05"), first("b50").as("b50"),
+          first("b95").as("b95"), first("n_exact").as("n_exact"))
+      // exact deviation neighborhood about the SKETCH median (joined
+      // back so the claim covers the sketch-MAD path end-to-end)
+      val dev = li
+        .join(broadcast(st.select(col("l_returnflag"),
+          col("median_price").as("med_sk"))), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "percentile(abs(l_extendedprice - med_sk), array(0.48d, 0.52d))")
+          .as("bmad"))
+      st.join(broadcast(env), "l_returnflag")
+        .join(broadcast(dev), "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          (col("n") === col("n_exact")).as("n_ok"),
+          col("p05").between(col("b05")(0), col("b05")(1)).as("p05_ok"),
+          col("median_price").between(col("b50")(0), col("b50")(1))
+            .as("med_ok"),
+          col("p95").between(col("b95")(0), col("b95")(1)).as("p95_ok"),
+          col("winsor_mean").between(col("w_lo"), col("w_hi"))
+            .as("winsor_ok"),
+          col("mad").between(col("bmad")(0), col("bmad")(1)).as("mad_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -1626,6 +1673,77 @@ object EventQueries {
         count(lit(1)).as("n_hours"))
   }
 
+  /** True when the conf-tiered percentile engine should run the exact
+    * interpolating `percentile` for this fact frame: at or below
+    * `spark.graft.stats.exactPercentileLimit` rows (default 10M —
+    * comfortably above every gate SF, far below anything 100 TB). The
+    * count is one cheap columnar job, the same auto-tier probe the
+    * knn/dedup `exactLimit` confs pay. */
+  private def exactPercentileTier(
+      s: SparkSession, li: DataFrame, forceSketch: Boolean): Boolean =
+    !forceSketch && li.count() <=
+      s.conf.get("spark.graft.stats.exactPercentileLimit", "10000000").toLong
+
+  /** Pass-1 percentile bounds for the robust-stats family: per-group
+    * [p05, med, p95] over l_extendedprice. Exact tier = sort-based
+    * interpolating `percentile` (every value accumulates into the
+    * per-group ObjectHashAggregate buffer — only safe under the conf
+    * limit). Sketch tier = mergeable KLL (k=800, normalized rank error
+    * ~0.4% ≪ the q269 claim's ε=0.02): fixed ~KB buffers regardless of
+    * group size, partial/final merge — the 100 TB shape. */
+  private def percentileBounds(
+      s: SparkSession, li: DataFrame, exact: Boolean): DataFrame =
+    if (exact)
+      li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    else {
+      graft.functions.KllAggregates.register(s)
+      li.groupBy("l_returnflag")
+        .agg(expr("kll_sketch_agg(l_extendedprice, 800)").as("sk"))
+        .select(col("l_returnflag"),
+          expr("kll_quantile(sk, 0.05d)").as("p05"),
+          expr("kll_quantile(sk, 0.5d)").as("med"),
+          expr("kll_quantile(sk, 0.95d)").as("p95"))
+    }
+
+  /** q148's two-pass body, tier-parameterized on the percentile engine
+    * (returns the WIDE frame including the pass-1 bounds so the q269
+    * claim gate can assert them; q148 narrows to its stable schema).
+    * Pass 2's MAD percentile follows the same tier: exact
+    * `percentile(abs(x−med), 0.5)` under the limit, a second KLL over
+    * the deviations above it. */
+  private def robustStats(
+      s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
+    val li = lineitem(s, d)
+    val exact = exactPercentileTier(s, li, forceSketch)
+    val joined = li.join(broadcast(percentileBounds(s, li, exact)),
+      "l_returnflag")
+    if (exact)
+      joined.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        avg("l_extendedprice").as("mean_price"),
+        avg(least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+          .as("winsor_mean"),
+        first("med").as("median_price"),
+        expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"),
+        first("p05").as("p05"), first("p95").as("p95"))
+    else
+      joined.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        avg("l_extendedprice").as("mean_price"),
+        avg(least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+          .as("winsor_mean"),
+        first("med").as("median_price"),
+        expr("kll_sketch_agg(abs(l_extendedprice - med), 800)").as("madsk"),
+        first("p05").as("p05"), first("p95").as("p95"))
+        .select(col("l_returnflag"), col("n"), col("mean_price"),
+          col("winsor_mean"), col("median_price"),
+          expr("kll_quantile(madsk, 0.5d)").as("mad"),
+          col("p05"), col("p95"))
+  }
+
   /** q231's z-constants, computed once and inlined into both engines as
     * identical shortest-roundtrip literals (the d219 FsWeights rule). */
   private object WilsonZ {
@@ -2096,6 +2214,14 @@ object EventQueries {
         |  quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KLL estimates are randomized engine-internals (q65/q91 pattern):
+    // the oracle recomputes n and asserts every rank-neighborhood /
+    // envelope claim boolean TRUE
+    "q269_robust_stats_sketch" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS n_ok, TRUE AS p05_ok, TRUE AS med_ok, TRUE AS p95_ok,
+        |  TRUE AS winsor_ok, TRUE AS mad_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // same closed-form weight expansion of the EWMA recursion
     "q149_ewma_features" ->
       """WITH r AS (

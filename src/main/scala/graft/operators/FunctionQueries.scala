@@ -593,7 +593,7 @@ object FunctionQueries {
         .join(o.select("o_orderkey").distinct(),
           col("l_orderkey") === col("o_orderkey"), "left")
         .agg((count("o_orderkey") / count(lit(1))).as("ri_lineitem"))
-      m.crossJoin(ri)
+      m.crossJoin(broadcast(ri))
         .select(expr(
           """stack(7,
             |  'completeness', 'orders.o_custkey',    comp_custkey,
