@@ -61,8 +61,10 @@ object Charts {
 
   /** Vertical bar chart (sales-by-month / review-distribution shape). */
   def barChartVertical(data: Seq[(String, Double)], title: String): Array[Byte] = {
+    require(data.nonEmpty, s"'$title': empty series")
     val c = newCanvas(title)
     val vmax = data.map(_._2).max
+    require(vmax > 0, s"'$title': max value $vmax — bar heights need a positive max")
     val n = data.size
     val slot = PlotW / n
     val barW = math.max(1, slot * 7 / 10)
@@ -80,8 +82,10 @@ object Charts {
 
   /** Horizontal bar chart (top-10 category/state shape). */
   def barChartHorizontal(data: Seq[(String, Double)], title: String): Array[Byte] = {
+    require(data.nonEmpty, s"'$title': empty series")
     val c = newCanvas(title)
     val vmax = data.map(_._2).max
+    require(vmax > 0, s"'$title': max value $vmax — bar widths need a positive max")
     val n = data.size
     val slot = PlotH / n
     val barH = math.max(1, slot * 7 / 10)
@@ -140,7 +144,11 @@ object Charts {
     val byMonth = tables("agg_sales_by_date")
       .groupBy("month").agg(sum("total_sales").as("v"))
       .orderBy("month")
-      .collect().map(r => (MonthNames(r.getInt(0) - 1), r.getDouble(1))).toSeq
+      .collect().map { r =>
+        val m = r.getAs[Number]("month").intValue()
+        require(m >= 1 && m <= 12, s"agg_sales_by_date month out of range: $m")
+        (MonthNames(m - 1), r.getDouble(1))
+      }.toSeq
     val byCat = tables("agg_sales_by_category")
       .orderBy(desc("total_sales"), col("category_name")).limit(10)
       .select("category_name", "total_sales")

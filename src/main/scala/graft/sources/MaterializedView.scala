@@ -69,15 +69,29 @@ object MaterializedView {
   }
 
   /** Pointwise merge of two state tables on the view keys (full outer:
-    * either side may hold keys the other has never seen). */
+    * either side may hold keys the other has never seen). The join is
+    * NULL-SAFE (`<=>`) on every key — a nullable grouping key produces a
+    * NULL-key group in both states, and under plain equality those rows
+    * would never match (SQL three-valued logic), leaving duplicate
+    * never-merged NULL-key rows that silently diverge from fullState()
+    * after the first refresh (ADVICE r10). */
   private def mergeStates(oldState: DataFrame, deltaState: DataFrame,
       keys: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
     val o = oldState.select(
-      keys.map(col) ++ aggs.map(a => col(a.as).as(s"__o_${a.as}")): _*)
+      keys.map(k => col(k).as(s"__ok_$k")) ++
+        aggs.map(a => col(a.as).as(s"__o_${a.as}")): _*)
     val n = deltaState.select(
-      keys.map(col) ++ aggs.map(a => col(a.as).as(s"__n_${a.as}")): _*)
-    val merged = o.join(n, keys, "full_outer")
-    val outCols = keys.map(col) ++ aggs.map { a =>
+      keys.map(k => col(k).as(s"__nk_$k")) ++
+        aggs.map(a => col(a.as).as(s"__n_${a.as}")): _*)
+    val merged = o.join(n,
+      keys.map(k => col(s"__ok_$k") <=> col(s"__nk_$k")).reduce(_ && _),
+      "full_outer")
+    // coalesce only decides which SIDE supplies the key (the sides agree
+    // under <=> whenever both matched); a genuinely NULL key stays NULL
+    // because both sides are NULL
+    val outCols = keys.map(k =>
+      coalesce(col(s"__ok_$k"), col(s"__nk_$k")).as(k)) ++
+      aggs.map { a =>
       val ov = col(s"__o_${a.as}")
       val nv = col(s"__n_${a.as}")
       (a.fn match {
@@ -123,11 +137,16 @@ object MaterializedView {
     val (mvV, _, latestMeta) = hist.maxBy(_._1)
     val sinceV = latestMeta.getOrElse(SourceVersionKey,
       sys.error(s"$mvDir latest manifest lacks $SourceVersionKey")).toLong
-    SnapshotTable.readAppendsSince(spark, sourceDir, sinceV).map { delta =>
+    // the delta and the source version it covers come from ONE latest()
+    // resolution (readAppendsSinceVersioned) — re-reading latest() here
+    // would be a TOCTOU (ADVICE r10): an append landing between the diff
+    // and the re-read would be recorded as covered without ever being
+    // aggregated, permanently dropping its rows from the view
+    SnapshotTable.readAppendsSinceVersioned(spark, sourceDir, sinceV)
+      .map { case (srcV, delta) =>
       val merged = mergeStates(
         SnapshotTable.read(spark, mvDir, Some(mvV)), fullState(delta, keys, aggs),
         keys, aggs)
-      val (srcV, _) = SnapshotTable.latest(spark, sourceDir).get
       SnapshotTable.writeIf(spark, mvDir, merged, partCol, mvV,
         Map(SourceVersionKey -> srcV.toString))
         .getOrElse(throw new ConcurrentRefreshException(

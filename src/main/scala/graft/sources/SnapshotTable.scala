@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   *    ADDS files, never rewrites or deletes one in place;
   *  - `_manifests/v{N}.manifest` lists every data file of snapshot N
   *    (one relative path per line); the manifest is staged to a temp
-  *    name and RENAMED into place — rename-without-overwrite is the
-  *    single atomic commit point (HDFS and POSIX both guarantee it);
+  *    name and atomically PUBLISHED into place ([[publishIfAbsent]]:
+  *    rename-without-overwrite on HDFS, link(2) on local filesystems —
+  *    POSIX rename(2) would silently REPLACE an existing destination,
+  *    so plain rename is not a CAS there);
   *  - readers resolve max-N once and read exactly that file list, so
   *    every query sees one complete snapshot: concurrent commits only
   *    add files the reader never looks at, and nothing a manifest
   *    references is deleted until `vacuum`;
-  *  - two writers racing the same version: the loser's rename fails
+  *  - two writers racing the same version: the loser's publish fails
   *    (destination exists) and it retries against the new latest —
   *    optimistic concurrency without a lock service.
   *
@@ -146,17 +148,29 @@ object SnapshotTable {
     * under rewrites should diff snapshots by content (q142's CDC).
     * Returns None when nothing changed. */
   def readAppendsSince(spark: SparkSession, dir: String,
-      sinceVersion: Long): Option[DataFrame] = {
+      sinceVersion: Long): Option[DataFrame] =
+    readAppendsSinceVersioned(spark, dir, sinceVersion).map(_._2)
+
+  /** As [[readAppendsSince]], but ALSO returns the snapshot version the
+    * delta was diffed against — the version a read-modify-write
+    * maintainer (MaterializedView.refresh) must record as covered.
+    * Re-reading `latest()` after this call is a TOCTOU bug (ADVICE r10):
+    * an append landing between the diff and the re-read would be
+    * recorded as covered without its rows ever being aggregated, and no
+    * later refresh would recover them. */
+  def readAppendsSinceVersioned(spark: SparkSession, dir: String,
+      sinceVersion: Long): Option[(Long, DataFrame)] = {
     val (fs, root) = fsFor(spark, dir)
     val sinceP = new Path(new Path(root, ManifestDir), s"v$sinceVersion.manifest")
     require(fs.exists(sinceP), s"$dir has no snapshot v$sinceVersion")
     val before = dataLines(readManifest(fs, sinceP)).toSet
-    val now = latest(spark, dir)
-      .getOrElse(sys.error(s"$dir has no committed snapshot"))._2
+    val (nowV, now) = latest(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
     val fresh = now.filterNot(before)
     if (fresh.isEmpty) None
-    else Some(spark.read.option("basePath", dir).option("mergeSchema", "true")
-      .parquet(fresh.map(f => new Path(root, f).toString): _*))
+    else Some(nowV ->
+      spark.read.option("basePath", dir).option("mergeSchema", "true")
+        .parquet(fresh.map(f => new Path(root, f).toString): _*))
   }
 
   /** Stage `df` under unique file names inside `dir`'s hive layout and
@@ -184,33 +198,71 @@ object SnapshotTable {
     moved
   }
 
+  /** Atomic publish of fully-written `tmp` as `dest`, returning false
+    * when `dest` already exists — the CAS primitive every commit rides.
+    * On HDFS, rename refuses an existing destination, so plain rename IS
+    * the primitive. On the local filesystem Hadoop delegates rename to
+    * POSIX rename(2), which atomically REPLACES an existing destination
+    * — two racing writers would both "succeed", one silently
+    * overwriting the other's manifest (ADVICE r10). There the primitive
+    * is link(2) (`Files.createLink`): it fails with EEXIST atomically
+    * when the destination exists, and the linked name appears with the
+    * tmp file's complete content, so reader atomicity is preserved.
+    * Crash-safety is unchanged: a writer dying at any point leaves only
+    * a `.tmp` name that no reader resolves and vacuum can sweep. */
+  private[sources] def publishIfAbsent(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+    val local = Option(fs.getUri.getScheme).forall(_ == "file")
+    if (local) {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dest.toUri.getPath)
+      try { java.nio.file.Files.createLink(d, t); fs.delete(tmp, false); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // no-hardlink filesystem: fall back to rename and re-verify the
+          // winner (narrows, not closes, the replace window — best
+          // available without link(2))
+          fs.rename(tmp, dest) && !fs.exists(tmp)
+      }
+    } else fs.rename(tmp, dest)
+  }
+
+  /** Serialize (`#k=v` headers + file list) and atomically publish the
+    * manifest for version `v`; true iff THIS writer won the version.
+    * The single serialization path for [[commit]] and [[writeIf]] —
+    * every commit stamps its wall-clock millis INSIDE the manifest (the
+    * readAsOf timestamp-travel anchor), atomic with the file list, so
+    * there is no window where data is committed but its metadata is
+    * not. The loser's tmp file is cleaned up here. */
+  private def writeManifest(fs: FileSystem, mdir: Path, v: Long,
+      files: Seq[String], meta: Map[String, String]): Boolean = {
+    fs.mkdirs(mdir)
+    val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
+    val header = stamped.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
+    val tmp = new Path(mdir,
+      s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (publishIfAbsent(fs, tmp, new Path(mdir, s"v$v.manifest"))) true
+    else { fs.delete(tmp, false); false }
+  }
+
   /** Atomically commit `files` as snapshot max+1; retries if another
     * writer claims the version first. `meta` key/values are written as
     * `#key=value` header lines INSIDE the manifest, so metadata (e.g. a
-    * streaming batch id) commits in the same atomic rename as the file
-    * list — there is no window where the data is committed but its
-    * marker is not. Returns the committed version. */
+    * streaming batch id) commits in the same atomic publish as the file
+    * list. Returns the committed version. */
   private def commit(spark: SparkSession, dir: String, files: Seq[String],
       meta: Map[String, String] = Map.empty): Long = {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
-    fs.mkdirs(mdir)
-    // every commit stamps its wall-clock millis INSIDE the manifest —
-    // the timestamp-travel anchor (readAsOf); atomic with the file list
-    val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
-    val header = stamped.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
     var attempt = 0
     while (attempt < 20) {
       val v = latest(spark, dir).map(_._1).getOrElse(0L) + 1
-      val tmp = new Path(mdir,
-        s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      // rename-without-overwrite IS the commit: exactly one writer can
-      // create v{N}.manifest, the loser re-reads latest and retries
-      if (fs.rename(tmp, new Path(mdir, s"v$v.manifest"))) return v
-      fs.delete(tmp, false)
+      // exactly one writer can publish v{N}.manifest; the loser re-reads
+      // latest and retries at the advanced version
+      if (writeManifest(fs, mdir, v, files, meta)) return v
       attempt += 1
     }
     sys.error(s"could not commit to $dir after 20 attempts")
@@ -238,20 +290,12 @@ object SnapshotTable {
     val files = stage(spark, dir, df, partCol)
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
-    fs.mkdirs(mdir)
-    val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
-    val header = stamped.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
     val v = expectedPrev + 1
-    val tmp = new Path(mdir,
-      s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.rename(tmp, new Path(mdir, s"v$v.manifest"))) Some(v)
+    if (writeManifest(fs, mdir, v, files, meta)) Some(v)
     else {
-      // lost the race: clean our tmp manifest AND the staged files —
-      // they were never referenced by any committed manifest
-      fs.delete(tmp, false)
+      // lost the race: drop the staged files — they were never
+      // referenced by any committed manifest (tmp cleanup happened
+      // inside writeManifest)
       files.foreach(f => fs.delete(new Path(root, f), false))
       None
     }

@@ -129,6 +129,40 @@ class MaterializedViewSpec extends SparkSpec {
       case _: MaterializedView.ConcurrentRefreshException => "lost-race"
     }
 
+  test("NULL grouping key merges instead of duplicating (null-safe state join)") {
+    import spark.implicits._
+    val src = tempDir("nsrc"); val mv = tempDir("nview")
+    def mk(rows: Seq[(Option[String], Long, Double)]) = rows.toDF("grp", "k", "v")
+    SnapshotTable.write(spark, src,
+      mk(Seq((Some("a"), 1L, 2.0), (None, 2L, 5.0))), "grp")
+    MaterializedView.create(spark, mv, src, Seq("grp"), aggs, "grp")
+    // delta touches BOTH the null group and a non-null group — under a
+    // plain equi-join the null group's old and delta states never match
+    // and the view keeps two forever-diverging NULL rows (ADVICE r10)
+    SnapshotTable.append(spark, src,
+      mk(Seq((None, 3L, 7.0), (Some("a"), 4L, 1.0))), "grp")
+    assert(MaterializedView.refresh(spark, mv, src, Seq("grp"), aggs, "grp").isDefined)
+    val st = MaterializedView.read(spark, mv)
+      .select("grp", "n", "sv", "lo", "hi").collect()
+    assert(st.length == 2, s"one row per group incl. NULL: ${st.mkString("; ")}")
+    val nullRow = st.find(_.isNullAt(0)).get
+    assert((nullRow.getLong(1), nullRow.getDouble(2), nullRow.getDouble(3),
+      nullRow.getDouble(4)) == ((2L, 12.0, 5.0, 7.0)), s"null-group state: $nullRow")
+    val aRow = st.find(r => !r.isNullAt(0) && r.getString(0) == "a").get
+    assert((aRow.getLong(1), aRow.getDouble(2), aRow.getDouble(3),
+      aRow.getDouble(4)) == ((2L, 3.0, 1.0, 2.0)))
+    // the incrementally maintained view is indistinguishable from a
+    // from-scratch recompute
+    val full = MaterializedView.fullState(
+      SnapshotTable.read(spark, src), Seq("grp"), aggs)
+      .select("grp", "n", "sv", "lo", "hi").collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val got = st.map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == full, s"view $got != fullState $full")
+  }
+
   test("refresh before create fails loudly; unsupported aggregate rejected") {
     val src = tempDir("src3"); val mv = tempDir("view3")
     SnapshotTable.write(spark, src, mkDf(Seq(("a", 1L, 3.0))), "grp")

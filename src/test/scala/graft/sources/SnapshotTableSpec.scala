@@ -64,6 +64,40 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.append(spark, dir, mkDf(Seq((5L, 1L))), "p")
     val both = SnapshotTable.readAppendsSince(spark, dir, v1).get.count()
     assert(both == 3L, s"since-v1 delta rows: $both")
+    // the versioned variant reports the snapshot the diff was computed
+    // against — what a read-modify-write maintainer must record as
+    // covered (re-reading latest() after the diff is the ADVICE-r10
+    // TOCTOU: an append in between would be marked covered unseen)
+    val (dv, dRows) = SnapshotTable.readAppendsSinceVersioned(spark, dir, v1).get
+    assert(dv == SnapshotTable.history(spark, dir).head._1, s"diffed-against: $dv")
+    assert(dRows.count() == 3L)
+  }
+
+  test("publishIfAbsent is a CAS on the local filesystem: second publisher loses, winner's bytes survive") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("snapcas").toString
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkTmp(name: String, content: String): Path = {
+      val t = new Path(p, name)
+      val out = fs.create(t, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      t
+    }
+    val dest = new Path(p, "v7.manifest")
+    val a = mkTmp(".a.tmp", "writer-A\n")
+    val b = mkTmp(".b.tmp", "writer-B\n")
+    assert(SnapshotTable.publishIfAbsent(fs, a, dest), "first publish wins")
+    // POSIX rename(2) would silently REPLACE here — the CAS must refuse
+    assert(!SnapshotTable.publishIfAbsent(fs, b, dest),
+      "second publish of the same version must lose")
+    val in = fs.open(dest)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(content == "writer-A\n", s"winner's bytes must survive: '$content'")
+    assert(!fs.exists(a), "winner's tmp is consumed by the publish")
+    assert(fs.exists(b), "loser's tmp is left for the caller to clean")
   }
 
   test("deleteWhere commits atomically: every racing read is exactly old or new") {
