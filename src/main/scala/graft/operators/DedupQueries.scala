@@ -581,6 +581,20 @@ object DedupQueries {
         .orderBy("doc1", "doc2")
     }),
 
+    /** Array-typed output crossing the driver comparator as JSON
+      * (VERDICT r10 #6): the driver's pandas hasher raises on ndarray
+      * cells, so raw array columns were gated long-form only. Here the
+      * 48-perm minhash signature ARRAY itself is hash-gated by
+      * serializing with to_json — integer lists render byte-identically
+      * (`[1,2,3]`, no whitespace) on both engines, so the full
+      * signature arrays (not just their banded/paired consumers) get a
+      * driver-level value gate. Cost shape: d39's scan-local signature
+      * stage plus one projection — nothing new shuffles. */
+    "d270_signature_json" -> ((s, d) =>
+      minhashSignatures(s, d)
+        .select(col("doc_id"), to_json(col("sig")).as("sig_json"))
+        .orderBy("doc_id")),
+
     /** SimHash near-dup: 60-bit fingerprints, candidates via 4×15-bit
       * pigeonhole blocks (any pair within hamming ≤ 3 shares a block),
       * verified with bit_count(xor). Oracle recomputes signatures all-pairs
@@ -1759,6 +1773,13 @@ object DedupQueries {
          |FROM agg ORDER BY decile""".stripMargin
     },
     "d39_dedup_minhash_lsh" -> minhashLshOracle,
+    // the signature CTE chain is d39's; the array gate serializes the
+    // perm-ordered signature list as canonical JSON on both engines
+    "d270_signature_json" ->
+      s"""WITH $minhashPrefixCtes
+         |SELECT doc_id,
+         |  CAST(to_json(list(m ORDER BY perm)) AS VARCHAR) AS sig_json
+         |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d93_incremental_minhash" -> incrementalMinhashOracle,
     "d129_semantic_decontamination" ->
       """WITH emb AS (

@@ -376,6 +376,33 @@ class PlanAuditSpec extends SparkSpec {
       s"q148: non-equi shape:\n$p")
   }
 
+  test("q269: forced KLL tier aggregates sketches, never exact percentiles over the fact") {
+    // the sketch path must be ObjectHashAggregate partial/final over the
+    // fixed-size KLL buffers — the plan that replaces q148's 3-buffer
+    // corpus concentration above spark.graft.stats.exactPercentileLimit
+    val p = plan("q269_robust_stats_sketch")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q269: sketch aggregate must be ObjectHashAggregate:\n$p")
+    assert(p.contains("kll_sketch_agg"),
+      s"q269: expected the KLL sketch aggregate in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q269: non-equi shape:\n$p")
+    // partial/final split: the sketch merges map-side before the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"q269: expected partial+final ObjectHashAggregate pair:\n$p")
+  }
+
+  test("q148 auto-tier: with the conf limit below the corpus, the plan switches to KLL") {
+    spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
+    try {
+      val p = plan("q148_robust_stats")
+      assert(p.contains("kll_sketch_agg"),
+        s"q148 above the limit must aggregate sketches:\n$p")
+      assert(!p.contains("percentile("),
+        s"q148 above the limit must not run an exact percentile:\n$p")
+    } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
+  }
+
   test("q149: EWMA runs on a single user_id shuffle end to end") {
     // rank window, count window, and final aggregate all key on user_id —
     // one exchange must satisfy every stage
