@@ -648,6 +648,41 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** Scene-cut detection over REAL MP4/H.264 payloads — m203's query
+      * against the modern container/codec pair, decoded by the pure-JVM
+      * [[graft.Mp4H264Decoder]] (ISO BMFF demux + H.264 baseline I_PCM
+      * macroblocks). I_PCM is LOSSLESS, so unlike the MJPEG gate (±2
+      * luma tolerance engineered around the DCT), the per-frame mean
+      * lumas here are EXACT integers — the cut positions are pure
+      * arithmetic on the synthesis plan, with no codec noise margin at
+      * all. Same planned boundaries: luma 60 ↔ 180 every 4 frames for
+      * even docs, every 6 for odd.
+      *
+      * Scale shape: m203's — per-doc decode in one typed mapPartitions
+      * scan (deduped per distinct payload at gate scale, per-row with
+      * real assets), 4 longs out per doc, no shuffle before the fold. */
+    "m271_mp4_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), (col("doc_id") % 2).as("par"))
+      val per = docs.select("par").distinct().as[Long]
+        .mapPartitions { it =>
+          it.map { par =>
+            val period = if (par == 0L) 4 else 6
+            val ys = (0 until 12).map(i => if ((i / period) % 2 == 0) 60 else 180)
+            val mp4 = graft.Mp4H264Decoder.syntheticMp4Solid(32, 16, ys)
+            val lumas = graft.Mp4H264Decoder.frameMeanLumas(mp4)
+            val cuts = (1 until lumas.length)
+              .filter(i => math.abs(lumas(i) - lumas(i - 1)) > 40L)
+            (par, lumas.length.toLong, cuts.length.toLong,
+              cuts.headOption.map(_.toLong).getOrElse(-1L))
+          }
+        }.toDF("par", "n_frames", "n_cuts", "first_cut")
+      docs.join(broadcast(per), "par")
+        .select("doc_id", "n_frames", "n_cuts", "first_cut")
+        .orderBy("doc_id")
+    }),
+
     "m136_media_near_dup" -> ((s, d) => {
       val hashed = documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
@@ -857,6 +892,13 @@ object MultimodalQueries {
     // formula-exact — the gate covers container pack→parse→JPEG
     // decode→luma→threshold end to end
     "m203_video_scene_cuts" ->
+      """SELECT doc_id, CAST(12 AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_cuts,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 6 END AS BIGINT) AS first_cut
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    // the I_PCM decode is lossless, so the oracle is the synthesis plan
+    // itself: cuts at multiples of the per-parity period, no tolerance
+    "m271_mp4_scene_cuts" ->
       """SELECT doc_id, CAST(12 AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_cuts,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 6 END AS BIGINT) AS first_cut

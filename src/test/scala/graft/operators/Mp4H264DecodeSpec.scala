@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{Mp4H264Decoder, MultimodalQueries, SparkSpec}
+
+/** Real-codec gate for the MP4/H.264 modality (VERDICT r10 #7 probe):
+  * genuine ISO BMFF containers holding genuine H.264 baseline bitstreams
+  * (I_PCM macroblocks — lossless, so every assertion is byte-EXACT, a
+  * property the MJPEG path could only approximate at ±2). Pins:
+  * full demux (stsd/avcC + stsc/stco/stsz walk) + NAL unescape +
+  * Exp-Golomb SPS/PPS/slice parsing round-trips the encoder's exact Y
+  * planes; decode-twice determinism; featurize plumbing; and the
+  * fail-LOUDLY boundary — CABAC PPS, transform-coded macroblocks, and
+  * non-MP4 payloads all throw with the reason rather than mis-decoding.
+  */
+class Mp4H264DecodeSpec extends SparkSpec {
+
+  private def gradient(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val y = new Array[Byte](w * h)
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) { y(j * w + i) = ((seed + 7 * i + 13 * j) & 0xff).toByte; i += 1 }
+      j += 1
+    }
+    y
+  }
+
+  test("round-trip is byte-exact: decoded Y planes equal the encoded ones") {
+    val planes = Seq(gradient(32, 16, 3), gradient(32, 16, 91))
+    val mp4 = Mp4H264Decoder.syntheticMp4(32, 16, planes)
+    val out = Mp4H264Decoder.framesY(mp4)
+    assert(out.length == 2)
+    out.zip(planes).foreach { case ((w, h, y), expect) =>
+      assert(w == 32 && h == 16)
+      assert(java.util.Arrays.equals(y, expect),
+        "I_PCM decode must reproduce the source plane byte-for-byte")
+    }
+    // decode-twice determinism (the family contract)
+    val again = Mp4H264Decoder.framesY(mp4)
+    out.zip(again).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
+  test("solid frames: mean lumas are exactly the encoded grays; cuts land on the plan") {
+    val grays = Seq(60, 60, 180, 180, 60)
+    val mp4 = Mp4H264Decoder.syntheticMp4Solid(48, 32, grays)
+    val lumas = Mp4H264Decoder.frameMeanLumas(mp4)
+    assert(lumas.toSeq == grays.map(_.toLong),
+      s"lossless decode must give exact means: ${lumas.toSeq}")
+    val cuts = (1 until lumas.length)
+      .filter(i => math.abs(lumas(i) - lumas(i - 1)) > 40L)
+    assert(cuts == Seq(2, 4))
+  }
+
+  test("featurize plumbing: MediaFeatures carries SPS dims, sample count, exact mean") {
+    import spark.implicits._
+    val mp4 = Mp4H264Decoder.syntheticMp4Solid(32, 16, Seq(100, 200))
+    val records = Seq(MultimodalQueries.MediaRecord(9L, mp4, "video")).toDS()
+    val f = MultimodalQueries.featurize(records, Mp4H264Decoder).collect().head
+    assert((f.doc_id, f.width, f.height, f.n_frames) == ((9L, 32L, 16L, 2L)))
+    assert(f.mean_byte == 150.0, s"mean of exact 100/200 planes: ${f.mean_byte}")
+  }
+
+  test("boundary fails loudly: CABAC, transform-coded MBs, non-MP4 bytes") {
+    val cabac = intercept[UnsupportedOperationException] {
+      Mp4H264Decoder.framesY(Mp4H264Decoder.syntheticMp4CabacProbe(32, 16))
+    }
+    assert(cabac.getMessage.contains("CABAC"), cabac.getMessage)
+    val nonPcm = intercept[UnsupportedOperationException] {
+      Mp4H264Decoder.framesY(Mp4H264Decoder.syntheticMp4NonPcmProbe(32, 16))
+    }
+    assert(nonPcm.getMessage.contains("I_PCM"), nonPcm.getMessage)
+    intercept[IllegalArgumentException] {
+      Mp4H264Decoder.framesY("not an mp4 at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("fail-vs-skip ledger: corrupt payloads skip without killing the stage") {
+    import spark.implicits._
+    val good = Mp4H264Decoder.syntheticMp4Solid(32, 16, Seq(42))
+    val records = Seq(
+      MultimodalQueries.MediaRecord(1L, good, "video"),
+      MultimodalQueries.MediaRecord(2L, Array[Byte](1, 2, 3), "video"),
+      MultimodalQueries.MediaRecord(3L, good, "video")).toDS()
+    val skipped = spark.sparkContext.longAccumulator("skipped")
+    val out = MultimodalQueries
+      .featurize(records, Mp4H264Decoder, failOnError = false, Some(skipped))
+      .collect().map(_.doc_id).sorted
+    assert(out.toSeq == Seq(1L, 3L))
+    assert(skipped.value == 1L)
+  }
+}
