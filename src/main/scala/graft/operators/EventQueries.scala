@@ -1673,40 +1673,16 @@ object EventQueries {
         count(lit(1)).as("n_hours"))
   }
 
-  /** True when the conf-tiered percentile engine should run the exact
-    * interpolating `percentile` for this fact frame: at or below
-    * `spark.graft.stats.exactPercentileLimit` rows (default 10M —
-    * comfortably above every gate SF, far below anything 100 TB). The
-    * count is one cheap columnar job, the same auto-tier probe the
-    * knn/dedup `exactLimit` confs pay. */
-  private def exactPercentileTier(
-      s: SparkSession, li: DataFrame, forceSketch: Boolean): Boolean =
-    !forceSketch && li.count() <=
-      s.conf.get("spark.graft.stats.exactPercentileLimit", "10000000").toLong
-
   /** Pass-1 percentile bounds for the robust-stats family: per-group
-    * [p05, med, p95] over l_extendedprice. Exact tier = sort-based
-    * interpolating `percentile` (every value accumulates into the
-    * per-group ObjectHashAggregate buffer — only safe under the conf
-    * limit). Sketch tier = mergeable KLL (k=800, normalized rank error
-    * ~0.4% ≪ the q269 claim's ε=0.02): fixed ~KB buffers regardless of
-    * group size, partial/final merge — the 100 TB shape. */
+    * [p05, med, p95] over l_extendedprice, via the shared conf-tiered
+    * engine ([[graft.functions.Percentiles]] — exact interpolating
+    * `percentile` under the limit, mergeable KLL above, identical
+    * output schema either way). */
   private def percentileBounds(
       s: SparkSession, li: DataFrame, exact: Boolean): DataFrame =
-    if (exact)
-      li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.05)").as("p05"),
-        expr("percentile(l_extendedprice, 0.5)").as("med"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
-    else {
-      graft.functions.KllAggregates.register(s)
-      li.groupBy("l_returnflag")
-        .agg(expr("kll_sketch_agg(l_extendedprice, 800)").as("sk"))
-        .select(col("l_returnflag"),
-          expr("kll_quantile(sk, 0.05d)").as("p05"),
-          expr("kll_quantile(sk, 0.5d)").as("med"),
-          expr("kll_quantile(sk, 0.95d)").as("p95"))
-    }
+    graft.functions.Percentiles.grouped(s, li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(0.05, 0.5, 0.95), Seq("p05", "med", "p95"),
+      exact)
 
   /** q148's two-pass body, tier-parameterized on the percentile engine
     * (returns the WIDE frame including the pass-1 bounds so the q269
@@ -1717,7 +1693,7 @@ object EventQueries {
   private def robustStats(
       s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
     val li = lineitem(s, d)
-    val exact = exactPercentileTier(s, li, forceSketch)
+    val exact = graft.functions.Percentiles.exactTier(s, li.count(), forceSketch)
     val joined = li.join(broadcast(percentileBounds(s, li, exact)),
       "l_returnflag")
     if (exact)
@@ -1729,7 +1705,8 @@ object EventQueries {
         first("med").as("median_price"),
         expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"),
         first("p05").as("p05"), first("p95").as("p95"))
-    else
+    else {
+      graft.functions.KllAggregates.register(s)
       joined.groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
         avg("l_extendedprice").as("mean_price"),
@@ -1742,6 +1719,7 @@ object EventQueries {
           col("winsor_mean"), col("median_price"),
           expr("kll_quantile(madsk, 0.5d)").as("mad"),
           col("p05"), col("p95"))
+    }
   }
 
   /** q231's z-constants, computed once and inlined into both engines as

@@ -441,9 +441,11 @@ object TextQueries {
       * broadcast when it fits); tokens join it by shuffle on term, then
       * one shuffle on doc_id for the mean. The two percentile cuts are a
       * 2-value global aggregate (broadcast — bounded by construction);
-      * at 100 TB the exact sort-based percentile gives way to
-      * approx_percentile or a sampled cut, the plan otherwise unchanged.
-      * Linear in corpus tokens. */
+      * the percentile engine is conf-tiered ([[graft.functions
+      * .Percentiles]]): exact under `exactPercentileLimit` docs, the
+      * mergeable KLL sketch above — the global cut would otherwise
+      * funnel every doc's score into ONE buffer. Linear in corpus
+      * tokens. */
     "t98_unigram_logprob" -> ((s, d) => {
       val f1 = 1.0 / 3.0
       val f2 = 2.0 / 3.0
@@ -457,9 +459,9 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(log(col("cnt").cast("double") / col("total_tokens"))), 6)
             .as("avg_logprob"))
-      val cuts = scored.agg(
-        expr(s"percentile(avg_logprob, $f2)").as("t_head"),
-        expr(s"percentile(avg_logprob, $f1)").as("t_mid"))
+      val cuts = graft.functions.Percentiles.grouped(s, scored, Nil,
+        "avg_logprob", Seq(f2, f1), Seq("t_head", "t_mid"),
+        graft.functions.Percentiles.exactTier(s, documents(s, d).count()))
       scored.crossJoin(broadcast(cuts))
         .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
           when(col("avg_logprob") >= col("t_head"), "head")
@@ -514,10 +516,11 @@ object TextQueries {
       * on term, then one shuffle on doc_id for the mean. The three scalar
       * totals (vocab size, raw/target token counts) are single-row
       * broadcasts bounded by construction, and the selection cut is a
-      * 1-value global aggregate — at 100 TB the exact percentile gives
-      * way to approx_percentile or a sampled cut, the plan otherwise
-      * unchanged. Linear in corpus tokens; the ratio is rounded to the
-      * 1e-6 lattice (the s53 precedent) so selection is engine-stable. */
+      * 1-value global aggregate, conf-tiered through
+      * [[graft.functions.Percentiles]] (exact under the limit, KLL
+      * above), plan otherwise unchanged. Linear in corpus tokens; the
+      * ratio is rounded to the 1e-6 lattice (the s53 precedent) so
+      * selection is engine-stable. */
     "t101_dsir" -> ((s, d) => {
       val targetSources = Seq("src0", "src1")
       val tokens = documents(s, d)
@@ -539,7 +542,9 @@ object TextQueries {
             log((col("tgt_cnt") + 1).cast("double") / (col("tot_tgt") + col("vocab"))) -
               log((col("raw_cnt") + 1).cast("double") / (col("tot_raw") + col("vocab")))), 6)
             .as("avg_logratio"))
-      val cut = scored.agg(expr("percentile(avg_logratio, 0.75)").as("t_sel"))
+      val cut = graft.functions.Percentiles.grouped(s, scored, Nil,
+        "avg_logratio", Seq(0.75), Seq("t_sel"),
+        graft.functions.Percentiles.exactTier(s, documents(s, d).count()))
       scored.crossJoin(broadcast(cut))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("avg_logratio"),
           (col("avg_logratio") >= col("t_sel")).as("selected"))
@@ -726,8 +731,9 @@ object TextQueries {
       * tables are vocabulary-sized and travel by shuffle join on their
       * keys with NO broadcast hint (the t52 rule — bigram vocabulary
       * grows faster than Heaps' law); the only broadcasts are the 1-row
-      * vocabulary size and the 2-value tertile cut (at 100 TB the exact
-      * percentile gives way to approx_percentile, plan unchanged). */
+      * vocabulary size and the 2-value tertile cut, conf-tiered through
+      * [[graft.functions.Percentiles]] (exact under the limit, KLL
+      * above). */
     "t114_bigram_logprob" -> ((s, d) => {
       val f1 = 1.0 / 3.0
       val f2 = 2.0 / 3.0
@@ -751,9 +757,9 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log((col("c2") + 1L).cast("double") / (col("c1") + col("v")))), 6)
             .as("avg_logprob"))
-      val cuts = scored.agg(
-        expr(s"percentile(avg_logprob, $f2)").as("t_head"),
-        expr(s"percentile(avg_logprob, $f1)").as("t_mid"))
+      val cuts = graft.functions.Percentiles.grouped(s, scored, Nil,
+        "avg_logprob", Seq(f2, f1), Seq("t_head", "t_mid"),
+        graft.functions.Percentiles.exactTier(s, documents(s, d).count()))
       scored.crossJoin(broadcast(cuts))
         .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
           when(col("avg_logprob") >= col("t_head"), "head")
@@ -902,10 +908,10 @@ object TextQueries {
       * picks broadcast at any realistic source count, per the t52 rule). */
     "t137_length_bands" -> ((s, d) => {
       val docs = documents(s, d)
-      val bounds = docs.groupBy("source").agg(
-        expr("percentile(n_chars, 0.25D)").as("q1"),
-        expr("percentile(n_chars, 0.5D)").as("q2"),
-        expr("percentile(n_chars, 0.75D)").as("q3"))
+      val bounds = graft.functions.Percentiles.grouped(s, docs,
+        Seq("source"), "n_chars", Seq(0.25, 0.5, 0.75),
+        Seq("q1", "q2", "q3"),
+        graft.functions.Percentiles.exactTier(s, docs.count()))
       docs.select(col("doc_id"), col("source"), col("n_chars"))
         .join(bounds, "source")
         .select(col("doc_id"), col("source"), col("n_chars"),
@@ -1303,8 +1309,8 @@ object TextQueries {
       *
       * Scale shape: each metric is one scan → partial+final aggregate
       * (the token metrics share one explode); the union is 9 rows. The
-      * exact p50 is the q56 sort-based percentile — swap to the KLL
-      * sketch (q65/q166) at corpus scale, same card schema. */
+      * p50 is conf-tiered through [[graft.functions.Percentiles]]
+      * (exact under the limit, KLL above — same card schema). */
     "t209_corpus_card" -> ((s, d) => {
       val doc = documents(s, d)
       val counts = doc.select(col("doc_id"), col("lang"), col("n_chars"),
@@ -1321,8 +1327,10 @@ object TextQueries {
         .unionByName(vocab)
         .unionByName(row("mean_doc_tokens",
           round(sum("n_toks").cast("double") / count(lit(1)), 6)))
-        .unionByName(row("p50_doc_tokens",
-          expr("percentile(n_toks, 0.5)")))
+        .unionByName(graft.functions.Percentiles.grouped(s, counts, Nil,
+          "n_toks", Seq(0.5), Seq("value"),
+          graft.functions.Percentiles.exactTier(s, doc.count()))
+          .select(lit("p50_doc_tokens").as("metric"), col("value")))
         .unionByName(row("mean_doc_chars",
           round(sum("n_chars").cast("double") / count(lit(1)), 6)))
         .unionByName(row("exact_dup_rate",

@@ -392,14 +392,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q269: expected partial+final ObjectHashAggregate pair:\n$p")
   }
 
-  test("q148 auto-tier: with the conf limit below the corpus, the plan switches to KLL") {
+  test("percentile auto-tier: with the conf limit below the corpus, q148/t98/t137 switch to KLL") {
     spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
     try {
-      val p = plan("q148_robust_stats")
-      assert(p.contains("kll_sketch_agg"),
-        s"q148 above the limit must aggregate sketches:\n$p")
-      assert(!p.contains("percentile("),
-        s"q148 above the limit must not run an exact percentile:\n$p")
+      Seq("q148_robust_stats", "t98_unigram_logprob", "t137_length_bands")
+        .foreach { q =>
+          val p = plan(q)
+          assert(p.contains("kll_sketch_agg"),
+            s"$q above the limit must aggregate sketches:\n$p")
+          assert(!p.contains("percentile("),
+            s"$q above the limit must not run an exact percentile:\n$p")
+        }
     } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
   }
 
