@@ -743,7 +743,11 @@ object EventQueries {
       * about the SKETCH median. */
     "q269_robust_stats_sketch" -> ((s, d) => {
       val li = lineitem(s, d)
-      val st = robustStats(s, d, forceSketch = true)
+      // localCheckpoint pins ONE evaluation of the randomized KLL stats:
+      // st feeds both the final claim row and the deviation-neighborhood
+      // branch, and a recompute could draw different (valid) estimates
+      // for each — the claims must all be about the SAME draw
+      val st = robustStats(s, d, forceSketch = true).localCheckpoint()
       val ex = li.groupBy("l_returnflag").agg(
         expr("percentile(l_extendedprice, array(0.03d, 0.07d))").as("b05"),
         expr("percentile(l_extendedprice, array(0.48d, 0.52d))").as("b50"),
