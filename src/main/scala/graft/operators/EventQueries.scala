@@ -753,26 +753,26 @@ object EventQueries {
         expr("percentile(l_extendedprice, array(0.48d, 0.52d))").as("b50"),
         expr("percentile(l_extendedprice, array(0.93d, 0.97d))").as("b95"),
         count(lit(1)).as("n_exact"))
+      // ONE claim pass over the fact: both tiny broadcasts (the exact
+      // rank-neighborhoods and the sketch median) attach to the same
+      // scan, so the winsor envelope AND the deviation neighborhood
+      // about the SKETCH median (covering the sketch-MAD path
+      // end-to-end) cost one join+aggregate, not two
       val env = li.join(broadcast(ex), "l_returnflag")
+        .join(broadcast(st.select(col("l_returnflag"),
+          col("median_price").as("med_sk"))), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
           avg(least(greatest(col("l_extendedprice"), col("b05")(0)),
             col("b95")(0))).as("w_lo"),
           avg(least(greatest(col("l_extendedprice"), col("b05")(1)),
             col("b95")(1))).as("w_hi"),
+          expr(
+            "percentile(abs(l_extendedprice - med_sk), array(0.48d, 0.52d))")
+            .as("bmad"),
           first("b05").as("b05"), first("b50").as("b50"),
           first("b95").as("b95"), first("n_exact").as("n_exact"))
-      // exact deviation neighborhood about the SKETCH median (joined
-      // back so the claim covers the sketch-MAD path end-to-end)
-      val dev = li
-        .join(broadcast(st.select(col("l_returnflag"),
-          col("median_price").as("med_sk"))), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(expr(
-          "percentile(abs(l_extendedprice - med_sk), array(0.48d, 0.52d))")
-          .as("bmad"))
       st.join(broadcast(env), "l_returnflag")
-        .join(broadcast(dev), "l_returnflag")
         .select(
           col("l_returnflag"),
           col("n"),
