@@ -591,7 +591,7 @@ object Mp4H264Decoder extends MediaDecoder {
     val vmhd = box("vmhd", u32(1), new Array[Byte](8))
     val minf = box("minf", vmhd, dinf, stbl)
     val hdlr = box("hdlr", u32(0), u32(0), "vide".getBytes("US-ASCII"),
-      new Array[Byte](12), "GraftVideo ".getBytes("US-ASCII"))
+      new Array[Byte](12), "GraftVideo".getBytes("US-ASCII"), Array[Byte](0))
     val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(1000),
       u32(40L * n), u16(0x55c4), u16(0))
     val mdia = box("mdia", mdhd, hdlr, minf)
