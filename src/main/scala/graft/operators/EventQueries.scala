@@ -969,30 +969,37 @@ object EventQueries {
       * decile membership cannot flip on summation-order ulps.
       *
       * Scale shape: the raw stream collapses to one row per user first
-      * (partial+final sum — the only corpus-sized shuffle); ntile then
-      * needs a total order over USERS, a single-partition sort of the
-      * aggregated frame — the documented driver-bound of exact global
-      * ranking (t127's reasoning; at 100 TB swap ntile for a
-      * percentile-bound bucket join, same downstream plan). The decile
-      * aggregate and both windows run over ten rows. */
-    "q167_decile_lift" -> ((s, d) => {
+      * (partial+final sum — the only corpus-sized shuffle). The ranking
+      * stage is CONF-TIERED (the q148 pattern): at or below
+      * `spark.graft.stats.exactPercentileLimit` users, exact ntile — a
+      * total order over users, i.e. a single-partition sort of the
+      * aggregated frame (t127's documented bound). Above it, the KLL
+      * decile BOUNDARIES replace the sort: 9 sketch quantiles broadcast
+      * back and each user banding by value comparison (t137's shape on
+      * 9 cuts) — equal-count buckets become equal-probability-mass
+      * buckets within the sketch's ~0.4% rank error, and no global sort
+      * ever runs. The forced tier is claim-gated by q273. The decile
+      * aggregate and both windows run over ten rows either way. */
+    "q167_decile_lift" -> ((s, d) => decileLift(s, d, forceSketch = false)),
+
+    /** Forced sketch tier of q167 (the q269 pattern): the >limit bucket
+      * join exercised at gate scale, claim-gated — bucket counts are
+      * sketch-dependent, so the oracle asserts the CONTRACT: every
+      * decile holds 10% ± (2% + 1/N) of users (KLL rank error ~0.4% ≪
+      * ε; the 1/N term covers integer discretization at tiny gate
+      * corpora — a boundary value moves whole users, so no bucket can
+      * sit closer to 10% than one user allows), and the buckets
+      * conserve the user count exactly (n_total crosses the comparator
+      * as a hard integer both engines compute). */
+    "q273_decile_lift_sketch" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val spend = events(s, d).groupBy("user_id")
-        .agg(round(sum("value"), 6).as("spend"))
-      val decd = spend.withColumn("decile",
-        ntile(10).over(Window.orderBy(desc("spend"), col("user_id")))
-          .cast("long"))
-      val cells = decd.groupBy("decile")
-        .agg(count(lit(1)).as("n_users"), sum("spend").as("decile_spend"))
-      val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-      cells
-        .withColumn("cum_share",
-          sum("decile_spend").over(w) /
-            sum("decile_spend").over(Window.partitionBy()))
-        .select(col("decile"), col("n_users"),
-          round(col("decile_spend"), 4).as("decile_spend"),
-          round(col("cum_share"), 9).as("cum_share"),
-          round(col("cum_share") / (col("decile") / lit(10.0)), 6).as("lift"))
+      val w = Window.partitionBy()
+      decileLift(s, d, forceSketch = true)
+        .select(col("decile"),
+          sum("n_users").over(w).cast("long").as("n_total"),
+          (abs(col("n_users") / sum("n_users").over(w) - 0.1) <=
+            lit(0.02) + lit(1.0) / sum("n_users").over(w))
+            .as("share_ok"))
         .orderBy("decile")
     }),
 
@@ -1726,6 +1733,50 @@ object EventQueries {
     }
   }
 
+  /** q167's body, tier-parameterized on the ranking engine: exact ntile
+    * (single-partition sort over the user-grain frame) under the conf
+    * limit, KLL decile-boundary banding above it — decile d(v) = 1 +
+    * |{k : v < q_k}| over the 9 ascending sketch quantiles, so the top
+    * spenders land in decile 1 exactly as under desc-ntile. The
+    * boundaries are localCheckpoint-pinned (one draw of the randomized
+    * sketch feeds every row). */
+  private def decileLift(
+      s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = events(s, d).groupBy("user_id")
+      .agg(round(sum("value"), 6).as("spend"))
+    val exact =
+      graft.functions.Percentiles.exactTier(s, spend.count(), forceSketch)
+    val decd =
+      if (exact)
+        spend.withColumn("decile",
+          ntile(10).over(Window.orderBy(desc("spend"), col("user_id")))
+            .cast("long"))
+      else {
+        val names = (1 to 9).map(k => s"q$k")
+        val bounds = graft.functions.Percentiles.grouped(s, spend, Nil,
+          "spend", (1 to 9).map(_ / 10.0), names, exact = false)
+          .localCheckpoint()
+        spend.crossJoin(broadcast(bounds))
+          .withColumn("decile",
+            (1 to 9).map(k => when(col("spend") < col(s"q$k"), 1L)
+              .otherwise(0L)).reduce(_ + _) + lit(1L))
+          .select("user_id", "spend", "decile")
+      }
+    val cells = decd.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("spend").as("decile_spend"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_share",
+        sum("decile_spend").over(w) /
+          sum("decile_spend").over(Window.partitionBy()))
+      .select(col("decile"), col("n_users"),
+        round(col("decile_spend"), 4).as("decile_spend"),
+        round(col("cum_share"), 9).as("cum_share"),
+        round(col("cum_share") / (col("decile") / lit(10.0)), 6).as("lift"))
+      .orderBy("decile")
+  }
+
   /** q231's z-constants, computed once and inlined into both engines as
     * identical shortest-roundtrip literals (the d219 FsWeights rule). */
   private object WilsonZ {
@@ -2336,6 +2387,15 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    / sum(decile_spend) OVER ()) / (decile / 10.0), 6) AS lift
         |FROM cells ORDER BY decile""".stripMargin,
+    // sketch-tier bucket counts are engine-internal; the oracle asserts
+    // the contract (10% ± 2% per bucket) and recomputes the exact user
+    // conservation total both engines must agree on
+    "q273_decile_lift_sketch" ->
+      """SELECT CAST(g.range AS BIGINT) AS decile,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+        |    AS n_total,
+        |  TRUE AS share_ok
+        |FROM range(1, 11) g ORDER BY decile""".stripMargin,
     "q168_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id,

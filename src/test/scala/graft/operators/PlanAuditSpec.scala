@@ -397,6 +397,27 @@ class PlanAuditSpec extends SparkSpec {
       s"q269: non-equi shape:\n$p")
   }
 
+  test("q167 auto-tier: above the limit the global ntile sort disappears") {
+    // exact tier = ntile over a single-partition sort of the user frame
+    // (the documented t127 bound); sketch tier = KLL boundary banding —
+    // the checkpointed 1-row bounds hide the kll aggregate from this
+    // plan, so the pin is the ABSENCE of the sort: no ntile window and
+    // no user-frame SinglePartition exchange may survive
+    val exactPlan = plan("q167_decile_lift")
+    assert(exactPlan.contains("ntile"),
+      s"q167 exact tier should rank with ntile:\n$exactPlan")
+    spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
+    try {
+      val p = plan("q167_decile_lift")
+      assert(!p.contains("ntile"),
+        s"q167 above the limit must not run the exact ntile:\n$p")
+      // the only SinglePartition work left is the 10-row decile window
+      val userSorts = "Sort \\[spend".r.findAllIn(p).size
+      assert(userSorts == 0,
+        s"q167 above the limit must not globally sort the user frame:\n$p")
+    } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
+  }
+
   test("percentile auto-tier: with the conf limit below the corpus, q148/t98/t137 switch to KLL") {
     spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
     try {
