@@ -1290,28 +1290,33 @@ object EventQueries {
       *
       * Scale shape: one partial+final count collapses the corpus to the
       * |keys| grid; the rank window and all sums run on that grid. The
-      * single-partition rank over |keys| is the exact-Gini barrier — at
-      * 100 TB key cardinality, swap in the t137 equi-depth banding for
-      * an approximate Lorenz curve (same downstream arithmetic). */
-    "q175_skew_report" -> ((s, d) => {
-      val counts = events(s, d).groupBy("user_id")
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt"), col("user_id"))
-      val wd = Window.orderBy(col("cnt").desc, col("user_id"))
-      counts
-        .withColumn("i", row_number().over(w))
-        .withColumn("rd", row_number().over(wd))
-        .agg(
-          sum("cnt").as("n_rows"),
-          count(lit(1)).as("n_keys"),
-          max("cnt").as("max_cnt"),
-          sum(col("i") * col("cnt")).as("iweighted"),
-          sum(when(col("rd") <= 10, col("cnt")).otherwise(0L)).as("top10"))
+      * single-partition rank over |keys| is the exact-Gini barrier —
+      * CONF-TIERED (the q148/q167 pattern): above
+      * `spark.graft.stats.exactPercentileLimit` keys, the Lorenz curve
+      * integrates a 200-point KLL quantile grid instead (no global sort
+      * anywhere — max via plain agg, top-10 via a bounded-heap
+      * TakeOrdered, Gini via trapezoid over 201 rows), claim-gated by
+      * q274. */
+    "q175_skew_report" -> ((s, d) => skewReport(s, d, forceSketch = false)),
+
+    /** Forced sketch tier of q175 (the q269/q273 pattern): every
+      * deterministic column (row/key/max counts, max and top-10 load
+      * shares — the top-10 cut is a bounded-heap TakeOrdered with the
+      * same (cnt desc, user_id) tie-break as the exact rank, so it is
+      * value-identical) hash-gates directly; the sketch Gini is
+      * randomized, so its claim is the error bound against the exact
+      * rank-identity Gini: |G_sketch − G_exact| ≤ 0.05 + 1/n_keys (the
+      * 1/n_keys term covers trapezoid discretization at tiny gate
+      * corpora). */
+    "q274_skew_gini_sketch" -> ((s, d) => {
+      val sk = skewReport(s, d, forceSketch = true).localCheckpoint()
+      val ex = skewReport(s, d, forceSketch = false)
+        .select(col("gini").as("gini_exact"))
+      sk.crossJoin(broadcast(ex))
         .select(col("n_rows"), col("n_keys"), col("max_cnt"),
-          round(col("max_cnt") / col("n_rows"), 9).as("max_share"),
-          round(col("top10") / col("n_rows"), 9).as("top10_share"),
-          round(col("iweighted") * 2.0 / (col("n_keys") * col("n_rows")) -
-            (col("n_keys") + 1.0) / col("n_keys"), 9).as("gini"))
+          col("max_share"), col("top10_share"),
+          (abs(col("gini") - col("gini_exact")) <=
+            lit(0.05) + lit(1.0) / col("n_keys")).as("gini_ok"))
     }),
 
     /** Linear multi-touch attribution (q169's last-touch sibling): every
@@ -1775,6 +1780,81 @@ object EventQueries {
         round(col("cum_share"), 9).as("cum_share"),
         round(col("cum_share") / (col("decile") / lit(10.0)), 6).as("lift"))
       .orderBy("decile")
+  }
+
+  /** q175's body, tier-parameterized on the ranking engine. Exact tier:
+    * the sorted-counts Gini identity over a single-partition rank of
+    * the |keys| grid. Sketch tier (the 100 TB shape): NO global sort —
+    * max_cnt from a plain aggregate, the top-10 load share from a
+    * bounded-heap TakeOrdered (same (cnt desc, user_id) tie-break as
+    * the exact rank, so it is value-identical), and Gini from the
+    * Lorenz integral of a 200-point KLL quantile grid: T = ∫Q via
+    * trapezoid, L_j = S_j/T the cumulative piece, G = 1 − 2·∫L — all
+    * grid arithmetic on 201 rows. The sketch is localCheckpoint-pinned
+    * (one draw feeds the whole grid). */
+  private def skewReport(
+      s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
+    val counts = events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val exact =
+      graft.functions.Percentiles.exactTier(s, counts.count(), forceSketch)
+    if (exact) {
+      val w = Window.orderBy(col("cnt"), col("user_id"))
+      val wd = Window.orderBy(col("cnt").desc, col("user_id"))
+      counts
+        .withColumn("i", row_number().over(w))
+        .withColumn("rd", row_number().over(wd))
+        .agg(
+          sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("cnt").as("max_cnt"),
+          sum(col("i") * col("cnt")).as("iweighted"),
+          sum(when(col("rd") <= 10, col("cnt")).otherwise(0L)).as("top10"))
+        .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+          round(col("max_cnt") / col("n_rows"), 9).as("max_share"),
+          round(col("top10") / col("n_rows"), 9).as("top10_share"),
+          round(col("iweighted") * 2.0 / (col("n_keys") * col("n_rows")) -
+            (col("n_keys") + 1.0) / col("n_keys"), 9).as("gini"))
+    } else {
+      graft.functions.KllAggregates.register(s)
+      val m = 200
+      val base = counts.agg(
+        expr("kll_sketch_agg(CAST(cnt AS DOUBLE), 800)").as("sk"),
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("cnt").as("max_cnt")).localCheckpoint()
+      val top10 = counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .agg(sum("cnt").as("top10"))
+      val grid = base.select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        posexplode(expr(
+          s"transform(sequence(0, $m), " +
+            s"j -> kll_quantile(sk, cast(j as double) / ${m}d))")))
+        .toDF("n_rows", "n_keys", "max_cnt", "j", "q")
+      val wj = Window.orderBy("j")
+      val cum = Window.orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lor = grid
+        .withColumn("tpiece",
+          (col("q") + lag("q", 1).over(wj)) / (2.0 * m))
+        // S_0 = 0 (the j=0 row has no piece; an all-null window sums to
+        // null, which would poison the j=1 Lorenz trapezoid)
+        .withColumn("s_cum", coalesce(sum("tpiece").over(cum), lit(0.0)))
+      lor
+        .withColumn("lpiece",
+          (col("s_cum") + lag("s_cum", 1).over(wj)) / (2.0 * m))
+        .agg(
+          first("n_rows").as("n_rows"),
+          first("n_keys").as("n_keys"),
+          first("max_cnt").as("max_cnt"),
+          sum("tpiece").as("t_total"),
+          sum("lpiece").as("int_l"))
+        .crossJoin(broadcast(top10))
+        .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+          round(col("max_cnt") / col("n_rows"), 9).as("max_share"),
+          round(col("top10") / col("n_rows"), 9).as("top10_share"),
+          round(lit(1.0) - lit(2.0) * col("int_l") / col("t_total"), 9)
+            .as("gini"))
+    }
   }
 
   /** q231's z-constants, computed once and inlined into both engines as
@@ -2574,6 +2654,24 @@ object EventQueries {
         |  round(top10 / n_rows, 9) AS top10_share,
         |  round(iweighted * 2.0 / (n_keys * n_rows) -
         |    (n_keys + 1.0) / n_keys, 9) AS gini
+        |FROM a""".stripMargin,
+    // the deterministic skew columns hash directly (the sketch tier's
+    // top-10 is the same tie-broken cut, bounded-heap instead of a
+    // global rank); the randomized Gini gates as its error-bound claim
+    "q274_skew_gini_sketch" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rd
+        |  FROM c),
+        |a AS (
+        |  SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
+        |    sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS top10
+        |  FROM r)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows, n_keys, max_cnt,
+        |  round(max_cnt / n_rows, 9) AS max_share,
+        |  round(top10 / n_rows, 9) AS top10_share,
+        |  TRUE AS gini_ok
         |FROM a""".stripMargin,
     // the oracle joins non-equi DIRECTLY — the Spark bucket rewrite must
     // reproduce it row-for-row (the q126 contract)

@@ -432,6 +432,17 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
   }
 
+  test("q175 auto-tier: above the limit the global key rank disappears; top-10 is a bounded heap") {
+    spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
+    try {
+      val p = plan("q175_skew_report")
+      assert(!p.contains("row_number"),
+        s"q175 above the limit must not rank the full key grid:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"q175 sketch tier: top-10 must be a bounded heap:\n$p")
+    } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
+  }
+
   test("q149: EWMA runs on a single user_id shuffle end to end") {
     // rank window, count window, and final aggregate all key on user_id —
     // one exchange must satisfy every stage
