@@ -399,38 +399,45 @@ object FunctionQueries {
       * (metric + custkey tie-break, so bucket edges are deterministic
       * on both engines), then a fixed-precedence segment label.
       *
-      * Scale shape: one aggregate to customer grain, three global
-      * ntile windows over that grain (at 100 TB the exact ntile gives
-      * way to approx-percentile cuts — same output contract), one
-      * presentation sort. */
-    "q228_rfm_segments" -> ((s, d) => {
+      * Scale shape: one aggregate to customer grain. The three global
+      * ntile windows over that grain are CONF-TIERED (the q167
+      * pattern): above `spark.graft.stats.exactPercentileLimit`
+      * customers each score comes from KLL quintile BOUNDARIES
+      * broadcast back (no single-partition sort anywhere); the forced
+      * tier is claim-gated by q275. One presentation sort. */
+    "q228_rfm_segments" -> ((s, d) => rfmSegments(s, d, forceSketch = false)),
+
+    /** Forced sketch tier of q228 (the q273 pattern): bucket membership
+      * is sketch-dependent, so the gate asserts the contract on the
+      * CONTINUOUS dimension (monetary — per-customer rounded spend,
+      * effectively tie-free): every m_score quintile holds 20% ±
+      * (2% + 1/N) of customers. The two integer dimensions
+      * (recency_days, frequency) carry heavy ties, and value-threshold
+      * banding cannot split a tie the way exact ntile's custkey
+      * tie-break does — their buckets legitimately skew with the tie
+      * mass, so their claim is CONSERVATION (every customer scored,
+      * scores in 1..5, totals equal the exact customer count both
+      * engines compute). */
+    "q275_rfm_sketch" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val mx = orders(s, d).agg(max("o_orderdate").as("corpus_max"))
-      val rfm = orders(s, d).crossJoin(broadcast(mx))
-        .groupBy("o_custkey")
-        .agg(
-          floor((unix_timestamp(max(col("corpus_max"))) -
-            unix_timestamp(max(col("o_orderdate")))) / 86400L).cast("long")
-            .as("recency_days"),
-          count(lit(1)).as("frequency"),
-          round(sum("o_totalprice"), 2).as("monetary"))
-      val scored = rfm
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(desc("recency_days"), col("o_custkey"))).cast("long"))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("frequency"), col("o_custkey"))).cast("long"))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("monetary"), col("o_custkey"))).cast("long"))
-      scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
-        when(col("r_score") >= 4L && col("f_score") >= 4L && col("m_score") >= 4L,
-          "champion")
-          .when(col("f_score") >= 4L, "loyal")
-          .when(col("m_score") >= 4L, "big_spender")
-          .when(col("r_score") <= 2L && col("f_score") >= 3L, "at_risk")
-          .when(col("r_score") <= 2L, "hibernating")
-          .otherwise("regular").as("segment"))
-        .orderBy("o_custkey")
+      val sk = rfmSegments(s, d, forceSketch = true).localCheckpoint()
+      val w = Window.partitionBy()
+      val mShares = sk.groupBy("m_score").agg(count(lit(1)).as("n"))
+        .select(col("m_score"),
+          sum("n").over(w).cast("long").as("n_total"),
+          (abs(col("n") / sum("n").over(w) - 0.2) <=
+            lit(0.02) + lit(1.0) / sum("n").over(w)).as("m_share_ok"))
+      val conserved = sk.agg(
+        (count(lit(1)) ===
+          sum(when(col("r_score").between(1L, 5L), 1L).otherwise(0L)))
+          .as("r_conserved"),
+        (count(lit(1)) ===
+          sum(when(col("f_score").between(1L, 5L), 1L).otherwise(0L)))
+          .as("f_conserved"))
+      mShares.crossJoin(broadcast(conserved))
+        .select("m_score", "n_total", "m_share_ok", "r_conserved",
+          "f_conserved")
+        .orderBy("m_score")
     }),
 
     "q202_benford" -> ((s, d) => {
@@ -695,6 +702,67 @@ object FunctionQueries {
         .orderBy("o_orderstatus"))
   )
 
+  /** q228's body, tier-parameterized on the ranking engine (the q167
+    * pattern): exact ntile(5) windows under the conf limit; above it,
+    * KLL quintile boundaries (ranks .2/.4/.6/.8 per dimension, one
+    * localCheckpoint-pinned 12-value broadcast) band each customer by
+    * value comparison — r_score rises as recency FALLS (desc ntile ⇒
+    * `v < q_k` counting), f/m rise with the value (`v > q_k`). Tie
+    * semantics differ by design: exact ntile splits ties by custkey to
+    * force equal counts; value banding keeps ties together (the honest
+    * behavior of quantile cuts at scale — see q275's claim split). */
+  private def rfmSegments(
+      s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = orders(s, d).agg(max("o_orderdate").as("corpus_max"))
+    val rfm = orders(s, d).crossJoin(broadcast(mx))
+      .groupBy("o_custkey")
+      .agg(
+        floor((unix_timestamp(max(col("corpus_max"))) -
+          unix_timestamp(max(col("o_orderdate")))) / 86400L).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+    val exact =
+      graft.functions.Percentiles.exactTier(s, rfm.count(), forceSketch)
+    val scored =
+      if (exact)
+        rfm
+          .withColumn("r_score", ntile(5).over(
+            Window.orderBy(desc("recency_days"), col("o_custkey"))).cast("long"))
+          .withColumn("f_score", ntile(5).over(
+            Window.orderBy(col("frequency"), col("o_custkey"))).cast("long"))
+          .withColumn("m_score", ntile(5).over(
+            Window.orderBy(col("monetary"), col("o_custkey"))).cast("long"))
+      else {
+        val ranks = Seq(0.2, 0.4, 0.6, 0.8)
+        def bounds(c: String) = graft.functions.Percentiles.grouped(
+          s, rfm, Nil, c, ranks, (1 to 4).map(k => s"${c}_q$k"), exact = false)
+        val b = bounds("recency_days").crossJoin(bounds("frequency"))
+          .crossJoin(bounds("monetary")).localCheckpoint()
+        def below(c: String) = (1 to 4).map(k =>
+          when(col(c) < col(s"${c}_q$k"), 1L).otherwise(0L))
+          .reduce(_ + _) + lit(1L)
+        def above(c: String) = (1 to 4).map(k =>
+          when(col(c) > col(s"${c}_q$k"), 1L).otherwise(0L))
+          .reduce(_ + _) + lit(1L)
+        rfm.crossJoin(broadcast(b))
+          .withColumn("r_score", below("recency_days"))
+          .withColumn("f_score", above("frequency"))
+          .withColumn("m_score", above("monetary"))
+      }
+    scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4L && col("f_score") >= 4L && col("m_score") >= 4L,
+        "champion")
+        .when(col("f_score") >= 4L, "loyal")
+        .when(col("m_score") >= 4L, "big_spender")
+        .when(col("r_score") <= 2L && col("f_score") >= 3L, "at_risk")
+        .when(col("r_score") <= 2L, "hibernating")
+        .otherwise("regular").as("segment"))
+      .orderBy("o_custkey")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q104_heavy_hitters" ->
       """WITH tokens AS (
@@ -912,6 +980,15 @@ object FunctionQueries {
         |       WHEN r_score <= 2 THEN 'hibernating'
         |       ELSE 'regular' END AS segment
         |FROM sc ORDER BY o_custkey""".stripMargin,
+    // sketch-tier bucket membership is engine-internal; the oracle
+    // asserts the monetary-quintile share contract and the conservation
+    // booleans, and recomputes the exact customer count
+    "q275_rfm_sketch" ->
+      """SELECT CAST(g.range AS BIGINT) AS m_score,
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        |    AS n_total,
+        |  TRUE AS m_share_ok, TRUE AS r_conserved, TRUE AS f_conserved
+        |FROM range(1, 6) g ORDER BY m_score""".stripMargin,
     // integer-cents string-head digit on both engines; chi2 rounded 6
     "q202_benford" ->
       """WITH dg AS (

@@ -443,6 +443,15 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
   }
 
+  test("q228 auto-tier: above the limit all three ntile sorts disappear") {
+    spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
+    try {
+      val p = plan("q228_rfm_segments")
+      assert(!p.contains("ntile"),
+        s"q228 above the limit must band by quintile boundaries, not ntile:\n$p")
+    } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
+  }
+
   test("q149: EWMA runs on a single user_id shuffle end to end") {
     // rank window, count window, and final aggregate all key on user_id —
     // one exchange must satisfy every stage
