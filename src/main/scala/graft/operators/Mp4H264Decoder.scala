@@ -556,12 +556,20 @@ object Mp4H264Decoder extends MediaDecoder {
   /** Container packer shared by the fixtures and boundary probes: one
     * video sample per slice NAL, single chunk. */
   private def packMp4(width: Int, height: Int,
-      sliceNals: Seq[Array[Byte]]): Array[Byte] = {
+      sliceNals: Seq[Array[Byte]]): Array[Byte] =
+    packMp4Samples(width, height,
+      sliceNals.map(s => u32(s.length.toLong) ++ s))
+
+  /** As [[packMp4]], but over pre-assembled SAMPLE payloads (a sample
+    * may hold several length-prefixed NALs — in-band parameter sets,
+    * SEI, then the slice). */
+  private def packMp4Samples(width: Int, height: Int,
+      samples: Seq[Array[Byte]]): Array[Byte] = {
     val widthMbs = width / 16
     val heightMbs = height / 16
     val spsNal = nal(3, 7, buildSps(widthMbs, heightMbs))
     val ppsNal = nal(3, 8, buildPps())
-    val sampleData = sliceNals.map(s => u32(s.length.toLong) ++ s)
+    val sampleData = samples
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), u32(0x200),
       "isomavc1".getBytes("US-ASCII"))
     val mdat = box("mdat", sampleData.flatten.toArray)
@@ -578,7 +586,7 @@ object Mp4H264Decoder extends MediaDecoder {
       u16(0x18), u16(0xffff),                  // depth, pre_defined = -1
       avcC)
     val stsd = box("stsd", u32(0), u32(1), avc1)
-    val n = sliceNals.length
+    val n = samples.length
     val stts = box("stts", u32(0), u32(1), u32(n.toLong), u32(40))
     val stsc = box("stsc", u32(0), u32(1), u32(1), u32(n.toLong), u32(1))
     val stsz = box("stsz", u32(0), u32(0), u32(n.toLong),
@@ -617,6 +625,30 @@ object Mp4H264Decoder extends MediaDecoder {
       java.util.Arrays.fill(y, (g & 0xff).toByte)
       y
     })
+
+  /** As [[syntheticMp4Solid]], but each sample carries IN-BAND SPS/PPS
+    * and an SEI NAL before the IDR slice — the layout real encoders
+    * emit for broadcast robustness (parameter sets repeated in-stream,
+    * not only in avcC). Exercises the decoder's NAL-7/8 update path and
+    * the skip path for non-VCL NALs. */
+  private[graft] def syntheticMp4SolidInBand(width: Int, height: Int,
+      grays: Seq[Int]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0)
+    val widthMbs = width / 16
+    val heightMbs = height / 16
+    val sps = nal(3, 7, buildSps(widthMbs, heightMbs))
+    val pps = nal(3, 8, buildPps())
+    val sei = nal(0, 6, Array[Byte](5, 1, 0, (0x80).toByte)) // dummy payload
+    val samples = grays.map { g =>
+      val y = new Array[Byte](width * height)
+      java.util.Arrays.fill(y, (g & 0xff).toByte)
+      val slice = nal(3, 5, buildIdrSlice(widthMbs, heightMbs, y))
+      Seq(sps, pps, sei, slice)
+        .map(n2 => u32(n2.length.toLong) ++ n2)
+        .reduce(_ ++ _)
+    }
+    packMp4Samples(width, height, samples)
+  }
 
   // ---- boundary probes (spec fixtures for the fail-loudly contract) -------
 

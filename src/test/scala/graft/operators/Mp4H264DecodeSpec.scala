@@ -62,6 +62,18 @@ class Mp4H264DecodeSpec extends SparkSpec {
     assert(f.mean_byte == 150.0, s"mean of exact 100/200 planes: ${f.mean_byte}")
   }
 
+  test("in-band SPS/PPS and SEI NALs: parameter updates apply, non-VCL NALs skip") {
+    val grays = Seq(30, 200, 90)
+    val inBand = Mp4H264Decoder.syntheticMp4SolidInBand(32, 16, grays)
+    val avccOnly = Mp4H264Decoder.syntheticMp4Solid(32, 16, grays)
+    val a = Mp4H264Decoder.frameMeanLumas(inBand)
+    val b = Mp4H264Decoder.frameMeanLumas(avccOnly)
+    assert(a.toSeq == grays.map(_.toLong),
+      s"in-band stream must decode exactly: ${a.toSeq}")
+    assert(a.toSeq == b.toSeq,
+      "in-band parameter sets must not change the decode")
+  }
+
   test("boundary fails loudly: CABAC, transform-coded MBs, non-MP4 bytes") {
     val cabac = intercept[UnsupportedOperationException] {
       Mp4H264Decoder.framesY(Mp4H264Decoder.syntheticMp4CabacProbe(32, 16))
