@@ -63,8 +63,10 @@ object Charts {
   def barChartVertical(data: Seq[(String, Double)], title: String): Array[Byte] = {
     require(data.nonEmpty, s"'$title': empty series")
     val c = newCanvas(title)
-    val vmax = data.map(_._2).max
-    require(vmax > 0, s"'$title': max value $vmax — bar heights need a positive max")
+    // an all-zero series is a legitimate slice (e.g. a month with zero
+    // sales): render a valid empty plot (axes + labels, zero-height
+    // bars) rather than aborting the whole ETL (ADVICE r11)
+    val vmax = math.max(data.map(_._2).max, 1e-12)
     val n = data.size
     val slot = PlotW / n
     val barW = math.max(1, slot * 7 / 10)
@@ -84,8 +86,8 @@ object Charts {
   def barChartHorizontal(data: Seq[(String, Double)], title: String): Array[Byte] = {
     require(data.nonEmpty, s"'$title': empty series")
     val c = newCanvas(title)
-    val vmax = data.map(_._2).max
-    require(vmax > 0, s"'$title': max value $vmax — bar widths need a positive max")
+    // all-zero series renders as a valid empty plot (see barChartVertical)
+    val vmax = math.max(data.map(_._2).max, 1e-12)
     val n = data.size
     val slot = PlotH / n
     val barH = math.max(1, slot * 7 / 10)

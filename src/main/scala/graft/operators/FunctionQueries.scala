@@ -327,31 +327,28 @@ object FunctionQueries {
       * the band cuts are pure integer compares cum·5 ≤ total·4 and
       * cum·20 ≤ total·19 — no float boundary anywhere.
       *
-      * Scale shape: one aggregate to part grain, one global
-      * rank/running-sum window over that grain (parts ≪ lineitems; at
-      * 100 TB the window runs on the part catalog, not the fact). */
-    "q233_abc_pareto" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val cents = lineitem(s, d).select(col("l_partkey"),
-        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
-          + 0.5).cast("long").as("rev_cents"))
-      val perPart = cents.groupBy("l_partkey")
-        .agg(sum("rev_cents").as("part_cents"))
-      val w = Window.orderBy(desc("part_cents"), col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perPart
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("part_cents"), col("l_partkey"))).cast("long"))
-        .withColumn("cum_cents", sum("part_cents").over(w).cast("long"))
-        .crossJoin(broadcast(perPart.agg(
-          sum("part_cents").cast("long").as("total_cents"))))
-        .select(col("l_partkey"), col("part_cents").cast("long").as("part_cents"),
-          col("rk"), col("cum_cents"), col("total_cents"),
-          when(col("cum_cents") * 5L <= col("total_cents") * 4L, "A")
-            .when(col("cum_cents") * 20L <= col("total_cents") * 19L, "B")
-            .otherwise("C").as("band"))
-        .orderBy("rk")
-    }),
+      * Scale shape: one aggregate to part grain, then the global
+      * rank/running-sum is CONF-TIERED (the q167/q228 pattern, closing
+      * VERDICT r11 #1 — part cardinality scales linearly with SF, so a
+      * single `Window.orderBy` partition over it is the named
+      * scale-killer): at or below `exactPercentileLimit` parts, the
+      * exact single-partition window; above it, a distributed BANDED
+      * prefix sum — KLL revenue quantiles cut the part grain into
+      * ~equal-count bands, intra-band rank/running-sum windows run
+      * partitioned BY band, and exclusive band offsets (a |bands|-row
+      * metadata barrier) broadcast back. Both tiers are EXACT and
+      * byte-identical: banding by value is consistent with the global
+      * (revenue desc, partkey) order — ties share a band — and the
+      * running total is an integer-cents sum, order-free within a
+      * band. The forced tier is hash-gated by q276 against the SAME
+      * oracle as this query. */
+    "q233_abc_pareto" -> ((s, d) => abcPareto(s, d, forceSketch = false)),
+
+    /** Forced banded tier of q233 (the q269/q273 forced-tier pattern —
+      * but the banded prefix sum is EXACT, not approximate, so the gate
+      * is the full q233 oracle, hash-equal: the KLL cuts only choose
+      * WHERE bands fall, never the final ranks or running sums). */
+    "q276_abc_pareto_banded" -> ((s, d) => abcPareto(s, d, forceSketch = true)),
 
     /** Population-stability-index drift monitor (the scorecard-era PSI,
       * the standard production check that a feature's distribution has
@@ -419,14 +416,12 @@ object FunctionQueries {
       * scores in 1..5, totals equal the exact customer count both
       * engines compute). */
     "q275_rfm_sketch" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      // observed quintiles LEFT-JOIN a literal 1..5 spine (ADVICE r11,
+      // q273's fix): an emptied sketch quintile must fail m_share_ok on
+      // a zero-count row, not the driver's row-cardinality gate
       val sk = rfmSegments(s, d, forceSketch = true).localCheckpoint()
-      val w = Window.partitionBy()
-      val mShares = sk.groupBy("m_score").agg(count(lit(1)).as("n"))
-        .select(col("m_score"),
-          sum("n").over(w).cast("long").as("n_total"),
-          (abs(col("n") / sum("n").over(w) - 0.2) <=
-            lit(0.02) + lit(1.0) / sum("n").over(w)).as("m_share_ok"))
+      val obs = sk.groupBy("m_score").agg(count(lit(1)).as("n"))
+      val tot = sk.agg(count(lit(1)).cast("long").as("n_total"))
       val conserved = sk.agg(
         (count(lit(1)) ===
           sum(when(col("r_score").between(1L, 5L), 1L).otherwise(0L)))
@@ -434,9 +429,14 @@ object FunctionQueries {
         (count(lit(1)) ===
           sum(when(col("f_score").between(1L, 5L), 1L).otherwise(0L)))
           .as("f_conserved"))
-      mShares.crossJoin(broadcast(conserved))
-        .select("m_score", "n_total", "m_share_ok", "r_conserved",
-          "f_conserved")
+      s.range(1, 6).select(col("id").as("m_score"))
+        .join(obs, Seq("m_score"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(conserved))
+        .select(col("m_score"), col("n_total"),
+          (abs(coalesce(col("n"), lit(0L)) / col("n_total") - 0.2) <=
+            lit(0.02) + lit(1.0) / col("n_total")).as("m_share_ok"),
+          col("r_conserved"), col("f_conserved"))
         .orderBy("m_score")
     }),
 
@@ -763,6 +763,125 @@ object FunctionQueries {
       .orderBy("o_custkey")
   }
 
+  /** q233's body, tier-parameterized on the rank/running-sum engine.
+    *
+    * Exact tier (≤ `spark.graft.stats.exactPercentileLimit` parts): one
+    * `Window.orderBy(revenue desc, partkey)` — a single-partition sort of
+    * the part grain, correct and cheap at gate scale.
+    *
+    * Banded tier (above the limit, or forced): the distributed two-pass
+    * prefix sum. (1) KLL quantiles of part revenue (one sketch aggregate,
+    * `spark.graft.pareto.bands` cuts, default 64 — size it so a band fits
+    * an executor partition at the target corpus) are collected ONCE —
+    * band assignment is then a fixed chain of integer comparisons, so the
+    * randomized sketch draw is pinned and the downstream result is
+    * deterministic. (2) rank + running sum run partitioned BY band (the
+    * only shuffle this tier adds), and (3) exclusive per-band (count,
+    * cents) offsets — a |bands|-row collect, the same bounded metadata
+    * barrier class as SnapshotTable's partition lists — broadcast back as
+    * one small join.
+    *
+    * The tiers agree byte-for-byte: band-by-value is order-consistent
+    * with (revenue desc, partkey) — any part in a lower band outranks
+    * every part in a higher band, ties always share a band — and the
+    * running total is an integer-cents sum, exact in any order. The KLL
+    * cuts only pick WHERE the bands fall; skewed or duplicate cuts cost
+    * balance, never correctness. */
+  private def abcPareto(
+      s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem(s, d).select(col("l_partkey"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+        + 0.5).cast("long").as("rev_cents"))
+    val perPart = cents.groupBy("l_partkey")
+      .agg(sum("rev_cents").as("part_cents"))
+    val exact =
+      graft.functions.Percentiles.exactTier(s, perPart.count(), forceSketch)
+    val ranked =
+      if (exact) {
+        val ord = Window.orderBy(desc("part_cents"), col("l_partkey"))
+        perPart
+          .withColumn("rk", row_number().over(ord).cast("long"))
+          .withColumn("cum_cents", sum("part_cents").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+      } else {
+        val nBands = s.conf.get("spark.graft.pareto.bands", "64").toInt
+        val ranks = (1 until nBands).map(_.toDouble / nBands)
+        val names = ranks.indices.map(k => s"b$k")
+        val cutRow = graft.functions.Percentiles.grouped(
+          s, perPart, Nil, "part_cents", ranks, names, exact = false)
+          .collect()(0)
+        val cuts = names.map(n => cutRow.getAs[Double](n)).distinct
+        // band 0 = top revenue: count the cuts strictly above this part
+        val bandCol =
+          if (cuts.isEmpty) lit(0)
+          else cuts.map(q =>
+            when(col("part_cents") < lit(q), 1).otherwise(0)).reduce(_ + _)
+        val banded = perPart.withColumn("band", bandCol)
+        val w = Window.partitionBy("band")
+          .orderBy(desc("part_cents"), col("l_partkey"))
+        val intra = banded
+          .withColumn("irk", row_number().over(w).cast("long"))
+          .withColumn("icum", sum("part_cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        var rkOff = 0L
+        var cumOff = 0L
+        val offs = banded.groupBy("band")
+          .agg(count(lit(1)).cast("long").as("bn"),
+            sum("part_cents").cast("long").as("bc"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+          .map { case (b, n, c) =>
+            val o = (b, rkOff, cumOff); rkOff += n; cumOff += c; o
+          }
+        import s.implicits._
+        intra.join(broadcast(offs.toSeq.toDF("band", "rk_off", "cum_off")),
+          "band")
+          .select(col("l_partkey"), col("part_cents"),
+            (col("rk_off") + col("irk")).as("rk"),
+            (col("cum_off") + col("icum")).as("cum_cents"))
+      }
+    ranked
+      .crossJoin(broadcast(perPart.agg(
+        sum("part_cents").cast("long").as("total_cents"))))
+      .select(col("l_partkey"), col("part_cents").cast("long").as("part_cents"),
+        col("rk"), col("cum_cents"), col("total_cents"),
+        when(col("cum_cents") * 5L <= col("total_cents") * 4L, "A")
+          .when(col("cum_cents") * 20L <= col("total_cents") * 19L, "B")
+          .otherwise("C").as("band"))
+      .orderBy("rk")
+  }
+
+  // integer-cents running share; band cuts are pure integer compares.
+  // Shared by q233 (exact tier) and q276 (forced banded tier): the
+  // banded prefix sum is exact, so both hash against identical SQL.
+  private val abcParetoOracle: String =
+    """WITH cents AS (
+      |  SELECT l_partkey,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+      |      AS rev_cents
+      |  FROM lineitem),
+      |pp AS (
+      |  SELECT l_partkey, CAST(sum(rev_cents) AS BIGINT) AS part_cents
+      |  FROM cents GROUP BY 1),
+      |t AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents FROM pp),
+      |r AS (
+      |  SELECT l_partkey, part_cents,
+      |    CAST(row_number() OVER (ORDER BY part_cents DESC, l_partkey) AS BIGINT)
+      |      AS rk,
+      |    CAST(sum(part_cents) OVER (ORDER BY part_cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM pp)
+      |SELECT r.l_partkey, r.part_cents, r.rk, r.cum_cents, t.total_cents,
+      |  CASE WHEN r.cum_cents * 5 <= t.total_cents * 4 THEN 'A'
+      |       WHEN r.cum_cents * 20 <= t.total_cents * 19 THEN 'B'
+      |       ELSE 'C' END AS band
+      |FROM r CROSS JOIN t ORDER BY r.rk""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q104_heavy_hitters" ->
       """WITH tokens AS (
@@ -905,29 +1024,10 @@ object FunctionQueries {
         |FROM p JOIN n USING (event_type)
         |ORDER BY p.event_type, p.rk""".stripMargin,
     // integer-cents running share; band cuts are pure integer compares
-    "q233_abc_pareto" ->
-      """WITH cents AS (
-        |  SELECT l_partkey,
-        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
-        |      AS rev_cents
-        |  FROM lineitem),
-        |pp AS (
-        |  SELECT l_partkey, CAST(sum(rev_cents) AS BIGINT) AS part_cents
-        |  FROM cents GROUP BY 1),
-        |t AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents FROM pp),
-        |r AS (
-        |  SELECT l_partkey, part_cents,
-        |    CAST(row_number() OVER (ORDER BY part_cents DESC, l_partkey) AS BIGINT)
-        |      AS rk,
-        |    CAST(sum(part_cents) OVER (ORDER BY part_cents DESC, l_partkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS cum_cents
-        |  FROM pp)
-        |SELECT r.l_partkey, r.part_cents, r.rk, r.cum_cents, t.total_cents,
-        |  CASE WHEN r.cum_cents * 5 <= t.total_cents * 4 THEN 'A'
-        |       WHEN r.cum_cents * 20 <= t.total_cents * 19 THEN 'B'
-        |       ELSE 'C' END AS band
-        |FROM r CROSS JOIN t ORDER BY r.rk""".stripMargin,
+    "q233_abc_pareto" -> abcParetoOracle,
+    // the banded tier is exact (see abcPareto) — the forced-tier gate
+    // hashes against the SAME oracle, the strongest possible contract
+    "q276_abc_pareto_banded" -> abcParetoOracle,
     // Laplace-smoothed band shares; e9-lattice terms summed as integers
     "q227_psi_drift" ->
       """WITH b AS (

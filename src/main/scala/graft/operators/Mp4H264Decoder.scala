@@ -186,7 +186,7 @@ object Mp4H264Decoder extends MediaDecoder {
     * Returns after filling every macroblock; throws loudly on any
     * macroblock that is not I_PCM. */
   private def decodeSlice(rbsp: Array[Byte], sps: Sps, idr: Boolean,
-      yPlane: Array[Byte]): Unit = {
+      refIdc: Int, yPlane: Array[Byte]): Unit = {
     val r = new BitReader(rbsp)
     val firstMb = r.ue()
     require(firstMb == 0, "multi-slice pictures unsupported")
@@ -198,8 +198,12 @@ object Mp4H264Decoder extends MediaDecoder {
     r.u(sps.log2MaxFrameNum) // frame_num
     if (idr) r.ue() // idr_pic_id
     // pic_order_cnt_type == 2 → no POC syntax (enforced in parseSps)
+    // dec_ref_pic_marking (§7.3.3) is present only for reference pictures
+    // (nal_ref_idc != 0); a disposable non-IDR slice carries no marking
+    // syntax and reading it anyway would misparse by one bit (ADVICE r11)
     if (idr) { r.u(1); r.u(1) } // no_output_of_prior_pics, long_term_reference
-    else r.u(1) // adaptive_ref_pic_marking_mode_flag (must be 0 for our subset)
+    else if (refIdc != 0)
+      r.u(1) // adaptive_ref_pic_marking_mode_flag (must be 0 for our subset)
     r.se() // slice_qp_delta
     val w = sps.widthMbs * 16
     val nMbs = sps.widthMbs * sps.heightMbs
@@ -396,7 +400,8 @@ object Mp4H264Decoder extends MediaDecoder {
           case 7 => sps = parseSps(unescapeRbsp(nal, 1)) // in-band SPS
           case 8 => parsePps(unescapeRbsp(nal, 1))       // in-band PPS
           case 5 | 1 =>
-            decodeSlice(unescapeRbsp(nal, 1), sps, idr = nalType == 5, y)
+            decodeSlice(unescapeRbsp(nal, 1), sps, idr = nalType == 5,
+              refIdc = (nal(0) >> 5) & 3, y)
             decoded = true
           case _ => () // SEI/AUD/filler: ignored
         }
@@ -489,6 +494,34 @@ object Mp4H264Decoder extends MediaDecoder {
     w.ue(0)    // idr_pic_id
     w.u(0, 1); w.u(0, 1) // no_output_of_prior_pics, long_term_reference
     w.se(0)    // slice_qp_delta
+    writePcmMbs(w, widthMbs, heightMbs, yPlane)
+    w.trailing()
+    w.bytes
+  }
+
+  /** A non-IDR, DISPOSABLE (nal_ref_idc = 0) I slice: per §7.3.3 the
+    * dec_ref_pic_marking syntax is ABSENT — no marking flag is written
+    * after frame_num, which is exactly the path a reader that consumes
+    * the flag unconditionally misparses by one bit (ADVICE r11). */
+  private def buildDisposableSlice(widthMbs: Int, heightMbs: Int,
+      yPlane: Array[Byte]): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0)    // first_mb_in_slice
+    w.ue(7)    // slice_type: I (all slices of the picture)
+    w.ue(0)    // pps id
+    w.u(1, 4)  // frame_num (log2_max_frame_num = 4)
+    // pic_order_cnt_type == 2 → no POC syntax; nal_ref_idc == 0 →
+    // no dec_ref_pic_marking
+    w.se(0)    // slice_qp_delta
+    writePcmMbs(w, widthMbs, heightMbs, yPlane)
+    w.trailing()
+    w.bytes
+  }
+
+  /** The shared I_PCM macroblock body: every MB coded mb_type 25 with
+    * the 16×16 luma block from `yPlane` and neutral-gray 4:2:0 chroma. */
+  private def writePcmMbs(w: BitWriter, widthMbs: Int, heightMbs: Int,
+      yPlane: Array[Byte]): Unit = {
     val width = widthMbs * 16
     var mb = 0
     while (mb < widthMbs * heightMbs) {
@@ -509,8 +542,17 @@ object Mp4H264Decoder extends MediaDecoder {
       while (c < 128) { w.u(128, 8); c += 1 } // Cb, Cr: neutral
       mb += 1
     }
-    w.trailing()
-    w.bytes
+  }
+
+  /** A REAL MP4 whose single sample is a DISPOSABLE non-IDR I_PCM frame
+    * (nal_ref_idc = 0, nal_unit_type = 1): fixture for the
+    * dec_ref_pic_marking-absent header path. */
+  def syntheticMp4Disposable(width: Int, height: Int,
+      yPlane: Array[Byte]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0, "dims must be MB-aligned")
+    require(yPlane.length == width * height, "Y plane must be width*height")
+    packMp4(width, height,
+      Seq(nal(0, 1, buildDisposableSlice(width / 16, height / 16, yPlane))))
   }
 
   private def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Array[Byte] = {

@@ -219,10 +219,18 @@ object SnapshotTable {
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
-          // no-hardlink filesystem: fall back to rename and re-verify the
-          // winner (narrows, not closes, the replace window — best
-          // available without link(2))
-          fs.rename(tmp, dest) && !fs.exists(tmp)
+          // no-hardlink filesystem: fall back to plain rename. On a
+          // POSIX-replace filesystem this is NOT a CAS — a losing racer's
+          // rename also succeeds (silently replacing the winner), and no
+          // local post-check can close that window (a losing rename also
+          // removes tmp, so re-checking tmp proves nothing — ADVICE r11).
+          // Honest contract: warn that concurrent-writer safety is
+          // degraded on this filesystem and return rename's own verdict.
+          System.err.println(
+            s"[graft.SnapshotTable] WARN: no hardlink support for $dest — " +
+              "falling back to rename; concurrent same-version commits " +
+              "are not CAS-safe on this filesystem")
+          fs.rename(tmp, dest)
       }
     } else fs.rename(tmp, dest)
   }

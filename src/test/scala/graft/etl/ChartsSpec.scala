@@ -51,6 +51,20 @@ class ChartsSpec extends SparkSpec {
     }
   }
 
+  test("all-zero series renders a valid empty plot instead of aborting") {
+    // an all-zero slice (e.g. a month with zero sales) is legitimate
+    // input: the chart must render axes + labels with zero-height bars,
+    // not throw and kill the ETL (ADVICE r11)
+    val zeros = Seq(("JAN", 0.0), ("FEB", 0.0), ("MAR", 0.0))
+    for (png <- Seq(Charts.barChartVertical(zeros, "ZERO V"),
+                    Charts.barChartHorizontal(zeros, "ZERO H"))) {
+      val (w, h, px) = Png.decodeRgb(png)
+      assert(w == Charts.Width && h == Charts.Height)
+      assert(!px.exists(_ == Charts.BarColor), "zero series drew bar pixels")
+      assert(px.exists(_ == Charts.AxisColor), "axes/labels missing")
+    }
+  }
+
   test("title text rasterizes through the built-in font (no AWT fonts)") {
     val png = Charts.barChartVertical(series, "TITLE")
     val (w, _, px) = Png.decodeRgb(png)

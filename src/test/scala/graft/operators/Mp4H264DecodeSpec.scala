@@ -42,6 +42,20 @@ class Mp4H264DecodeSpec extends SparkSpec {
     }
   }
 
+  test("disposable non-IDR slice (nal_ref_idc=0): no dec_ref_pic_marking read") {
+    // §7.3.3: marking syntax is present only for reference pictures — a
+    // reader that consumes the flag unconditionally misparses this
+    // fixture by one bit and the first mb_type comes out wrong
+    val plane = gradient(32, 16, 57)
+    val mp4 = Mp4H264Decoder.syntheticMp4Disposable(32, 16, plane)
+    val out = Mp4H264Decoder.framesY(mp4)
+    assert(out.length == 1)
+    val (w, h, y) = out.head
+    assert(w == 32 && h == 16)
+    assert(java.util.Arrays.equals(y, plane),
+      "disposable-slice decode must reproduce the source plane byte-for-byte")
+  }
+
   test("solid frames: mean lumas are exactly the encoded grays; cuts land on the plan") {
     val grays = Seq(60, 60, 180, 180, 60)
     val mp4 = Mp4H264Decoder.syntheticMp4Solid(48, 32, grays)

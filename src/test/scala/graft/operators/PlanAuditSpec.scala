@@ -432,6 +432,30 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
   }
 
+  test("q233 auto-tier: above the limit the single-partition rank window disappears") {
+    // exact tier = rank + running sum in ONE empty-partition-spec window
+    // (a SinglePartition sort of the part grain — fine at gate scale,
+    // the named scale-killer at 100 TB); banded tier = the same pair of
+    // windows partitioned BY band (the KLL-cut prefix-sum shape), so the
+    // pin is the window's partition spec: no window may sort the part
+    // frame globally
+    val exactPlan = plan("q233_abc_pareto")
+    assert(exactPlan.contains("windowspecdefinition(part_cents#"),
+      s"q233 exact tier should rank in one global window:\n$exactPlan")
+    spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
+    try {
+      val p = plan("q233_abc_pareto")
+      assert(!p.contains("windowspecdefinition(part_cents#"),
+        s"q233 above the limit must not run an empty-partition-spec window:\n$p")
+      assert(p.contains("windowspecdefinition(band#"),
+        s"q233 banded tier should window partitioned by band:\n$p")
+      assert("Sort \\[part_cents".r.findAllIn(p).isEmpty,
+        s"q233 above the limit must not globally sort the part frame:\n$p")
+      assert(p.contains("Exchange hashpartitioning(band#"),
+        s"q233 banded tier's only added shuffle is the band repartition:\n$p")
+    } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
+  }
+
   test("q175 auto-tier: above the limit the global key rank disappears; top-10 is a bounded heap") {
     spark.conf.set("spark.graft.stats.exactPercentileLimit", "0")
     try {
