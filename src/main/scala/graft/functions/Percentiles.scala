@@ -27,10 +27,43 @@ object Percentiles {
   /** Tier decision for a consumer whose percentile input has
     * `inputRows` rows. Callers pass the cheapest correct proxy (the
     * corpus/doc row count) — one columnar count job, the same probe
-    * price the knn/dedup `exactLimit` tiers pay. */
+    * price the knn/dedup `exactLimit` tiers pay. Un-memoized escape
+    * hatch; query consumers should use [[exactTierAt]]. */
   def exactTier(s: SparkSession, inputRows: => Long,
       forceSketch: Boolean = false): Boolean =
     !forceSketch && inputRows <= exactLimit(s)
+
+  /** Memoized probe counts (VERDICT r11 #2 cost note): every tiered
+    * consumer used to schedule its own probe `count()` job per
+    * invocation — footer-cheap on parquet, but 10 consumers × one job
+    * each per sweep. Keyed (applicationId, grain key) exactly like
+    * `DedupQueries.embCountCache`: a new application never inherits a
+    * stale count, and within an application the testdata dirs are
+    * immutable. A long-lived session that rewrites a directory must
+    * call [[invalidateProbe]] for its grain keys before re-querying. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Number of probe jobs actually run (not served from cache) — the
+    * PercentilesPropertySpec memoization assertion reads this. */
+  private[graft] val probeRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** [[exactTier]] with the probe memoized under `grainKey` (convention:
+    * "<dataDir>#<grain>", e.g. "/root/testdata/sf0.01#events.users").
+    * Forced-sketch callers never pay the probe (short-circuit). */
+  def exactTierAt(s: SparkSession, grainKey: String, inputRows: => Long,
+      forceSketch: Boolean = false): Boolean =
+    !forceSketch && {
+      val key = s.sparkContext.applicationId + "|" + grainKey
+      probeCache.computeIfAbsent(key, _ => {
+        probeRuns.incrementAndGet(); inputRows
+      }).longValue() <= exactLimit(s)
+    }
+
+  private[graft] def invalidateProbe(s: SparkSession, grainKey: String): Unit = {
+    probeCache.remove(s.sparkContext.applicationId + "|" + grainKey); ()
+  }
 
   /** Per-group percentiles of `valueCol` at `ranks` (aliased `names`)
     * over `df` grouped by `keys` (empty = one global row). Output

@@ -1717,7 +1717,8 @@ object EventQueries {
   private def robustStats(
       s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
     val li = lineitem(s, d)
-    val exact = graft.functions.Percentiles.exactTier(s, li.count(), forceSketch)
+    val exact = graft.functions.Percentiles.exactTierAt(
+      s, s"$d#lineitem", li.count(), forceSketch)
     val joined = li.join(broadcast(percentileBounds(s, li, exact)),
       "l_returnflag")
     if (exact)
@@ -1759,7 +1760,8 @@ object EventQueries {
     val spend = events(s, d).groupBy("user_id")
       .agg(round(sum("value"), 6).as("spend"))
     val exact =
-      graft.functions.Percentiles.exactTier(s, spend.count(), forceSketch)
+      graft.functions.Percentiles.exactTierAt(
+        s, s"$d#events.users", spend.count(), forceSketch)
     val decd =
       if (exact)
         spend.withColumn("decile",
@@ -1805,7 +1807,8 @@ object EventQueries {
     val counts = events(s, d).groupBy("user_id")
       .agg(count(lit(1)).as("cnt"))
     val exact =
-      graft.functions.Percentiles.exactTier(s, counts.count(), forceSketch)
+      graft.functions.Percentiles.exactTierAt(
+        s, s"$d#events.users", counts.count(), forceSketch)
     if (exact) {
       val w = Window.orderBy(col("cnt"), col("user_id"))
       val wd = Window.orderBy(col("cnt").desc, col("user_id"))

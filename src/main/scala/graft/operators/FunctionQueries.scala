@@ -724,7 +724,8 @@ object FunctionQueries {
         count(lit(1)).as("frequency"),
         round(sum("o_totalprice"), 2).as("monetary"))
     val exact =
-      graft.functions.Percentiles.exactTier(s, rfm.count(), forceSketch)
+      graft.functions.Percentiles.exactTierAt(
+        s, s"$d#orders.custkeys", rfm.count(), forceSketch)
     val scored =
       if (exact)
         rfm
@@ -796,7 +797,8 @@ object FunctionQueries {
     val perPart = cents.groupBy("l_partkey")
       .agg(sum("rev_cents").as("part_cents"))
     val exact =
-      graft.functions.Percentiles.exactTier(s, perPart.count(), forceSketch)
+      graft.functions.Percentiles.exactTierAt(
+        s, s"$d#lineitem.partkeys", perPart.count(), forceSketch)
     val ranked =
       if (exact) {
         val ord = Window.orderBy(desc("part_cents"), col("l_partkey"))

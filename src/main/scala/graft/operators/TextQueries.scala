@@ -461,7 +461,8 @@ object TextQueries {
             .as("avg_logprob"))
       val cuts = graft.functions.Percentiles.grouped(s, scored, Nil,
         "avg_logprob", Seq(f2, f1), Seq("t_head", "t_mid"),
-        graft.functions.Percentiles.exactTier(s, documents(s, d).count()))
+        graft.functions.Percentiles.exactTierAt(
+          s, s"$d#documents", documents(s, d).count()))
       scored.crossJoin(broadcast(cuts))
         .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
           when(col("avg_logprob") >= col("t_head"), "head")
@@ -544,7 +545,8 @@ object TextQueries {
             .as("avg_logratio"))
       val cut = graft.functions.Percentiles.grouped(s, scored, Nil,
         "avg_logratio", Seq(0.75), Seq("t_sel"),
-        graft.functions.Percentiles.exactTier(s, documents(s, d).count()))
+        graft.functions.Percentiles.exactTierAt(
+          s, s"$d#documents", documents(s, d).count()))
       scored.crossJoin(broadcast(cut))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("avg_logratio"),
           (col("avg_logratio") >= col("t_sel")).as("selected"))
@@ -759,7 +761,8 @@ object TextQueries {
             .as("avg_logprob"))
       val cuts = graft.functions.Percentiles.grouped(s, scored, Nil,
         "avg_logprob", Seq(f2, f1), Seq("t_head", "t_mid"),
-        graft.functions.Percentiles.exactTier(s, documents(s, d).count()))
+        graft.functions.Percentiles.exactTierAt(
+          s, s"$d#documents", documents(s, d).count()))
       scored.crossJoin(broadcast(cuts))
         .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
           when(col("avg_logprob") >= col("t_head"), "head")
@@ -911,7 +914,7 @@ object TextQueries {
       val bounds = graft.functions.Percentiles.grouped(s, docs,
         Seq("source"), "n_chars", Seq(0.25, 0.5, 0.75),
         Seq("q1", "q2", "q3"),
-        graft.functions.Percentiles.exactTier(s, docs.count()))
+        graft.functions.Percentiles.exactTierAt(s, s"$d#documents", docs.count()))
       docs.select(col("doc_id"), col("source"), col("n_chars"))
         .join(bounds, "source")
         .select(col("doc_id"), col("source"), col("n_chars"),
@@ -1329,7 +1332,7 @@ object TextQueries {
           round(sum("n_toks").cast("double") / count(lit(1)), 6)))
         .unionByName(graft.functions.Percentiles.grouped(s, counts, Nil,
           "n_toks", Seq(0.5), Seq("value"),
-          graft.functions.Percentiles.exactTier(s, doc.count()))
+          graft.functions.Percentiles.exactTierAt(s, s"$d#documents", doc.count()))
           .select(lit("p50_doc_tokens").as("metric"), col("value")))
         .unionByName(row("mean_doc_chars",
           round(sum("n_chars").cast("double") / count(lit(1)), 6)))

@@ -101,4 +101,28 @@ class PercentilesPropertySpec extends SparkSpec {
         s"tiers must be schema-identical: ${a.schema} vs ${b.schema}")
     } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
   }
+
+  test("probe memoization: one count job per grain key per application") {
+    // VERDICT r11 #5: tiered consumers share one probe per (dir, grain)
+    // per session instead of one full count job per query invocation
+    var evals = 0
+    val key = "probe-memo-spec#grain"
+    Percentiles.invalidateProbe(spark, key)
+    val before = Percentiles.probeRuns.get()
+    def tier() = Percentiles.exactTierAt(spark, key, { evals += 1; 5L })
+    assert(tier() && tier() && tier())
+    assert(evals == 1, s"probe evaluated $evals times — memoization broken")
+    assert(Percentiles.probeRuns.get() == before + 1)
+    // forced-sketch callers short-circuit: no probe at all
+    val k2 = "probe-memo-spec#forced"
+    Percentiles.invalidateProbe(spark, k2)
+    var forcedEvals = 0
+    assert(!Percentiles.exactTierAt(spark, k2, { forcedEvals += 1; 5L },
+      forceSketch = true))
+    assert(forcedEvals == 0, "forced tier must not schedule a probe job")
+    // invalidation drops the cached count
+    Percentiles.invalidateProbe(spark, key)
+    assert(tier())
+    assert(evals == 2, "invalidateProbe must force a fresh probe")
+  }
 }
