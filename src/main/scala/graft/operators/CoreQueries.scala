@@ -893,6 +893,80 @@ object CoreQueries {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    /** Lakehouse maintenance composed end to end (VERDICT r11 #2 — the
+      * q238/q265 composition pattern over [[graft.sources.SnapshotTable]]
+      * compact/vacuum, whose machinery was spec-green but never
+      * driver-gated): write → three small-file appends → OPTIMIZE
+      * compact (one file per partition, new snapshot, old files
+      * untouched) → vacuum retain=1 (pre-compact files and manifests
+      * dropped) → read back. The emitted row set is the post-vacuum
+      * table aggregated per partition key, which the oracle recomputes
+      * from the raw table (base ∪ the three append slices), so the hash
+      * gate proves compaction changed file BOUNDARIES and nothing else,
+      * across the whole maintenance cycle. Claim columns carry the
+      * file-count contract (exactly one file per partition after
+      * compact — a hard integer, not a boolean), row preservation
+      * (pre-compact aggregate == post-compact aggregate, exact on
+      * integer-valued quantities), that vacuum deleted something, and
+      * that a vacuumed snapshot read now FAILS CLEANLY instead of
+      * returning partial data.
+      *
+      * Scale shape: compact re-stages only crowded partitions and
+      * vacuum is a manifest-diff file sweep — both manifest-metadata
+      * jobs, never a full-table rewrite beyond the crowded set; the
+      * pre/post aggregates are one manifest-pruned scan each. */
+    "q277_compact_vacuum" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      import scala.util.Try
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_cv_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      SnapshotTable.write(s, dir.toString, base, "l_returnflag")
+      // three small-file appends, each touching every partition
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("l_quantity") > 45.0), "l_returnflag")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("l_quantity") < 5.0), "l_returnflag")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("l_orderkey") % 7 === 0), "l_returnflag")
+      val (preV, preFiles) = SnapshotTable.latest(s, dir.toString).get
+      def aggOf(v: Long): Map[String, (Long, Long)] =
+        SnapshotTable.read(s, dir.toString, Some(v))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("q"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val preAgg = aggOf(preV)
+      val (postV, compacted) = SnapshotTable.compact(s, dir.toString,
+        "l_returnflag")
+      val (_, postFiles) = SnapshotTable.latest(s, dir.toString).get
+      val preserved = aggOf(postV) == preAgg
+      val deleted = SnapshotTable.vacuum(s, dir.toString, retain = 1)
+      val oldReadFails =
+        Try(SnapshotTable.read(s, dir.toString, Some(preV)).count()).isFailure
+      SnapshotTable.read(s, dir.toString) // latest — post-vacuum readable
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(postFiles.size.toLong).as("n_files_after"),
+          lit(postV).as("compact_version"),
+          lit(compacted.size.toLong).as("n_parts_compacted"),
+          lit(preserved && preFiles.size > postFiles.size)
+            .as("compact_preserved"),
+          lit(deleted > 0).as("vacuum_deleted"),
+          lit(oldReadFails).as("old_read_fails"))
+        .orderBy("l_returnflag")
+    }),
+
     /** TPC-H Q10 shape (returned-item reporting): revenue lost to
       * returns per customer for one order quarter, top 20 customers.
       * The returnflag filter prunes the fact scan, the quarter filter
@@ -1997,6 +2071,27 @@ object CoreQueries {
         |    CAST(sum(CAST(round(price * 1000) AS BIGINT)) AS BIGINT) AS sum_mills
         |  FROM v2rows)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+    // the post-maintenance table state recomputed from the raw table
+    // (base ∪ the three append slices); the file-count/version columns
+    // are hard integers (3 partitions → 3 files, write+3 appends+compact
+    // → version 5) and the maintenance claims are oracle-asserted TRUE
+    "q277_compact_vacuum" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),
+        |all_rows AS (
+        |  SELECT * FROM base
+        |  UNION ALL SELECT * FROM base WHERE l_quantity > 45.0
+        |  UNION ALL SELECT * FROM base WHERE l_quantity < 5.0
+        |  UNION ALL SELECT * FROM base WHERE l_orderkey % 7 = 0)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(3 AS BIGINT) AS n_files_after,
+        |  CAST(5 AS BIGINT) AS compact_version,
+        |  CAST(3 AS BIGINT) AS n_parts_compacted,
+        |  TRUE AS compact_preserved,
+        |  TRUE AS vacuum_deleted,
+        |  TRUE AS old_read_fails
+        |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
     // each version's expected state recomputed from the base table —
     // v1 full, v2 minus the deleted partition, v3 = v2 + the appended
     // high-quantity slice
