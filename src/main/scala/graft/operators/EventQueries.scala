@@ -450,6 +450,82 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    /** Streaming late-data WATERMARK gate (VERDICT r11 #3): q80 proved
+      * the watermarked hourly aggregate emits; this proves the watermark
+      * SEMANTICS — a beyond-watermark row is dropped, and state is
+      * evicted, not hoarded. Batch 1 streams the real events (max event
+      * time M, so the checkpointed watermark becomes M − 2 h). Batch 2
+      * (one staged file, maxFilesPerTrigger=1) carries exactly two
+      * synthetic rows: a LATE row 10 h behind the watermark — the
+      * drop-set candidate — and an advance row at M + 3 h that pushes
+      * the final watermark to M + 1 h so every batch-1 window flushes.
+      * The two arrive as SEPARATE single-file micro-batches (advance
+      * first, late second) because Spark ≥ 3.4 filters late input with
+      * the PREVIOUS batch's watermark (the two-watermark semantics of
+      * the multi-stateful-operator change): a late row landing in the
+      * very batch that first carries the advanced watermark is not yet
+      * filtered — measured here, it would sail into state and re-emit
+      * its already-closed window. One batch later the late-events
+      * watermark has advanced and the row is genuinely dropped. If the
+      * engine failed to drop it, the sink would carry a 'zlate' window
+      * row and the hash gate would catch it — the oracle aggregates the
+      * raw events as if the late row never existed. `late_dropped` pins
+      * zero 'zlate' rows in the sink; `state_rows` pins the final
+      * state-store row count to EXACTLY 1 (the advance row's unflushed
+      * cell) — the bounded-state claim: every flushed window left the
+      * store, and the dropped row never entered it.
+      *
+      * Scale shape: q80's — file-per-micro-batch replay, fixed-size
+      * windowed state bounded by the 2 h watermark horizon regardless
+      * of stream length. */
+    "q278_late_data" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q278_src")
+      graft.streaming.EventStream.stageEvents(s, d, dir, "a")
+      val maxMs = events(s, d)
+        .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
+        .ceil.toLong * 1000L
+      def oneRow(name: String, id: Long, ts: Long, tpe: String,
+          v: Double): Unit =
+        graft.streaming.EventStream.writeEventsFile(
+          Seq((id, new java.sql.Timestamp(ts), 999999L, tpe, v, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value",
+              "props"),
+          dir, name)
+      oneRow("b", 900000001L, maxMs + 3L * 3600 * 1000, "zzadvance", 0.0)
+      oneRow("c", 900000002L, maxMs - 10L * 3600 * 1000, "zlate", 999.0)
+      val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      // sink lives outside the source tree (q80's file-source rule)
+      val outDir = java.nio.file.Files.createTempDirectory("q278_out")
+        .resolve("agg_out").toString
+      val q = graft.streaming.EventStream.hourlyAggregates(src).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      val stateRows = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+      q.stop()
+      val sink = s.read.parquet(outDir)
+      val lateDropped =
+        sink.filter(col("event_type") === "zlate").count() == 0L
+      sink.filter(!col("event_type").isin("zlate", "zzadvance"))
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 4).as("total_value"),
+          lit(lateDropped).as("late_dropped"),
+          lit(stateRows).as("state_rows"))
+        .orderBy("window_start", "event_type")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -2116,6 +2192,14 @@ object EventQueries {
     "q80_stream_hourly_sink" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the raw events aggregated AS IF the late row never existed — the
+    // flushed windows must carry no trace of it; the state-store count
+    // is pinned to exactly the one unflushed advance-row cell
+    "q278_late_data" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value,
+        |  TRUE AS late_dropped, CAST(1 AS BIGINT) AS state_rows
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one pass over the raw events — equality proves the streamed,
     // snapshot-committed, incrementally-refreshed view double-counted
