@@ -683,6 +683,56 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** Media decode-failure QUARANTINE gate (VERDICT r11 #4 — q263's
+      * dead-letter contract for the media modality): a corpus mixing
+      * decodable I_PCM MP4s with payloads the pure-JVM decoder declares
+      * unsupported (a CABAC-flagged PPS; a transform-coded macroblock).
+      * Each payload is decoded under the fail-vs-skip discipline, but
+      * with the skip REASON-CLASSED and emitted per document instead of
+      * counted in an accumulator: only the decoder's declared
+      * `UnsupportedOperationException` boundary quarantines — any other
+      * failure (corrupt container, truncation) stays LOUD and kills the
+      * stage, exactly the [[graft.MediaDecoders]] header promise. The
+      * Spark side derives status/reason ONLY from the decode outcome;
+      * the oracle derives them from the synthesis arithmetic — hash
+      * equality therefore PROVES the quarantine bucket equals the
+      * unsupported set (no over- or under-quarantine), and the exact
+      * I_PCM lumas on the ok rows prove the good payloads decoded.
+      *
+      * Scale shape: m271's — per-doc decode in one typed mapPartitions
+      * scan (deduped per distinct payload class at gate scale, per-row
+      * with real assets), 4 scalars out per doc, no shuffle before the
+      * broadcast join back. */
+    "m279_decode_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), (col("doc_id") % 4).as("cls"))
+      val per = docs.select("cls").distinct().as[Long]
+        .mapPartitions { it =>
+          it.map { cls =>
+            val payload: Array[Byte] = cls match {
+              case 1L => graft.Mp4H264Decoder.syntheticMp4CabacProbe(32, 16)
+              case 2L => graft.Mp4H264Decoder.syntheticMp4NonPcmProbe(32, 16)
+              case c => graft.Mp4H264Decoder.syntheticMp4Solid(32, 16,
+                Seq(if (c == 0L) 60 else 180))
+            }
+            try {
+              val lumas = graft.Mp4H264Decoder.frameMeanLumas(payload)
+              (cls, "ok", "", lumas.length.toLong, lumas.head)
+            } catch {
+              case e: UnsupportedOperationException =>
+                val reason =
+                  if (e.getMessage.contains("CABAC")) "cabac"
+                  else "unsupported_macroblock"
+                (cls, "quarantined", reason, -1L, -1L)
+            }
+          }
+        }.toDF("cls", "status", "reason", "n_frames", "mean_luma")
+      docs.join(broadcast(per), "cls")
+        .select("doc_id", "status", "reason", "n_frames", "mean_luma")
+        .orderBy("doc_id")
+    }),
+
     "m136_media_near_dup" -> ((s, d) => {
       val hashed = documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
@@ -902,6 +952,22 @@ object MultimodalQueries {
       """SELECT doc_id, CAST(12 AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_cuts,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 6 END AS BIGINT) AS first_cut
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    // quarantine statuses recomputed from the synthesis arithmetic —
+    // the Spark side derives them only from the decode outcome, so
+    // hash equality proves quarantine == unsupported set exactly
+    "m279_decode_quarantine" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'quarantined' ELSE 'ok' END
+        |    AS status,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'cabac'
+        |       WHEN doc_id % 4 = 2 THEN 'unsupported_macroblock'
+        |       ELSE '' END AS reason,
+        |  CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN -1 ELSE 1 END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 60
+        |            WHEN doc_id % 4 = 3 THEN 180 ELSE -1 END AS BIGINT)
+        |    AS mean_luma
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
     // the oracle recomputes the EXACT fingerprint from the synthetic
     // PCM formula sample(i) = ((seed + 997 i) mod 65536) - 32768 — the
