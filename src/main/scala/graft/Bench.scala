@@ -86,18 +86,39 @@ object Bench {
       "d39_dedup_minhash_lsh", "d40_dedup_simhash", "d41_dedup_embedding",
       "d62_dedup_clusters", "d81_jaccard_prefix", "d82_embedding_lsh",
       "d83_clusters_distributed")
+    // every pass records the host load average first (VERDICT r11 #3:
+    // a single-draw artifact can't classify a co-tenant stall window —
+    // the draws + band + load note below make the artifact itself the
+    // adjudicator)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val passLoads = scala.collection.mutable.ArrayBuffer[Double]()
     val passes: Seq[Seq[(String, Double)]] =
-      Seq(names, names, names.filter(heavy)).map(_.map(n => n -> runOnce(n)))
+      Seq(names, names, names.filter(heavy)).map { ns =>
+        passLoads += loadAvg()
+        ns.map(n => n -> runOnce(n))
+      }
     val results = names.map { n =>
       val good = passes.flatten.collect { case (`n`, t) if t >= 0 => t }
       n -> (if (good.isEmpty) -1.0 else good.min)
     }
+    // full-pass totals over the common name set: the per-draw totals
+    // whose spread IS the noise band
+    val passTotals = passes.take(2)
+      .map(p => p.collect { case (_, t) if t >= 0 => t }.sum)
+    val bandPct =
+      if (passTotals.exists(_ <= 0)) -1.0
+      else (passTotals.max - passTotals.min) / passTotals.min * 100.0
 
     // ETL end-to-end on the reference's own raw data (the BASELINE.md
     // 0.255 s row): extract → transform → model → aggregate → export every
     // transformed table, measured as one wall-clock unit. Reported under
     // its own key, NOT inside "queries", so value == sum(queries) holds.
-    val etlSecs = if (only.isDefined) -1.0 else {
+    // TWO etl draws (this was the artifact's blind spot: r11's driver
+    // draw showed 17.2 s where the quiet window showed 3.5 s — a swing
+    // only a multi-draw artifact can classify); reported value = min
+    val etlDraws: Seq[Double] = if (only.isDefined) Nil else (1 to 2).map { _ =>
       val etlOut = java.nio.file.Files.createTempDirectory("graft_bench_etl")
       val t0 = System.nanoTime()
       val secs = try {
@@ -117,12 +138,24 @@ object Bench {
       } catch { case _: Throwable => () }
       secs
     }
+    val etlSecs = etlDraws.filter(_ >= 0) match {
+      case Seq() => -1.0
+      case good  => good.min
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+    // self-adjudication block: per-pass totals, their spread, the etl
+    // draws, and the host load average sampled at each pass start — a
+    // reader classifies a noisy draw from the artifact alone
+    val draws =
+      f""""draws":{"pass_totals":${arr(passTotals)},"band_pct":$bandPct%.2f,""" +
+        f""""etl_draws":${arr(etlDraws)},"load_avg_at_pass":${arr(passLoads.toSeq)}}"""
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"etl_pipeline_golden_sec":$etlSecs%.4f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"etl_pipeline_golden_sec":$etlSecs%.4f,$draws,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full per-query map as a file artifact: the
     // driver's captured stdout tail truncates on long runs (VERDICT r4
