@@ -23,13 +23,27 @@ object Pipeline {
     * side output (`reports/dashboard/power_bi_instructions.md`) and the
     * S8 chart sink (the five reference-named dashboard PNGs). */
   def run(spark: SparkSession, rawPath: String, outDir: String): Either[String, Result] =
-    build(spark, rawPath).map { r =>
-      Load.writeAll(r.star, r.aggs, outDir)
-      Instructions.write(outDir)
-      Charts.writeDashboard(r.aggs.byName,
-        java.nio.file.Paths.get(outDir, "reports", "dashboard").toString)
-      r
-    }
+    build(spark, rawPath).map { r => exportAll(spark, r, outDir); r }
+
+  /** The one export step (shared by [[run]] and [[main]]): all 26 table
+    * sinks, the S9 instructions file, the S8 dashboard PNGs. Chart
+    * series derive from the agg PARQUET just written, not from the agg
+    * plans: writeAll has unpersisted the shared frames by the time the
+    * charts render, so the logical plans would re-run their full
+    * upstream joins over the raw input — measured ~15 s of the
+    * 10,000×-scale run (round-12 ladder re-measure root cause; the same
+    * redundancy the CSV-from-parquet derivation in Load closed in round
+    * 3). Reading the columnar output back costs milliseconds and the
+    * values are identical by construction. */
+  private def exportAll(spark: SparkSession, r: Result, outDir: String): Unit = {
+    Load.writeAll(r.star, r.aggs, outDir)
+    Instructions.write(outDir)
+    Charts.writeDashboard(
+      r.aggs.byName.map { case (n, _) =>
+        n -> spark.read.parquet(s"$outDir/parquet/$n")
+      },
+      java.nio.file.Paths.get(outDir, "reports", "dashboard").toString)
+  }
 
   def main(args: Array[String]): Unit = {
     val rawPath = if (args.length > 0) args(0) else "/root/reference/data/raw"
@@ -79,10 +93,7 @@ object Pipeline {
         // single-task sorts hid there).
         val buildSecs = (System.nanoTime() - t0) / 1e9
         val tL = System.nanoTime()
-        Load.writeAll(r.star, r.aggs, outDir)
-        Instructions.write(outDir)
-        Charts.writeDashboard(r.aggs.byName,
-          java.nio.file.Paths.get(outDir, "reports", "dashboard").toString)
+        exportAll(spark, r, outDir)
         val loadSecs = (System.nanoTime() - tL) / 1e9
         // in-process ETL seconds (extract→export), excluding JVM/session
         // startup — the number comparable across engines at scale
