@@ -76,7 +76,11 @@ class LineageSpec extends SparkSpec {
     val streamStaged = Set("q79_stream_dedup", "q80_stream_hourly_sink",
       "q204_format_roundtrip", "q238_time_travel", "q239_merge_upsert",
       "q240_bucketed_join", "q259_dynamic_pruning", "q262_schema_evolution",
-      "q263_corrupt_records", "q264_mv_refresh", "q265_stream_mv")
+      "q263_corrupt_records", "q264_mv_refresh", "q265_stream_mv",
+      // round-12 composition gates: q277 reads back the SnapshotTable it
+      // compacted/vacuumed, q278 reads back its streaming sink — both
+      // legitimately root at staged run output
+      "q277_compact_vacuum", "q278_late_data")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
