@@ -72,6 +72,18 @@ object Mp4H264Decoder extends MediaDecoder {
       require(u(1) == 0, "pcm_alignment_zero_bit must be zero")
     }
     def readByte(): Int = { require(byteAligned, "not byte-aligned"); u(8) }
+    /** Index of the rbsp_stop_one_bit — the LAST set bit of the RBSP
+      * (§7.4.1: every RBSP ends stop-bit + zero padding). */
+    private lazy val lastOneBit: Int = {
+      var i = bytes.length * 8 - 1
+      while (i >= 0 && ((bytes(i >> 3) >> (7 - (i & 7))) & 1) == 0) i -= 1
+      require(i >= 0, "RBSP has no stop bit — corrupt bitstream")
+      i
+    }
+    /** §7.2 more_rbsp_data(): syntax elements remain iff the cursor sits
+      * strictly before the rbsp_stop_one_bit. This is what ends a slice's
+      * macroblock loop when the picture carries MULTIPLE slices. */
+    def moreRbspData: Boolean = pos < lastOneBit
   }
 
   /** MSB-first bit writer with Exp-Golomb, for the fixture encoder. */
@@ -182,14 +194,22 @@ object Mp4H264Decoder extends MediaDecoder {
     // and QP fields are residual-path concerns
   }
 
-  /** Decode one I slice into `yPlane` (§7.3.3 header, §7.3.4 data).
-    * Returns after filling every macroblock; throws loudly on any
+  /** Decode one I slice into `yPlane` (§7.3.3 header, §7.3.4 data),
+    * starting at its first_mb_in_slice and running until the slice's
+    * RBSP data is exhausted (§7.2 more_rbsp_data — a picture may be
+    * split across several slices for packetization). Slices must
+    * arrive in raster order with no gaps or overlap: `expectFirstMb`
+    * is the next undecoded macroblock and a slice that does not start
+    * there fails loudly (ASO/FMO are outside the supported subset).
+    * Returns the next expected macroblock index; throws loudly on any
     * macroblock that is not I_PCM. */
   private def decodeSlice(rbsp: Array[Byte], sps: Sps, idr: Boolean,
-      refIdc: Int, yPlane: Array[Byte]): Unit = {
+      refIdc: Int, yPlane: Array[Byte], expectFirstMb: Int): Int = {
     val r = new BitReader(rbsp)
     val firstMb = r.ue()
-    require(firstMb == 0, "multi-slice pictures unsupported")
+    require(firstMb == expectFirstMb,
+      s"slice starts at mb $firstMb, expected $expectFirstMb — " +
+        "out-of-order, overlapping, or gapped slices unsupported")
     val sliceType = r.ue()
     require(sliceType % 5 == 2,
       s"slice_type $sliceType — only I slices are decodable without " +
@@ -207,8 +227,10 @@ object Mp4H264Decoder extends MediaDecoder {
     r.se() // slice_qp_delta
     val w = sps.widthMbs * 16
     val nMbs = sps.widthMbs * sps.heightMbs
-    var mb = 0
-    while (mb < nMbs) {
+    var mb = firstMb
+    var first = true
+    while (mb < nMbs && (first || r.moreRbspData)) {
+      first = false
       val mbType = r.ue()
       if (mbType != 25)
         throw new UnsupportedOperationException(
@@ -231,6 +253,7 @@ object Mp4H264Decoder extends MediaDecoder {
       while (c < 128) { r.readByte(); c += 1 } // Cb then Cr 8×8 (4:2:0)
       mb += 1
     }
+    mb
   }
 
   // ---- MP4 (ISO BMFF) demux ----------------------------------------------
@@ -388,6 +411,7 @@ object Mp4H264Decoder extends MediaDecoder {
       val y = new Array[Byte](w * h)
       var p = off.toInt
       val end = off.toInt + size
+      var nextMb = 0
       var decoded = false
       while (p < end) {
         var nalLen = 0
@@ -400,13 +424,18 @@ object Mp4H264Decoder extends MediaDecoder {
           case 7 => sps = parseSps(unescapeRbsp(nal, 1)) // in-band SPS
           case 8 => parsePps(unescapeRbsp(nal, 1))       // in-band PPS
           case 5 | 1 =>
-            decodeSlice(unescapeRbsp(nal, 1), sps, idr = nalType == 5,
-              refIdc = (nal(0) >> 5) & 3, y)
+            nextMb = decodeSlice(unescapeRbsp(nal, 1), sps, idr = nalType == 5,
+              refIdc = (nal(0) >> 5) & 3, y, expectFirstMb = nextMb)
             decoded = true
           case _ => () // SEI/AUD/filler: ignored
         }
       }
       require(decoded, "sample contains no coded slice")
+      // the slices of this access unit must tile the picture exactly —
+      // a short final slice would silently leave zeroed macroblocks
+      require(nextMb == sps.widthMbs * sps.heightMbs,
+        s"sample's slices cover $nextMb of ${sps.widthMbs * sps.heightMbs} " +
+          "macroblocks — truncated or missing slice")
       (w, h, y)
     }
   }
@@ -485,16 +514,18 @@ object Mp4H264Decoder extends MediaDecoder {
   /** One IDR slice whose every macroblock is I_PCM carrying `yPlane`
     * (chroma written as neutral 128s). */
   private def buildIdrSlice(widthMbs: Int, heightMbs: Int,
-      yPlane: Array[Byte]): Array[Byte] = {
+      yPlane: Array[Byte], firstMb: Int = 0, mbCount: Int = -1): Array[Byte] = {
+    val n = widthMbs * heightMbs
+    val count = if (mbCount < 0) n - firstMb else mbCount
     val w = new BitWriter
-    w.ue(0)    // first_mb_in_slice
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(7)    // slice_type: I (all slices of the picture)
     w.ue(0)    // pps id
     w.u(0, 4)  // frame_num (log2_max_frame_num = 4)
     w.ue(0)    // idr_pic_id
     w.u(0, 1); w.u(0, 1) // no_output_of_prior_pics, long_term_reference
     w.se(0)    // slice_qp_delta
-    writePcmMbs(w, widthMbs, heightMbs, yPlane)
+    writePcmMbs(w, widthMbs, heightMbs, yPlane, firstMb, firstMb + count)
     w.trailing()
     w.bytes
   }
@@ -521,10 +552,11 @@ object Mp4H264Decoder extends MediaDecoder {
   /** The shared I_PCM macroblock body: every MB coded mb_type 25 with
     * the 16×16 luma block from `yPlane` and neutral-gray 4:2:0 chroma. */
   private def writePcmMbs(w: BitWriter, widthMbs: Int, heightMbs: Int,
-      yPlane: Array[Byte]): Unit = {
+      yPlane: Array[Byte], firstMb: Int = 0, endMb: Int = -1): Unit = {
     val width = widthMbs * 16
-    var mb = 0
-    while (mb < widthMbs * heightMbs) {
+    val end = if (endMb < 0) widthMbs * heightMbs else endMb
+    var mb = firstMb
+    while (mb < end) {
       w.ue(25) // I_PCM
       w.alignZero() // pcm_alignment_zero_bit*
       val mbX = (mb % widthMbs) * 16
@@ -553,6 +585,38 @@ object Mp4H264Decoder extends MediaDecoder {
     require(yPlane.length == width * height, "Y plane must be width*height")
     packMp4(width, height,
       Seq(nal(0, 1, buildDisposableSlice(width / 16, height / 16, yPlane))))
+  }
+
+  /** A REAL MP4 whose single IDR access unit is split across TWO slice
+    * NALs (top rows, bottom rows) — the packetization shape every real
+    * encoder emits for large pictures. Requires ≥ 2 macroblock rows. */
+  def syntheticMp4TwoSlice(width: Int, height: Int,
+      yPlane: Array[Byte]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0, "dims must be MB-aligned")
+    require(yPlane.length == width * height, "Y plane must be width*height")
+    val wMbs = width / 16
+    val hMbs = height / 16
+    require(hMbs >= 2, "two-slice fixture needs at least 2 MB rows")
+    val n = wMbs * hMbs
+    val cut = (hMbs / 2) * wMbs // split on a row boundary
+    val s1 = nal(3, 5, buildIdrSlice(wMbs, hMbs, yPlane, 0, cut))
+    val s2 = nal(3, 5, buildIdrSlice(wMbs, hMbs, yPlane, cut, n - cut))
+    packMp4Samples(width, height,
+      Seq(Seq(s1, s2).map(x => u32(x.length.toLong) ++ x).reduce(_ ++ _)))
+  }
+
+  /** Boundary probe: two slices that leave a one-MB GAP — the decoder
+    * must refuse the picture loudly rather than emit zeroed blocks. */
+  private[graft] def syntheticMp4SliceGapProbe(width: Int,
+      height: Int): Array[Byte] = {
+    val wMbs = width / 16
+    val hMbs = height / 16
+    val n = wMbs * hMbs
+    val y = new Array[Byte](width * height)
+    val s1 = nal(3, 5, buildIdrSlice(wMbs, hMbs, y, 0, n / 2))
+    val s2 = nal(3, 5, buildIdrSlice(wMbs, hMbs, y, n / 2 + 1, n - n / 2 - 1))
+    packMp4Samples(width, height,
+      Seq(Seq(s1, s2).map(x => u32(x.length.toLong) ++ x).reduce(_ ++ _)))
   }
 
   private def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Array[Byte] = {

@@ -56,6 +56,32 @@ class Mp4H264DecodeSpec extends SparkSpec {
       "disposable-slice decode must reproduce the source plane byte-for-byte")
   }
 
+  test("multi-slice picture: two slice NALs tile the frame byte-exactly") {
+    // the packetization shape real encoders emit for large pictures:
+    // one access unit split across slices, each starting at its
+    // first_mb_in_slice and ending at §7.2 more_rbsp_data
+    val plane = gradient(32, 32, 123)
+    val mp4 = Mp4H264Decoder.syntheticMp4TwoSlice(32, 32, plane)
+    val out = Mp4H264Decoder.framesY(mp4)
+    assert(out.length == 1)
+    val (w, h, y) = out.head
+    assert(w == 32 && h == 32)
+    assert(java.util.Arrays.equals(y, plane),
+      "two-slice decode must reproduce the source plane byte-for-byte")
+    // and against the single-slice encoding of the same plane
+    val single = Mp4H264Decoder.framesY(
+      Mp4H264Decoder.syntheticMp4(32, 32, Seq(plane))).head._3
+    assert(java.util.Arrays.equals(y, single))
+  }
+
+  test("slice gap fails loudly: missing macroblocks never decode as zeros") {
+    val e = intercept[IllegalArgumentException] {
+      Mp4H264Decoder.framesY(Mp4H264Decoder.syntheticMp4SliceGapProbe(32, 32))
+    }
+    assert(e.getMessage.contains("expected") || e.getMessage.contains("cover"),
+      e.getMessage)
+  }
+
   test("solid frames: mean lumas are exactly the encoded grays; cuts land on the plan") {
     val grays = Seq(60, 60, 180, 180, 60)
     val mp4 = Mp4H264Decoder.syntheticMp4Solid(48, 32, grays)
