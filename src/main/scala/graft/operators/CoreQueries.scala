@@ -967,6 +967,53 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Z-order layout pruning, driver-gated end to end (the q277
+      * pattern applied to [[graft.sources.Layouts.writeZOrdered]],
+      * previously spec-gated only): the fact writes Morton-bucketed on
+      * (partkey, suppkey) — 3 bits per dim, 64 partition directories —
+      * and a rectangle query (the middle-eighth of each key range,
+      * bounds derived from min/max by INTEGER division so both engines
+      * compute identical corners) reads back through the bucket IN-list
+      * + residual predicates. The aggregate hashes against the oracle's
+      * direct rectangle filter over the raw table — layout routes rows,
+      * never changes the relation — and the claim column pins that the
+      * planner touched at most a quarter of the buckets (the measured
+      * value is ~4 of 64; PlanAuditSpec pins the zb partition filter).
+      *
+      * Scale shape: the write is one shuffle on the bucket column; the
+      * read lists only intersecting partition dirs at planning time —
+      * the multi-dimensional analogue of q259's dynamic pruning, and
+      * the layout every lakehouse maintains for 2-D range workloads. */
+    "q280_zorder_pruning" -> ((s, d) => {
+      import graft.sources.Layouts
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_zo_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_returnflag", "l_quantity")
+      val meta = Layouts.writeZOrdered(base, dir.toString,
+        "l_partkey", "l_suppkey", bitsPerDim = 3)
+      val xLo = meta.minX + (meta.maxX - meta.minX) / 8
+      val xHi = meta.minX + (meta.maxX - meta.minX) / 4
+      val yLo = meta.minY + (meta.maxY - meta.minY) / 8
+      val yHi = meta.minY + (meta.maxY - meta.minY) / 4
+      val listed = Layouts.zBucketsFor(meta, xLo, xHi, yLo, yHi).size
+      Layouts.readZOrdered(s, dir.toString, meta,
+        "l_partkey", "l_suppkey", xLo, xHi, yLo, yHi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(64L).as("n_buckets_total"),
+          lit(listed * 4 <= 64).as("zorder_pruned"))
+        .orderBy("l_returnflag")
+    }),
+
     /** TPC-H Q10 shape (returned-item reporting): revenue lost to
       * returns per customer for one order quarter, top 20 customers.
       * The returnflag filter prunes the fact scan, the quarter filter
@@ -2071,6 +2118,26 @@ object CoreQueries {
         |    CAST(sum(CAST(round(price * 1000) AS BIGINT)) AS BIGINT) AS sum_mills
         |  FROM v2rows)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+    // the rectangle recomputed directly from the raw table — integer-div
+    // corners make both engines' bounds identical; the layout must not
+    // change the relation
+    "q280_zorder_pruning" ->
+      """WITH r AS (
+        |  SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+        |    min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+        |  FROM lineitem),
+        |sel AS (
+        |  SELECT l.l_returnflag, l.l_quantity
+        |  FROM lineitem l CROSS JOIN r
+        |  WHERE l.l_partkey BETWEEN r.mnx + (r.mxx - r.mnx) // 8
+        |                        AND r.mnx + (r.mxx - r.mnx) // 4
+        |    AND l.l_suppkey BETWEEN r.mny + (r.mxy - r.mny) // 8
+        |                        AND r.mny + (r.mxy - r.mny) // 4)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(64 AS BIGINT) AS n_buckets_total,
+        |  TRUE AS zorder_pruned
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // the post-maintenance table state recomputed from the raw table
     // (base ∪ the three append slices); the file-count/version columns
     // are hard integers (3 partitions → 3 files, write+3 appends+compact

@@ -432,6 +432,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.stats.exactPercentileLimit")
   }
 
+  test("q280: the Z-order bucket IN-list prunes partitions at planning time") {
+    val p = plan("q280_zorder_pruning")
+    assert("PartitionFilters: \\[[^\\]]*zb#".r.findFirstIn(p).isDefined,
+      s"q280: bucket IN-list must reach the scan as a partition filter:\n$p")
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("GreaterThanOrEqual(l_partkey") ||
+        p.contains("l_partkey") && p.contains("PushedFilters")),
+      s"q280: residual rectangle predicates must push to parquet:\n$p")
+  }
+
   test("q233 auto-tier: above the limit the single-partition rank window disappears") {
     // exact tier = rank + running sum in ONE empty-partition-spec window
     // (a SinglePartition sort of the part grain — fine at gate scale,

@@ -78,9 +78,9 @@ class LineageSpec extends SparkSpec {
       "q240_bucketed_join", "q259_dynamic_pruning", "q262_schema_evolution",
       "q263_corrupt_records", "q264_mv_refresh", "q265_stream_mv",
       // round-12 composition gates: q277 reads back the SnapshotTable it
-      // compacted/vacuumed, q278 reads back its streaming sink — both
-      // legitimately root at staged run output
-      "q277_compact_vacuum", "q278_late_data")
+      // compacted/vacuumed, q278 reads back its streaming sink, q280 the
+      // Z-ordered layout it wrote — all legitimately root at staged output
+      "q277_compact_vacuum", "q278_late_data", "q280_zorder_pruning")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
