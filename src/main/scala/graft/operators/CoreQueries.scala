@@ -967,6 +967,51 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** In-place crash-safe small-file compaction, driver-gated (the
+      * second half of VERDICT r11 #2's named machinery —
+      * [[graft.sources.Layouts.compactParquet]], the two-marker
+      * intent/commit protocol for plain parquet directories without a
+      * manifest): a 40-part fragmented write compacts in place; the
+      * read-back hashes against the oracle's recompute from the raw
+      * table (compaction moves bytes, never rows), and the claims pin
+      * the post-compaction file count (1 at this size), that it
+      * SHRANK, and that no protocol markers survive the hand-over.
+      * The crash-point matrix (roll forward iff committed) stays in
+      * LayoutsSpec — a query gate cannot kill a JVM mid-rename.
+      *
+      * Scale shape: one distributed read + one coalesced write of the
+      * crowded set; replay cost is marker inspection, not data. */
+    "q281_compact_inplace" -> ((s, d) => {
+      import graft.sources.Layouts
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_ci_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      base.repartition(40).write.mode("overwrite").parquet(dir.toString)
+      def files: Array[java.io.File] = Option(dir.listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val nBefore = files.length
+      val nAfter = Layouts.compactParquet(s, dir.toString)
+      val markers = Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("_compact_"))
+      s.read.parquet(dir.toString)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(nAfter.toLong).as("n_files_after"),
+          lit(nBefore > nAfter).as("compacted"),
+          lit(markers == 0).as("markers_cleared"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Z-order layout pruning, driver-gated end to end (the q277
       * pattern applied to [[graft.sources.Layouts.writeZOrdered]],
       * previously spec-gated only): the fact writes Morton-bucketed on
@@ -2118,6 +2163,15 @@ object CoreQueries {
         |    CAST(sum(CAST(round(price * 1000) AS BIGINT)) AS BIGINT) AS sum_mills
         |  FROM v2rows)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+    // compaction moves bytes, never rows — the oracle recomputes from the
+    // raw table; file count is a hard integer at this corpus size
+    "q281_compact_inplace" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(1 AS BIGINT) AS n_files_after,
+        |  TRUE AS compacted,
+        |  TRUE AS markers_cleared
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the rectangle recomputed directly from the raw table — integer-div
     // corners make both engines' bounds identical; the layout must not
     // change the relation

@@ -80,7 +80,8 @@ class LineageSpec extends SparkSpec {
       // round-12 composition gates: q277 reads back the SnapshotTable it
       // compacted/vacuumed, q278 reads back its streaming sink, q280 the
       // Z-ordered layout it wrote — all legitimately root at staged output
-      "q277_compact_vacuum", "q278_late_data", "q280_zorder_pruning")
+      "q277_compact_vacuum", "q278_late_data", "q280_zorder_pruning",
+      "q281_compact_inplace")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
