@@ -1463,6 +1463,42 @@ object CoreQueries {
             sum("l_extendedprice")) * 100.0, 6).as("tax_percentage"))
         .orderBy("c_mktsegment")),
 
+    /** The 100 TB tier of the A13 measure surface
+      * ([[graft.etl.Measures.evaluateApprox]]'s shape, previously
+      * spec-gated only): the same measure battery with exact
+      * DISTINCTCOUNT replaced by HyperLogLog++ `approx_count_distinct`
+      * (rsd 1%) — the single-pass mergeable sketch that removes the
+      * distinct expansion at scale. Claim-gated the q65/q91 way: the
+      * additive measures hash exactly; the sketch-fed measures
+      * (order_count, avg_order_value) assert their error contract —
+      * within 5 rsd of the exact value (~5σ; HLL++ bias-corrected, so
+      * deterministic-in-practice at any corpus) — because sketch
+      * estimates are engine internals no oracle can reproduce. */
+    "q282_measures_approx" -> ((s, d) => {
+      val m = lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") =!= "MACHINERY")
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum("l_extendedprice"), 2).as("total_sales"),
+          countDistinct("l_orderkey").as("exact_count"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_count"),
+          round(try_divide(sum("l_extendedprice"),
+            approx_count_distinct(col("l_orderkey"), 0.01).cast("double")), 6)
+            .as("avg_order_value_approx"))
+      m.select(col("c_mktsegment"), col("total_sales"), col("exact_count"),
+          (abs(col("approx_count") - col("exact_count")) <=
+            greatest(col("exact_count") * 0.05, lit(1.0))).as("count_ok"),
+          (abs(col("avg_order_value_approx") -
+            try_divide(col("total_sales"), col("exact_count").cast("double")))
+            <= try_divide(col("total_sales"), col("exact_count").cast("double"))
+              * 0.06).as("avg_ok"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- scalar functions (F2-F16) ------------------------------------
 
     /** F2-F6: date-part extraction — year/month/day/quarter, pandas
@@ -2163,6 +2199,18 @@ object CoreQueries {
         |    CAST(sum(CAST(round(price * 1000) AS BIGINT)) AS BIGINT) AS sum_mills
         |  FROM v2rows)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+    // sketch estimates are engine-internal (q65/q91 pattern): the oracle
+    // recomputes the exact measures and asserts the error-bound booleans
+    "q282_measures_approx" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice), 2) AS total_sales,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_count,
+        |  TRUE AS count_ok, TRUE AS avg_ok
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment <> 'MACHINERY'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // compaction moves bytes, never rows — the oracle recomputes from the
     // raw table; file count is a hard integer at this corpus size
     "q281_compact_inplace" ->
