@@ -85,14 +85,24 @@ object FunctionQueries {
       * partial-merge instead of a distinct shuffle. The raw estimate is
       * engine-internal, so the gated claim is the accuracy contract:
       * exact count alongside, |approx−exact|/exact ≤ 5% emitted as a
-      * boolean the oracle asserts true. */
+      * boolean the oracle asserts true.
+      *
+      * Shape: the fact collapses to the (type, user) grain FIRST, and
+      * both the exact count and the sketch run on the collapsed frame —
+      * the q282 rule: a sketch sharing an Aggregate with count_distinct
+      * rides the distinct rewrite's per-key regroup, dragging its
+      * multi-KB register buffer through both exchanges at the key
+      * grain. A pure sketch deployment (no exact twin to gate) skips
+      * the regroup entirely: one partial+final aggregate. */
     "q91_hll_distinct" -> ((s, d) =>
       events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_rows"))
         .groupBy("event_type")
         .agg(
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("exact_users"),
+          sum("n_rows").as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.05).as("hll_ok"))
