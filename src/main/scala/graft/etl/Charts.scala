@@ -43,7 +43,22 @@ object Charts {
   val GridColor = 0xDDDDDD
 
   def barPx(v: Double, vmax: Double): Int =
-    math.floor(v / vmax * BarSpan + 0.5).toInt
+    // clamp to the plot span: a huge v/vmax ratio (possible only on
+    // out-of-contract inputs) must not paint outside the plot area
+    math.min(BarSpan.toInt,
+      math.max(0, math.floor(v / vmax * BarSpan + 0.5).toInt))
+
+  /** Series scale: 1e-12 ONLY for an all-zero series (legitimate empty
+    * slice — render axes + zero-height bars); a negative max means the
+    * caller fed a series no reference chart can hold and fails loudly
+    * rather than rendering invisible bars (ADVICE r12). */
+  private def seriesMax(data: Seq[(String, Double)], title: String): Double = {
+    val rawMax = data.map(_._2).max
+    require(rawMax >= 0.0,
+      s"'$title': negative series max $rawMax — bar charts render " +
+        "non-negative magnitudes only")
+    if (rawMax == 0.0) 1e-12 else rawMax
+  }
 
   /** Center x of vertical bar `i` of `n` — where the spec/gate re-measures. */
   def vBarCenterX(i: Int, n: Int): Int = {
@@ -66,7 +81,7 @@ object Charts {
     // an all-zero series is a legitimate slice (e.g. a month with zero
     // sales): render a valid empty plot (axes + labels, zero-height
     // bars) rather than aborting the whole ETL (ADVICE r11)
-    val vmax = math.max(data.map(_._2).max, 1e-12)
+    val vmax = seriesMax(data, title)
     val n = data.size
     val slot = PlotW / n
     val barW = math.max(1, slot * 7 / 10)
@@ -87,7 +102,7 @@ object Charts {
     require(data.nonEmpty, s"'$title': empty series")
     val c = newCanvas(title)
     // all-zero series renders as a valid empty plot (see barChartVertical)
-    val vmax = math.max(data.map(_._2).max, 1e-12)
+    val vmax = seriesMax(data, title)
     val n = data.size
     val slot = PlotH / n
     val barH = math.max(1, slot * 7 / 10)

@@ -40,26 +40,45 @@ object Percentiles {
     * `DedupQueries.embCountCache`: a new application never inherits a
     * stale count, and within an application the testdata dirs are
     * immutable. A long-lived session that rewrites a directory must
-    * call [[invalidateProbe]] for its grain keys before re-querying. */
+    * call [[invalidateProbe]] for its grain keys before re-querying.
+    *
+    * The cached value is a lazy HOLDER, not the count itself (ADVICE
+    * r12): `putIfAbsent` races settle on one holder without holding any
+    * map bin lock, and the winner's `lazy val` then runs the Spark count
+    * job under the holder's own monitor — a concurrent probe for a
+    * DIFFERENT grain that hashes to the same bin never stalls behind a
+    * cluster job. Callers own the grainKey→count invariant: the key must
+    * uniquely name the COUNTED FRAME's grain (dir + table + filter/group
+    * grain), because two callers passing one grainKey for
+    * different-grain counts would silently share the first value. */
+  private final class Probe(count: () => Long) {
+    lazy val value: Long = { probeRuns.incrementAndGet(); count() }
+  }
   private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, Probe]()
 
   /** Number of probe jobs actually run (not served from cache) — the
     * PercentilesPropertySpec memoization assertion reads this. */
   private[graft] val probeRuns =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** [[exactTier]] with the probe memoized under `grainKey` (convention:
-    * "<dataDir>#<grain>", e.g. "/root/testdata/sf0.01#events.users").
+  /** The memoized probe count for `grainKey` (convention:
+    * "<dataDir>#<grain>", e.g. "/root/testdata/sf0.01#events.users") —
+    * the shared probe under [[exactTierAt]] and every consumer that
+    * needs the COUNT itself to derive a scale knob (k-means K, pareto
+    * band count) rather than just the tier boolean. */
+  def probeCount(s: SparkSession, grainKey: String, inputRows: => Long): Long = {
+    val key = s.sparkContext.applicationId + "|" + grainKey
+    val fresh = new Probe(() => inputRows)
+    val holder = Option(probeCache.putIfAbsent(key, fresh)).getOrElse(fresh)
+    holder.value
+  }
+
+  /** [[exactTier]] with the probe memoized under `grainKey`.
     * Forced-sketch callers never pay the probe (short-circuit). */
   def exactTierAt(s: SparkSession, grainKey: String, inputRows: => Long,
       forceSketch: Boolean = false): Boolean =
-    !forceSketch && {
-      val key = s.sparkContext.applicationId + "|" + grainKey
-      probeCache.computeIfAbsent(key, _ => {
-        probeRuns.incrementAndGet(); inputRows
-      }).longValue() <= exactLimit(s)
-    }
+    !forceSketch && probeCount(s, grainKey, inputRows) <= exactLimit(s)
 
   private[graft] def invalidateProbe(s: SparkSession, grainKey: String): Unit = {
     probeCache.remove(s.sparkContext.applicationId + "|" + grainKey); ()

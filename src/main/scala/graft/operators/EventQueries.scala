@@ -492,8 +492,16 @@ object EventQueries {
             .toDF("event_id", "ts", "user_id", "event_type", "value",
               "props"),
           dir, name)
-      oneRow("b", 900000001L, maxMs + 3L * 3600 * 1000, "zzadvance", 0.0)
-      oneRow("c", 900000002L, maxMs - 10L * 3600 * 1000, "zlate", 999.0)
+      // +7 min keeps the synthetic rows OFF exact hour boundaries: a max
+      // event ts landing exactly on a window edge would make the flush
+      // set boundary-sensitive (ADVICE r12)
+      val offMs = 7L * 60 * 1000
+      oneRow("b", 900000001L, maxMs + 3L * 3600 * 1000 + offMs, "zzadvance", 0.0)
+      oneRow("c", 900000002L, maxMs - 10L * 3600 * 1000 + offMs, "zlate", 999.0)
+      // pin a < b < c discovery order explicitly — the file source orders
+      // new files by modification time, and a same-millisecond tie between
+      // the staged files would let c ride b's micro-batch (ADVICE r12)
+      graft.streaming.EventStream.spaceFileMtimes(dir, Seq("a", "b", "c"))
       val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       // sink lives outside the source tree (q80's file-source rule)
@@ -510,8 +518,12 @@ object EventQueries {
           java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .start()
       q.processAllAvailable()
-      val stateRows = Option(q.lastProgress)
-        .flatMap(p => p.stateOperators.headOption)
+      // state rows from the last progress that actually CONSUMED input
+      // (the batch that processed file c): a trailing no-data batch's
+      // progress would report the same store size today, but reading the
+      // consuming batch is deterministic by construction (ADVICE r12)
+      val stateRows = q.recentProgress.filter(_.numInputRows > 0)
+        .lastOption.flatMap(_.stateOperators.headOption)
         .map(_.numRowsTotal).getOrElse(-1L)
       q.stop()
       val sink = s.read.parquet(outDir)

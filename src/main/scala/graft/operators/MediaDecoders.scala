@@ -15,6 +15,17 @@ trait MediaDecoder extends Serializable {
       mediaType: String): MultimodalQueries.MediaFeatures
 }
 
+/** Typed "this payload is outside the supported envelope" signal: the
+  * quarantine boundary every decoder in this family declares. `reason`
+  * is a STABLE machine code ("cabac", "unsupported_macroblock",
+  * "no_avc_track", ...) that classifiers match on — never the prose
+  * message, which is free to change (ADVICE r12: m279 substring-matched
+  * `getMessage`, so a reworded message silently flipped the quarantine
+  * reason). Extends UnsupportedOperationException so existing
+  * fail-vs-skip catch sites keep working unchanged. */
+final class UnsupportedMediaFeature(val reason: String, msg: String)
+    extends UnsupportedOperationException(msg)
+
 /** Real image decode via `javax.imageio` (in the JDK — zero added
   * dependencies, PNG/BMP/GIF/JPEG readers ship with every JVM).
   * Features mirror FakeDecoder's schema: true pixel dimensions and the

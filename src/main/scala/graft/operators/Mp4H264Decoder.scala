@@ -183,7 +183,7 @@ object Mp4H264Decoder extends MediaDecoder {
     r.ue(); r.ue() // pps id, sps id
     val cabac = r.u(1)
     if (cabac == 1)
-      throw new UnsupportedOperationException(
+      throw new UnsupportedMediaFeature("cabac",
         "entropy_coding_mode_flag=1 (CABAC) — this pure-JVM reader decodes " +
           "the CAVLC/I_PCM subset of baseline; CABAC needs a full " +
           "arithmetic-coding engine")
@@ -233,7 +233,7 @@ object Mp4H264Decoder extends MediaDecoder {
       first = false
       val mbType = r.ue()
       if (mbType != 25)
-        throw new UnsupportedOperationException(
+        throw new UnsupportedMediaFeature("unsupported_macroblock",
           s"macroblock $mb has mb_type $mbType (transform-coded) — this " +
             "pure-JVM reader decodes the I_PCM subset of baseline; " +
             "residual decoding needs CAVLC + intra prediction + IDCT")
@@ -316,7 +316,7 @@ object Mp4H264Decoder extends MediaDecoder {
           }
       }
     }
-    throw new UnsupportedOperationException(
+    throw new UnsupportedMediaFeature("no_avc_track",
       "MP4 has no avc1 (H.264) video track — other codecs (hvc1/vp09/av01) " +
         "need decoders beyond this reader")
   }

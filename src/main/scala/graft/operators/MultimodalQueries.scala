@@ -720,11 +720,10 @@ object MultimodalQueries {
               val lumas = graft.Mp4H264Decoder.frameMeanLumas(payload)
               (cls, "ok", "", lumas.length.toLong, lumas.head)
             } catch {
-              case e: UnsupportedOperationException =>
-                val reason =
-                  if (e.getMessage.contains("CABAC")) "cabac"
-                  else "unsupported_macroblock"
-                (cls, "quarantined", reason, -1L, -1L)
+              // typed boundary only: the reason is the decoder's stable
+              // machine code, never a substring of its prose (ADVICE r12)
+              case e: graft.UnsupportedMediaFeature =>
+                (cls, "quarantined", e.reason, -1L, -1L)
             }
           }
         }.toDF("cls", "status", "reason", "n_frames", "mean_luma")

@@ -219,17 +219,29 @@ object SnapshotTable {
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
-          // no-hardlink filesystem: fall back to plain rename. On a
-          // POSIX-replace filesystem this is NOT a CAS — a losing racer's
-          // rename also succeeds (silently replacing the winner), and no
-          // local post-check can close that window (a losing rename also
+          // no-hardlink filesystem: plain rename is NOT a CAS on a
+          // POSIX-replace filesystem — a losing racer's rename also
+          // succeeds (silently replacing the winner), and no local
+          // post-check can close that window (a losing rename also
           // removes tmp, so re-checking tmp proves nothing — ADVICE r11).
-          // Honest contract: warn that concurrent-writer safety is
-          // degraded on this filesystem and return rename's own verdict.
+          // Degraded atomicity must be a DELIBERATE choice (ADVICE r12):
+          // fail fast unless the deployment explicitly opts in to
+          // single-writer semantics on this filesystem.
+          val optIn = org.apache.spark.sql.SparkSession.getActiveSession
+            .exists(_.conf.get(
+              "spark.graft.snapshot.unsafeRenameFallback", "false").toBoolean)
+          if (!optIn)
+            throw new IllegalStateException(
+              s"no hardlink support for $dest: the version-commit CAS " +
+                "would degrade to a non-atomic rename, so two concurrent " +
+                "committers of the same version could both 'succeed' with " +
+                "one commit silently clobbered. Set " +
+                "spark.graft.snapshot.unsafeRenameFallback=true to accept " +
+                "single-writer-only semantics on this filesystem.")
           System.err.println(
             s"[graft.SnapshotTable] WARN: no hardlink support for $dest — " +
-              "falling back to rename; concurrent same-version commits " +
-              "are not CAS-safe on this filesystem")
+              "rename fallback explicitly enabled; concurrent same-version " +
+              "commits are not CAS-safe on this filesystem")
           fs.rename(tmp, dest)
       }
     } else fs.rename(tmp, dest)

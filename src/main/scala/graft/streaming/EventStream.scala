@@ -50,6 +50,21 @@ object EventStream {
       graft.Tables.events(spark, sfDir).withColumn("ts", col("ts").cast("timestamp")),
       dir, name)
 
+  /** Pin the discovery ORDER of staged files: the parquet file source
+    * sorts new files by modification time, and files staged within the
+    * same clock tick can tie — letting a "later" file ride an earlier
+    * micro-batch (ADVICE r12). Rewrites mtimes as now, now+10s, now+20s…
+    * in the given order, so staging order IS discovery order. Gate/test
+    * plumbing, like [[writeEventsFile]]. */
+  def spaceFileMtimes(dir: java.nio.file.Path, names: Seq[String]): Unit = {
+    val base = System.currentTimeMillis()
+    names.zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Files.setLastModifiedTime(
+        dir.resolve(n + ".parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+    }
+  }
+
   /** Source descriptor (VERDICT r7 #6): every job below consumes the ONE
     * normalized event schema, so the physical source — replayed files, the
     * rate generator, a socket feed, or (in a Kafka-equipped deployment) a

@@ -65,6 +65,21 @@ class ChartsSpec extends SparkSpec {
     }
   }
 
+  test("negative series max fails loudly; barPx clamps to the plot span") {
+    // the all-zero fallback must not silently accept an all-negative
+    // series (which would render invisible bars) — that input has no
+    // reference chart and must abort loudly (ADVICE r12)
+    val negatives = Seq(("JAN", -5.0), ("FEB", -1.0))
+    for (f <- Seq(Charts.barChartVertical _, Charts.barChartHorizontal _)) {
+      val e = intercept[IllegalArgumentException](f(negatives, "NEG"))
+      assert(e.getMessage.contains("negative"), e.getMessage)
+    }
+    // out-of-contract ratios can no longer paint outside the plot area
+    assert(Charts.barPx(2.0, 1.0) == Charts.BarSpan.toInt)
+    assert(Charts.barPx(-1.0, 1.0) == 0)
+    assert(Charts.barPx(0.5, 1.0) == (Charts.BarSpan / 2).toInt)
+  }
+
   test("title text rasterizes through the built-in font (no AWT fonts)") {
     val png = Charts.barChartVertical(series, "TITLE")
     val (w, _, px) = Png.decodeRgb(png)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Mp4H264Decoder, MultimodalQueries, SparkSpec}
+import graft.{Mp4H264Decoder, MultimodalQueries, SparkSpec, UnsupportedMediaFeature}
 
 /** Real-codec gate for the MP4/H.264 modality (VERDICT r10 #7 probe):
   * genuine ISO BMFF containers holding genuine H.264 baseline bitstreams
@@ -115,14 +115,17 @@ class Mp4H264DecodeSpec extends SparkSpec {
   }
 
   test("boundary fails loudly: CABAC, transform-coded MBs, non-MP4 bytes") {
-    val cabac = intercept[UnsupportedOperationException] {
+    // typed boundary: the quarantine classifier (m279) matches the STABLE
+    // reason code, so the code — not the prose — is the pinned contract
+    val cabac = intercept[UnsupportedMediaFeature] {
       Mp4H264Decoder.framesY(Mp4H264Decoder.syntheticMp4CabacProbe(32, 16))
     }
-    assert(cabac.getMessage.contains("CABAC"), cabac.getMessage)
-    val nonPcm = intercept[UnsupportedOperationException] {
+    assert(cabac.reason == "cabac", s"${cabac.reason}: ${cabac.getMessage}")
+    val nonPcm = intercept[UnsupportedMediaFeature] {
       Mp4H264Decoder.framesY(Mp4H264Decoder.syntheticMp4NonPcmProbe(32, 16))
     }
-    assert(nonPcm.getMessage.contains("I_PCM"), nonPcm.getMessage)
+    assert(nonPcm.reason == "unsupported_macroblock",
+      s"${nonPcm.reason}: ${nonPcm.getMessage}")
     intercept[IllegalArgumentException] {
       Mp4H264Decoder.framesY("not an mp4 at all".getBytes("UTF-8"))
     }
