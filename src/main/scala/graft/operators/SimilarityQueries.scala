@@ -25,6 +25,11 @@ object SimilarityQueries {
 
   private val K = 10
   private val NumQueries = 5 // vec_id 0..4 serve as the query set
+  private val KmeansWidthConf = "spark.graft.kmeans.targetWidth"
+  // s283's forced cluster width: small enough that K grows well past 8
+  // at gate scale (n=500 → K=20), exercising the same derivation the
+  // default width (10k) triggers at corpus scale
+  private[graft] val ScaledWidth = 25
 
   val queries: Map[String, Q] = Map(
     /** Brute-force cosine top-k for each query vector (exact baseline).
@@ -479,6 +484,37 @@ object SimilarityQueries {
       a.join(dups, a("vec_id") === dups("dup_id"), "left_anti")
         .select(col("vec_id"), col("cid").as("cluster"))
         .orderBy("vec_id")
+    }),
+
+    /** FORCED scaled-K tier of SemDeDup (VERDICT r12 #1, the d81/d82
+      * discipline: every 100 TB code path gets its own driver hash gate).
+      * The small corpus sits below every auto-grown K (the default
+      * targetWidth keeps K=8 at gate scale), so this gate forces the
+      * width down to [[ScaledWidth]] — at gate scale K grows to
+      * ceil(n/25), exactly the derivation a 100 TB corpus triggers with
+      * the default width — and re-runs the ENTIRE SemDeDup pipeline:
+      * grown-K Lloyd training, assignment, within-cluster pruning. The
+      * oracle replays the same derivation in SQL (`scaledKSql`), so the
+      * hash pins training + assignment + pruning AND the K derivation
+      * itself (`k_used` rides in the frame). This is the q276 pattern:
+      * the scaled tier is deterministic-exact, so it gets a full value
+      * gate, not claim booleans. */
+    "s283_semdedup_scaled" -> ((s, d) => {
+      val prevW = s.conf.getOption(KmeansWidthConf)
+      val prevK = s.conf.getOption("spark.graft.kmeans.k")
+      if (prevK.isDefined) s.conf.unset("spark.graft.kmeans.k")
+      s.conf.set(KmeansWidthConf, ScaledWidth.toString)
+      try {
+        val k = kmeansK(s, d)
+        queries("s108_semdedup")(s, d)
+          .withColumn("k_used", lit(k.toLong))
+      } finally {
+        prevW match {
+          case Some(v) => s.conf.set(KmeansWidthConf, v)
+          case None => s.conf.unset(KmeansWidthConf)
+        }
+        prevK.foreach(v => s.conf.set("spark.graft.kmeans.k", v))
+      }
     }),
 
     /** Two-stage quantized search + exact rerank — the memory-bounded
@@ -1682,7 +1718,8 @@ object SimilarityQueries {
     * the same in-order dot products, candidates from the same 4-bit band
     * join, ranking from the same (cosine DESC, neighbor_id) order. */
   /** Shared integer-exact k-means (s90/s108): 3 Lloyd rounds over
-    * max-abs int8-quantized vectors, K=8, seeds = lowest vec_ids,
+    * max-abs int8-quantized vectors, K = [[kmeansK]] (corpus-grown,
+    * VERDICT r12 #1), seeds = lowest vec_ids,
     * argmin ties to the smallest centroid id. Returns the final
     * assignment WITH the quantized vector: (vec_id, cid, dist_sq, q),
     * eagerly localCheckpoint'ed so callers consume it after the cache
@@ -1721,12 +1758,35 @@ object SimilarityQueries {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))
   }
 
-  /** The trained k-means centroids (K=8, 3 integer Lloyd rounds, init =
-    * first 8 quantized vectors) — extracted from the s90 trainer so IVF
-    * (s214) can probe the same codebook the assignments came from. */
+  /** Cluster count for the k-means family (VERDICT r12 #1): an explicit
+    * `spark.graft.kmeans.k` wins; otherwise K GROWS with the corpus as
+    * max(8, ceil(n / spark.graft.kmeans.targetWidth)) from the memoized
+    * probe count — the same `exactTierAt`-pattern probe every other tier
+    * pays. This is what makes SemDeDup's quadratic bound a bound: pairs
+    * form only within a cluster, so total pair work is Σ cᵢ² ≈ n·width —
+    * LINEAR in n once width is held constant by growing K (the paper runs
+    * 50k clusters on LAION for exactly this reason). A fixed K=8 made the
+    * within-cluster join O(n²/K) — a scale-killer at the north star.
+    * Driver/broadcast state stays metadata-sized: K×64 longs ≈ n/width ×
+    * 512 B (10 B vectors at the default width → ~50 MB broadcast, and
+    * `targetWidth` is the knob if a deployment needs it smaller). */
+  private[graft] def kmeansK(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.kmeans.k").map(_.toInt).getOrElse {
+      val width = s.conf.get("spark.graft.kmeans.targetWidth", "10000").toLong
+      require(width > 0, s"spark.graft.kmeans.targetWidth must be > 0, got $width")
+      val n = graft.functions.Percentiles.probeCount(
+        s, s"$d#embeddings", embeddings(s, d).count())
+      math.max(8L, (n + width - 1) / width).toInt
+    }
+
+  /** The trained k-means centroids (K = [[kmeansK]], 3 integer Lloyd
+    * rounds, init = first K quantized vectors by vec_id — a global top-K,
+    * i.e. TakeOrderedAndProject, never a full sort) — extracted from the
+    * s90 trainer so IVF (s214) can probe the same codebook the
+    * assignments came from. */
   private def kmeansCentsQ(s: SparkSession, d: String,
       q0: DataFrame): Seq[(Long, Seq[Long])] = {
-    val Kc = 8; val Iters = 3
+    val Kc = kmeansK(s, d); val Iters = 3
     var cents: Seq[(Long, Seq[Long])] = q0.orderBy("vec_id").limit(Kc)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
     for (_ <- 1 to Iters) {
@@ -1876,9 +1936,12 @@ object SimilarityQueries {
     * arithmetic integer after the same int8 quantization as s87, so
     * centroids and assignments are bit-identical across engines. */
   /** Shared CTE chain for the k-means oracles (s90/s108): quantization
-    * (qz), seeds (c0), three unrolled Lloyd rounds, final distances (df)
-    * and assignment (af). */
-  private def kmeansCtes: String = {
+    * (qz), seeds (c0 = first `kSql` vectors by vec_id), three unrolled
+    * Lloyd rounds, final distances (df) and assignment (af). `kSql` is a
+    * scalar SQL expression so the scaled-K gate (s283) can derive K from
+    * the corpus count exactly as [[kmeansK]] does; the default "8"
+    * replays the small-corpus tier byte-for-byte. */
+  private def kmeansCtes(kSql: String = "8"): String = {
     def round(r: Int): String = {
       val prev = if (r == 1) "c0" else s"c${r - 1}"
       s"""d$r AS (
@@ -1903,7 +1966,8 @@ object SimilarityQueries {
          |  FROM $prev p LEFT JOIN (
          |    SELECT cid, list(c ORDER BY j) AS cv FROM m$r GROUP BY cid) n USING (cid))"""
     }
-    s"""WITH qz AS (
+    s"""WITH kk AS (SELECT CAST(($kSql) AS BIGINT) AS k),
+       |qz AS (
        |  SELECT vec_id,
        |    CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0.0
        |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(0 AS BIGINT))
@@ -1911,7 +1975,10 @@ object SimilarityQueries {
        |        CAST(floor(x / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
        |          * 127.0) AS BIGINT)) END AS q
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, q AS cv FROM qz ORDER BY vec_id LIMIT 8),
+       |c0 AS (
+       |  SELECT vec_id AS cid, q AS cv FROM (
+       |    SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM qz)
+       |  WHERE rn <= (SELECT k FROM kk)),
        |${round(1)},
        |${round(2)},
        |${round(3)},
@@ -1970,15 +2037,19 @@ object SimilarityQueries {
   }
 
   private def kmeansOracle: String =
-    s"""$kmeansCtes
+    s"""${kmeansCtes()}
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist_sq
        |FROM af ORDER BY vec_id""".stripMargin
 
   /** DuckDB replica of s108: the shared k-means chain, then within-
     * cluster integer-exact cosine pruning (25·dot² ≥ 4·|a|²·|b|²,
-    * dot > 0) keeping the lowest vec_id of each near-dup pair. */
-  private def semdedupOracle: String =
-    s"""$kmeansCtes,
+    * dot > 0) keeping the lowest vec_id of each near-dup pair.
+    * `kSql`/`extraCols` parameterize the s283 scaled-K replay, which
+    * re-runs the ENTIRE pipeline with the derived K and carries the
+    * derivation itself (`k_used`) into the hashed frame. */
+  private def semdedupOracle(kSql: String = "8",
+      extraCols: String = ""): String =
+    s"""${kmeansCtes(kSql)},
        |qn AS (
        |  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qz),
        |pr AS (
@@ -1992,10 +2063,15 @@ object SimilarityQueries {
        |dups AS (
        |  SELECT DISTINCT dup_id FROM pr
        |  WHERE dot > 0 AND 25 * dot * dot >= 4 * nn)
-       |SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster
+       |SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster$extraCols
        |FROM af LEFT JOIN dups ON af.vec_id = dups.dup_id
        |WHERE dups.dup_id IS NULL
        |ORDER BY af.vec_id""".stripMargin
+
+  /** K expression for the s283 scaled-K replay: the [[kmeansK]]
+    * derivation in SQL against the same corpus the Spark side probes. */
+  private def scaledKSql(width: Int): String =
+    s"GREATEST(8, CAST(ceil((SELECT count(*) FROM embeddings) / $width.0) AS BIGINT))"
 
   val oracleSql: Map[String, String] = Map(
     "s103_hybrid_retrieval" ->
@@ -2054,7 +2130,11 @@ object SimilarityQueries {
     "s44_ann_ivf" -> annIvfOracle,
     "s87_ann_rerank" -> annRerankOracle,
     "s90_kmeans" -> kmeansOracle,
-    "s108_semdedup" -> semdedupOracle,
+    "s108_semdedup" -> semdedupOracle(),
+    // the s108 replay with the GROWN K derived in SQL exactly as
+    // kmeansK derives it from the probe count (VERDICT r12 #1)
+    "s283_semdedup_scaled" -> semdedupOracle(scaledKSql(ScaledWidth),
+      extraCols = ", (SELECT k FROM kk) AS k_used"),
     "s109_pagerank" -> pagerankOracle,
     "s94_knn_graph" ->
       """WITH emb AS (
@@ -2712,7 +2792,7 @@ object SimilarityQueries {
     // shared Lloyd CTEs + one more m-step on the final assignment (the
     // metric centroid), all-integer until the final sqrt/divides
     "s180_cluster_quality" ->
-      s"""$kmeansCtes,
+      s"""${kmeansCtes()},
          |mcf AS (
          |  SELECT a.cid, gs.j,
          |    CAST(floor(CAST(sum(qz.q[CAST(gs.j AS INTEGER)]) AS DOUBLE) / count(*)) AS BIGINT) AS c
@@ -2757,7 +2837,7 @@ object SimilarityQueries {
     // the s90 training chain (qz/c0..c3/df/af) replayed, probes from the
     // same integer distance table, exact e9 L2 over probed lists
     "s214_ivf_trained" ->
-      s"""$kmeansCtes,
+      s"""${kmeansCtes()},
          |e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |probes AS (
