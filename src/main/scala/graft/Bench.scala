@@ -148,12 +148,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+    def qmap(p: Seq[(String, Double)]): String =
+      p.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
     // self-adjudication block: per-pass totals, their spread, the etl
-    // draws, and the host load average sampled at each pass start — a
-    // reader classifies a noisy draw from the artifact alone
+    // draws, the host load average sampled at each pass start — AND the
+    // full per-query vector of every pass (VERDICT r12 #4): `queries` is
+    // the row-wise min across passes, so a single noisy window (or a
+    // stale pre-fix draw when artifacts are hand-merged across runs)
+    // cannot misprice a query, and the raw vectors stay auditable
     val draws =
       f""""draws":{"pass_totals":${arr(passTotals)},"band_pct":$bandPct%.2f,""" +
-        f""""etl_draws":${arr(etlDraws)},"load_avg_at_pass":${arr(passLoads.toSeq)}}"""
+        f""""etl_draws":${arr(etlDraws)},"load_avg_at_pass":${arr(passLoads.toSeq)},""" +
+        s""""pass_queries":${passes.map(qmap).mkString("[", ",", "]")}}"""
     val line =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"etl_pipeline_golden_sec":$etlSecs%.4f,$draws,"sf":"$sfDir"}"""
     println(line)

@@ -538,6 +538,82 @@ object EventQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    /** Stream-stream JOIN late-data gate (VERDICT r12 #6 — q278's
+      * watermark-drop contract extended to the time-bounded join): q77's
+      * click→purchase attribution run as a LIVE stream-stream inner join
+      * ([[graft.streaming.EventStream.purchaseAttribution]]), with a
+      * staged late pair that MUST be excluded by bounded join state.
+      * Batch 1 streams the real events (all base matches emit — inner
+      * joins emit on arrival, no watermark wait). Batch 2 carries two
+      * advance rows (a click and a purchase at M + 3 h, different users,
+      * equal ts — matching neither each other nor anything else) that
+      * push BOTH sides' watermarks to M + 2 h. Batch 3 — one micro-batch
+      * AFTER the advance, per the two-watermark lesson (Spark ≥ 3.4
+      * filters late input with the PREVIOUS batch's watermark) — carries
+      * a late click 10 h behind the watermark and a purchase 10 minutes
+      * after it on the same user: a pair that WOULD join and emit an
+      * attribution row if the engine failed to drop late input. The
+      * oracle computes the join from the raw events as if the late pair
+      * never existed, so a leaked row fails the hash. `late_dropped`
+      * pins zero late-user rows in the sink; `state_rows` pins the final
+      * join state to EXACTLY the two unexpired advance rows — every
+      * base-batch row left BOTH sides' state once the watermark passed
+      * (the planner derives eviction bounds from the range condition),
+      * and the dropped pair never entered it.
+      *
+      * Scale shape: the canonical streaming-join deployment — state
+      * shards by user_id, eviction by event time, so state is O(recent
+      * window), not O(stream), at any executor count. */
+    "q284_join_late" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q284_src")
+      graft.streaming.EventStream.stageEvents(s, d, dir, "a")
+      val maxMs = events(s, d)
+        .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
+        .ceil.toLong * 1000L
+      val offMs = 7L * 60 * 1000 // keep synthetic rows off hour boundaries
+      def rows(name: String, rs: Seq[(Long, Long, Long, String)]): Unit =
+        graft.streaming.EventStream.writeEventsFile(
+          rs.map { case (id, ts, uid, tpe) =>
+            (id, new java.sql.Timestamp(ts), uid, tpe, 0.0, "{}")
+          }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          dir, name)
+      val adv = maxMs + 3L * 3600 * 1000 + offMs
+      val late = maxMs - 10L * 3600 * 1000 + offMs
+      rows("b", Seq((900000001L, adv, 999997L, "click"),
+        (900000002L, adv, 999998L, "purchase")))
+      rows("c", Seq((900000003L, late, 999999L, "click"),
+        (900000004L, late + 10L * 60 * 1000, 999999L, "purchase")))
+      graft.streaming.EventStream.spaceFileMtimes(dir, Seq("a", "b", "c"))
+      val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val outDir = java.nio.file.Files.createTempDirectory("q284_out")
+        .resolve("join_out").toString
+      val q = graft.streaming.EventStream.purchaseAttribution(src).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.filter(_.numInputRows > 0)
+        .lastOption.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+      q.stop()
+      val sink = s.read.parquet(outDir)
+      val lateDropped = sink.filter(col("user_id") === 999999L).count() == 0L
+      sink
+        .select(col("user_id"), col("purchase_id"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("click_id"), col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          lit(lateDropped).as("late_dropped"), lit(stateRows).as("state_rows"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -2213,6 +2289,18 @@ object EventQueries {
         |  count(*) AS n, round(sum(value), 4) AS total_value,
         |  TRUE AS late_dropped, CAST(1 AS BIGINT) AS state_rows
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q77's inner attribution over the raw events AS IF the staged late
+    // pair never arrived — a leaked late row fails the hash; state pins
+    // to exactly the two unexpired advance rows
+    "q284_join_late" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  TRUE AS late_dropped, CAST(2 AS BIGINT) AS state_rows
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // one pass over the raw events — equality proves the streamed,
     // snapshot-committed, incrementally-refreshed view double-counted
     // nothing (the e4 lattice makes the sum order-free on both engines)

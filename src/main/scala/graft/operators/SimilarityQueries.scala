@@ -136,13 +136,12 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    /** Centroids stay in LONG form (label, dim, value) rather than one
-      * array<double> column per label: probed round 2 — the driver's
-      * pandas-hash comparator raises `unhashable type: numpy.ndarray` on
-      * array cells, so an ArrayType output would crash the whole
-      * correctness run. The array form is one
-      * `collect_list(struct(dim,c))`+`array_sort`+`transform` away and is
-      * exercised internally (d39/s43 signatures are array-typed). */
+    /** Centroid ARRAYS cross the driver comparator as canonical JSON
+      * (VERDICT r12 #5): raw array cells crash the pandas hasher
+      * (`unhashable type: numpy.ndarray`, probed round 2), so the
+      * dim-ordered integer-lattice centroid list serializes with
+      * to_json — the d270 signature-array contract, retiring this
+      * family's last long-form-only projection. */
     "s53_label_centroids" -> labelCentroids,
 
     /** Int8 scalar quantization — the 4× storage compression an ANN index
@@ -1700,17 +1699,32 @@ object SimilarityQueries {
       .orderBy("vec_id", "rank")
   }
 
-  /** Per-label centroid in long form (label, dim, centroid_val, n) —
-    * element-wise mean via posexplode + one aggregation. Long form keeps
-    * the output scalar-typed for engine-agnostic comparison; the array
-    * form is one collect_list away. */
+  /** Per-label centroid as an ARRAY, hash-gated through the driver
+    * comparator as canonical JSON (VERDICT r12 #5 — the d270 pattern
+    * extended to this last long-form array surface): element-wise mean
+    * via posexplode + one aggregation, re-assembled dim-ordered and
+    * serialized with to_json. The mean is computed on the e6 integer
+    * lattice (floor(v·10⁶) per element, integer sum, floor-mean — the
+    * kmeans-oracle floor-division pattern) so every array element is a
+    * LONG: integer JSON lists render byte-identically on both engines,
+    * where a double list would hit formatter divergence and summation-
+    * order last-ulp drift under an exact string compare. */
   private def labelCentroids: Q = (s, d) =>
     embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")))
       .toDF("label", "dim", "v")
+      .select(col("label"), col("dim"),
+        floor(col("v").cast("double") * 1000000.0).cast("long").as("v6"))
       .groupBy("label", "dim")
-      .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"), count(lit(1)).as("n"))
-      .orderBy("label", "dim")
+      .agg(floor(sum("v6").cast("double") / count(lit(1))).cast("long").as("cmicro"),
+        count(lit(1)).as("cnt"))
+      .groupBy("label")
+      .agg(
+        to_json(transform(
+          array_sort(collect_list(struct(col("dim"), col("cmicro")))),
+          e => e.getField("cmicro"))).as("centroid_micro"),
+        max("cnt").as("n"))
+      .orderBy("label")
 
   /** DuckDB replica of the full random-hyperplane LSH pipeline: the 16×64
     * plane constants are inlined as shortest-round-trip double literals
@@ -2396,14 +2410,25 @@ object SimilarityQueries {
         |  round(vmin, 6) AS "offset",
         |  round((vmax - vmin) / 255.0, 9) AS scale
         |FROM flat ORDER BY vec_id, dim""".stripMargin,
+    // e6-lattice floor-mean per (label, dim), re-listed dim-ordered and
+    // serialized as canonical JSON — integer lists render identically on
+    // both engines (the d270 contract)
     "s53_label_centroids" ->
       """WITH flat AS (
         |  SELECT label, CAST(g.i - 1 AS INTEGER) AS dim,
         |    CAST(embedding[g.i] AS DOUBLE) AS v
         |  FROM embeddings
-        |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(i))
-        |SELECT label, dim, round(avg(v), 6) AS centroid_val, count(*) AS n
-        |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS g(i)),
+        |pl AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS cmicro,
+        |    count(*) AS cnt
+        |  FROM flat GROUP BY 1, 2)
+        |SELECT label,
+        |  CAST(to_json(list(cmicro ORDER BY dim)) AS VARCHAR) AS centroid_micro,
+        |  max(cnt) AS n
+        |FROM pl GROUP BY label ORDER BY label""".stripMargin,
     // same hex-pair byte decomposition as the m46/t66 oracles, same
     // 64-segment mean pooling, same double-cast cosine as s42's oracle
     "s139_cross_modal" ->

@@ -81,7 +81,9 @@ class LineageSpec extends SparkSpec {
       // compacted/vacuumed, q278 reads back its streaming sink, q280 the
       // Z-ordered layout it wrote — all legitimately root at staged output
       "q277_compact_vacuum", "q278_late_data", "q280_zorder_pruning",
-      "q281_compact_inplace")
+      "q281_compact_inplace",
+      // round-13: q284 reads back its streaming join sink
+      "q284_join_late")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
