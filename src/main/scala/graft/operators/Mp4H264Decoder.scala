@@ -17,18 +17,29 @@ package graft
   *    slices, §7.3.5 / Table 7-11): raw 16×16 luma + 2×8×8 chroma
   *    samples, byte-aligned in the bitstream — LOSSLESS, so downstream
   *    features (frame mean luma, scene cuts) are integer-exact and
-  *    DuckDB-oracle-replicable, which no transform codec could offer.
+  *    DuckDB-oracle-replicable, which no transform codec could offer;
+  *  - (r13, VERDICT r12 #7) CAVLC-entropy-coded I_16x16 LUMA-DC-ONLY
+  *    macroblocks (mb_type 3, I_16x16_2_0_0): real §9.2 CAVLC
+  *    (coeff_token, trailing-one signs, level prefix/suffix with
+  *    escalation, total_zeros, run_before), inverse 4×4 Hadamard +
+  *    §8.5.10 scaling, §8.3.3.3 DC prediction — the smallest
+  *    entropy-coded subset of the standard with a CLOSED-FORM integer
+  *    inverse (all AC levels zero ⇒ flat per-4×4 residual), so the
+  *    integer-exact oracle contract carries over from I_PCM. VLC tables
+  *    transcribed from ITU-T Tables 9-5/9-7/9-10 and structurally
+  *    validated (prefix-free + Kraft-complete) in CavlcSpec.
   *
-  * What is NOT here, and fails loudly instead of approximately:
-  * entropy-coded residual macroblocks (CAVLC coefficient decoding, intra
-  * prediction, dequant/IDCT, deblocking) and CABAC. A transform-coded
-  * macroblock or a CABAC PPS throws UnsupportedOperationException with
-  * the reason, and [[MultimodalQueries.featurize]]'s fail-vs-skip ledger
-  * policy applies — the COVERAGE.md contract for payloads beyond the
-  * supported envelope. I_PCM is the one H.264 macroblock type whose
-  * payload is raw samples (the spec's escape hatch guaranteeing any
-  * encoder a worst-case bound), which makes it exactly the slice of the
-  * standard a dependency-free JVM can decode byte-exactly.
+  * What is NOT here, and fails loudly instead of approximately: AC
+  * residual decoding (CAVLC 2≤nC<8 contexts, intra 4×4/16×16 V/H/plane
+  * prediction, dequant/IDCT, deblocking) and CABAC. A macroblock outside
+  * the envelope or a CABAC PPS throws the typed [[UnsupportedMediaFeature]]
+  * with a stable reason code, and [[MultimodalQueries.featurize]]'s
+  * fail-vs-skip ledger policy applies — the COVERAGE.md contract for
+  * payloads beyond the supported envelope. I_PCM is the one H.264
+  * macroblock type whose payload is raw samples (the spec's escape hatch
+  * guaranteeing any encoder a worst-case bound); luma-DC-only I_16x16 is
+  * the one entropy-coded type whose inverse transform degenerates to a
+  * flat integer per 4×4 block.
   *
   * Reference analogue: none (the reference has no media path at all);
   * this extends the MediaDecoder family (ImageIoDecoder / WavDecoder /
@@ -177,8 +188,12 @@ object Mp4H264Decoder extends MediaDecoder {
     Sps(wMbs, hUnits, log2MaxFrameNum, pocType)
   }
 
-  /** §7.3.2.2 — rejects CABAC loudly (the honest boundary). */
-  private def parsePps(rbsp: Array[Byte]): Unit = {
+  private final case class Pps(picInitQp: Int)
+
+  /** §7.3.2.2 — rejects CABAC loudly (the honest boundary); parses
+    * through pic_init_qp_minus26, which the CAVLC residual path needs
+    * for the luma-DC dequantizer. */
+  private def parsePps(rbsp: Array[Byte]): Pps = {
     val r = new BitReader(rbsp)
     r.ue(); r.ue() // pps id, sps id
     val cabac = r.u(1)
@@ -190,8 +205,13 @@ object Mp4H264Decoder extends MediaDecoder {
     r.u(1) // bottom_field_pic_order_in_frame_present_flag
     val sliceGroups = r.ue() + 1
     require(sliceGroups == 1, "FMO slice groups unsupported")
-    // remaining PPS fields don't affect I_PCM decoding; deblocking-filter
-    // and QP fields are residual-path concerns
+    r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
+    r.u(1)         // weighted_pred_flag
+    r.u(2)         // weighted_bipred_idc
+    val picInitQp = 26 + r.se() // pic_init_qp_minus26
+    // pic_init_qs, chroma_qp_index_offset, deblocking/constrained/
+    // redundant flags: chroma- and loop-filter concerns, not parsed
+    Pps(picInitQp)
   }
 
   /** Decode one I slice into `yPlane` (§7.3.3 header, §7.3.4 data),
@@ -201,9 +221,19 @@ object Mp4H264Decoder extends MediaDecoder {
     * arrive in raster order with no gaps or overlap: `expectFirstMb`
     * is the next undecoded macroblock and a slice that does not start
     * there fails loudly (ASO/FMO are outside the supported subset).
-    * Returns the next expected macroblock index; throws loudly on any
-    * macroblock that is not I_PCM. */
-  private def decodeSlice(rbsp: Array[Byte], sps: Sps, idr: Boolean,
+    * Returns the next expected macroblock index.
+    *
+    * Macroblock envelope (r13 — the CAVLC notch, VERDICT r12 #7):
+    *  - mb_type 25, I_PCM: raw samples, byte-exact (as before);
+    *  - mb_type 3, I_16x16_2_0_0 (DC prediction, CodedBlockPatternLuma
+    *    = 0, CodedBlockPatternChroma = 0): the smallest ENTROPY-CODED
+    *    macroblock with a closed-form inverse — one CAVLC-coded
+    *    Intra16x16DCLevel block (§9.2), inverse 4×4 Hadamard + §8.5.10
+    *    scaling, flat per-4×4 residual (all AC zero), §8.3.3.3 DC
+    *    prediction. Integer-exact end to end, so the oracle contract
+    *    carries over from I_PCM;
+    *  - anything else throws the typed boundary as before. */
+  private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps, idr: Boolean,
       refIdc: Int, yPlane: Array[Byte], expectFirstMb: Int): Int = {
     val r = new BitReader(rbsp)
     val firstMb = r.ue()
@@ -224,36 +254,443 @@ object Mp4H264Decoder extends MediaDecoder {
     if (idr) { r.u(1); r.u(1) } // no_output_of_prior_pics, long_term_reference
     else if (refIdc != 0)
       r.u(1) // adaptive_ref_pic_marking_mode_flag (must be 0 for our subset)
-    r.se() // slice_qp_delta
+    var qpY = pps.picInitQp + r.se() // slice_qp_delta
     val w = sps.widthMbs * 16
     val nMbs = sps.widthMbs * sps.heightMbs
+    // per-4×4-luma-block TotalCoeff context for CAVLC nC (§9.2.1),
+    // uniform per MB in this subset: 0 (DC-only I_16x16 — its AC blocks
+    // carry no coefficients), 16 (I_PCM), −1 (outside this slice:
+    // neighbours in another slice are unavailable, §6.4.8)
+    val ctx = new Array[Int](nMbs)
+    java.util.Arrays.fill(ctx, -1)
     var mb = firstMb
     var first = true
     while (mb < nMbs && (first || r.moreRbspData)) {
       first = false
       val mbType = r.ue()
-      if (mbType != 25)
-        throw new UnsupportedMediaFeature("unsupported_macroblock",
-          s"macroblock $mb has mb_type $mbType (transform-coded) — this " +
-            "pure-JVM reader decodes the I_PCM subset of baseline; " +
-            "residual decoding needs CAVLC + intra prediction + IDCT")
-      r.alignToByte() // pcm_alignment_zero_bit*
       val mbX = (mb % sps.widthMbs) * 16
       val mbY = (mb / sps.widthMbs) * 16
-      var j = 0
-      while (j < 16) {
-        var i = 0
-        while (i < 16) {
-          yPlane((mbY + j) * w + mbX + i) = r.readByte().toByte
-          i += 1
+      if (mbType == 25) {
+        r.alignToByte() // pcm_alignment_zero_bit*
+        var j = 0
+        while (j < 16) {
+          var i = 0
+          while (i < 16) {
+            yPlane((mbY + j) * w + mbX + i) = r.readByte().toByte
+            i += 1
+          }
+          j += 1
         }
-        j += 1
+        var c = 0
+        while (c < 128) { r.readByte(); c += 1 } // Cb then Cr 8×8 (4:2:0)
+        ctx(mb) = 16 // §9.2.1: an I_PCM neighbour counts 16 coefficients
+      } else if (mbType == 3) { // I_16x16_2_0_0
+        r.ue() // intra_chroma_pred_mode (chroma planes are not emitted)
+        val dqp = r.se()
+        qpY = ((qpY + dqp) % 52 + 52) % 52
+        // nC from the left/top neighbour MBs (same slice only)
+        val hasA = (mb % sps.widthMbs) > 0 && ctx(mb - 1) >= 0
+        val hasB = mb - sps.widthMbs >= 0 && ctx(mb - sps.widthMbs) >= 0
+        val nC =
+          if (hasA && hasB) (ctx(mb - 1) + ctx(mb - sps.widthMbs) + 1) >> 1
+          else if (hasA) ctx(mb - 1)
+          else if (hasB) ctx(mb - sps.widthMbs)
+          else 0
+        val scanDc = Cavlc.residualBlock(r, nC) // 16 DC levels, scan order
+        // inverse zigzag into the 4×4 DC array (§8.5.6)
+        val c4 = Array.ofDim[Int](4, 4)
+        var k = 0
+        while (k < 16) {
+          val (zi, zj) = Cavlc.ZigZag(k)
+          c4(zi)(zj) = scanDc(k)
+          k += 1
+        }
+        val dcY = lumaDcDequant(c4, qpY)
+        // DC prediction (§8.3.3.3): mean of the 16 above + 16 left
+        // reconstructed edge samples, halved sets when one side is
+        // missing, 128 when neither — same-slice availability as nC
+        var predSum = 0L
+        var predCnt = 0
+        if (hasB) {
+          var i = 0
+          while (i < 16) { predSum += yPlane((mbY - 1) * w + mbX + i) & 0xff; i += 1 }
+          predCnt += 16
+        }
+        if (hasA) {
+          var j = 0
+          while (j < 16) { predSum += yPlane((mbY + j) * w + mbX - 1) & 0xff; j += 1 }
+          predCnt += 16
+        }
+        val pred =
+          if (predCnt == 32) ((predSum + 16) >> 5).toInt
+          else if (predCnt == 16) ((predSum + 8) >> 4).toInt
+          else 128
+        // all AC levels are zero (CBP luma 0), so each 4×4 block's
+        // residual is flat: r = (dcY + 32) >> 6 (§8.5.12 on a DC-only
+        // input passes the DC unchanged to all 16 positions)
+        var bj = 0
+        while (bj < 4) {
+          var bi = 0
+          while (bi < 4) {
+            val res = (dcY(bj)(bi) + 32) >> 6
+            val sample = math.max(0, math.min(255, pred + res))
+            var j = 0
+            while (j < 4) {
+              var i = 0
+              while (i < 4) {
+                yPlane((mbY + bj * 4 + j) * w + mbX + bi * 4 + i) = sample.toByte
+                i += 1
+              }
+              j += 1
+            }
+            bi += 1
+          }
+          bj += 1
+        }
+        ctx(mb) = 0 // AC blocks carry no coefficients in this subset
+      } else {
+        throw new UnsupportedMediaFeature("unsupported_macroblock",
+          s"macroblock $mb has mb_type $mbType — this pure-JVM reader " +
+            "decodes I_PCM (25) and CAVLC I_16x16 luma-DC-only (3) " +
+            "macroblocks; general residual decoding needs CAVLC AC + " +
+            "intra prediction modes + IDCT")
       }
-      var c = 0
-      while (c < 128) { r.readByte(); c += 1 } // Cb then Cr 8×8 (4:2:0)
       mb += 1
     }
     mb
+  }
+
+  /** §8.5.10: inverse 4×4 Hadamard on the luma DC array, then scaling —
+    * LevelScale4x4(m,0,0) = 16·normAdjust with the flat weight matrix. */
+  private def lumaDcDequant(c: Array[Array[Int]], qp: Int): Array[Array[Int]] = {
+    val h = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+      Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+    val t = Array.ofDim[Int](4, 4) // H · c
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        var s = 0
+        var k = 0
+        while (k < 4) { s += h(i)(k) * c(k)(j); k += 1 }
+        t(i)(j) = s
+        j += 1
+      }
+      i += 1
+    }
+    val f = Array.ofDim[Int](4, 4) // (H · c) · H
+    i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        var s = 0
+        var k = 0
+        while (k < 4) { s += t(i)(k) * h(k)(j); k += 1 }
+        f(i)(j) = s
+        j += 1
+      }
+      i += 1
+    }
+    val levelScale = 16 * Cavlc.NormAdjustDc(qp % 6)
+    val out = Array.ofDim[Int](4, 4)
+    i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        out(i)(j) =
+          if (qp >= 36) (f(i)(j) * levelScale) << (qp / 6 - 6)
+          else (f(i)(j) * levelScale + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ---- CAVLC (§9.2) for the I_16x16 luma-DC-only subset --------------------
+
+  /** CAVLC entropy coding of one residual block (§9.2), scoped to what
+    * the luma-DC-only subset can produce: coeff_token contexts 0 ≤ nC < 2
+    * (all-CAVLC pictures — every neighbour's AC blocks are empty) and
+    * nC ≥ 8 (I_PCM neighbours count 16), level prefix/suffix coding,
+    * total_zeros (4×4), run_before. The 2 ≤ nC < 8 context classes are
+    * UNREACHABLE in this subset (they need a neighbour with 1–7 coded AC
+    * coefficients) and fence loudly rather than risking a half-used
+    * table.
+    *
+    * VLC tables transcribed from ITU-T H.264 Table 9-5 / 9-7 / 9-10.
+    * CavlcTableSpec validates each table structurally (prefix-freeness;
+    * Kraft sums complete up to the spec's own documented holes) and the
+    * round-trip property (encode→decode identity over randomized level
+    * vectors) exercises every reachable codeword class; codewords no
+    * fixture reaches carry residual transcription risk, which a
+    * mismatch surfaces as a LOUD unrecognized-code failure, never a
+    * silent wrong sample. */
+  private[graft] object Cavlc {
+
+    /** 4×4 zigzag scan (§8.5.6): scan position → (row, col). */
+    val ZigZag: IndexedSeq[(Int, Int)] = Vector(
+      (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+      (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
+
+    /** normAdjust4x4(m, (0,0)) — the DC position's dequant factor. */
+    val NormAdjustDc: IndexedSeq[Int] = Vector(10, 11, 13, 14, 16, 18)
+
+    /** Table 9-5, 0 ≤ nC < 2: codeword → (TrailingOnes, TotalCoeff). */
+    val CoeffTokenNc01: Map[String, (Int, Int)] = Map(
+      "1" -> (0, 0),
+      "000101" -> (0, 1), "01" -> (1, 1),
+      "00000111" -> (0, 2), "000100" -> (1, 2), "001" -> (2, 2),
+      "000000111" -> (0, 3), "00000110" -> (1, 3),
+      "0000101" -> (2, 3), "00011" -> (3, 3),
+      "0000000111" -> (0, 4), "000000110" -> (1, 4),
+      "00000101" -> (2, 4), "000011" -> (3, 4),
+      "00000000111" -> (0, 5), "0000000110" -> (1, 5),
+      "000000101" -> (2, 5), "0000100" -> (3, 5),
+      "0000000001111" -> (0, 6), "00000000110" -> (1, 6),
+      "0000000101" -> (2, 6), "00000100" -> (3, 6),
+      "0000000001011" -> (0, 7), "0000000001110" -> (1, 7),
+      "00000000101" -> (2, 7), "000000100" -> (3, 7),
+      "0000000001000" -> (0, 8), "0000000001010" -> (1, 8),
+      "0000000001101" -> (2, 8), "0000000100" -> (3, 8),
+      "00000000001111" -> (0, 9), "00000000001110" -> (1, 9),
+      "0000000001001" -> (2, 9), "00000000100" -> (3, 9),
+      "00000000001011" -> (0, 10), "00000000001010" -> (1, 10),
+      "00000000001101" -> (2, 10), "0000000001100" -> (3, 10),
+      "000000000001111" -> (0, 11), "000000000001110" -> (1, 11),
+      "00000000001001" -> (2, 11), "00000000001100" -> (3, 11),
+      "000000000001011" -> (0, 12), "000000000001010" -> (1, 12),
+      "000000000001101" -> (2, 12), "00000000001000" -> (3, 12),
+      "0000000000001111" -> (0, 13), "000000000000001" -> (1, 13),
+      "000000000001001" -> (2, 13), "000000000001100" -> (3, 13),
+      "0000000000001011" -> (0, 14), "0000000000001110" -> (1, 14),
+      "0000000000001101" -> (2, 14), "000000000001000" -> (3, 14),
+      "0000000000000111" -> (0, 15), "0000000000001010" -> (1, 15),
+      "0000000000001001" -> (2, 15), "0000000000001100" -> (3, 15),
+      "0000000000000100" -> (0, 16), "0000000000000110" -> (1, 16),
+      "0000000000000101" -> (2, 16), "0000000000001000" -> (3, 16))
+
+    /** Table 9-7 (4×4 total_zeros): column = TotalCoeff 1..15, row =
+      * total_zeros value, entry = codeword. */
+    val TotalZeros: IndexedSeq[IndexedSeq[String]] = Vector(
+      Vector(), // TotalCoeff 0: never parsed
+      Vector("1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+        "000000010", "000000001"),
+      Vector("111", "110", "101", "100", "011", "0101", "0100", "0011",
+        "0010", "00011", "00010", "000011", "000010", "000001", "000000"),
+      Vector("0101", "111", "110", "101", "0100", "0011", "100", "011",
+        "0010", "00011", "00010", "000001", "00001", "000000"),
+      Vector("00011", "111", "0101", "0100", "110", "101", "100", "0011",
+        "011", "0010", "00010", "00001", "00000"),
+      Vector("0101", "0100", "0011", "111", "110", "101", "100", "011",
+        "0010", "00001", "0001", "00000"),
+      Vector("000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"),
+      Vector("000001", "00001", "101", "100", "011", "11", "010", "0001",
+        "001", "000000"),
+      Vector("000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"),
+      Vector("000001", "000000", "0001", "11", "10", "001", "01", "00001"),
+      Vector("00001", "00000", "001", "11", "10", "01", "0001"),
+      Vector("0000", "0001", "001", "010", "1", "011"),
+      Vector("0000", "0001", "01", "1", "001"),
+      Vector("000", "001", "1", "01"),
+      Vector("00", "01", "1"),
+      Vector("0", "1"))
+
+    /** Table 9-10 (run_before): column = min(zerosLeft, 7), row = run. */
+    val RunBefore: IndexedSeq[IndexedSeq[String]] = Vector(
+      Vector(), // zerosLeft 0: never parsed
+      Vector("1", "0"),
+      Vector("1", "01", "00"),
+      Vector("11", "10", "01", "00"),
+      Vector("11", "10", "01", "001", "000"),
+      Vector("11", "10", "011", "010", "001", "000"),
+      Vector("11", "000", "001", "011", "010", "101", "100"),
+      Vector("111", "110", "101", "100", "011", "010", "001", "0001",
+        "00001", "000001", "0000001", "00000001", "000000001",
+        "0000000001", "00000000001"))
+
+    private def readVlc[T](r: BitReader, table: Map[String, T],
+        what: String): T = {
+      val sb = new StringBuilder
+      while (sb.length < 17) {
+        sb.append(if (r.u(1) == 1) '1' else '0')
+        table.get(sb.toString) match {
+          case Some(v) => return v
+          case None => ()
+        }
+      }
+      throw new IllegalArgumentException(
+        s"unrecognized $what VLC codeword '$sb' — corrupt bitstream")
+    }
+
+    private def asMap(col: IndexedSeq[String]): Map[String, Int] =
+      col.zipWithIndex.toMap
+
+    /** Parse coeff_token (§9.2.1) in context nC. */
+    def coeffToken(r: BitReader, nC: Int): (Int, Int) =
+      if (nC < 2) readVlc(r, CoeffTokenNc01, "coeff_token(nC<2)")
+      else if (nC >= 8) {
+        val code = r.u(6)
+        val tt = if (code == 3) (0, 0) else (code & 3, (code >> 2) + 1)
+        require(tt._1 <= math.min(3, tt._2),
+          s"invalid coeff_token fixed code $code")
+        tt
+      } else
+        throw new UnsupportedMediaFeature("cavlc_context",
+          s"coeff_token context nC=$nC needs the 2≤nC<8 VLC tables — " +
+            "unreachable in the luma-DC-only subset (a neighbour with " +
+            "1..7 coded AC coefficients is outside it)")
+
+    /** §9.2: one residual block, maxNumCoeff = 16. Returns the 16
+      * coefficient levels in SCAN order (zigzag position → level). */
+    def residualBlock(r: BitReader, nC: Int): Array[Int] = {
+      val out = new Array[Int](16)
+      val (t1, total) = coeffToken(r, nC)
+      if (total == 0) return out
+      // trailing-one signs, then levels (§9.2.2)
+      val levels = new Array[Int](total)
+      var i = 0
+      while (i < t1) {
+        levels(i) = 1 - 2 * r.u(1)
+        i += 1
+      }
+      var suffixLength = if (total > 10 && t1 < 3) 1 else 0
+      while (i < total) {
+        var prefix = 0
+        while (r.u(1) == 0) {
+          prefix += 1
+          require(prefix <= 15,
+            "level_prefix > 15 — levels beyond the subset's magnitude cap")
+        }
+        val suffixSize =
+          if (prefix == 14 && suffixLength == 0) 4
+          else if (prefix == 15) 12 // prefix − 3; prefix > 15 fenced above
+          else suffixLength
+        var levelCode = (math.min(15, prefix) << suffixLength) +
+          (if (suffixSize > 0) r.u(suffixSize) else 0)
+        if (prefix >= 15 && suffixLength == 0) levelCode += 15
+        if (i == t1 && t1 < 3) levelCode += 2
+        levels(i) =
+          if (levelCode % 2 == 0) (levelCode + 2) >> 1
+          else -((levelCode + 1) >> 1)
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+          suffixLength += 1
+        i += 1
+      }
+      // total_zeros (§9.2.3) + run_before placement (§9.2.4)
+      val totalZeros =
+        if (total == 16) 0
+        else readVlc(r, asMap(TotalZeros(total)), s"total_zeros(T=$total)")
+      var zerosLeft = totalZeros
+      var coeffNum = total + totalZeros - 1
+      i = 0
+      while (i < total) {
+        val run =
+          if (i == total - 1) zerosLeft
+          else if (zerosLeft > 0)
+            readVlc(r, asMap(RunBefore(math.min(zerosLeft, 7))),
+              s"run_before(zl=$zerosLeft)")
+          else 0
+        val (zi, zj) = (coeffNum, levels(i))
+        out(zi) = zj
+        coeffNum -= run + 1
+        zerosLeft -= run
+        i += 1
+      }
+      require(zerosLeft == 0 && coeffNum == -1,
+        "run_before values inconsistent with total_zeros")
+      out
+    }
+
+    // ---- encoder half (fixture synthesis) ----------------------------------
+
+    private lazy val CoeffTokenNc01Enc: Map[(Int, Int), String] =
+      CoeffTokenNc01.map(_.swap)
+
+    /** Encode one residual block from SCAN-ordered levels (§9.2 inverse).
+      * The encoder mirrors the decoder's context/state machine exactly;
+      * the CavlcTableSpec round-trip property pins the pair. */
+    def writeResidualBlock(w: BitWriter, scan: Array[Int], nC: Int): Unit = {
+      require(scan.length == 16, "scan array must have 16 positions")
+      val nz = scan.indices.filter(scan(_) != 0)
+      val total = nz.length
+      val totalZeros = if (total == 0) 0 else nz.last + 1 - total
+      // levels in decode order: highest scan position first
+      val levels = nz.reverse.map(scan(_)).toArray
+      var t1 = 0
+      while (t1 < math.min(3, total) && math.abs(levels(t1)) == 1) t1 += 1
+      // coeff_token
+      if (nC < 2)
+        writeBits(w, CoeffTokenNc01Enc.getOrElse((t1, total),
+          sys.error(s"no coeff_token code for T1=$t1 T=$total")))
+      else if (nC >= 8) {
+        val code = if (total == 0) 3 else 4 * (total - 1) + t1
+        w.u(code, 6)
+      } else sys.error(s"encoder: context nC=$nC outside subset")
+      if (total == 0) return
+      var i = 0
+      while (i < t1) { w.u(if (levels(i) < 0) 1 else 0, 1); i += 1 }
+      var suffixLength = if (total > 10 && t1 < 3) 1 else 0
+      while (i < total) {
+        val level = levels(i)
+        var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+        if (i == t1 && t1 < 3) {
+          require(math.abs(level) >= 2,
+            "first non-trailing-one level must have |level| >= 2")
+          levelCode -= 2
+        }
+        if (suffixLength == 0) {
+          if (levelCode < 14) w.u(1, levelCode + 1) // prefix zeros + 1
+          else if (levelCode < 30) { w.u(1, 15); w.u(levelCode - 14, 4) }
+          else { // prefix 15 escape: decoder adds the +15 correction
+            require(levelCode - 30 < 4096, "level beyond cap")
+            w.u(1, 16); w.u(levelCode - 30, 12) }
+        } else {
+          val prefix = levelCode >> suffixLength
+          if (prefix < 15) {
+            w.u(1, prefix + 1)
+            w.u(levelCode & ((1 << suffixLength) - 1), suffixLength)
+          } else { require(levelCode - (15 << suffixLength) < 4096,
+            "level beyond cap")
+            w.u(1, 16); w.u(levelCode - (15 << suffixLength), 12) }
+        }
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+          suffixLength += 1
+        i += 1
+      }
+      if (total < 16)
+        writeBits(w, TotalZeros(total)(totalZeros))
+      var zerosLeft = totalZeros
+      i = 0
+      while (i < total - 1 && zerosLeft > 0) {
+        // run of zeros between this coeff and the next lower one
+        val run = nz(total - 1 - i) - nz(total - 2 - i) - 1
+        writeBits(w, RunBefore(math.min(zerosLeft, 7))(run))
+        zerosLeft -= run
+        i += 1
+      }
+    }
+
+    private def writeBits(w: BitWriter, code: String): Unit =
+      code.foreach(c => w.u(if (c == '1') 1 else 0, 1))
+
+    /** Test hook (CavlcSpec's round-trip property): encode `scan` in
+      * context `encodeNc`, then decode the produced bits back in
+      * `decodeNc` (defaults to the same context; a differing decode
+      * context exercises the decoder's own fences). */
+    private[graft] def roundTrip(scan: Array[Int], encodeNc: Int,
+        decodeNc: Int = -1): Array[Int] = {
+      val w = new BitWriter
+      writeResidualBlock(w, scan, encodeNc)
+      w.trailing() // byte-align so the bit buffer flushes
+      residualBlock(new BitReader(w.bytes),
+        if (decodeNc < 0) encodeNc else decodeNc)
+    }
   }
 
   // ---- MP4 (ISO BMFF) demux ----------------------------------------------
@@ -285,7 +722,7 @@ object Mp4H264Decoder extends MediaDecoder {
     None
   }
 
-  private final case class Mp4Track(sps: Sps, spsRbsp: Array[Byte],
+  private final case class Mp4Track(sps: Sps, pps: Pps, spsRbsp: Array[Byte],
       ppsRbsp: Array[Byte], nalLengthSize: Int, samples: Seq[(Long, Int)])
 
   /** Demux the (single) AVC video track: decoder config from stsd/avcC,
@@ -350,7 +787,7 @@ object Mp4H264Decoder extends MediaDecoder {
     val spsRbsp = unescapeRbsp(spsNal, 1)
     val ppsRbsp = unescapeRbsp(ppsNal, 1)
     val sps = parseSps(spsRbsp)
-    parsePps(ppsRbsp)
+    val pps = parsePps(ppsRbsp)
     // sample sizes (stsz)
     val (szS, _) = findBox(b, sbS, sbE, "stsz").getOrElse(sys.error("no stsz"))
     val fixedSize = be32(b, szS + 4)
@@ -394,7 +831,7 @@ object Mp4H264Decoder extends MediaDecoder {
     }
     require(samples.length == nSamples,
       s"chunk tables cover ${samples.length} of $nSamples samples")
-    Some(Mp4Track(sps, spsRbsp, ppsRbsp, nalLengthSize, samples.toSeq))
+    Some(Mp4Track(sps, pps, spsRbsp, ppsRbsp, nalLengthSize, samples.toSeq))
   }
 
   // ---- public decode surface ----------------------------------------------
@@ -405,6 +842,7 @@ object Mp4H264Decoder extends MediaDecoder {
   def framesY(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
     val t = demux(bytes)
     var sps = t.sps
+    var pps = t.pps
     t.samples.map { case (off, size) =>
       val w = sps.widthMbs * 16
       val h = sps.heightMbs * 16
@@ -422,9 +860,10 @@ object Mp4H264Decoder extends MediaDecoder {
         val nalType = nal(0) & 0x1f
         nalType match {
           case 7 => sps = parseSps(unescapeRbsp(nal, 1)) // in-band SPS
-          case 8 => parsePps(unescapeRbsp(nal, 1))       // in-band PPS
+          case 8 => pps = parsePps(unescapeRbsp(nal, 1)) // in-band PPS
           case 5 | 1 =>
-            nextMb = decodeSlice(unescapeRbsp(nal, 1), sps, idr = nalType == 5,
+            nextMb = decodeSlice(unescapeRbsp(nal, 1), sps, pps,
+              idr = nalType == 5,
               refIdc = (nal(0) >> 5) & 3, y, expectFirstMb = nextMb)
             decoded = true
           case _ => () // SEI/AUD/filler: ignored
@@ -574,6 +1013,85 @@ object Mp4H264Decoder extends MediaDecoder {
       while (c < 128) { w.u(128, 8); c += 1 } // Cb, Cr: neutral
       mb += 1
     }
+  }
+
+  /** Per-macroblock content for the mixed-envelope slice builder:
+    * either raw I_PCM luma (width 16×16 bytes taken from the shared Y
+    * plane) or the 16 SCAN-ORDERED luma-DC coefficient levels of a
+    * CAVLC I_16x16_2_0_0 macroblock. */
+  private[graft] sealed trait MbSpec
+  private[graft] final case class PcmMb(gray: Int) extends MbSpec
+  private[graft] final case class DcMb(scanLevels: Array[Int]) extends MbSpec
+
+  /** One IDR slice over an arbitrary I_PCM / CAVLC-DC macroblock mix —
+    * the encoder twin of the r13 decode envelope. Tracks the CAVLC nC
+    * context exactly as the decoder does (0 for DC-only MBs, 16 for
+    * I_PCM, unavailable outside the slice). `qp` is the luma QP the
+    * slice header establishes (pic_init_qp is 26 in [[buildPps]]). */
+  private def buildMixedSlice(widthMbs: Int, heightMbs: Int, qp: Int,
+      mbs: Seq[MbSpec]): Array[Byte] = {
+    require(mbs.length == widthMbs * heightMbs, "one MbSpec per macroblock")
+    require(qp >= 0 && qp <= 51, s"qp $qp outside 0..51")
+    val w = new BitWriter
+    w.ue(0)    // first_mb_in_slice
+    w.ue(7)    // slice_type: I
+    w.ue(0)    // pps id
+    w.u(0, 4)  // frame_num
+    w.ue(0)    // idr_pic_id
+    w.u(0, 1); w.u(0, 1) // no_output_of_prior_pics, long_term_reference
+    w.se(qp - 26) // slice_qp_delta (pic_init_qp = 26)
+    val ctx = Array.fill(mbs.length)(-1)
+    mbs.zipWithIndex.foreach {
+      case (PcmMb(gray), mb) =>
+        w.ue(25)
+        w.alignZero()
+        var i = 0
+        while (i < 256) { w.u(gray & 0xff, 8); i += 1 }
+        i = 0
+        while (i < 128) { w.u(128, 8); i += 1 }
+        ctx(mb) = 16
+      case (DcMb(scan), mb) =>
+        w.ue(3)  // I_16x16_2_0_0: DC pred, CBP luma 0, CBP chroma 0
+        w.ue(0)  // intra_chroma_pred_mode: DC
+        w.se(0)  // mb_qp_delta
+        val hasA = (mb % widthMbs) > 0 && ctx(mb - 1) >= 0
+        val hasB = mb - widthMbs >= 0 && ctx(mb - widthMbs) >= 0
+        val nC =
+          if (hasA && hasB) (ctx(mb - 1) + ctx(mb - widthMbs) + 1) >> 1
+          else if (hasA) ctx(mb - 1)
+          else if (hasB) ctx(mb - widthMbs)
+          else 0
+        Cavlc.writeResidualBlock(w, scan, nC)
+        ctx(mb) = 0
+    }
+    w.trailing()
+    w.bytes
+  }
+
+  /** A REAL MP4 whose frames are CAVLC-coded I_16x16 luma-DC-only
+    * pictures (mb_type 3) at luma QP `qp`: frame f's macroblock m
+    * carries the 16 zigzag-scan-ordered DC coefficient levels
+    * `frames(f)(m)`. The smallest entropy-coded H.264 subset with a
+    * closed-form integer inverse — the r13 boundary notch past I_PCM. */
+  def syntheticMp4CavlcDc(width: Int, height: Int, qp: Int,
+      frames: Seq[Seq[Array[Int]]]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0, "dims must be MB-aligned")
+    val wMbs = width / 16
+    val hMbs = height / 16
+    packMp4(width, height, frames.map { mbs =>
+      nal(3, 5, buildMixedSlice(wMbs, hMbs, qp, mbs.map(DcMb(_))))
+    })
+  }
+
+  /** A REAL MP4 mixing I_PCM and CAVLC-DC macroblocks in one picture —
+    * the fixture that exercises the nC ≥ 8 coeff_token context (an
+    * I_PCM neighbour counts 16 coefficients, so a CAVLC MB beside or
+    * below one parses its DC block with nC ∈ {8, 16}). */
+  private[graft] def syntheticMp4MixedPcmCavlc(width: Int, height: Int,
+      qp: Int, mbs: Seq[MbSpec]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0, "dims must be MB-aligned")
+    packMp4(width, height,
+      Seq(nal(3, 5, buildMixedSlice(width / 16, height / 16, qp, mbs))))
   }
 
   /** A REAL MP4 whose single sample is a DISPOSABLE non-IDR I_PCM frame

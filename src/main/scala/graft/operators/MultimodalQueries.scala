@@ -732,6 +732,69 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** CAVLC luma-DC decode gate (VERDICT r12 #7 — the boundary pushed
+      * one honest notch past I_PCM): a corpus of REAL MP4/H.264 payloads
+      * whose macroblocks are ENTROPY-CODED (CAVLC Intra16x16DCLevel,
+      * mb_type 3) rather than raw samples. Class 0 exercises the basic
+      * coeff_token/level path + §8.5.10 scaling below qp 36; class 1 the
+      * qp ≥ 36 shift path, negative levels, and multi-frame samples;
+      * class 2 a MIXED I_PCM + CAVLC picture (the nC ≥ 8 coeff_token
+      * context — an I_PCM neighbour counts 16 coefficients — plus
+      * DC prediction from decoded neighbour edges); class 3 keeps the
+      * CABAC fence quarantined. Per-frame mean lumas cross the
+      * comparator as canonical JSON (the d270 contract); the oracle
+      * derives every value from the fixture synthesis arithmetic —
+      * §8.5.10/§8.5.12/§8.3.3.3 applied by hand, literals inline — so
+      * hash equality proves bitstream → samples equals spec math.
+      *
+      * Scale shape: m279's — per-class decode in one typed mapPartitions
+      * scan, scalars out, broadcast join back. */
+    "m285_cavlc_dc" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), (col("doc_id") % 4).as("cls"))
+      val per = docs.select("cls").distinct().as[Long]
+        .mapPartitions { it =>
+          it.map { cls =>
+            def dc(v: Int): Array[Int] = {
+              val a = new Array[Int](16); a(0) = v; a
+            }
+            val payload: Array[Byte] = cls match {
+              case 0L =>
+                // qp 28: dcY = (5·256+2)>>2 = 320, r = 5 → flat 133
+                graft.Mp4H264Decoder.syntheticMp4CavlcDc(16, 16, 28,
+                  Seq(Seq(dc(5))))
+              case 1L =>
+                // qp 40 (≥36 shift path): dcY = ±6·256 → r = ±24 →
+                // frames 152 and 104
+                graft.Mp4H264Decoder.syntheticMp4CavlcDc(16, 16, 40,
+                  Seq(Seq(dc(6)), Seq(dc(-6))))
+              case 2L =>
+                // PCM(200) | DC / DC | DC at qp 28: preds 128/200/200/205
+                // → blocks 200, 205, 205, 210 → frame mean 205
+                graft.Mp4H264Decoder.syntheticMp4MixedPcmCavlc(32, 32, 28,
+                  Seq(graft.Mp4H264Decoder.PcmMb(200),
+                    graft.Mp4H264Decoder.DcMb(dc(5)),
+                    graft.Mp4H264Decoder.DcMb(dc(5)),
+                    graft.Mp4H264Decoder.DcMb(dc(5))))
+              case _ =>
+                graft.Mp4H264Decoder.syntheticMp4CabacProbe(16, 16)
+            }
+            try {
+              val lumas = graft.Mp4H264Decoder.frameMeanLumas(payload)
+              (cls, "ok", "", lumas.length.toLong,
+                lumas.mkString("[", ",", "]"))
+            } catch {
+              case e: graft.UnsupportedMediaFeature =>
+                (cls, "quarantined", e.reason, -1L, "[]")
+            }
+          }
+        }.toDF("cls", "status", "reason", "n_frames", "lumas_json")
+      docs.join(broadcast(per), "cls")
+        .select("doc_id", "status", "reason", "n_frames", "lumas_json")
+        .orderBy("doc_id")
+    }),
+
     "m136_media_near_dup" -> ((s, d) => {
       val hashed = documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
@@ -967,6 +1030,25 @@ object MultimodalQueries {
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 60
         |            WHEN doc_id % 4 = 3 THEN 180 ELSE -1 END AS BIGINT)
         |    AS mean_luma
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    // every literal derives from the fixture synthesis arithmetic:
+    // cls 0 → qp 28, c00 = 5: dcY = (5·16·16·16 + 2) >> 2 = 320,
+    //   r = (320+32)>>6 = 5, pred 128 → flat 133;
+    // cls 1 → qp 40 (≥36 shift): dcY = ±6·256, r = ±24 → 152 then 104;
+    // cls 2 → PCM 200 + three DC(5) MBs: preds 128(PCM raw)/200/200/205
+    //   → blocks 200,205,205,210 → 32×32 mean 205;
+    // cls 3 → CABAC PPS stays behind the typed fence
+    "m285_cavlc_dc" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'cabac' ELSE '' END AS reason,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2
+        |            WHEN doc_id % 4 = 3 THEN -1 ELSE 1 END AS BIGINT)
+        |    AS n_frames,
+        |  CASE WHEN doc_id % 4 = 0 THEN '[133]'
+        |       WHEN doc_id % 4 = 1 THEN '[152,104]'
+        |       WHEN doc_id % 4 = 2 THEN '[205]'
+        |       ELSE '[]' END AS lumas_json
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
     // the oracle recomputes the EXACT fingerprint from the synthetic
     // PCM formula sample(i) = ((seed + 997 i) mod 65536) - 32768 — the
