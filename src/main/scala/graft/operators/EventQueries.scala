@@ -614,6 +614,78 @@ object EventQueries {
         .orderBy("purchase_id", "click_id")
     }),
 
+    /** Stream-stream LEFT-OUTER join emission gate (q284's sibling —
+      * the OTHER half of the streaming-join contract): unattributed
+      * purchases must emit with null click columns, but only once the
+      * watermark PROVES no qualifying click can still arrive — i.e. in
+      * a LATER micro-batch than the purchase itself. Batch 1 streams
+      * the real events: matched pairs emit immediately (inner-match
+      * semantics), unmatched purchases go to state. Batch 2's advance
+      * rows push the click watermark past every base purchase_ts, so
+      * the engine flushes every remaining unmatched purchase (in batch
+      * 2 or the watermark-triggered empty batch 3). foreachBatch tags
+      * each sink row with its batch id, turning the timing contract
+      * into data: `matched_immediate` pins every matched row to batch
+      * 0, `outer_after_watermark` pins every null-click row to a batch
+      * ≥ 1. The advance purchase itself stays in state (the watermark
+      * never passes it) and must NOT appear — the oracle is q77's
+      * batch left join over the raw events alone, so an early, missing,
+      * or phantom outer row fails the hash.
+      *
+      * Scale shape: q284's — user_id-sharded join state, event-time
+      * eviction; outer emission adds no state beyond the inner case. */
+    "q286_join_outer" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("q286_src")
+      graft.streaming.EventStream.stageEvents(s, d, dir, "a")
+      val maxMs = events(s, d)
+        .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
+        .ceil.toLong * 1000L
+      val adv = maxMs + 3L * 3600 * 1000 + 7L * 60 * 1000
+      graft.streaming.EventStream.writeEventsFile(
+        Seq((900000001L, new java.sql.Timestamp(adv), 999997L, "click", 0.0, "{}"),
+          (900000002L, new java.sql.Timestamp(adv), 999998L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        dir, "b")
+      graft.streaming.EventStream.spaceFileMtimes(dir, Seq("a", "b"))
+      val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val outDir = java.nio.file.Files.createTempDirectory("q286_out")
+        .resolve("join_out").toString
+      val q = graft.streaming.EventStream
+        .purchaseAttribution(src, "left_outer").writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = s.read.parquet(outDir)
+        .filter(col("user_id") =!= 999998L) // advance purchase must be absent anyway
+      val matchedImmediate = sink
+        .filter(col("click_id").isNotNull && col("batch_id") =!= 0L).count() == 0L
+      val outerGated = sink
+        .filter(col("click_id").isNull && col("batch_id") === 0L).count() == 0L
+      val advanceUnflushed =
+        s.read.parquet(outDir).filter(col("user_id") === 999998L).count() == 0L
+      sink
+        .select(col("user_id"), col("purchase_id"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_ts"), lit("1970-01-01 00:00:00").cast("timestamp"))
+            .cast("timestamp_ntz").as("click_ts"),
+          lit(matchedImmediate).as("matched_immediate"),
+          lit(outerGated).as("outer_after_watermark"),
+          lit(advanceUnflushed).as("advance_unflushed"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -2289,6 +2361,21 @@ object EventQueries {
         |  count(*) AS n, round(sum(value), 4) AS total_value,
         |  TRUE AS late_dropped, CAST(1 AS BIGINT) AS state_rows
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q77's batch left join over the raw events alone: the streamed
+    // outer rows must appear exactly once each (flushed only after the
+    // watermark passed), the matched rows exactly as the inner case,
+    // and the advance purchase not at all; batch-id claims pin WHEN
+    "q286_join_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  coalesce(c.event_id, -1) AS click_id,
+        |  coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+        |  TRUE AS matched_immediate, TRUE AS outer_after_watermark,
+        |  TRUE AS advance_unflushed
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // q77's inner attribution over the raw events AS IF the staged late
     // pair never arrived — a leaked late row fails the hash; state pins
     // to exactly the two unexpired advance rows

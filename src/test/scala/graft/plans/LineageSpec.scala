@@ -82,8 +82,8 @@ class LineageSpec extends SparkSpec {
       // Z-ordered layout it wrote — all legitimately root at staged output
       "q277_compact_vacuum", "q278_late_data", "q280_zorder_pruning",
       "q281_compact_inplace",
-      // round-13: q284 reads back its streaming join sink
-      "q284_join_late")
+      // round-13: q284/q286 read back their streaming join sinks
+      "q284_join_late", "q286_join_outer")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
