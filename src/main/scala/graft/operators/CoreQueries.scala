@@ -967,6 +967,135 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Deletion-vector row deletes, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.deleteWhereDV]] — the
+      * position-delete design every current lakehouse format ships):
+      * two stacked DV deletes commit WITHOUT touching a single data
+      * file (claim: the data-file list is bit-identical across both
+      * deletes, with DV sidecars added), the pre-delete snapshot stays
+      * fully readable (time-travel claim), and OPTIMIZE folds the
+      * accumulated addresses into rewritten files, returning the table
+      * to the DV-free fast read path (claims: zero DV lines after
+      * compaction, aggregates identical across the fold). The final
+      * read-back hashes against the oracle's direct NOT-predicate
+      * recompute over the raw table — a DV must behave exactly like
+      * the delete it encodes, only cheaper.
+      *
+      * Scale shape: THE small-delete contract at 100 TB —
+      * [[graft.sources.SnapshotTable.deleteWhere]] re-stages every
+      * partition a match lives in (one matching row per partition =
+      * full table rewrite); a DV pays one address scan plus
+      * delete-sized sidecar bytes, and readers pay one delete-sized
+      * anti-join (AQE-broadcast in the common case) until compaction
+      * folds it away. */
+    "q287_delete_vectors" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_dv_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      // two halves → every partition holds ≥2 files, so the final
+      // OPTIMIZE rewrites every partition and must fold ALL DVs away
+      SnapshotTable.write(s, dir.toString,
+        base.filter(col("l_quantity") <= 25.0), "l_returnflag")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("l_quantity") > 25.0), "l_returnflag")
+      val (_, f0, _) = SnapshotTable.latestFull(s, dir.toString).get
+      val del1 = col("l_quantity") < 10.0 || col("l_orderkey") % 13 === 0
+      val (_, n1) = SnapshotTable.deleteWhereDV(s, dir.toString, del1)
+      val (_, f1, dv1) = SnapshotTable.latestFull(s, dir.toString).get
+      val (_, n2) = SnapshotTable.deleteWhereDV(s, dir.toString,
+        col("l_quantity") > 45.0)
+      val (_, f2, dv2) = SnapshotTable.latestFull(s, dir.toString).get
+      val noRewrite = f0 == f1 && f1 == f2 &&
+        dv1.nonEmpty && dv2.size > dv1.size
+      val baseCount = base.count()
+      val v2Intact = // pre-delete snapshot unaffected by later DVs
+        SnapshotTable.read(s, dir.toString, Some(2L)).count() == baseCount
+      def aggOf(v: Long): Map[String, (Long, Long)] =
+        SnapshotTable.read(s, dir.toString, Some(v))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("q"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val preFold = aggOf(4L)
+      val (foldV, _) = SnapshotTable.compact(s, dir.toString, "l_returnflag")
+      val (_, _, dvAfter) = SnapshotTable.latestFull(s, dir.toString).get
+      val folded = dvAfter.isEmpty && aggOf(foldV) == preFold
+      SnapshotTable.read(s, dir.toString)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(n1 + n2).as("deleted_rows"),
+          lit(foldV).as("final_version"),
+          lit(noRewrite).as("no_file_rewrite"),
+          lit(v2Intact).as("old_snapshot_intact"),
+          lit(folded).as("dv_folded"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Add-column schema evolution at the SNAPSHOT layer — the
+      * "SnapshotTable direction" q262's plain-parquet mergeSchema gate
+      * names as the production path (there the merged schema comes from
+      * per-file footer union; here the manifest bounds the file set and
+      * time travel pins WHEN the column appeared): an append
+      * whose frame carries a NEW column commits as pure metadata — no
+      * existing file is rewritten — and the merged read surfaces the
+      * column as null for every pre-evolution row (count(new_col)
+      * counts exactly the appended rows). Time travel to the
+      * pre-evolution snapshot must NOT show the column (claim: v1's
+      * schema is the original column set — evolution is a property of
+      * the data added, not a retroactive rewrite). Hashes against the
+      * oracle's UNION ALL of the base slice with the evolved slice.
+      *
+      * Scale shape: add-column on a 100 TB table is one manifest
+      * commit; parquet footers carry per-file schemas, so the merge is
+      * planning-time work, never a data pass. */
+    "q289_schema_evolution" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_se_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      SnapshotTable.write(s, dir.toString, base, "o_orderstatus")
+      val (_, f1, _) = SnapshotTable.latestFull(s, dir.toString).get
+      val evolved = orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          length(col("o_orderpriority")).cast("long").as("priority_len"))
+      SnapshotTable.append(s, dir.toString, evolved, "o_orderstatus")
+      val (_, f2, _) = SnapshotTable.latestFull(s, dir.toString).get
+      val noRewrite = f1.forall(f2.contains) // old files carried untouched
+      val v1Cols = SnapshotTable.read(s, dir.toString, Some(1L)).columns.toSet
+      val v1Unevolved = !v1Cols.contains("priority_len") &&
+        v1Cols == Set("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.read(s, dir.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 4).as("sum_price"),
+          count(col("priority_len")).as("evolved_rows"),
+          coalesce(sum("priority_len"), lit(0L)).as("sum_priority_len"))
+        .select(col("o_orderstatus"), col("n_rows"), col("sum_price"),
+          col("evolved_rows"), col("sum_priority_len"),
+          lit(noRewrite).as("no_file_rewrite"),
+          lit(v1Unevolved).as("v1_unevolved"))
+        .orderBy("o_orderstatus")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -2260,6 +2389,49 @@ object CoreQueries {
     // (base ∪ the three append slices); the file-count/version columns
     // are hard integers (3 partitions → 3 files, write+3 appends+compact
     // → version 5) and the maintenance claims are oracle-asserted TRUE
+    // a deletion vector must behave exactly like the delete it encodes —
+    // the oracle recomputes the survivors with plain NOT predicates; the
+    // deleted count is base minus kept, the version ladder is hard
+    // (write, append, DV, DV, compact → 5), and the no-rewrite /
+    // time-travel / fold claims are oracle-asserted TRUE
+    "q287_delete_vectors" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (l_quantity < 10.0 OR l_orderkey % 13 = 0)
+        |    AND NOT (l_quantity > 45.0))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST((SELECT count(*) FROM base) - (SELECT count(*) FROM kept)
+        |    AS BIGINT) AS deleted_rows,
+        |  CAST(5 AS BIGINT) AS final_version,
+        |  TRUE AS no_file_rewrite,
+        |  TRUE AS old_snapshot_intact,
+        |  TRUE AS dv_folded
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // add-column evolution: the merged table is the base slice UNION ALL
+    // the evolved slice; pre-evolution rows surface the new column as
+    // NULL (count(new_col) counts exactly the appended rows), and the
+    // no-rewrite / old-schema claims are oracle-asserted TRUE
+    "q289_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(NULL AS BIGINT) AS priority_len
+        |  FROM orders),
+        |evolved AS (
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+        |    CAST(length(o_orderpriority) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM evolved)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  CAST(count(priority_len) AS BIGINT) AS evolved_rows,
+        |  CAST(coalesce(sum(priority_len), 0) AS BIGINT)
+        |    AS sum_priority_len,
+        |  TRUE AS no_file_rewrite,
+        |  TRUE AS v1_unevolved
+        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q277_compact_vacuum" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),

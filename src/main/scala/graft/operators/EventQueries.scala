@@ -686,6 +686,71 @@ object EventQueries {
         .orderBy("purchase_id", "click_id")
     }),
 
+    /** Exactly-once streaming MERGE (CDC apply), driver-gated end to end
+      * ([[graft.sources.SnapshotTable.mergeBatch]] — q80/appendBatch's
+      * upsert sibling): a live two-micro-batch file stream applies a
+      * full load then a CDC update batch into a snapshot table via
+      * foreachBatch MERGE, with each batch id committed INSIDE the same
+      * manifest as the merged file list. The gate then REPLAYS the last
+      * batch by hand — the post-checkpoint-loss path every streaming
+      * sink must survive — and pins that the replay is a no-op: same
+      * version back, no new commit, no double-applied update (a replayed
+      * MERGE is not semantically idempotent; the marker makes replay
+      * detection exact). The final table hashes against the oracle's
+      * last-writer-wins recompute from the raw CDC set.
+      *
+      * Scale shape: the canonical streaming-CDC deployment — per-batch
+      * key-probe join (broadcastable small batch) + partition-scoped
+      * rewrite from [[graft.sources.SnapshotTable.merge]], replay
+      * protection one manifest-header lookup, newest-first. */
+    "q288_stream_merge" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val srcDir = java.nio.file.Files.createTempDirectory("q288_src")
+      val cdc = orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("part"),
+        col("o_totalprice").as("v"))
+      val b1 = cdc.filter(col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1000.0)
+      graft.streaming.EventStream.writeEventsFile(cdc, srcDir, "b0")
+      graft.streaming.EventStream.writeEventsFile(b1, srcDir, "b1")
+      graft.streaming.EventStream.spaceFileMtimes(srcDir, Seq("b0", "b1"))
+      val tbl = java.nio.file.Files.createTempDirectory("q288_tbl")
+        .resolve("t").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("part",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            SnapshotTable.mergeBatch(batch.sparkSession, tbl, "part", "k",
+              batch, batchId, "q288"): Unit
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val vAfter = SnapshotTable.latest(s, tbl).get._1
+      // simulate checkpoint loss: the engine re-delivers the last batch
+      val vReplay = SnapshotTable.mergeBatch(s, tbl, "part", "k", b1, 1L, "q288")
+      val vFinal = SnapshotTable.latest(s, tbl).get._1
+      val replayNoop = vReplay == vAfter && vFinal == vAfter
+      SnapshotTable.read(s, tbl)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"), round(sum("v"), 4).as("sum_v"))
+        .select(col("part"), col("n_rows"), col("sum_v"),
+          lit(vFinal).as("versions"),
+          lit(replayNoop).as("replay_noop"))
+        .orderBy("part")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -2376,6 +2441,20 @@ object EventQueries {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // last-writer-wins over the raw CDC set: batch 1's +1000 update wins
+    // for every key it carries; a double-applied replay (+2000) fails the
+    // hash, and the version ladder is hard (full load, update → 2)
+    "q288_stream_merge" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS part,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS v
+        |  FROM orders)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(v), 4) AS sum_v,
+        |  CAST(2 AS BIGINT) AS versions,
+        |  TRUE AS replay_noop
+        |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // q77's inner attribution over the raw events AS IF the staged late
     // pair never arrived — a leaked late row fails the hash; state pins
     // to exactly the two unexpired advance rows

@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *    references is deleted until `vacuum`;
   *  - two writers racing the same version: the loser's publish fails
   *    (destination exists) and it retries against the new latest —
-  *    optimistic concurrency without a lock service.
+  *    optimistic concurrency without a lock service;
+  *  - row-level deletes can commit as DELETION VECTORS ('~'-prefixed
+  *    manifest lines naming parquet sidecars of (file, row-index)
+  *    addresses under `_dv/`) — see [[deleteWhereDV]]: the data-file
+  *    list is untouched, readers anti-join the addresses out, and
+  *    [[compact]] folds accumulated DVs back into data files.
   *
   * Scale shape: a manifest holds one line per data file (file-count-,
   * not row-sized — the same class as compactParquet's intent file); the
@@ -57,13 +62,24 @@ object SnapshotTable {
     finally in.close()
   }
 
-  /** Data-file lines of a manifest (metadata lines start with '#'). */
+  /** Data-file lines of a manifest (metadata lines start with '#',
+    * deletion-vector lines with '~'). */
   private def dataLines(lines: Seq[String]): Seq[String] =
-    lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+    lines.filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("~"))
+
+  /** Deletion-vector sidecar lines of a manifest ('~'-prefixed relative
+    * paths under `_dv/`). */
+  private def dvLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith("~")).map(_.stripPrefix("~"))
 
   /** Latest committed (version, data-file relative paths); None if the
     * table has no committed snapshot yet. */
-  def latest(spark: SparkSession, dir: String): Option[(Long, Seq[String])] = {
+  def latest(spark: SparkSession, dir: String): Option[(Long, Seq[String])] =
+    latestFull(spark, dir).map { case (v, files, _) => (v, files) }
+
+  /** Latest committed (version, data files, deletion-vector files). */
+  def latestFull(spark: SparkSession,
+      dir: String): Option[(Long, Seq[String], Seq[String])] = {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
     if (!fs.exists(mdir)) return None
@@ -72,23 +88,50 @@ object SnapshotTable {
     if (versions.isEmpty) None
     else {
       val (v, path) = versions.maxBy(_._1)
-      Some(v -> dataLines(readManifest(fs, path)))
+      val lines = readManifest(fs, path)
+      Some((v, dataLines(lines), dvLines(lines)))
     }
   }
 
   /** Read snapshot `version` (default: latest). The returned frame is
     * bound to that snapshot's exact file list — concurrent commits and
     * later vacuums of NEWER garbage never change what it reads. */
-  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame =
+    readResolved(spark, dir, version, withLineage = false)
+
+  /** Column names of the row-address lineage pair [[readResolved]] can
+    * attach: (relative data-file path, row index within that file). */
+  private[sources] val FileCol = "__snap_file"
+  private[sources] val PosCol = "__snap_pos"
+
+  /** Snapshot read with deletion vectors applied and, when asked, the
+    * (file, row-position) lineage pair kept on the frame — the stable
+    * row ADDRESS every position-delete needs. Addresses come from the
+    * parquet scan's `_metadata` struct (`file_path` + `row_index`,
+    * generated by the reader, zero storage cost); data files are
+    * immutable, so an address written into a DV stays valid until the
+    * file itself leaves the manifest. The lineage columns (and the
+    * `row_index` generation they force) are only paid for when DVs
+    * exist or the caller needs addresses — a DV-free read keeps the
+    * exact plain-scan plan.
+    *
+    * Scale shape: DVs hold one row per DELETED row, so the anti-join's
+    * build side is delete-sized, not table-sized — AQE broadcasts it in
+    * the common small-delete case, and a huge accumulated delete set
+    * degrades to one shuffled anti-join, never a table rewrite. */
+  private def readResolved(spark: SparkSession, dir: String,
+      version: Option[Long], withLineage: Boolean): DataFrame = {
     val (fs, root) = fsFor(spark, dir)
-    val files = version match {
+    val (files, dvs) = version match {
       case None =>
-        latest(spark, dir)
-          .getOrElse(sys.error(s"$dir has no committed snapshot")) ._2
+        val (_, fls, dv) = latestFull(spark, dir)
+          .getOrElse(sys.error(s"$dir has no committed snapshot"))
+        (fls, dv)
       case Some(v) =>
         val p = new Path(new Path(root, ManifestDir), s"v$v.manifest")
         require(fs.exists(p), s"$dir has no snapshot v$v")
-        dataLines(readManifest(fs, p))
+        val lines = readManifest(fs, p)
+        (dataLines(lines), dvLines(lines))
     }
     require(files.nonEmpty, s"$dir snapshot is empty")
     // basePath keeps the hive partition column visible on per-file reads;
@@ -96,8 +139,22 @@ object SnapshotTable {
     // written before the add surface the new column as null (the
     // Delta/Iceberg add-column contract; parquet footers carry each
     // file's own schema, so no data rewrite happens)
-    spark.read.option("basePath", dir).option("mergeSchema", "true")
+    val plain = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(files.map(f => new Path(root, f).toString): _*)
+    if (dvs.isEmpty && !withLineage) return plain
+    // `substring_index(file_path, '/', -2)` = "part=<v>/<name>.parquet" —
+    // exactly the manifest's relative-path format, independent of the
+    // filesystem scheme/root the absolute URI carries
+    val addressed = plain
+      .withColumn(FileCol, substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val applied =
+      if (dvs.isEmpty) addressed
+      else addressed.join(
+        spark.read.parquet(dvs.map(f => new Path(root, f).toString): _*)
+          .select(col("file").as(FileCol), col("pos").as(PosCol)),
+        Seq(FileCol, PosCol), "left_anti")
+    if (withLineage) applied else applied.drop(FileCol, PosCol)
   }
 
   /** Commit history, newest first: (version, commit epoch millis, meta
@@ -255,14 +312,16 @@ object SnapshotTable {
     * there is no window where data is committed but its metadata is
     * not. The loser's tmp file is cleaned up here. */
   private def writeManifest(fs: FileSystem, mdir: Path, v: Long,
-      files: Seq[String], meta: Map[String, String]): Boolean = {
+      files: Seq[String], meta: Map[String, String],
+      dvs: Seq[String] = Seq.empty): Boolean = {
     fs.mkdirs(mdir)
     val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
     val header = stamped.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
     val tmp = new Path(mdir,
       s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((header ++ files ++ dvs.map("~" + _)).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     if (publishIfAbsent(fs, tmp, new Path(mdir, s"v$v.manifest"))) true
     else { fs.delete(tmp, false); false }
@@ -274,7 +333,8 @@ object SnapshotTable {
     * streaming batch id) commits in the same atomic publish as the file
     * list. Returns the committed version. */
   private def commit(spark: SparkSession, dir: String, files: Seq[String],
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      dvs: Seq[String] = Seq.empty): Long = {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
     var attempt = 0
@@ -282,7 +342,7 @@ object SnapshotTable {
       val v = latest(spark, dir).map(_._1).getOrElse(0L) + 1
       // exactly one writer can publish v{N}.manifest; the loser re-reads
       // latest and retries at the advanced version
-      if (writeManifest(fs, mdir, v, files, meta)) return v
+      if (writeManifest(fs, mdir, v, files, meta, dvs)) return v
       attempt += 1
     }
     sys.error(s"could not commit to $dir after 20 attempts")
@@ -321,11 +381,13 @@ object SnapshotTable {
     }
   }
 
-  /** Append rows as a new snapshot (old files carry over untouched). */
+  /** Append rows as a new snapshot (old files — and any deletion
+    * vectors over them — carry over untouched). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       partCol: String): Long = {
-    val prev = latest(spark, dir).map(_._2).getOrElse(Seq.empty)
-    commit(spark, dir, prev ++ stage(spark, dir, df, partCol))
+    val (prev, dvs) = latestFull(spark, dir)
+      .map { case (_, f, dv) => (f, dv) }.getOrElse((Seq.empty, Seq.empty))
+    commit(spark, dir, prev ++ stage(spark, dir, df, partCol), Map.empty, dvs)
   }
 
   /** Snapshot-isolated delete: partitions containing matches get their
@@ -335,7 +397,7 @@ object SnapshotTable {
     * Returns (new version, affected partition values). */
   def deleteWhere(spark: SparkSession, dir: String, partCol: String,
       del: Column): (Long, Seq[String]) = {
-    val (base, files) = latest(spark, dir)
+    val (base, files, dvs) = latestFull(spark, dir)
       .getOrElse(sys.error(s"$dir has no committed snapshot"))
     val snap = read(spark, dir, Some(base))
     val affected = snap.filter(del).select(col(partCol).cast("string"))
@@ -349,7 +411,70 @@ object SnapshotTable {
     val newFiles =
       if (survivors.isEmpty) Seq.empty
       else stage(spark, dir, survivors, partCol)
-    (commit(spark, dir, keptFiles ++ newFiles), affected)
+    // DV rows over rewritten files address files no longer in the
+    // manifest — harmless no-ops at read; rows over kept files must
+    // keep applying, so the DV set carries over whole
+    (commit(spark, dir, keptFiles ++ newFiles, Map.empty, dvs), affected)
+  }
+
+  /** Row-level delete WITHOUT rewriting any data file — the
+    * position-delete / deletion-vector design (public Delta DV /
+    * Iceberg position-delete idea, reduced to its minimum): matching
+    * rows' stable addresses (relative file path, row index within the
+    * file) are written as a parquet SIDECAR under `_dv/`, and the new
+    * manifest commits the UNCHANGED data-file list plus the sidecar
+    * ('~'-prefixed line). Readers anti-join the scan against the DV set
+    * on the address pair, so the delete is visible atomically with the
+    * commit while every byte of data stays where it was.
+    *
+    * This is the contract a 100 TB table needs for small deletes (GDPR
+    * row erasure, bad-record retraction): [[deleteWhere]] re-stages
+    * every partition a match lives in — one matching row in each of
+    * 10k partitions rewrites the whole table — while this pays one scan
+    * to find addresses plus delete-sized bytes, independent of
+    * partition spread. The read-side cost is the delete-sized anti-join
+    * until [[compact]] folds accumulated DVs back into data files.
+    * Stacks: a second DV delete runs against the DV-applied snapshot,
+    * so re-deleting an already-deleted row is a no-op, not a duplicate
+    * address. Returns (version, deleted row count); no commit when
+    * nothing matches. */
+  def deleteWhereDV(spark: SparkSession, dir: String,
+      del: Column): (Long, Long) = {
+    val (base, files, dvs) = latestFull(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val hits = readResolved(spark, dir, Some(base), withLineage = true)
+      .filter(del)
+      .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+      .cache()
+    try {
+      val n = hits.count()
+      if (n == 0L) return (base, 0L)
+      val newDvs = stageDv(spark, dir, hits)
+      (commit(spark, dir, files, Map.empty, dvs ++ newDvs), n)
+    } finally hits.unpersist(): Unit
+  }
+
+  /** Stage a (file, pos) address frame as immutable parquet sidecars
+    * under `_dv/`, returning their relative paths (nothing committed).
+    * Part files move as-is — a huge delete set stays distributed. */
+  private def stageDv(spark: SparkSession, dir: String,
+      addresses: DataFrame): Seq[String] = {
+    val (fs, root) = fsFor(spark, dir)
+    val tmp = new Path(dir.stripSuffix("/") + "__dv_stage_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    addresses.write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    fs.mkdirs(new Path(root, "_dv"))
+    val moved = parts.zipWithIndex.map { case (f, i) =>
+      val rel = s"_dv/dv-$uuid-$i.parquet"
+      require(fs.rename(f.getPath, new Path(root, rel)),
+        s"could not stage deletion vector into $dir")
+      rel
+    }
+    fs.delete(tmp, true)
+    moved
   }
 
   /** MERGE (upsert): rows of `updates` whose `keyCol` matches an existing
@@ -370,15 +495,16 @@ object SnapshotTable {
     *
     * Returns (version, replacedRowCount, insertedRowCount). */
   def merge(spark: SparkSession, dir: String, partCol: String,
-      keyCol: String, updates: DataFrame): (Long, Long, Long) = {
+      keyCol: String, updates: DataFrame,
+      meta: Map[String, String] = Map.empty): (Long, Long, Long) = {
     val upCount = updates.count()
     val upKeys = updates.select(col(keyCol)).distinct()
     require(upKeys.count() == upCount,
       s"merge updates must be key-unique on '$keyCol'")
-    latest(spark, dir) match {
+    latestFull(spark, dir) match {
       case None => // empty table: merge degenerates to create
-        (write(spark, dir, updates, partCol), 0L, upCount)
-      case Some((base, files)) =>
+        (write(spark, dir, updates, partCol, meta), 0L, upCount)
+      case Some((base, files, dvs)) =>
         val snap = read(spark, dir, Some(base))
         // one pass: per-partition matched-row counts -> affected set +
         // replaced total + (via distinct keys) inserted total
@@ -398,7 +524,8 @@ object SnapshotTable {
           else matched.select(keyCol).distinct().count()
         if (affected.isEmpty)
           return (commit(spark, dir,
-            files ++ stage(spark, dir, updates, partCol)), 0L, upCount)
+            files ++ stage(spark, dir, updates, partCol), meta, dvs),
+            0L, upCount)
         val affectedDirs = affected.map(v => s"$partCol=$v").toSet
         val keptFiles =
           files.filterNot(f => affectedDirs.contains(f.split('/').head))
@@ -409,9 +536,40 @@ object SnapshotTable {
         val staged = stage(spark, dir,
           survivors.unionByName(updates.select(snap.columns.map(col): _*)),
           partCol)
-        (commit(spark, dir, keptFiles ++ staged),
+        (commit(spark, dir, keptFiles ++ staged, meta, dvs),
           replaced, upCount - matchedKeys)
     }
+  }
+
+  /** Exactly-once streaming MERGE — the foreachBatch CDC-apply sink
+    * body ([[appendBatch]]'s upsert sibling): the micro-batch's id
+    * commits INSIDE the same manifest as the merged file list, so a
+    * replayed batch (driver died after commit, before the engine
+    * checkpointed) finds its `#batch=` marker and returns the already-
+    * committed version instead of applying the upsert twice. A MERGE
+    * is NOT idempotent on its own — replaying "replace key k" is
+    * harmless, but replaying a batch that was already folded in can
+    * resurrect rows a LATER batch replaced if batches raced; the
+    * marker closes that by making replay detection exact, not
+    * semantic. Returns the committed (or previously-committed)
+    * version. */
+  def mergeBatch(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, updates: DataFrame, batchId: Long,
+      queryId: String = "q"): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    val mdir = new Path(root, ManifestDir)
+    val tag = s"#batch=$queryId/$batchId"
+    if (fs.exists(mdir)) {
+      // newest-first: a replay retries the LAST batch, so this is O(1)
+      // in the common case; the full scan only runs for ancient ids
+      val prior = fs.listStatus(mdir).toSeq
+        .flatMap(f => manifestVersion(f.getPath).map(_ -> f.getPath))
+        .sortBy(-_._1)
+        .find { case (_, p) => readManifest(fs, p).contains(tag) }
+      prior.foreach { case (v, _) => return v }
+    }
+    merge(spark, dir, partCol, keyCol, updates,
+      Map("batch" -> s"$queryId/$batchId"))._1
   }
 
   /** Exactly-once streaming append: the foreachBatch sink body. The
@@ -436,9 +594,10 @@ object SnapshotTable {
         .find { case (_, p) => readManifest(fs, p).contains(tag) }
       prior.foreach { case (v, _) => return v }
     }
-    val prev = latest(spark, dir).map(_._2).getOrElse(Seq.empty)
+    val (prev, dvs) = latestFull(spark, dir)
+      .map { case (_, f, dv) => (f, dv) }.getOrElse((Seq.empty, Seq.empty))
     commit(spark, dir, prev ++ stage(spark, dir, df, partCol),
-      Map("batch" -> s"$queryId/$batchId"))
+      Map("batch" -> s"$queryId/$batchId"), dvs)
   }
 
   /** OPTIMIZE: rewrite every partition holding more than `targetFiles`
@@ -449,19 +608,35 @@ object SnapshotTable {
     * qualifies. */
   def compact(spark: SparkSession, dir: String, partCol: String,
       targetFiles: Int = 1): (Long, Seq[String]) = {
-    val (base, files) = latest(spark, dir)
+    val (base, files, dvs) = latestFull(spark, dir)
       .getOrElse(sys.error(s"$dir has no committed snapshot"))
     val byPart = files.groupBy(_.split('/').head)
     val crowded = byPart.filter(_._2.size > targetFiles).keys.toSeq.sorted
-    if (crowded.isEmpty) return (base, Nil)
+    if (crowded.isEmpty && dvs.isEmpty) return (base, Nil)
     val crowdedVals = crowded.map(_.split('=').last)
     val keptFiles = files.filterNot(f => crowded.contains(f.split('/').head))
-    val snap = read(spark, dir, Some(base))
-    val rewritten = snap
-      .filter(col(partCol).cast("string").isin(crowdedVals: _*))
-      .repartition(targetFiles)
-    (commit(spark, dir, keptFiles ++ stage(spark, dir, rewritten, partCol)),
-      crowded)
+    val snap = read(spark, dir, Some(base)) // DV-applied: the rewrite FOLDS
+                                            // deletions into the new files
+    val newFiles =
+      if (crowded.isEmpty) Seq.empty
+      else stage(spark, dir, snap
+        .filter(col(partCol).cast("string").isin(crowdedVals: _*))
+        .repartition(targetFiles), partCol)
+    // deletion-vector maintenance rides the same commit: rows addressing
+    // rewritten (now-dropped) files were folded into the rewrite, so only
+    // rows addressing KEPT files survive — re-staged as one compacted DV
+    // set (empty → the table returns to the DV-free fast read path)
+    val keptDvs =
+      if (dvs.isEmpty) Seq.empty
+      else {
+        val (_, root) = fsFor(spark, dir)
+        import spark.implicits._
+        val alive = spark.read
+          .parquet(dvs.map(f => new Path(root, f).toString): _*)
+          .join(broadcast(keptFiles.toDF("file")), Seq("file"), "left_semi")
+        if (alive.isEmpty) Seq.empty else stageDv(spark, dir, alive)
+      }
+    (commit(spark, dir, keptFiles ++ newFiles, Map.empty, keptDvs), crowded)
   }
 
   /** Drop every data file no manifest ≤ latest-but-retained references:
@@ -477,10 +652,20 @@ object SnapshotTable {
       .flatMap(f => manifestVersion(f.getPath).map(_ -> f.getPath))
       .sortBy(-_._1)
     val (keep, drop) = manifests.splitAt(math.max(1, retain))
-    val referenced: Set[String] = keep.flatMap { case (_, p) =>
-      dataLines(readManifest(fs, p))
-    }.toSet
+    val keptLines = keep.map { case (_, p) => readManifest(fs, p) }
+    val referenced: Set[String] = keptLines.flatMap(dataLines).toSet
+    val referencedDv: Set[String] = keptLines.flatMap(dvLines).toSet
     var deleted = 0
+    val dvDir = new Path(root, "_dv")
+    if (fs.exists(dvDir)) {
+      fs.listStatus(dvDir).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).foreach { f =>
+        if (!referencedDv.contains(s"_dv/${f.getPath.getName}")) {
+          fs.delete(f.getPath, false); deleted += 1
+        }
+      }
+      if (fs.listStatus(dvDir).isEmpty) fs.delete(dvDir, false): Unit
+    }
     fs.listStatus(root).filter(f => f.isDirectory &&
         f.getPath.getName.contains("=")).foreach { pd =>
       fs.listStatus(pd.getPath).filter(f => f.isFile &&

@@ -82,8 +82,11 @@ class LineageSpec extends SparkSpec {
       // Z-ordered layout it wrote — all legitimately root at staged output
       "q277_compact_vacuum", "q278_late_data", "q280_zorder_pruning",
       "q281_compact_inplace",
-      // round-13: q284/q286 read back their streaming join sinks
-      "q284_join_late", "q286_join_outer")
+      // round-13: q284/q286 read back their streaming join sinks;
+      // q287/q288/q289 read back the SnapshotTables they built (DV
+      // deletes, streaming CDC merge, snapshot-layer schema evolution)
+      "q284_join_late", "q286_join_outer", "q287_delete_vectors",
+      "q288_stream_merge", "q289_schema_evolution")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deletion-vector contract for SnapshotTable (the q287 gate's unit
+  * matrix): a DV delete commits row removals WITHOUT touching any data
+  * file; stacked DVs compose; older snapshots are isolated from later
+  * DVs; every mutation carries DVs forward; compact folds DVs into the
+  * files it rewrites and keeps the rest; vacuum reclaims unreferenced
+  * DV sidecars; and mergeBatch makes a replayed CDC batch a no-op.
+  */
+class DeletionVectorSpec extends SparkSpec {
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("snapdv").toString + "/t"
+
+  private def mkDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("k", "p")
+  }
+
+  private def keys(dir: String, version: Option[Long] = None): Set[Long] =
+    SnapshotTable.read(spark, dir, version)
+      .select(col("k").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+
+  test("deleteWhereDV removes rows without rewriting any data file") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir,
+      mkDf(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))), "p")
+    val (_, f1, dv1) = SnapshotTable.latestFull(spark, dir).get
+    assert(dv1.isEmpty)
+    val (v2, n) = SnapshotTable.deleteWhereDV(spark, dir, col("k") % 2 === 0)
+    assert(v2 == 2L && n == 2L)
+    val (_, f2, dv2) = SnapshotTable.latestFull(spark, dir).get
+    assert(f2 == f1, "data-file list must be untouched by a DV delete")
+    assert(dv2.nonEmpty && dv2.forall(_.startsWith("_dv/")))
+    assert(keys(dir) == Set(1L, 3L))
+    // older snapshot isolated from the DV
+    assert(keys(dir, Some(1L)) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("stacked DVs compose; re-deleting a deleted row is a no-op") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf((1L to 10L).map(k => (k, k % 2))), "p")
+    val (_, n1) = SnapshotTable.deleteWhereDV(spark, dir, col("k") <= 3)
+    assert(n1 == 3L)
+    // k <= 5 overlaps the first delete: only 4 and 5 are still live
+    val (_, n2) = SnapshotTable.deleteWhereDV(spark, dir, col("k") <= 5)
+    assert(n2 == 2L, s"already-deleted rows must not re-count: $n2")
+    assert(keys(dir) == (6L to 10L).toSet)
+  }
+
+  test("no-match DV delete commits nothing") {
+    val dir = tempTable()
+    val v1 = SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L))), "p")
+    val (v, n) = SnapshotTable.deleteWhereDV(spark, dir, col("k") > 100)
+    assert(v == v1 && n == 0L)
+    assert(SnapshotTable.latest(spark, dir).get._1 == v1)
+  }
+
+  test("append and merge carry deletion vectors forward") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L), (3L, 1L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 2L)
+    SnapshotTable.append(spark, dir, mkDf(Seq((4L, 1L))), "p")
+    assert(keys(dir) == Set(1L, 3L, 4L), "append must not resurrect k=2")
+    // merge rewrites partition p=1 (k=3 matched) but must keep the DV
+    // that suppresses k=2 in untouched partition p=0
+    SnapshotTable.merge(spark, dir, "p", "k", mkDf(Seq((3L, 1L))))
+    assert(keys(dir) == Set(1L, 3L, 4L), "merge must not resurrect k=2")
+  }
+
+  test("compact folds DVs into rewritten partitions, keeps the rest") {
+    val dir = tempTable()
+    // p=0 gets TWO files (crowded -> rewritten); p=1 one file (kept)
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (3L, 1L))), "p")
+    SnapshotTable.append(spark, dir, mkDf(Seq((2L, 0L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k").isin(2L, 3L))
+    val before = keys(dir)
+    assert(before == Set(1L))
+    val (_, compacted) = SnapshotTable.compact(spark, dir, "p")
+    assert(compacted == Seq("p=0"))
+    val (_, files, dvs) = SnapshotTable.latestFull(spark, dir).get
+    assert(keys(dir) == before, "compaction must not change the relation")
+    assert(dvs.nonEmpty, "the DV row addressing kept p=1 must survive")
+    // the fold is real: p=0's rewritten file holds only k=1, so deleting
+    // its old DV row changed nothing — prove by vacuuming + re-reading
+    assert(files.exists(_.startsWith("p=1/")))
+    SnapshotTable.vacuum(spark, dir, retain = 1)
+    assert(keys(dir) == before)
+  }
+
+  test("compact with every partition crowded folds ALL DVs away") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (3L, 1L))), "p")
+    SnapshotTable.append(spark, dir, mkDf(Seq((2L, 0L), (4L, 1L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k").isin(2L, 3L))
+    SnapshotTable.compact(spark, dir, "p")
+    val (_, _, dvs) = SnapshotTable.latestFull(spark, dir).get
+    assert(dvs.isEmpty, s"all files rewritten -> no DV survives: $dvs")
+    assert(keys(dir) == Set(1L, 4L))
+  }
+
+  test("vacuum reclaims DV sidecars no retained manifest references") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L), (3L, 0L))), "p")
+    SnapshotTable.append(spark, dir, mkDf(Seq((4L, 0L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 2L)
+    SnapshotTable.compact(spark, dir, "p") // folds the DV away
+    val dvDir = new java.io.File(dir, "_dv")
+    assert(Option(dvDir.listFiles()).exists(_.nonEmpty),
+      "pre-vacuum: the orphaned DV sidecar still sits on disk")
+    val deleted = SnapshotTable.vacuum(spark, dir, retain = 1)
+    assert(deleted > 0)
+    assert(Option(dvDir.listFiles()).forall(_.isEmpty) || !dvDir.exists(),
+      "post-vacuum: no unreferenced DV sidecar remains")
+    assert(keys(dir) == Set(1L, 3L, 4L))
+  }
+
+  test("write (full replace) clears deletion vectors") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 1L)
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L))), "p")
+    val (_, _, dvs) = SnapshotTable.latestFull(spark, dir).get
+    assert(dvs.isEmpty, "a replace defines fresh content; stale DVs must not apply")
+    assert(keys(dir) == Set(1L, 2L))
+  }
+
+  test("mergeBatch: replayed batch returns its version without re-applying") {
+    val dir = tempTable()
+    val v1 = SnapshotTable.mergeBatch(spark, dir, "p", "k",
+      mkDf(Seq((1L, 0L), (2L, 1L))), batchId = 0L, queryId = "t")
+    assert(v1 == 1L)
+    val up = mkDf(Seq((2L, 1L))).withColumn("k", col("k")) // replace k=2
+    val v2 = SnapshotTable.mergeBatch(spark, dir, "p", "k", up, 1L, "t")
+    assert(v2 == 2L)
+    // replay batch 1 (checkpoint lost): must return v2, commit nothing
+    val vr = SnapshotTable.mergeBatch(spark, dir, "p", "k", up, 1L, "t")
+    assert(vr == v2)
+    assert(SnapshotTable.latest(spark, dir).get._1 == v2)
+    // replay batch 0 (ancient id): still detected
+    val vr0 = SnapshotTable.mergeBatch(spark, dir, "p", "k",
+      mkDf(Seq((1L, 0L), (2L, 1L))), 0L, "t")
+    assert(vr0 == v1)
+    assert(SnapshotTable.latest(spark, dir).get._1 == v2)
+    assert(keys(dir) == Set(1L, 2L))
+  }
+}
