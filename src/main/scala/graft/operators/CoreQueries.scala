@@ -1042,6 +1042,63 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Manifest-level file skipping, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.writeClustered]] /
+      * [[graft.sources.SnapshotTable.readRange]] — per-file min/max
+      * stats committed as manifest lines, the third pruning leg next
+      * to hive partition dirs (q259) and Z-order buckets (q280)): the
+      * fact writes range-clustered on l_orderkey (16 range slices ×
+      * 3 partition values), a DV delete stacks on top (stats must
+      * carry, deletions must still apply through the pruned read), and
+      * a middle-eighth range query plans from manifest arithmetic
+      * alone. Claims pin: every data file carries committed stats, the
+      * pruned read touched at most HALF the files (measured ~⅛), and
+      * an out-of-domain range prunes to zero files AND zero rows. The
+      * aggregate hashes against the oracle's direct range+NOT-delete
+      * filter over the raw table — skipping routes IO, never changes
+      * the relation.
+      *
+      * Scale shape: pruning is driver-side manifest arithmetic —
+      * file-count-sized, zero footer reads, zero data IO; on a
+      * clustered 100 TB table a narrow key range touches O(range)
+      * files regardless of table size. */
+    "q290_file_skipping" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_fsk_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      SnapshotTable.writeClustered(s, dir.toString, base,
+        "l_returnflag", "l_orderkey")
+      val mm = base.agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+        .first()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) / 8
+      val hi = mn + (mx - mn) / 4
+      SnapshotTable.deleteWhereDV(s, dir.toString, col("l_orderkey") % 7 === 0)
+      val statsCover =
+        SnapshotTable.fileStats(s, dir.toString, "l_orderkey").size
+      val (df, kept, total) =
+        SnapshotTable.readRange(s, dir.toString, "l_orderkey", lo, hi)
+      val (dfE, keptE, _) =
+        SnapshotTable.readRange(s, dir.toString, "l_orderkey", mx + 10, mx + 20)
+      val emptyZero = keptE == 0 && dfE.count() == 0L
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(statsCover == total).as("stats_cover_all"),
+          lit(kept >= 1 && kept * 2 <= total).as("files_pruned"),
+          lit(emptyZero).as("empty_range_zero"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Add-column schema evolution at the SNAPSHOT layer — the
       * "SnapshotTable direction" q262's plain-parquet mergeSchema gate
       * names as the production path (there the merged schema comes from
@@ -2410,6 +2467,25 @@ object CoreQueries {
         |  TRUE AS old_snapshot_intact,
         |  TRUE AS dv_folded
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // file skipping routes IO, never changes the relation — the oracle
+    // recomputes the middle-eighth range (integer-div corners, the q280
+    // rule) minus the DV-deleted keys directly from the raw table; the
+    // stats-coverage / pruning / empty-range claims are oracle-asserted
+    "q290_file_skipping" ->
+      """WITH r AS (
+        |  SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM lineitem),
+        |sel AS (
+        |  SELECT l.l_returnflag, l.l_quantity
+        |  FROM lineitem l CROSS JOIN r
+        |  WHERE l.l_orderkey BETWEEN r.mn + (r.mx - r.mn) // 8
+        |                         AND r.mn + (r.mx - r.mn) // 4
+        |    AND l.l_orderkey % 7 <> 0)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  TRUE AS stats_cover_all,
+        |  TRUE AS files_pruned,
+        |  TRUE AS empty_range_zero
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // add-column evolution: the merged table is the base slice UNION ALL
     // the evolved slice; pre-evolution rows surface the new column as
     // NULL (count(new_col) counts exactly the appended rows), and the

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *    add files the reader never looks at, and nothing a manifest
   *    references is deleted until `vacuum`;
   *  - two writers racing the same version: the loser's publish fails
-  *    (destination exists) and it retries against the new latest —
-  *    optimistic concurrency without a lock service;
+  *    (destination exists) and it RE-DERIVES against the winner's
+  *    committed state before retrying — optimistic concurrency without
+  *    a lock service, and without the lost update a blind version-bump
+  *    retry would cause (re-publishing a pre-race file/DV/stats list at
+  *    the advanced version silently drops the winner's commit);
   *  - row-level deletes can commit as DELETION VECTORS ('~'-prefixed
   *    manifest lines naming parquet sidecars of (file, row-index)
   *    addresses under `_dv/`) — see [[deleteWhereDV]]: the data-file
@@ -63,14 +66,35 @@ object SnapshotTable {
   }
 
   /** Data-file lines of a manifest (metadata lines start with '#',
-    * deletion-vector lines with '~'). */
+    * deletion-vector lines with '~', file-stats lines with '%'). */
   private def dataLines(lines: Seq[String]): Seq[String] =
-    lines.filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("~"))
+    lines.filter(l => l.nonEmpty && !l.startsWith("#") &&
+      !l.startsWith("~") && !l.startsWith("%"))
 
   /** Deletion-vector sidecar lines of a manifest ('~'-prefixed relative
     * paths under `_dv/`). */
   private def dvLines(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith("~")).map(_.stripPrefix("~"))
+
+  /** Per-file column-stats lines ('%'-prefixed `col|file|min|max`) —
+    * the data-skipping index. Self-describing (the column name rides in
+    * the line), so stats survive commits without separate header
+    * plumbing and several columns can be indexed side by side. */
+  private def statLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith("%")).map(_.stripPrefix("%"))
+
+  /** Parse one stats line into (column, file, min, max). */
+  private def parseStat(line: String): (String, String, Long, Long) = {
+    val Array(c, f, mn, mx) = line.split('|')
+    (c, f, mn.toLong, mx.toLong)
+  }
+
+  /** Stats lines still valid after a commit keeps only `kept` data
+    * files (stats address immutable files, so validity IS presence). */
+  private def carriedStats(stats: Seq[String], kept: Seq[String]): Seq[String] = {
+    val keptSet = kept.toSet
+    stats.filter(s => keptSet.contains(parseStat(s)._2))
+  }
 
   /** Latest committed (version, data-file relative paths); None if the
     * table has no committed snapshot yet. */
@@ -79,7 +103,12 @@ object SnapshotTable {
 
   /** Latest committed (version, data files, deletion-vector files). */
   def latestFull(spark: SparkSession,
-      dir: String): Option[(Long, Seq[String], Seq[String])] = {
+      dir: String): Option[(Long, Seq[String], Seq[String])] =
+    latestState(spark, dir).map { case (v, f, dv, _) => (v, f, dv) }
+
+  /** Latest (version, files, dvs, stats lines); None when uncommitted. */
+  private def latestState(spark: SparkSession,
+      dir: String): Option[(Long, Seq[String], Seq[String], Seq[String])] = {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
     if (!fs.exists(mdir)) return None
@@ -89,9 +118,19 @@ object SnapshotTable {
     else {
       val (v, path) = versions.maxBy(_._1)
       val lines = readManifest(fs, path)
-      Some((v, dataLines(lines), dvLines(lines)))
+      Some((v, dataLines(lines), dvLines(lines), statLines(lines)))
     }
   }
+
+  /** Per-file min/max stats of `statsCol` in the latest snapshot, as
+    * (file → (min, max)) — the inspection surface for the data-skipping
+    * index [[writeClustered]] builds and [[readRange]] prunes with. */
+  def fileStats(spark: SparkSession, dir: String,
+      statsCol: String): Map[String, (Long, Long)] =
+    latestState(spark, dir).map(_._4).getOrElse(Seq.empty)
+      .map(parseStat).collect {
+        case (c, f, mn, mx) if c == statsCol => f -> (mn, mx)
+      }.toMap
 
   /** Read snapshot `version` (default: latest). The returned frame is
     * bound to that snapshot's exact file list — concurrent commits and
@@ -120,9 +159,10 @@ object SnapshotTable {
     * the common small-delete case, and a huge accumulated delete set
     * degrades to one shuffled anti-join, never a table rewrite. */
   private def readResolved(spark: SparkSession, dir: String,
-      version: Option[Long], withLineage: Boolean): DataFrame = {
+      version: Option[Long], withLineage: Boolean,
+      restrictTo: Option[Set[String]] = None): DataFrame = {
     val (fs, root) = fsFor(spark, dir)
-    val (files, dvs) = version match {
+    val (allFiles, dvs) = version match {
       case None =>
         val (_, fls, dv) = latestFull(spark, dir)
           .getOrElse(sys.error(s"$dir has no committed snapshot"))
@@ -132,6 +172,10 @@ object SnapshotTable {
         require(fs.exists(p), s"$dir has no snapshot v$v")
         val lines = readManifest(fs, p)
         (dataLines(lines), dvLines(lines))
+    }
+    val files = restrictTo match {
+      case Some(keep) => allFiles.filter(keep)
+      case None => allFiles
     }
     require(files.nonEmpty, s"$dir snapshot is empty")
     // basePath keeps the hive partition column visible on per-file reads;
@@ -313,28 +357,35 @@ object SnapshotTable {
     * not. The loser's tmp file is cleaned up here. */
   private def writeManifest(fs: FileSystem, mdir: Path, v: Long,
       files: Seq[String], meta: Map[String, String],
-      dvs: Seq[String] = Seq.empty): Boolean = {
+      dvs: Seq[String] = Seq.empty,
+      stats: Seq[String] = Seq.empty): Boolean = {
     fs.mkdirs(mdir)
     val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
     val header = stamped.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
     val tmp = new Path(mdir,
       s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(((header ++ files ++ dvs.map("~" + _)).mkString("\n") + "\n")
-      .getBytes("UTF-8"))
+    try out.write(((header ++ files ++ dvs.map("~" + _) ++
+      stats.map("%" + _)).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (publishIfAbsent(fs, tmp, new Path(mdir, s"v$v.manifest"))) true
     else { fs.delete(tmp, false); false }
   }
 
-  /** Atomically commit `files` as snapshot max+1; retries if another
-    * writer claims the version first. `meta` key/values are written as
-    * `#key=value` header lines INSIDE the manifest, so metadata (e.g. a
-    * streaming batch id) commits in the same atomic publish as the file
-    * list. Returns the committed version. */
+  /** Atomically commit `files` as snapshot max+1; retries the VERSION
+    * NUMBER if another writer claims it first. ONLY safe for content
+    * that does not depend on the previous snapshot (write()'s full
+    * replace) — every content-bearing mutation uses [[commitAt]] inside
+    * a read-derive-commit loop instead, because re-publishing a carried
+    * file/DV/stats list derived before the race would silently drop the
+    * winner's commit. `meta` key/values are written as `#key=value`
+    * header lines INSIDE the manifest, so metadata (e.g. a streaming
+    * batch id) commits in the same atomic publish as the file list.
+    * Returns the committed version. */
   private def commit(spark: SparkSession, dir: String, files: Seq[String],
       meta: Map[String, String] = Map.empty,
-      dvs: Seq[String] = Seq.empty): Long = {
+      dvs: Seq[String] = Seq.empty,
+      stats: Seq[String] = Seq.empty): Long = {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
     var attempt = 0
@@ -342,16 +393,117 @@ object SnapshotTable {
       val v = latest(spark, dir).map(_._1).getOrElse(0L) + 1
       // exactly one writer can publish v{N}.manifest; the loser re-reads
       // latest and retries at the advanced version
-      if (writeManifest(fs, mdir, v, files, meta, dvs)) return v
+      if (writeManifest(fs, mdir, v, files, meta, dvs, stats)) return v
       attempt += 1
     }
     sys.error(s"could not commit to $dir after 20 attempts")
   }
 
+  /** Single-shot CAS commit at version `expectedPrev + 1`; true iff
+    * this writer won. The building block of every read-derive-commit
+    * loop below: [[commit]]'s blind retry is only safe for write()'s
+    * state-INDEPENDENT content — a content-bearing mutation that lost
+    * the race must RE-DERIVE against the winner's state, or its stale
+    * carried file/DV/stats lists silently drop the winner's commit
+    * (the classic optimistic-concurrency lost update). */
+  private def commitAt(spark: SparkSession, dir: String, expectedPrev: Long,
+      files: Seq[String], meta: Map[String, String],
+      dvs: Seq[String] = Seq.empty, stats: Seq[String] = Seq.empty): Boolean = {
+    val (fs, root) = fsFor(spark, dir)
+    writeManifest(fs, new Path(root, ManifestDir), expectedPrev + 1,
+      files, meta, dvs, stats)
+  }
+
+  /** Drop staged-but-never-committed files (a lost racer's leftovers —
+    * no manifest references them, so deletion is always safe; vacuum
+    * would reclaim them anyway, this just does it eagerly). */
+  private def dropStaged(spark: SparkSession, dir: String,
+      rels: Seq[String]): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    rels.foreach(f => fs.delete(new Path(root, f), false))
+  }
+
+  private val MaxCommitAttempts = 20
+
   /** Create (or replace the content of) the table as snapshot max+1. */
   def write(spark: SparkSession, dir: String, df: DataFrame,
       partCol: String, meta: Map[String, String] = Map.empty): Long =
     commit(spark, dir, stage(spark, dir, df, partCol), meta)
+
+  /** Create (or replace) the table CLUSTERED on `statsCol` with a
+    * per-file min/max data-skipping index: rows are range-partitioned
+    * on the column before staging, so files carry near-disjoint value
+    * ranges, and one column-pruned pass over the staged files collects
+    * each file's (min, max) into '%'-prefixed manifest lines — the
+    * public Delta/Iceberg file-stats idea reduced to its minimum, and
+    * the third pruning leg next to hive partition dirs and the Z-order
+    * bucket IN-list (`Layouts.writeZOrdered`). `statsCol` must be
+    * integral (long-castable): stats serialize as LONGs so pruning
+    * arithmetic is exact; fractional keys quantize first (the
+    * repo-wide lattice rule).
+    *
+    * Scale shape: the range shuffle is the single pass any clustered
+    * write pays anyway; the stats job re-reads ONLY the stats column
+    * of the new files (column-pruned scan, codegen'd min/max, one
+    * file-count-sized collect); and the index itself is manifest
+    * metadata — committed atomically with the files it describes, no
+    * separate stats store to keep consistent. */
+  def writeClustered(spark: SparkSession, dir: String, df: DataFrame,
+      partCol: String, statsCol: String, rangeParts: Int = 16): Long = {
+    val files = stage(spark, dir,
+      df.repartitionByRange(rangeParts, col(statsCol)), partCol)
+    commit(spark, dir, files, Map.empty, Seq.empty,
+      computeStats(spark, dir, files, statsCol))
+  }
+
+  /** One distributed, column-pruned pass over `files` collecting each
+    * file's (min, max) of `statsCol` as stats lines. */
+  private def computeStats(spark: SparkSession, dir: String,
+      files: Seq[String], statsCol: String): Seq[String] = {
+    val (_, root) = fsFor(spark, dir)
+    spark.read.option("basePath", dir)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
+      .select(substring_index(col("_metadata.file_path"), "/", -2).as("f"),
+        col(statsCol).cast("long").as("v"))
+      .groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect()
+      .map(r => s"$statsCol|${r.getString(0)}|${r.getLong(1)}|${r.getLong(2)}")
+      .toSeq
+  }
+
+  /** Range read through the data-skipping index: resolve the latest
+    * snapshot, PRUNE every data file whose committed [min, max] on
+    * `statsCol` cannot intersect [lo, hi] (a file with no stats — e.g.
+    * landed by a plain append — is conservatively kept), then apply the
+    * residual predicate to the surviving files. Deletion vectors still
+    * apply. Returns (frame, files kept, files total) so callers can
+    * assert the skipping actually happened.
+    *
+    * Scale shape: pruning is manifest arithmetic on the driver —
+    * file-count-sized, no footer reads, no data IO — and the residual
+    * filter pushes into the parquet scan of only the surviving files.
+    * On a clustered 100 TB table a narrow range touches O(range) files
+    * regardless of table size; the 1-D complement of Z-order's 2-D
+    * bucket pruning. */
+  def readRange(spark: SparkSession, dir: String, statsCol: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val (v, files, _, stats) = latestState(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val ranges = stats.map(parseStat)
+      .collect { case (c, f, mn, mx) if c == statsCol => f -> (mn, mx) }
+      .toMap
+    val live = files.filter(f => ranges.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats for this file: must scan it
+    })
+    val residual = col(statsCol).cast("long").between(lo, hi)
+    val frame =
+      if (live.isEmpty) // schema-stable empty relation, zero IO
+        read(spark, dir, Some(v)).filter(lit(false))
+      else readResolved(spark, dir, Some(v), withLineage = false,
+        restrictTo = Some(live.toSet)).filter(residual)
+    (frame, live.size, files.size)
+  }
 
   /** Conditional (compare-and-swap) write: commits `df` as snapshot
     * `expectedPrev + 1` IFF no other writer has claimed it — the
@@ -382,12 +534,23 @@ object SnapshotTable {
   }
 
   /** Append rows as a new snapshot (old files — and any deletion
-    * vectors over them — carry over untouched). */
+    * vectors over them — carry over untouched). Concurrent-append safe:
+    * the staged files are reusable across attempts (uniquely named,
+    * content-stable), but the CARRIED lists re-derive from the winner's
+    * state on every CAS loss — two racing appends both land, in some
+    * order, with neither's files dropped. */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       partCol: String): Long = {
-    val (prev, dvs) = latestFull(spark, dir)
-      .map { case (_, f, dv) => (f, dv) }.getOrElse((Seq.empty, Seq.empty))
-    commit(spark, dir, prev ++ stage(spark, dir, df, partCol), Map.empty, dvs)
+    val staged = stage(spark, dir, df, partCol)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val (v, prev, dvs, stats) = latestState(spark, dir)
+        .getOrElse((0L, Seq.empty, Seq.empty, Seq.empty))
+      if (commitAt(spark, dir, v, prev ++ staged, Map.empty, dvs, stats))
+        return v + 1
+      attempt += 1
+    }
+    sys.error(s"could not append to $dir after $MaxCommitAttempts attempts")
   }
 
   /** Snapshot-isolated delete: partitions containing matches get their
@@ -397,24 +560,34 @@ object SnapshotTable {
     * Returns (new version, affected partition values). */
   def deleteWhere(spark: SparkSession, dir: String, partCol: String,
       del: Column): (Long, Seq[String]) = {
-    val (base, files, dvs) = latestFull(spark, dir)
-      .getOrElse(sys.error(s"$dir has no committed snapshot"))
-    val snap = read(spark, dir, Some(base))
-    val affected = snap.filter(del).select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    if (affected.isEmpty) return (base, Nil)
-    val affectedDirs = affected.map(v => s"$partCol=$v").toSet
-    val keptFiles = files.filterNot(f => affectedDirs.contains(f.split('/').head))
-    val survivors = snap
-      .filter(col(partCol).cast("string").isin(affected: _*))
-      .filter(!del)
-    val newFiles =
-      if (survivors.isEmpty) Seq.empty
-      else stage(spark, dir, survivors, partCol)
-    // DV rows over rewritten files address files no longer in the
-    // manifest — harmless no-ops at read; rows over kept files must
-    // keep applying, so the DV set carries over whole
-    (commit(spark, dir, keptFiles ++ newFiles, Map.empty, dvs), affected)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val (base, files, dvs, stats) = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val snap = read(spark, dir, Some(base))
+      val affected = snap.filter(del).select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return (base, Nil)
+      val affectedDirs = affected.map(v => s"$partCol=$v").toSet
+      val keptFiles = files.filterNot(f => affectedDirs.contains(f.split('/').head))
+      val survivors = snap
+        .filter(col(partCol).cast("string").isin(affected: _*))
+        .filter(!del)
+      val newFiles =
+        if (survivors.isEmpty) Seq.empty
+        else stage(spark, dir, survivors, partCol)
+      // DV rows over rewritten files address files no longer in the
+      // manifest — harmless no-ops at read; rows over kept files must
+      // keep applying, so the DV set carries over whole
+      if (commitAt(spark, dir, base, keptFiles ++ newFiles, Map.empty, dvs,
+          carriedStats(stats, keptFiles)))
+        return (base + 1, affected)
+      // lost the race: the survivors were derived against a stale
+      // snapshot — drop the stage and re-derive against the winner's
+      dropStaged(spark, dir, newFiles)
+      attempt += 1
+    }
+    sys.error(s"could not delete from $dir after $MaxCommitAttempts attempts")
   }
 
   /** Row-level delete WITHOUT rewriting any data file — the
@@ -440,18 +613,28 @@ object SnapshotTable {
     * nothing matches. */
   def deleteWhereDV(spark: SparkSession, dir: String,
       del: Column): (Long, Long) = {
-    val (base, files, dvs) = latestFull(spark, dir)
-      .getOrElse(sys.error(s"$dir has no committed snapshot"))
-    val hits = readResolved(spark, dir, Some(base), withLineage = true)
-      .filter(del)
-      .select(col(FileCol).as("file"), col(PosCol).as("pos"))
-      .cache()
-    try {
-      val n = hits.count()
-      if (n == 0L) return (base, 0L)
-      val newDvs = stageDv(spark, dir, hits)
-      (commit(spark, dir, files, Map.empty, dvs ++ newDvs), n)
-    } finally hits.unpersist(): Unit
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val (base, files, dvs, stats) = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val hits = readResolved(spark, dir, Some(base), withLineage = true)
+        .filter(del)
+        .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+        .cache()
+      try {
+        val n = hits.count()
+        if (n == 0L) return (base, 0L)
+        val newDvs = stageDv(spark, dir, hits)
+        if (commitAt(spark, dir, base, files, Map.empty, dvs ++ newDvs, stats))
+          return (base + 1, n)
+        // lost the race: addresses were derived against a stale snapshot
+        // (the winner may have rewritten files or deleted the same rows)
+        // — drop the staged sidecars and re-derive against its state
+        dropStaged(spark, dir, newDvs)
+      } finally hits.unpersist(): Unit
+      attempt += 1
+    }
+    sys.error(s"could not DV-delete from $dir after $MaxCommitAttempts attempts")
   }
 
   /** Stage a (file, pos) address frame as immutable parquet sidecars
@@ -501,44 +684,55 @@ object SnapshotTable {
     val upKeys = updates.select(col(keyCol)).distinct()
     require(upKeys.count() == upCount,
       s"merge updates must be key-unique on '$keyCol'")
-    latestFull(spark, dir) match {
-      case None => // empty table: merge degenerates to create
-        (write(spark, dir, updates, partCol, meta), 0L, upCount)
-      case Some((base, files, dvs)) =>
-        val snap = read(spark, dir, Some(base))
-        // one pass: per-partition matched-row counts -> affected set +
-        // replaced total + (via distinct keys) inserted total
-        val matched = snap.select(col(keyCol),
-            col(partCol).cast("string").as("__part"))
-          .join(upKeys, Seq(keyCol))
-        // per-partition row counts give the affected set + replaced total;
-        // the inserted count needs GLOBALLY distinct matched keys (a key
-        // living in several partitions counts once), a second grain over
-        // the same key-probe join
-        val agg = matched
-          .groupBy("__part").agg(count(lit(1)).as("n")).collect()
-        val affected = agg.map(_.getString(0)).toSeq.sorted
-        val replaced = agg.map(_.getLong(1)).sum
-        val matchedKeys =
-          if (affected.isEmpty) 0L
-          else matched.select(keyCol).distinct().count()
-        if (affected.isEmpty)
-          return (commit(spark, dir,
-            files ++ stage(spark, dir, updates, partCol), meta, dvs),
-            0L, upCount)
-        val affectedDirs = affected.map(v => s"$partCol=$v").toSet
-        val keptFiles =
-          files.filterNot(f => affectedDirs.contains(f.split('/').head))
-        val survivors = snap
-          .filter(col(partCol).cast("string").isin(affected: _*))
-          .join(upKeys, Seq(keyCol), "left_anti")
-          .select(snap.columns.map(col): _*)
-        val staged = stage(spark, dir,
-          survivors.unionByName(updates.select(snap.columns.map(col): _*)),
-          partCol)
-        (commit(spark, dir, keptFiles ++ staged, meta, dvs),
-          replaced, upCount - matchedKeys)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      latestState(spark, dir) match {
+        case None => // empty table: merge degenerates to create
+          val staged = stage(spark, dir, updates, partCol)
+          if (commitAt(spark, dir, 0L, staged, meta)) return (1L, 0L, upCount)
+          dropStaged(spark, dir, staged) // lost to a concurrent creator:
+                                         // re-derive as a real merge
+        case Some((base, files, dvs, stats)) =>
+          val snap = read(spark, dir, Some(base))
+          // one pass: per-partition matched-row counts -> affected set +
+          // replaced total + (via distinct keys) inserted total
+          val matched = snap.select(col(keyCol),
+              col(partCol).cast("string").as("__part"))
+            .join(upKeys, Seq(keyCol))
+          // per-partition row counts give the affected set + replaced total;
+          // the inserted count needs GLOBALLY distinct matched keys (a key
+          // living in several partitions counts once), a second grain over
+          // the same key-probe join
+          val agg = matched
+            .groupBy("__part").agg(count(lit(1)).as("n")).collect()
+          val affected = agg.map(_.getString(0)).toSeq.sorted
+          val replaced = agg.map(_.getLong(1)).sum
+          val matchedKeys =
+            if (affected.isEmpty) 0L
+            else matched.select(keyCol).distinct().count()
+          val affectedDirs = affected.map(v => s"$partCol=$v").toSet
+          val keptFiles =
+            files.filterNot(f => affectedDirs.contains(f.split('/').head))
+          val staged =
+            if (affected.isEmpty) stage(spark, dir, updates, partCol)
+            else {
+              val survivors = snap
+                .filter(col(partCol).cast("string").isin(affected: _*))
+                .join(upKeys, Seq(keyCol), "left_anti")
+                .select(snap.columns.map(col): _*)
+              stage(spark, dir,
+                survivors.unionByName(updates.select(snap.columns.map(col): _*)),
+                partCol)
+            }
+          if (commitAt(spark, dir, base, keptFiles ++ staged, meta, dvs,
+              carriedStats(stats, keptFiles)))
+            return (base + 1, replaced, upCount - matchedKeys)
+          // lost the race: the match probe ran against a stale snapshot
+          dropStaged(spark, dir, staged)
+      }
+      attempt += 1
     }
+    sys.error(s"could not merge into $dir after $MaxCommitAttempts attempts")
   }
 
   /** Exactly-once streaming MERGE — the foreachBatch CDC-apply sink
@@ -594,10 +788,26 @@ object SnapshotTable {
         .find { case (_, p) => readManifest(fs, p).contains(tag) }
       prior.foreach { case (v, _) => return v }
     }
-    val (prev, dvs) = latestFull(spark, dir)
-      .map { case (_, f, dv) => (f, dv) }.getOrElse((Seq.empty, Seq.empty))
-    commit(spark, dir, prev ++ stage(spark, dir, df, partCol),
-      Map("batch" -> s"$queryId/$batchId"), dvs)
+    val staged = stage(spark, dir, df, partCol)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val (v, prev, dvs, stats) = latestState(spark, dir)
+        .getOrElse((0L, Seq.empty, Seq.empty, Seq.empty))
+      if (commitAt(spark, dir, v, prev ++ staged,
+          Map("batch" -> s"$queryId/$batchId"), dvs, stats))
+        return v + 1
+      // lost a CAS to a concurrent writer; if that writer WAS this very
+      // batch (two speculative replays racing), the tag check finds it
+      val replayed = fs.listStatus(mdir).toSeq
+        .flatMap(f => manifestVersion(f.getPath).map(_ -> f.getPath))
+        .sortBy(-_._1)
+        .find { case (_, p) => readManifest(fs, p).contains(tag) }
+      replayed.foreach { case (rv, _) =>
+        dropStaged(spark, dir, staged); return rv
+      }
+      attempt += 1
+    }
+    sys.error(s"could not append batch to $dir after $MaxCommitAttempts attempts")
   }
 
   /** OPTIMIZE: rewrite every partition holding more than `targetFiles`
@@ -608,35 +818,45 @@ object SnapshotTable {
     * qualifies. */
   def compact(spark: SparkSession, dir: String, partCol: String,
       targetFiles: Int = 1): (Long, Seq[String]) = {
-    val (base, files, dvs) = latestFull(spark, dir)
-      .getOrElse(sys.error(s"$dir has no committed snapshot"))
-    val byPart = files.groupBy(_.split('/').head)
-    val crowded = byPart.filter(_._2.size > targetFiles).keys.toSeq.sorted
-    if (crowded.isEmpty && dvs.isEmpty) return (base, Nil)
-    val crowdedVals = crowded.map(_.split('=').last)
-    val keptFiles = files.filterNot(f => crowded.contains(f.split('/').head))
-    val snap = read(spark, dir, Some(base)) // DV-applied: the rewrite FOLDS
-                                            // deletions into the new files
-    val newFiles =
-      if (crowded.isEmpty) Seq.empty
-      else stage(spark, dir, snap
-        .filter(col(partCol).cast("string").isin(crowdedVals: _*))
-        .repartition(targetFiles), partCol)
-    // deletion-vector maintenance rides the same commit: rows addressing
-    // rewritten (now-dropped) files were folded into the rewrite, so only
-    // rows addressing KEPT files survive — re-staged as one compacted DV
-    // set (empty → the table returns to the DV-free fast read path)
-    val keptDvs =
-      if (dvs.isEmpty) Seq.empty
-      else {
-        val (_, root) = fsFor(spark, dir)
-        import spark.implicits._
-        val alive = spark.read
-          .parquet(dvs.map(f => new Path(root, f).toString): _*)
-          .join(broadcast(keptFiles.toDF("file")), Seq("file"), "left_semi")
-        if (alive.isEmpty) Seq.empty else stageDv(spark, dir, alive)
-      }
-    (commit(spark, dir, keptFiles ++ newFiles, Map.empty, keptDvs), crowded)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val (base, files, dvs, stats) = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val byPart = files.groupBy(_.split('/').head)
+      val crowded = byPart.filter(_._2.size > targetFiles).keys.toSeq.sorted
+      if (crowded.isEmpty && dvs.isEmpty) return (base, Nil)
+      val crowdedVals = crowded.map(_.split('=').last)
+      val keptFiles = files.filterNot(f => crowded.contains(f.split('/').head))
+      val snap = read(spark, dir, Some(base)) // DV-applied: the rewrite FOLDS
+                                              // deletions into the new files
+      val newFiles =
+        if (crowded.isEmpty) Seq.empty
+        else stage(spark, dir, snap
+          .filter(col(partCol).cast("string").isin(crowdedVals: _*))
+          .repartition(targetFiles), partCol)
+      // deletion-vector maintenance rides the same commit: rows addressing
+      // rewritten (now-dropped) files were folded into the rewrite, so only
+      // rows addressing KEPT files survive — re-staged as one compacted DV
+      // set (empty → the table returns to the DV-free fast read path)
+      val keptDvs =
+        if (dvs.isEmpty) Seq.empty
+        else {
+          val (_, root) = fsFor(spark, dir)
+          import spark.implicits._
+          val alive = spark.read
+            .parquet(dvs.map(f => new Path(root, f).toString): _*)
+            .join(broadcast(keptFiles.toDF("file")), Seq("file"), "left_semi")
+          if (alive.isEmpty) Seq.empty else stageDv(spark, dir, alive)
+        }
+      if (commitAt(spark, dir, base, keptFiles ++ newFiles, Map.empty,
+          keptDvs, carriedStats(stats, keptFiles)))
+        return (base + 1, crowded)
+      // lost the race (e.g. to a concurrent append/DV delete): the
+      // rewrite captured a stale snapshot — drop it and re-derive
+      dropStaged(spark, dir, newFiles ++ keptDvs)
+      attempt += 1
+    }
+    sys.error(s"could not compact $dir after $MaxCommitAttempts attempts")
   }
 
   /** Drop every data file no manifest ≤ latest-but-retained references:
