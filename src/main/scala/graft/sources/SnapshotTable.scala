@@ -449,9 +449,25 @@ object SnapshotTable {
     * metadata — committed atomically with the files it describes, no
     * separate stats store to keep consistent. */
   def writeClustered(spark: SparkSession, dir: String, df: DataFrame,
-      partCol: String, statsCol: String, rangeParts: Int = 16): Long = {
+      partCol: String, statsCol: String, rangeParts: Int = 0): Long = {
+    // rangeParts = 0 (default) derives the slice count from the corpus:
+    // max(16, ceil(n / spark.graft.cluster.targetSliceRows)) — the knob
+    // rule every tiered operator here follows (a CONSTANT slice count is
+    // a scale bug: at 100 TB, n/16 rows per slice is a straggler file
+    // and a useless index; a constant ROWS-PER-SLICE target keeps file
+    // sizes flat and index selectivity constant at any n). The count is
+    // one cheap aggregate against data the write is about to shuffle
+    // anyway; callers that already know n can pass rangeParts explicitly.
+    val parts =
+      if (rangeParts > 0) rangeParts
+      else {
+        val target = spark.conf
+          .get("spark.graft.cluster.targetSliceRows", (1L << 22).toString)
+          .toLong
+        math.max(16L, (df.count() + target - 1) / target).toInt
+      }
     val files = stage(spark, dir,
-      df.repartitionByRange(rangeParts, col(statsCol)), partCol)
+      df.repartitionByRange(parts, col(statsCol)), partCol)
     commit(spark, dir, files, Map.empty, Seq.empty,
       computeStats(spark, dir, files, statsCol))
   }

@@ -45,9 +45,16 @@ object EventStream {
     * TIMESTAMP ts column, so downstream streaming reads are independent
     * of how the raw TIMESTAMP(NANOS) column surfaces on this build. */
   def stageEvents(spark: SparkSession, sfDir: String,
-      dir: java.nio.file.Path, name: String): Unit =
+      dir: java.nio.file.Path, name: String,
+      userMod: Long = 1L): Unit =
     writeEventsFile(
-      graft.Tables.events(spark, sfDir).withColumn("ts", col("ts").cast("timestamp")),
+      graft.Tables.events(spark, sfDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        // optional deterministic user slice (user_id % userMod == 0):
+        // gates proving PER-USER state semantics (stream-stream joins)
+        // don't need the full corpus streamed through a micro-batch
+        // harness — the oracle applies the identical slice
+        .filter(col("user_id") % userMod === 0),
       dir, name)
 
   /** Pin the discovery ORDER of staged files: the parquet file source

@@ -86,7 +86,8 @@ class LineageSpec extends SparkSpec {
       // q287/q288/q289 read back the SnapshotTables they built (DV
       // deletes, streaming CDC merge, snapshot-layer schema evolution)
       "q284_join_late", "q286_join_outer", "q287_delete_vectors",
-      "q288_stream_merge", "q289_schema_evolution", "q290_file_skipping")
+      "q288_stream_merge", "q289_schema_evolution", "q290_file_skipping",
+      "q291_erasure_proof")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

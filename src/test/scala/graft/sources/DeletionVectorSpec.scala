@@ -129,6 +129,20 @@ class DeletionVectorSpec extends SparkSpec {
     assert(keys(dir) == Set(1L, 2L))
   }
 
+  test("plan pin: DV-free read keeps the plain scan; DV'd read joins") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L))), "p")
+    val plain = SnapshotTable.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plain.contains("Join") && !plain.contains("row_index"),
+      s"a DV-free table must pay zero read overhead:\n$plain")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 1L)
+    val dvd = SnapshotTable.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dvd.contains("LeftAnti"),
+      s"a DV'd read must anti-join the address set:\n$dvd")
+  }
+
   test("mergeBatch: replayed batch returns its version without re-applying") {
     val dir = tempTable()
     val v1 = SnapshotTable.mergeBatch(spark, dir, "p", "k",

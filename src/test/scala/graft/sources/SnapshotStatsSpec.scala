@@ -45,6 +45,33 @@ class SnapshotStatsSpec extends SparkSpec {
     }
   }
 
+  test("slice count derives from the corpus under the target-rows knob") {
+    val dir = tempTable()
+    spark.conf.set("spark.graft.cluster.targetSliceRows", "50")
+    try SnapshotTable.writeClustered(spark, dir, mkDf(1000), "p", "k")
+    finally spark.conf.unset("spark.graft.cluster.targetSliceRows")
+    // 1000 rows at 50 rows/slice = 20 slices (> the 16 floor); each
+    // slice spans all 3 partition values, so ≥ 20 files land and every
+    // file covers at most one slice's key width
+    val files = SnapshotTable.latest(spark, dir).get._2
+    assert(files.size >= 20, s"expected ≥20 files, got ${files.size}")
+    val stats = SnapshotTable.fileStats(spark, dir, "k")
+    assert(stats.values.forall { case (mn, mx) => mx - mn <= 120 },
+      "a constant slice count would leave n/16-row files; the derived " +
+        s"count must bound per-file key width: $stats")
+  }
+
+  test("plan pin: a pruned read's scan touches ONLY the live files") {
+    val dir = tempTable()
+    SnapshotTable.writeClustered(spark, dir, mkDf(400), "p", "k", rangeParts = 8)
+    val (df, kept, tot) = SnapshotTable.readRange(spark, dir, "k", 100L, 150L)
+    assert(kept < tot)
+    // inputFiles is the planned scan set — pruning must hold at the
+    // plan, not just in the row counts
+    assert(df.inputFiles.length == kept,
+      s"planned ${df.inputFiles.length} files, pruned set is $kept")
+  }
+
   test("out-of-domain range prunes to zero files and zero rows") {
     val dir = tempTable()
     SnapshotTable.writeClustered(spark, dir, mkDf(100), "p", "k", rangeParts = 4)
