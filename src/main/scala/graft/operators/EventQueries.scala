@@ -617,22 +617,26 @@ object EventQueries {
       // from the FIRST batch's conf, so set it before start()
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = graft.streaming.EventStream.purchaseAttribution(src).writeStream
-        .outputMode("append")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) =>
-            batch.write.mode("append").parquet(outDir)
-        }
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-        .start()
-      q.processAllAvailable()
-      val stateRows = q.recentProgress.filter(_.numInputRows > 0)
-        .lastOption.flatMap(_.stateOperators.headOption)
-        .map(_.numRowsTotal).getOrElse(-1L)
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val stateRows =
+        try {
+          val q = graft.streaming.EventStream.purchaseAttribution(src)
+            .writeStream
+            .outputMode("append")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) =>
+                batch.write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            q.recentProgress.filter(_.numInputRows > 0)
+              .lastOption.flatMap(_.stateOperators.headOption)
+              .map(_.numRowsTotal).getOrElse(-1L)
+          } finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val sink = s.read.parquet(outDir)
       val lateDropped = sink.filter(col("user_id") === 999999L).count() == 0L
       sink
@@ -684,21 +688,21 @@ object EventQueries {
         .resolve("join_out").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions") // q284's
       s.conf.set("spark.sql.shuffle.partitions", "8")              // rationale
-      val q = graft.streaming.EventStream
-        .purchaseAttribution(src, "left_outer").writeStream
-        .outputMode("append")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              batchId: Long) =>
-            batch.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(outDir)
-        }
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        val q = graft.streaming.EventStream
+          .purchaseAttribution(src, "left_outer").writeStream
+          .outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              batch.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val sink = s.read.parquet(outDir)
         .filter(col("user_id") =!= 999998L) // advance purchase must be absent anyway
       val matchedImmediate = sink
