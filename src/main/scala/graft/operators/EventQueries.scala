@@ -2639,10 +2639,8 @@ object EventQueries {
       """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
         |  coalesce(c.event_id, -1) AS click_id,
         |  coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
-        |FROM (SELECT user_id, event_id, ts FROM events
-        |      WHERE event_type = 'purchase' AND user_id % 10 = 0) p
-        |LEFT JOIN (SELECT user_id, event_id, ts FROM events
-        |      WHERE event_type = 'click' AND user_id % 10 = 0) c
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,

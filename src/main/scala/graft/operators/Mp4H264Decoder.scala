@@ -257,12 +257,33 @@ object Mp4H264Decoder extends MediaDecoder {
     var qpY = pps.picInitQp + r.se() // slice_qp_delta
     val w = sps.widthMbs * 16
     val nMbs = sps.widthMbs * sps.heightMbs
-    // per-4×4-luma-block TotalCoeff context for CAVLC nC (§9.2.1),
-    // uniform per MB in this subset: 0 (DC-only I_16x16 — its AC blocks
-    // carry no coefficients), 16 (I_PCM), −1 (outside this slice:
-    // neighbours in another slice are unavailable, §6.4.8)
-    val ctx = new Array[Int](nMbs)
-    java.util.Arrays.fill(ctx, -1)
+    // per-4×4-luma-block TotalCoeff for CAVLC nC (§9.2.1): blkTc(mb)
+    // is null while the MB is undecoded in THIS slice (neighbours in
+    // another slice are unavailable, §6.4.8); once decoded it holds the
+    // 16 blocks' TotalCoeff — 0s for a DC-only I_16x16, 16s for I_PCM,
+    // per-block AC counts for a CBP-luma-15 I_16x16
+    val blkTc = new Array[Array[Int]](nMbs)
+    // nC for luma block (bx, by) of `mb` (§9.2.1): mean of the left and
+    // top 4×4 neighbours' TotalCoeff, rounded up when both exist; the
+    // DC level block uses block (0, 0)'s derivation
+    def blockNc(mb: Int, bx: Int, by: Int, cur: Array[Int]): Int = {
+      def tc(nMb: Int, nbx: Int, nby: Int): Int =
+        if (nMb == mb) cur(nby * 4 + nbx)
+        else if (blkTc(nMb) == null) -1
+        else blkTc(nMb)(nby * 4 + nbx)
+      val nA =
+        if (bx > 0) tc(mb, bx - 1, by)
+        else if (mb % sps.widthMbs > 0) tc(mb - 1, 3, by)
+        else -1
+      val nB =
+        if (by > 0) tc(mb, bx, by - 1)
+        else if (mb - sps.widthMbs >= 0) tc(mb - sps.widthMbs, bx, 3)
+        else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA
+      else if (nB >= 0) nB
+      else 0
+    }
     var mb = firstMb
     var first = true
     while (mb < nMbs && (first || r.moreRbspData)) {
@@ -283,20 +304,16 @@ object Mp4H264Decoder extends MediaDecoder {
         }
         var c = 0
         while (c < 128) { r.readByte(); c += 1 } // Cb then Cr 8×8 (4:2:0)
-        ctx(mb) = 16 // §9.2.1: an I_PCM neighbour counts 16 coefficients
-      } else if (mbType == 3) { // I_16x16_2_0_0
+        blkTc(mb) = Array.fill(16)(16) // §9.2.1: I_PCM blocks count 16
+      } else if (mbType == 3 || mbType == 15) {
+        // I_16x16_2_0_0 (DC pred, CBP luma 0) or I_16x16_2_0_1 (DC
+        // pred, CBP luma 15 — every 4×4 block carries CAVLC-coded AC)
+        val hasAc = mbType == 15
         r.ue() // intra_chroma_pred_mode (chroma planes are not emitted)
         val dqp = r.se()
         qpY = ((qpY + dqp) % 52 + 52) % 52
-        // nC from the left/top neighbour MBs (same slice only)
-        val hasA = (mb % sps.widthMbs) > 0 && ctx(mb - 1) >= 0
-        val hasB = mb - sps.widthMbs >= 0 && ctx(mb - sps.widthMbs) >= 0
-        val nC =
-          if (hasA && hasB) (ctx(mb - 1) + ctx(mb - sps.widthMbs) + 1) >> 1
-          else if (hasA) ctx(mb - 1)
-          else if (hasB) ctx(mb - sps.widthMbs)
-          else 0
-        val scanDc = Cavlc.residualBlock(r, nC) // 16 DC levels, scan order
+        val cur = new Array[Int](16) // this MB's per-block TotalCoeff
+        val scanDc = Cavlc.residualBlock(r, blockNc(mb, 0, 0, cur))
         // inverse zigzag into the 4×4 DC array (§8.5.6)
         val c4 = Array.ofDim[Int](4, 4)
         var k = 0
@@ -306,9 +323,26 @@ object Mp4H264Decoder extends MediaDecoder {
           k += 1
         }
         val dcY = lumaDcDequant(c4, qpY)
+        // AC residual (§7.3.5.3.2): 16 blocks in z-scan order, 15 scan
+        // positions each (the block's scan skips the DC position); each
+        // block's nC derives from already-decoded neighbours per §9.2.1
+        val acScan = Array.ofDim[Int](16, 15)
+        if (hasAc) {
+          var b = 0
+          while (b < 16) {
+            val (bx, by) = Cavlc.Blk4x4Scan(b)
+            val levels =
+              Cavlc.residualBlock(r, blockNc(mb, bx, by, cur), 15)
+            acScan(by * 4 + bx) = levels
+            cur(by * 4 + bx) = levels.count(_ != 0)
+            b += 1
+          }
+        }
         // DC prediction (§8.3.3.3): mean of the 16 above + 16 left
         // reconstructed edge samples, halved sets when one side is
         // missing, 128 when neither — same-slice availability as nC
+        val hasA = (mb % sps.widthMbs) > 0 && blkTc(mb - 1) != null
+        val hasB = mb - sps.widthMbs >= 0 && blkTc(mb - sps.widthMbs) != null
         var predSum = 0L
         var predCnt = 0
         if (hasB) {
@@ -325,39 +359,104 @@ object Mp4H264Decoder extends MediaDecoder {
           if (predCnt == 32) ((predSum + 16) >> 5).toInt
           else if (predCnt == 16) ((predSum + 8) >> 4).toInt
           else 128
-        // all AC levels are zero (CBP luma 0), so each 4×4 block's
-        // residual is flat: r = (dcY + 32) >> 6 (§8.5.12 on a DC-only
-        // input passes the DC unchanged to all 16 positions)
         var bj = 0
         while (bj < 4) {
           var bi = 0
           while (bi < 4) {
-            val res = (dcY(bj)(bi) + 32) >> 6
-            val sample = math.max(0, math.min(255, pred + res))
-            var j = 0
-            while (j < 4) {
-              var i = 0
-              while (i < 4) {
-                yPlane((mbY + bj * 4 + j) * w + mbX + bi * 4 + i) = sample.toByte
-                i += 1
+            val ac = acScan(bj * 4 + bi)
+            if (!hasAc || ac.forall(_ == 0)) {
+              // all AC levels zero → the inverse transform of a lone DC
+              // is flat: r = (dcY + 32) >> 6 (§8.5.12 degenerate case)
+              val res = (dcY(bj)(bi) + 32) >> 6
+              val sample = math.max(0, math.min(255, pred + res))
+              var j = 0
+              while (j < 4) {
+                var i = 0
+                while (i < 4) {
+                  yPlane((mbY + bj * 4 + j) * w + mbX + bi * 4 + i) = sample.toByte
+                  i += 1
+                }
+                j += 1
               }
-              j += 1
+            } else {
+              // §8.5.12.1: AC scaling d = c·normAdjust(qp%6, pos) << qp/6
+              // (exact at every qp with the flat 16 weight matrix — the
+              // 2^4 in LevelScale cancels the −4 in the shift); the DC
+              // position takes the §8.5.10 output unscaled
+              val d = Array.ofDim[Int](4, 4)
+              d(0)(0) = dcY(bj)(bi)
+              var k2 = 0
+              while (k2 < 15) {
+                val (zi, zj) = Cavlc.ZigZag(k2 + 1) // AC scan skips DC
+                d(zi)(zj) = ac(k2) * Cavlc.normAdjust(qpY % 6, zi, zj) <<
+                  (qpY / 6)
+                k2 += 1
+              }
+              val res = inverseTransform4x4(d)
+              var j = 0
+              while (j < 4) {
+                var i = 0
+                while (i < 4) {
+                  val sample = math.max(0, math.min(255, pred + res(j)(i)))
+                  yPlane((mbY + bj * 4 + j) * w + mbX + bi * 4 + i) = sample.toByte
+                  i += 1
+                }
+                j += 1
+              }
             }
             bi += 1
           }
           bj += 1
         }
-        ctx(mb) = 0 // AC blocks carry no coefficients in this subset
+        blkTc(mb) = cur // 0s for DC-only, per-block AC counts otherwise
       } else {
         throw new UnsupportedMediaFeature("unsupported_macroblock",
           s"macroblock $mb has mb_type $mbType — this pure-JVM reader " +
-            "decodes I_PCM (25) and CAVLC I_16x16 luma-DC-only (3) " +
-            "macroblocks; general residual decoding needs CAVLC AC + " +
-            "intra prediction modes + IDCT")
+            "decodes I_PCM (25) and CAVLC I_16x16 DC-predicted " +
+            "macroblocks with CBP luma 0 or 15 (mb_type 3, 15); other " +
+            "intra modes / partial CBPs / P/B slices are outside the " +
+            "envelope")
       }
       mb += 1
     }
     mb
+  }
+
+  /** §8.5.12.2: the 4×4 inverse core transform (row pass, column pass,
+    * then the (x + 32) >> 6 rounding shift) over scaled coefficients
+    * `d` — the integer "IDCT" every residual block passes through. On a
+    * lone-DC input every output is (d00 + 32) >> 6, the degenerate case
+    * the DC-only path inlines. */
+  private def inverseTransform4x4(d: Array[Array[Int]]): Array[Array[Int]] = {
+    val e = Array.ofDim[Int](4, 4)
+    var i = 0
+    while (i < 4) { // rows
+      val d0 = d(i)(0); val d1 = d(i)(1); val d2 = d(i)(2); val d3 = d(i)(3)
+      val a = d0 + d2
+      val b = d0 - d2
+      val c = (d1 >> 1) - d3
+      val f = d1 + (d3 >> 1)
+      e(i)(0) = a + f
+      e(i)(1) = b + c
+      e(i)(2) = b - c
+      e(i)(3) = a - f
+      i += 1
+    }
+    val out = Array.ofDim[Int](4, 4)
+    var j = 0
+    while (j < 4) { // columns
+      val d0 = e(0)(j); val d1 = e(1)(j); val d2 = e(2)(j); val d3 = e(3)(j)
+      val a = d0 + d2
+      val b = d0 - d2
+      val c = (d1 >> 1) - d3
+      val f = d1 + (d3 >> 1)
+      out(0)(j) = (a + f + 32) >> 6
+      out(1)(j) = (b + c + 32) >> 6
+      out(2)(j) = (b - c + 32) >> 6
+      out(3)(j) = (a - f + 32) >> 6
+      j += 1
+    }
+    out
   }
 
   /** §8.5.10: inverse 4×4 Hadamard on the luma DC array, then scaling —
@@ -433,8 +532,29 @@ object Mp4H264Decoder extends MediaDecoder {
       (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
       (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
 
+    /** 4×4 luma block scan within a macroblock (Figure 6-10, the
+      * z-order residual() walks): blkIdx → (blkCol, blkRow) in
+      * 4×4-block units. Left/top in-MB neighbours of any block always
+      * precede it in this order — the property per-block CAVLC nC
+      * derivation relies on. */
+    val Blk4x4Scan: IndexedSeq[(Int, Int)] = Vector(
+      (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+      (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+
     /** normAdjust4x4(m, (0,0)) — the DC position's dequant factor. */
     val NormAdjustDc: IndexedSeq[Int] = Vector(10, 11, 13, 14, 16, 18)
+
+    /** normAdjust4x4 (§8.5.9) position classes: (even,even) positions
+      * share [[NormAdjustDc]]; (odd,odd) and mixed-parity positions use
+      * these — the AC dequant factors the luma-DC subset never needed. */
+    val NormAdjustOddOdd: IndexedSeq[Int] = Vector(16, 18, 20, 23, 25, 29)
+    val NormAdjustMixed: IndexedSeq[Int] = Vector(13, 14, 16, 18, 20, 23)
+
+    /** normAdjust4x4(m, (i, j)) by position parity class. */
+    def normAdjust(m: Int, i: Int, j: Int): Int =
+      if (i % 2 == 0 && j % 2 == 0) NormAdjustDc(m)
+      else if (i % 2 == 1 && j % 2 == 1) NormAdjustOddOdd(m)
+      else NormAdjustMixed(m)
 
     /** Table 9-5, 0 ≤ nC < 2: codeword → (TrailingOnes, TotalCoeff). */
     val CoeffTokenNc01: Map[String, (Int, Int)] = Map(
@@ -469,6 +589,74 @@ object Mp4H264Decoder extends MediaDecoder {
       "0000000000001001" -> (2, 15), "0000000000001100" -> (3, 15),
       "0000000000000100" -> (0, 16), "0000000000000110" -> (1, 16),
       "0000000000000101" -> (2, 16), "0000000000001000" -> (3, 16))
+
+    /** Table 9-5, 2 ≤ nC < 4: codeword → (TrailingOnes, TotalCoeff). */
+    val CoeffTokenNc24: Map[String, (Int, Int)] = Map(
+      "11" -> (0, 0),
+      "001011" -> (0, 1), "10" -> (1, 1),
+      "000111" -> (0, 2), "00111" -> (1, 2), "011" -> (2, 2),
+      "0000111" -> (0, 3), "001010" -> (1, 3),
+      "001001" -> (2, 3), "0101" -> (3, 3),
+      "00000111" -> (0, 4), "000110" -> (1, 4),
+      "000101" -> (2, 4), "0100" -> (3, 4),
+      "00000100" -> (0, 5), "0000110" -> (1, 5),
+      "0000101" -> (2, 5), "00110" -> (3, 5),
+      "000000111" -> (0, 6), "00000110" -> (1, 6),
+      "00000101" -> (2, 6), "001000" -> (3, 6),
+      "00000001111" -> (0, 7), "000000110" -> (1, 7),
+      "000000101" -> (2, 7), "000100" -> (3, 7),
+      "00000001011" -> (0, 8), "00000001110" -> (1, 8),
+      "00000001101" -> (2, 8), "0000100" -> (3, 8),
+      "000000001111" -> (0, 9), "00000001010" -> (1, 9),
+      "00000001001" -> (2, 9), "000000100" -> (3, 9),
+      "000000001011" -> (0, 10), "000000001110" -> (1, 10),
+      "000000001101" -> (2, 10), "00000001100" -> (3, 10),
+      "000000001000" -> (0, 11), "000000001010" -> (1, 11),
+      "000000001001" -> (2, 11), "00000001000" -> (3, 11),
+      "0000000001111" -> (0, 12), "0000000001110" -> (1, 12),
+      "0000000001101" -> (2, 12), "000000001100" -> (3, 12),
+      "0000000001011" -> (0, 13), "0000000001010" -> (1, 13),
+      "0000000001001" -> (2, 13), "0000000001100" -> (3, 13),
+      "0000000000111" -> (0, 14), "00000000001011" -> (1, 14),
+      "0000000000110" -> (2, 14), "0000000001000" -> (3, 14),
+      "00000000001001" -> (0, 15), "00000000001000" -> (1, 15),
+      "00000000001010" -> (2, 15), "0000000000001" -> (3, 15),
+      "00000000000111" -> (0, 16), "00000000000110" -> (1, 16),
+      "00000000000101" -> (2, 16), "00000000000100" -> (3, 16))
+
+    /** Table 9-5, 4 ≤ nC < 8: codeword → (TrailingOnes, TotalCoeff). */
+    val CoeffTokenNc48: Map[String, (Int, Int)] = Map(
+      "1111" -> (0, 0),
+      "001111" -> (0, 1), "1110" -> (1, 1),
+      "001011" -> (0, 2), "01111" -> (1, 2), "1101" -> (2, 2),
+      "001000" -> (0, 3), "01100" -> (1, 3),
+      "01110" -> (2, 3), "1100" -> (3, 3),
+      "0001111" -> (0, 4), "01010" -> (1, 4),
+      "01011" -> (2, 4), "1011" -> (3, 4),
+      "0001011" -> (0, 5), "01000" -> (1, 5),
+      "01001" -> (2, 5), "1010" -> (3, 5),
+      "0001001" -> (0, 6), "001110" -> (1, 6),
+      "001101" -> (2, 6), "1001" -> (3, 6),
+      "0001000" -> (0, 7), "001010" -> (1, 7),
+      "001001" -> (2, 7), "1000" -> (3, 7),
+      "00001111" -> (0, 8), "0001110" -> (1, 8),
+      "0001101" -> (2, 8), "01101" -> (3, 8),
+      "00001011" -> (0, 9), "00001110" -> (1, 9),
+      "0001010" -> (2, 9), "001100" -> (3, 9),
+      "000001111" -> (0, 10), "00001010" -> (1, 10),
+      "00001101" -> (2, 10), "0001100" -> (3, 10),
+      "000001011" -> (0, 11), "000001110" -> (1, 11),
+      "00001001" -> (2, 11), "00001100" -> (3, 11),
+      "000001000" -> (0, 12), "000001010" -> (1, 12),
+      "000001101" -> (2, 12), "00001000" -> (3, 12),
+      "0000001101" -> (0, 13), "000000111" -> (1, 13),
+      "000001001" -> (2, 13), "000001100" -> (3, 13),
+      "0000001001" -> (0, 14), "0000001100" -> (1, 14),
+      "0000001011" -> (2, 14), "0000001010" -> (3, 14),
+      "0000000101" -> (0, 15), "0000001000" -> (1, 15),
+      "0000000111" -> (2, 15), "0000000110" -> (3, 15),
+      "0000000001" -> (0, 16), "0000000100" -> (1, 16),
+      "0000000011" -> (2, 16), "0000000010" -> (3, 16))
 
     /** Table 9-7 (4×4 total_zeros): column = TotalCoeff 1..15, row =
       * total_zeros value, entry = codeword. */
@@ -532,23 +720,26 @@ object Mp4H264Decoder extends MediaDecoder {
     /** Parse coeff_token (§9.2.1) in context nC. */
     def coeffToken(r: BitReader, nC: Int): (Int, Int) =
       if (nC < 2) readVlc(r, CoeffTokenNc01, "coeff_token(nC<2)")
-      else if (nC >= 8) {
+      else if (nC < 4) readVlc(r, CoeffTokenNc24, "coeff_token(2<=nC<4)")
+      else if (nC < 8) readVlc(r, CoeffTokenNc48, "coeff_token(4<=nC<8)")
+      else {
         val code = r.u(6)
         val tt = if (code == 3) (0, 0) else (code & 3, (code >> 2) + 1)
         require(tt._1 <= math.min(3, tt._2),
           s"invalid coeff_token fixed code $code")
         tt
-      } else
-        throw new UnsupportedMediaFeature("cavlc_context",
-          s"coeff_token context nC=$nC needs the 2≤nC<8 VLC tables — " +
-            "unreachable in the luma-DC-only subset (a neighbour with " +
-            "1..7 coded AC coefficients is outside it)")
+      }
 
-    /** §9.2: one residual block, maxNumCoeff = 16. Returns the 16
-      * coefficient levels in SCAN order (zigzag position → level). */
-    def residualBlock(r: BitReader, nC: Int): Array[Int] = {
-      val out = new Array[Int](16)
+    /** §9.2: one residual block of `maxNumCoeff` scan positions (16 for
+      * a full 4×4 / the Intra16x16 DC block, 15 for an Intra16x16 AC
+      * block, whose scan skips the DC position). Returns the levels in
+      * SCAN order (scan position → level). */
+    def residualBlock(r: BitReader, nC: Int,
+        maxNumCoeff: Int = 16): Array[Int] = {
+      val out = new Array[Int](maxNumCoeff)
       val (t1, total) = coeffToken(r, nC)
+      require(total <= maxNumCoeff,
+        s"coeff_token TotalCoeff $total exceeds maxNumCoeff $maxNumCoeff")
       if (total == 0) return out
       // trailing-one signs, then levels (§9.2.2)
       val levels = new Array[Int](total)
@@ -581,10 +772,15 @@ object Mp4H264Decoder extends MediaDecoder {
           suffixLength += 1
         i += 1
       }
-      // total_zeros (§9.2.3) + run_before placement (§9.2.4)
+      // total_zeros (§9.2.3) + run_before placement (§9.2.4); the 4×4
+      // table serves both 16- and 15-position blocks — when TotalCoeff
+      // equals maxNumCoeff there is no room for zeros and nothing is read
       val totalZeros =
-        if (total == 16) 0
+        if (total == maxNumCoeff) 0
         else readVlc(r, asMap(TotalZeros(total)), s"total_zeros(T=$total)")
+      require(totalZeros <= maxNumCoeff - total,
+        s"total_zeros $totalZeros impossible in a $maxNumCoeff-position " +
+          s"block with $total coefficients — corrupt bitstream")
       var zerosLeft = totalZeros
       var coeffNum = total + totalZeros - 1
       i = 0
@@ -610,12 +806,17 @@ object Mp4H264Decoder extends MediaDecoder {
 
     private lazy val CoeffTokenNc01Enc: Map[(Int, Int), String] =
       CoeffTokenNc01.map(_.swap)
+    private lazy val CoeffTokenNc24Enc: Map[(Int, Int), String] =
+      CoeffTokenNc24.map(_.swap)
+    private lazy val CoeffTokenNc48Enc: Map[(Int, Int), String] =
+      CoeffTokenNc48.map(_.swap)
 
     /** Encode one residual block from SCAN-ordered levels (§9.2 inverse).
       * The encoder mirrors the decoder's context/state machine exactly;
       * the CavlcTableSpec round-trip property pins the pair. */
     def writeResidualBlock(w: BitWriter, scan: Array[Int], nC: Int): Unit = {
-      require(scan.length == 16, "scan array must have 16 positions")
+      require(scan.length == 16 || scan.length == 15,
+        "scan array must have 16 (full block) or 15 (i16x16 AC) positions")
       val nz = scan.indices.filter(scan(_) != 0)
       val total = nz.length
       val totalZeros = if (total == 0) 0 else nz.last + 1 - total
@@ -627,10 +828,16 @@ object Mp4H264Decoder extends MediaDecoder {
       if (nC < 2)
         writeBits(w, CoeffTokenNc01Enc.getOrElse((t1, total),
           sys.error(s"no coeff_token code for T1=$t1 T=$total")))
-      else if (nC >= 8) {
+      else if (nC < 4)
+        writeBits(w, CoeffTokenNc24Enc.getOrElse((t1, total),
+          sys.error(s"no coeff_token code for T1=$t1 T=$total (2<=nC<4)")))
+      else if (nC < 8)
+        writeBits(w, CoeffTokenNc48Enc.getOrElse((t1, total),
+          sys.error(s"no coeff_token code for T1=$t1 T=$total (4<=nC<8)")))
+      else {
         val code = if (total == 0) 3 else 4 * (total - 1) + t1
         w.u(code, 6)
-      } else sys.error(s"encoder: context nC=$nC outside subset")
+      }
       if (total == 0) return
       var i = 0
       while (i < t1) { w.u(if (levels(i) < 0) 1 else 0, 1); i += 1 }
@@ -663,7 +870,7 @@ object Mp4H264Decoder extends MediaDecoder {
           suffixLength += 1
         i += 1
       }
-      if (total < 16)
+      if (total < scan.length)
         writeBits(w, TotalZeros(total)(totalZeros))
       var zerosLeft = totalZeros
       i = 0
@@ -689,7 +896,7 @@ object Mp4H264Decoder extends MediaDecoder {
       writeResidualBlock(w, scan, encodeNc)
       w.trailing() // byte-align so the bit buffer flushes
       residualBlock(new BitReader(w.bytes),
-        if (decodeNc < 0) encodeNc else decodeNc)
+        if (decodeNc < 0) encodeNc else decodeNc, scan.length)
     }
   }
 
@@ -1022,6 +1229,10 @@ object Mp4H264Decoder extends MediaDecoder {
   private[graft] sealed trait MbSpec
   private[graft] final case class PcmMb(gray: Int) extends MbSpec
   private[graft] final case class DcMb(scanLevels: Array[Int]) extends MbSpec
+  /** CBP-luma-15 I_16x16 (mb_type 15): 16 DC scan levels plus one
+    * 15-position AC scan per 4×4 block, indexed by (blkRow*4 + blkCol). */
+  private[graft] final case class AcMb(dcScan: Array[Int],
+      acScans: IndexedSeq[Array[Int]]) extends MbSpec
 
   /** One IDR slice over an arbitrary I_PCM / CAVLC-DC macroblock mix —
     * the encoder twin of the r13 decode envelope. Tracks the CAVLC nC
@@ -1040,7 +1251,26 @@ object Mp4H264Decoder extends MediaDecoder {
     w.ue(0)    // idr_pic_id
     w.u(0, 1); w.u(0, 1) // no_output_of_prior_pics, long_term_reference
     w.se(qp - 26) // slice_qp_delta (pic_init_qp = 26)
-    val ctx = Array.fill(mbs.length)(-1)
+    // per-4×4-block TotalCoeff grid, mirroring the decoder's derivation
+    val blkTc = new Array[Array[Int]](mbs.length)
+    def blockNc(mb: Int, bx: Int, by: Int, cur: Array[Int]): Int = {
+      def tc(nMb: Int, nbx: Int, nby: Int): Int =
+        if (nMb == mb) cur(nby * 4 + nbx)
+        else if (blkTc(nMb) == null) -1
+        else blkTc(nMb)(nby * 4 + nbx)
+      val nA =
+        if (bx > 0) tc(mb, bx - 1, by)
+        else if (mb % widthMbs > 0) tc(mb - 1, 3, by)
+        else -1
+      val nB =
+        if (by > 0) tc(mb, bx, by - 1)
+        else if (mb - widthMbs >= 0) tc(mb - widthMbs, bx, 3)
+        else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA
+      else if (nB >= 0) nB
+      else 0
+    }
     mbs.zipWithIndex.foreach {
       case (PcmMb(gray), mb) =>
         w.ue(25)
@@ -1049,20 +1279,31 @@ object Mp4H264Decoder extends MediaDecoder {
         while (i < 256) { w.u(gray & 0xff, 8); i += 1 }
         i = 0
         while (i < 128) { w.u(128, 8); i += 1 }
-        ctx(mb) = 16
+        blkTc(mb) = Array.fill(16)(16)
       case (DcMb(scan), mb) =>
         w.ue(3)  // I_16x16_2_0_0: DC pred, CBP luma 0, CBP chroma 0
         w.ue(0)  // intra_chroma_pred_mode: DC
         w.se(0)  // mb_qp_delta
-        val hasA = (mb % widthMbs) > 0 && ctx(mb - 1) >= 0
-        val hasB = mb - widthMbs >= 0 && ctx(mb - widthMbs) >= 0
-        val nC =
-          if (hasA && hasB) (ctx(mb - 1) + ctx(mb - widthMbs) + 1) >> 1
-          else if (hasA) ctx(mb - 1)
-          else if (hasB) ctx(mb - widthMbs)
-          else 0
-        Cavlc.writeResidualBlock(w, scan, nC)
-        ctx(mb) = 0
+        val cur = new Array[Int](16)
+        Cavlc.writeResidualBlock(w, scan, blockNc(mb, 0, 0, cur))
+        blkTc(mb) = cur
+      case (AcMb(dcScan, acScans), mb) =>
+        require(acScans.length == 16 && acScans.forall(_.length == 15),
+          "AcMb needs 16 AC scans of 15 positions")
+        w.ue(15) // I_16x16_2_0_1: DC pred, CBP luma 15, CBP chroma 0
+        w.ue(0)  // intra_chroma_pred_mode: DC
+        w.se(0)  // mb_qp_delta
+        val cur = new Array[Int](16)
+        Cavlc.writeResidualBlock(w, dcScan, blockNc(mb, 0, 0, cur))
+        var b = 0
+        while (b < 16) { // z-scan order, contexts updated as we go
+          val (bx, by) = Cavlc.Blk4x4Scan(b)
+          val scan = acScans(by * 4 + bx)
+          Cavlc.writeResidualBlock(w, scan, blockNc(mb, bx, by, cur))
+          cur(by * 4 + bx) = scan.count(_ != 0)
+          b += 1
+        }
+        blkTc(mb) = cur
     }
     w.trailing()
     w.bytes
@@ -1080,6 +1321,20 @@ object Mp4H264Decoder extends MediaDecoder {
     val hMbs = height / 16
     packMp4(width, height, frames.map { mbs =>
       nal(3, 5, buildMixedSlice(wMbs, hMbs, qp, mbs.map(DcMb(_))))
+    })
+  }
+
+  /** A REAL MP4 whose single IDR picture mixes full-CBP CAVLC I_16x16
+    * macroblocks (mb_type 15: DC + 16 entropy-coded AC blocks each)
+    * with any other [[MbSpec]]s — the r13 notch past luma-DC-only.
+    * Frames with coded AC counts of 1–7 in a block drive the decoder
+    * through the 2 ≤ nC < 8 coeff_token contexts no DC-only stream can
+    * reach. */
+  def syntheticMp4CavlcAc(width: Int, height: Int, qp: Int,
+      frames: Seq[Seq[MbSpec]]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0, "dims must be MB-aligned")
+    packMp4(width, height, frames.map { mbs =>
+      nal(3, 5, buildMixedSlice(width / 16, height / 16, qp, mbs))
     })
   }
 
