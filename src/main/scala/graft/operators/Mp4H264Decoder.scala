@@ -1233,6 +1233,9 @@ object Mp4H264Decoder extends MediaDecoder {
     * 15-position AC scan per 4×4 block, indexed by (blkRow*4 + blkCol). */
   private[graft] final case class AcMb(dcScan: Array[Int],
       acScans: IndexedSeq[Array[Int]]) extends MbSpec
+  /** Boundary probe: announces mb_type 4 (I_16x16_3_0_0, plane
+    * prediction) — the decoder must quarantine it loudly. */
+  private[graft] case object UnsupportedProbeMb extends MbSpec
 
   /** One IDR slice over an arbitrary I_PCM / CAVLC-DC macroblock mix —
     * the encoder twin of the r13 decode envelope. Tracks the CAVLC nC
@@ -1287,6 +1290,9 @@ object Mp4H264Decoder extends MediaDecoder {
         val cur = new Array[Int](16)
         Cavlc.writeResidualBlock(w, scan, blockNc(mb, 0, 0, cur))
         blkTc(mb) = cur
+      case (UnsupportedProbeMb, mb) =>
+        w.ue(4) // the decoder throws on the type before reading further
+        blkTc(mb) = Array.fill(16)(0)
       case (AcMb(dcScan, acScans), mb) =>
         require(acScans.length == 16 && acScans.forall(_.length == 15),
           "AcMb needs 16 AC scans of 15 positions")

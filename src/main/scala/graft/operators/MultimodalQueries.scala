@@ -795,6 +795,86 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    /** CAVLC I_16x16 FULL-AC decode, driver-gated end to end (the r13
+      * notch past m285's luma-DC-only subset — mb_type 15, CBP luma 15):
+      * class 0 decodes a lone macroblock whose block (0,0) carries one
+      * coded AC coefficient (hand-derived plane: columns 143/138/128/123
+      * against the flat-133 DC field — the frame SUM equals the DC-only
+      * sum exactly because the inverse transform is mean-preserving, so
+      * the gate pins a position-WEIGHTED checksum, not a mean); class 1
+      * chains AC coefficient counts across a macroblock border so the
+      * neighbour's blocks parse coeff_token in the 2≤nC<4 AND 4≤nC<8
+      * contexts (the two Table 9-5 columns no DC-only stream reaches);
+      * class 2 runs coded AC under the qp≥36 DC scaling path; class 3
+      * probes plane-predicted I_16x16 (mb_type 4) and must quarantine
+      * typed. Expected checksums derive from an independent from-spec
+      * Python model; class 0's plane is additionally hand-derived in
+      * CavlcAcSpec's comments.
+      *
+      * Scale shape: m254's — decode is per-row CPU work behind codegen'd
+      * plumbing; the gate's cost is fixture synthesis, not data. */
+    "m292_cavlc_ac" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), (col("doc_id") % 4).as("cls"))
+      val per = docs.select("cls").distinct().as[Long]
+        .mapPartitions { it =>
+          it.map { cls =>
+            def dc(v: Int): Array[Int] = {
+              val a = new Array[Int](16); a(0) = v; a
+            }
+            def acOf(levels: Int*): Array[Int] = {
+              val a = new Array[Int](15)
+              levels.zipWithIndex.foreach { case (v, i) => a(i) = v }
+              a
+            }
+            def grid(m: Map[Int, Array[Int]]): IndexedSeq[Array[Int]] =
+              IndexedSeq.tabulate(16)(i => m.getOrElse(i, new Array[Int](15)))
+            val payload: Array[Byte] = cls match {
+              case 0L =>
+                graft.Mp4H264Decoder.syntheticMp4CavlcAc(16, 16, 28,
+                  Seq(Seq(graft.Mp4H264Decoder.AcMb(dc(5),
+                    grid(Map(0 -> acOf(2)))))))
+              case 1L =>
+                graft.Mp4H264Decoder.syntheticMp4CavlcAc(32, 16, 28,
+                  Seq(Seq(
+                    graft.Mp4H264Decoder.AcMb(dc(5),
+                      grid(Map(3 -> acOf(3, 2, 1, 1)))),
+                    graft.Mp4H264Decoder.AcMb(dc(3),
+                      grid(Map(0 -> acOf(2, 1, 1), 1 -> acOf(1)))))))
+              case 2L =>
+                graft.Mp4H264Decoder.syntheticMp4CavlcAc(16, 16, 40,
+                  Seq(Seq(graft.Mp4H264Decoder.AcMb(dc(2),
+                    grid(Map(5 -> { val a = new Array[Int](15)
+                      a(5) = -3; a })))))) // block (1,1), scan 5
+              case _ =>
+                graft.Mp4H264Decoder.syntheticMp4CavlcAc(16, 16, 28,
+                  Seq(Seq(graft.Mp4H264Decoder.UnsupportedProbeMb)))
+            }
+            try {
+              val frames = graft.Mp4H264Decoder.framesY(payload)
+              var n = 0L; var sum = 0L; var wsum = 0L
+              frames.foreach { case (_, _, y) =>
+                var i = 0
+                while (i < y.length) {
+                  val v = (y(i) & 0xff).toLong
+                  n += 1; sum += v
+                  wsum = (wsum + v * (i + 1)) % 1000000007L
+                  i += 1
+                }
+              }
+              (cls, "ok", "", n, sum, wsum)
+            } catch {
+              case e: graft.UnsupportedMediaFeature =>
+                (cls, "quarantined", e.reason, -1L, -1L, -1L)
+            }
+          }
+        }.toDF("cls", "status", "reason", "n_pixels", "y_sum", "y_wsum")
+      docs.join(broadcast(per), "cls")
+        .select("doc_id", "status", "reason", "n_pixels", "y_sum", "y_wsum")
+        .orderBy("doc_id")
+    }),
+
     "m136_media_near_dup" -> ((s, d) => {
       val hashed = documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
@@ -1049,6 +1129,27 @@ object MultimodalQueries {
         |       WHEN doc_id % 4 = 1 THEN '[152,104]'
         |       WHEN doc_id % 4 = 2 THEN '[205]'
         |       ELSE '[]' END AS lumas_json
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    // from-spec Python-model constants (class 0 additionally hand-derived
+    // in CavlcAcSpec): the weighted checksum is the AC-sensitive signal —
+    // frame SUMS alone are invariant to AC (mean-preserving transform)
+    "m292_cavlc_ac" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'unsupported_macroblock'
+        |       ELSE '' END AS reason,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 256
+        |            WHEN doc_id % 4 = 1 THEN 512
+        |            WHEN doc_id % 4 = 2 THEN 256 ELSE -1 END AS BIGINT)
+        |    AS n_pixels,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 34048
+        |            WHEN doc_id % 4 = 1 THEN 67848
+        |            WHEN doc_id % 4 = 2 THEN 34816 ELSE -1 END AS BIGINT)
+        |    AS y_sum,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 4375028
+        |            WHEN doc_id % 4 = 1 THEN 17392320
+        |            WHEN doc_id % 4 = 2 THEN 4473976 ELSE -1 END AS BIGINT)
+        |    AS y_wsum
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
     // the oracle recomputes the EXACT fingerprint from the synthetic
     // PCM formula sample(i) = ((seed + 997 i) mod 65536) - 32768 — the

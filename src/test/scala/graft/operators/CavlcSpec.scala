@@ -171,12 +171,12 @@ class CavlcSpec extends AnyFunSuite {
     assert(px(16, 16) == 210, s"MB3 ${px(16, 16)}")
   }
 
-  test("fences: 2<=nC<8 context and oversized level_prefix fail typed/loud") {
-    val e = intercept[UnsupportedMediaFeature] {
-      C.roundTrip(new Array[Int](16), encodeNc = 0, decodeNc = 4)
-    }
-    assert(e.reason == "cavlc_context", e.getMessage)
-    // a level magnitude far past the prefix cap still round-trips via the
+  test("fences: oversized level_prefix fails typed/loud") {
+    // the 2<=nC<8 context fence moved OUT of coeff_token in round 13 —
+    // those tables are now transcribed and CavlcAcSpec exercises them;
+    // the envelope fence lives at the mb_type/prediction level instead
+    // (CavlcAcSpec's plane-prediction quarantine probe).
+    // A level magnitude far past the prefix cap still round-trips via the
     // 12-bit escape; one beyond the escape cap fails loudly in the encoder
     val big = new Array[Int](16); big(0) = 2000
     assert(C.roundTrip(big, 0).toSeq == big.toSeq)
