@@ -264,9 +264,21 @@ object SnapshotTable {
     val (fs, root) = fsFor(spark, dir)
     val sinceP = new Path(new Path(root, ManifestDir), s"v$sinceVersion.manifest")
     require(fs.exists(sinceP), s"$dir has no snapshot v$sinceVersion")
-    val before = dataLines(readManifest(fs, sinceP)).toSet
-    val (nowV, now) = latest(spark, dir)
+    val sinceLines = readManifest(fs, sinceP)
+    val before = dataLines(sinceLines).toSet
+    val (nowV, now, nowDvs, _) = latestState(spark, dir)
       .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    // a deletion vector is INVISIBLE to a file-list diff (it adds no
+    // data file), so an incremental maintainer fed only "fresh files"
+    // would silently keep rows a DV deleted — fail loudly instead of
+    // going stale (deleteWhere/merge rewrites at least RESURFACE as new
+    // files, which over-counts but cannot silently drop a deletion)
+    if (dvLines(sinceLines).toSet != nowDvs.toSet)
+      throw new IllegalStateException(
+        s"$dir: the deletion-vector set changed between v$sinceVersion " +
+          s"and v$nowV — append-diff reading cannot represent row " +
+          "deletes; rebuild the derived state from the snapshot or diff " +
+          "by content (q142's CDC)")
     val fresh = now.filterNot(before)
     if (fresh.isEmpty) None
     else Some(nowV ->

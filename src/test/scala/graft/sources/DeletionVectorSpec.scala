@@ -129,6 +129,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(keys(dir) == Set(1L, 2L))
   }
 
+  test("readAppendsSince fails loudly when a DV landed in between") {
+    val dir = tempTable()
+    val v1 = SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 1L)
+    // a file-list diff cannot see the deletion — an incremental
+    // maintainer must be told to rebuild, never silently go stale
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.readAppendsSinceVersioned(spark, dir, v1)
+    }
+    assert(e.getMessage.contains("deletion-vector set changed"), e.getMessage)
+    // once the DV is folded away AND the fold's rewrites are the only
+    // delta, the diff path reports the rewritten files (the documented
+    // rewrite-resurfacing contract), not an error
+    SnapshotTable.compact(spark, dir, "p")
+    val v4 = SnapshotTable.latest(spark, dir).get._1
+    SnapshotTable.append(spark, dir, mkDf(Seq((9L, 1L))), "p")
+    val got = SnapshotTable.readAppendsSince(spark, dir, v4).get
+      .select(col("k").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(9L))
+  }
+
   test("plan pin: DV-free read keeps the plain scan; DV'd read joins") {
     val dir = tempTable()
     SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 0L))), "p")
