@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Mp4H264Decoder, UnsupportedMediaFeature}
+import graft.Mp4H264Decoder
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CAVLC I_16x16 luma-DC-only gate (the r13 boundary notch, VERDICT r12
