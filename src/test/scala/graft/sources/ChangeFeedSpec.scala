@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Change-feed contract ([[SnapshotTable.readChangesSince]], VERDICT
+  * r13 #6) and its consumer ([[MaterializedView.refreshWithDeletes]]):
+  * folding `old - deletes + inserts` must be indistinguishable from
+  * recomputing against the new snapshot, for every mutation class the
+  * table supports — append, DV delete, partition-rewrite delete, MERGE,
+  * compact — and the MV refresh that consumes it must fold deletions
+  * without rescanning the base table.
+  */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("snapcdf").toString + "/t"
+
+  private def mkDf(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "p", "v")
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("k").cast("long"), col("p").cast("long"),
+        col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Fold the feed over the since-snapshot and compare with the latest
+    * snapshot — the algebraic contract every consumer relies on. */
+  private def assertFeedExact(dir: String, sinceV: Long): Unit = {
+    val (nowV, ins, del) = SnapshotTable.readChangesSince(spark, dir, sinceV)
+      .getOrElse(fail(s"expected changes after v$sinceV"))
+    val before = rowSet(SnapshotTable.read(spark, dir, Some(sinceV)))
+    val after = rowSet(SnapshotTable.read(spark, dir, Some(nowV)))
+    val (insS, delS) = (rowSet(ins), rowSet(del))
+    assert(delS.subsetOf(before), s"deletes not in the old snapshot: " +
+      s"${delS -- before}")
+    assert((before -- delS) ++ insS == after,
+      s"fold mismatch: before=$before del=$delS ins=$insS after=$after")
+  }
+
+  test("append + DV delete: feed is exactly (new rows, deleted rows)") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir,
+      mkDf(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L))), "p")
+    SnapshotTable.append(spark, dir, mkDf(Seq((4L, 1L, 40L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 2L)
+    val (nowV, ins, del) = SnapshotTable.readChangesSince(spark, dir, 1L).get
+    assert(nowV == 3L)
+    assert(rowSet(ins) == Set((4L, 1L, 40L)))
+    assert(rowSet(del) == Set((2L, 0L, 20L)))
+    assertFeedExact(dir, 1L)
+    assert(SnapshotTable.readChangesSince(spark, dir, 3L).isEmpty,
+      "an up-to-date reader gets None")
+    // window STARTING with live DVs, ended by the fold: the rewritten
+    // files' deletes are computed under the since-DVs, so the already-
+    // deleted row must not resurface in either leg
+    SnapshotTable.compact(spark, dir, "p")
+    val (_, ins2, del2) = SnapshotTable.readChangesSince(spark, dir, 3L).get
+    assert(!rowSet(ins2).contains((2L, 0L, 20L)) &&
+      !rowSet(del2).contains((2L, 0L, 20L)),
+      "a pre-window DV delete resurfaced through the compact rewrite")
+    assertFeedExact(dir, 3L)
+  }
+
+  test("a row appended AND DV-deleted within the window never surfaces " +
+      "as an insert") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L, 10L))), "p")
+    SnapshotTable.append(spark, dir, mkDf(Seq((2L, 0L, 20L))), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 2L)
+    val (_, ins, del) = SnapshotTable.readChangesSince(spark, dir, 1L).get
+    assert(rowSet(ins).isEmpty, "the netted-out row leaked as an insert")
+    assert(rowSet(del).isEmpty, "a row absent at `since` cannot be a delete")
+    assertFeedExact(dir, 1L)
+  }
+
+  test("MERGE surfaces as delete(old row) + insert(new row); compact " +
+      "self-cancels; partition-rewrite deletes surface exactly") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir,
+      mkDf(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L))), "p")
+    SnapshotTable.merge(spark, dir, "p", "k",
+      mkDf(Seq((2L, 1L, 99L), (5L, 1L, 50L)))) // k=2 moves p=0 -> p=1
+    assertFeedExact(dir, 1L)
+    val (_, ins, del) = SnapshotTable.readChangesSince(spark, dir, 1L).get
+    assert(rowSet(del).contains((2L, 0L, 20L)), "the upsert's old row is a delete")
+    assert(rowSet(ins).contains((2L, 1L, 99L)), "the upsert's new row is an insert")
+    val v2 = SnapshotTable.latest(spark, dir).get._1
+    SnapshotTable.deleteWhere(spark, dir, "p", col("k") === 1L)
+    assertFeedExact(dir, v2)
+    val v3 = SnapshotTable.latest(spark, dir).get._1
+    SnapshotTable.append(spark, dir, mkDf(Seq((6L, 0L, 60L))), "p")
+    SnapshotTable.compact(spark, dir, "p")
+    assertFeedExact(dir, v3) // rewrite rows cancel: delete+insert pairs
+    assertFeedExact(dir, 1L) // and the whole chain composes end to end
+  }
+
+  test("refreshWithDeletes folds a DV erasure into the view without a " +
+      "rebuild and matches the from-scratch recompute") {
+    val src = tempTable(); val mv = tempTable()
+    SnapshotTable.write(spark, src,
+      mkDf(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L), (4L, 1L, 40L))), "p")
+    val aggs = Seq(MaterializedView.AggSpec("count", "", "n"),
+      MaterializedView.AggSpec("sum", "v", "sum_v"))
+    MaterializedView.create(spark, mv, src, Seq("p"), aggs, "p")
+    SnapshotTable.append(spark, src, mkDf(Seq((5L, 0L, 50L))), "p")
+    SnapshotTable.deleteWhereDV(spark, src, col("k").isin(2L, 3L))
+    // plain refresh must still fail loudly (its append-only contract)
+    intercept[IllegalStateException] {
+      MaterializedView.refresh(spark, mv, src, Seq("p"), aggs, "p")
+    }
+    assert(MaterializedView.refreshWithDeletes(
+      spark, mv, src, Seq("p"), aggs, "p").nonEmpty)
+    val got = MaterializedView.read(spark, mv)
+      .select(col("p").cast("long"), col("n").cast("long"),
+        col("sum_v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // from scratch: p=0 holds k=1,5 (k=2 deleted); p=1 holds k=4
+    assert(got == Set((0L, 2L, 60L), (1L, 1L, 40L)), s"got $got")
+    assert(MaterializedView.sourceVersion(spark, mv) ==
+      SnapshotTable.latest(spark, src).get._1)
+    // idempotent: nothing new -> None
+    assert(MaterializedView.refreshWithDeletes(
+      spark, mv, src, Seq("p"), aggs, "p").isEmpty)
+  }
+
+  test("refreshWithDeletes retires a group whose every row is deleted " +
+      "and rejects non-invertible aggregates") {
+    val src = tempTable(); val mv = tempTable()
+    SnapshotTable.write(spark, src,
+      mkDf(Seq((1L, 0L, 10L), (3L, 1L, 30L))), "p")
+    val aggs = Seq(MaterializedView.AggSpec("count", "", "n"),
+      MaterializedView.AggSpec("sum", "v", "sum_v"))
+    MaterializedView.create(spark, mv, src, Seq("p"), aggs, "p")
+    SnapshotTable.deleteWhereDV(spark, src, col("p") === 1L)
+    MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"), aggs, "p")
+    val groups = MaterializedView.read(spark, mv)
+      .select(col("p").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(groups == Set(0L),
+      s"the emptied group must leave the state entirely: $groups")
+    intercept[IllegalArgumentException] {
+      MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"),
+        Seq(MaterializedView.AggSpec("min", "v", "mn")), "p")
+    }
+    intercept[RuntimeException] {
+      MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"),
+        Seq(MaterializedView.AggSpec("sum", "v", "s")), "p")
+    }
+  }
+}

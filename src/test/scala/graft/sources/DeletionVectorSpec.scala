@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Deletion-vector contract for SnapshotTable (the q287 gate's unit
   * matrix): a DV delete commits row removals WITHOUT touching any data
   * file; stacked DVs compose; older snapshots are isolated from later
-  * DVs; every mutation carries DVs forward; compact folds DVs into the
-  * files it rewrites and keeps the rest; vacuum reclaims unreferenced
-  * DV sidecars; and mergeBatch makes a replayed CDC batch a no-op.
+  * DVs; every mutation carries DVs forward; compact rewrites every
+  * DV-referenced partition so the fold is complete and idempotent;
+  * vacuum reclaims unreferenced DV sidecars; and mergeBatch makes a
+  * replayed CDC batch a no-op.
   */
 class DeletionVectorSpec extends SparkSpec {
 
@@ -72,22 +73,30 @@ class DeletionVectorSpec extends SparkSpec {
     assert(keys(dir) == Set(1L, 3L, 4L), "merge must not resurrect k=2")
   }
 
-  test("compact folds DVs into rewritten partitions, keeps the rest") {
+  test("compact folds DVs COMPLETELY: DV-referenced partitions rewrite " +
+      "even when not crowded, and OPTIMIZE is idempotent") {
     val dir = tempTable()
-    // p=0 gets TWO files (crowded -> rewritten); p=1 one file (kept)
-    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (3L, 1L))), "p")
+    // p=0 gets TWO files (crowded); p=1 one file — but p=1 holds a live
+    // DV row, so it must rewrite too or its deletion could never fold
+    // (ADVICE r13: the old skip left uncrowded partitions' DVs pinned
+    // forever and every compact call re-staged an identical DV set)
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (3L, 1L), (4L, 1L))), "p")
     SnapshotTable.append(spark, dir, mkDf(Seq((2L, 0L))), "p")
     SnapshotTable.deleteWhereDV(spark, dir, col("k").isin(2L, 3L))
     val before = keys(dir)
-    assert(before == Set(1L))
-    val (_, compacted) = SnapshotTable.compact(spark, dir, "p")
-    assert(compacted == Seq("p=0"))
+    assert(before == Set(1L, 4L))
+    val (v1, compacted) = SnapshotTable.compact(spark, dir, "p")
+    assert(compacted == Seq("p=0", "p=1"),
+      "every partition with a live DV row is a rewrite candidate")
     val (_, files, dvs) = SnapshotTable.latestFull(spark, dir).get
     assert(keys(dir) == before, "compaction must not change the relation")
-    assert(dvs.nonEmpty, "the DV row addressing kept p=1 must survive")
-    // the fold is real: p=0's rewritten file holds only k=1, so deleting
-    // its old DV row changed nothing — prove by vacuuming + re-reading
+    assert(dvs.isEmpty,
+      "a complete fold returns the table to the DV-free fast read path")
     assert(files.exists(_.startsWith("p=1/")))
+    // idempotent: nothing left to do -> NO new commit, same version back
+    val (v2, again) = SnapshotTable.compact(spark, dir, "p")
+    assert(v2 == v1 && again.isEmpty,
+      s"a no-op OPTIMIZE must not commit (v1=$v1, v2=$v2)")
     SnapshotTable.vacuum(spark, dir, retain = 1)
     assert(keys(dir) == before)
   }
@@ -182,5 +191,43 @@ class DeletionVectorSpec extends SparkSpec {
     assert(vr0 == v1)
     assert(SnapshotTable.latest(spark, dir).get._1 == v2)
     assert(keys(dir) == Set(1L, 2L))
+  }
+
+  test("compact rewrites N crowded partitions in parallel tasks, " +
+      "keeping the per-partition file bound (VERDICT r13 #3)") {
+    import spark.implicits._
+    val df = (1 to 6000).map(i => (i.toLong, (i % 6).toLong)).toDF("k", "p")
+    // the layout compact stages: hashing on the partition column gives
+    // each value its own task — the r13 repartition(targetFiles=1)
+    // funneled all six partitions through ONE task
+    val laid = SnapshotTable.compactLayout(df, 6, 1, "p")
+    val pids = laid
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        col("p"))
+      .groupBy("p").agg(countDistinct("pid").as("npid"),
+        first("pid").as("pid"))
+      .collect()
+    assert(pids.forall(_.getLong(1) == 1L),
+      "targetFiles=1 demands exactly one task per partition value")
+    assert(pids.map(_.getInt(2)).distinct.length > 1,
+      "N crowded partitions must rewrite in >1 task, not a single funnel")
+    // targetFiles=2 spreads each value over AT MOST 2 tasks
+    val laid2 = SnapshotTable.compactLayout(df, 6, 2, "p")
+    val spread = laid2
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        col("p"))
+      .groupBy("p").agg(countDistinct("pid").as("npid")).collect()
+    assert(spread.forall(_.getLong(1) <= 2L),
+      "targetFiles=2 must bound each partition's task (=file) count at 2")
+    // end to end: the staged rewrite honors the file bound
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, df.filter(col("k") % 2 === 0), "p")
+    SnapshotTable.append(spark, dir, df.filter(col("k") % 2 =!= 0), "p")
+    SnapshotTable.compact(spark, dir, "p", targetFiles = 1)
+    val byPart = SnapshotTable.latest(spark, dir).get._2
+      .groupBy(_.split('/').head)
+    assert(byPart.size == 6 && byPart.values.forall(_.size == 1),
+      s"one file per partition after OPTIMIZE: ${byPart.view.mapValues(_.size).toMap}")
+    assert(SnapshotTable.read(spark, dir).count() == 6000L)
   }
 }

@@ -128,4 +128,70 @@ class SnapshotStatsSpec extends SparkSpec {
     val got = df.select(col("k").cast("long")).collect().map(_.getLong(0)).toSet
     assert(got == (95L to 130L).filterNot(_ % 10 == 0).toSet)
   }
+
+  test("an all-null stats column neither crashes the stats pass nor " +
+      "breaks the read (ADVICE r13: the NPE on Row.getLong(null))") {
+    import spark.implicits._
+    val dir = tempTable()
+    val df = (1 to 50)
+      .map(i => (i.toLong, (i % 2).toLong, Option.empty[Long]))
+      .toDF("k", "p", "nv")
+    SnapshotTable.writeClustered(spark, dir, df, "p", "nv", rangeParts = 4)
+    assert(SnapshotTable.fileStats(spark, dir, "nv").isEmpty,
+      "a file whose stats column is entirely null gets no stats line")
+    // stat-less files are conservatively scanned: the relation is exact
+    val (ranged, keptN, totN) = SnapshotTable.readRange(spark, dir, "nv", 0L, 10L)
+    assert(keptN == totN, "no stats -> nothing may be pruned")
+    assert(ranged.count() == 0L, "null never satisfies BETWEEN")
+    assert(SnapshotTable.read(spark, dir).count() == 50L)
+  }
+
+  test("a stats column whose NAME carries the '|' delimiter is rejected " +
+      "at write time; a partition VALUE carrying it round-trips") {
+    import spark.implicits._
+    val dir = tempTable()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.writeClustered(spark, dir,
+        Seq((1L, 0L)).toDF("a|b", "p"), "p", "a|b")
+    }
+    // the '|' in a partition VALUE lands in the stats line's file path —
+    // the limit-4, file-last format parses it back exactly
+    val df = (1 to 40).map(i => (i.toLong, s"x|${i % 2}")).toDF("k", "p")
+    SnapshotTable.writeClustered(spark, dir, df, "p", "k", rangeParts = 4)
+    val stats = SnapshotTable.fileStats(spark, dir, "k")
+    assert(stats.nonEmpty && stats.keySet ==
+      SnapshotTable.latest(spark, dir).get._2.toSet,
+      "stats must address every file even under a '|' partition value")
+    val (ranged, kept, tot) = SnapshotTable.readRange(spark, dir, "k", 1L, 10L)
+    assert(kept < tot && ranged.count() == 10L)
+  }
+
+  test("URI-hostile partition values (space, '%', '#', '+'): DV deletes " +
+      "apply, stats address files, compact folds without resurrection") {
+    import spark.implicits._
+    val dir = tempTable()
+    val vals = Seq("a b", "a%b", "a#b", "a+b")
+    val df = (1 to 80).map(i => (i.toLong, vals(i % 4))).toDF("k", "p")
+    SnapshotTable.writeClustered(spark, dir, df, "p", "k", rangeParts = 2)
+    // the scan-side address is URI-decoded back to the manifest's raw
+    // disk name — without that, these values mismatch everywhere an
+    // address joins a file list (ADVICE r13: silent resurrection)
+    val (_, n) = SnapshotTable.deleteWhereDV(spark, dir, col("k") <= 8L)
+    assert(n == 8L, s"DV delete matched $n rows, expected 8")
+    def keys(): Set[Long] = SnapshotTable.read(spark, dir)
+      .select(col("k").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(keys() == (9L to 80L).toSet)
+    val stats = SnapshotTable.fileStats(spark, dir, "k")
+    assert(stats.keySet == SnapshotTable.latest(spark, dir).get._2.toSet,
+      "stats keys must equal manifest paths under URI-hostile values")
+    val (_, compacted) = SnapshotTable.compact(spark, dir, "p")
+    assert(compacted.size == 4, s"all 4 partitions hold DV rows: $compacted")
+    val (_, _, dvs) = SnapshotTable.latestFull(spark, dir).get
+    assert(dvs.isEmpty, "the fold must be complete")
+    assert(keys() == (9L to 80L).toSet,
+      "compaction resurrected DV-deleted rows under URI-hostile values")
+    SnapshotTable.read(spark, dir).select(col("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+      .ensuring(_ == vals.toSet, "partition values must round-trip exactly")
+  }
 }

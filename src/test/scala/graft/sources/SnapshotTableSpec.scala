@@ -148,7 +148,8 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows(dir) == Set((3L, 1L)))
   }
 
-  test("orphaned stage files from a crashed writer are invisible, vacuum reclaims them") {
+  test("orphaned stage files: invisible to readers, PROTECTED by the " +
+      "retention window while fresh, reclaimed once aged") {
     val dir = tempTable()
     SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L), (2L, 1L))), "p")
     // simulate a writer that staged a data file but died before commit
@@ -158,10 +159,21 @@ class SnapshotTableSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val orphanSrc = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/__crash"))
       .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-    fs.rename(orphanSrc, new org.apache.hadoop.fs.Path(dir, "p=0/snap-dead-0.parquet"))
+    val orphan = new org.apache.hadoop.fs.Path(dir, "p=0/snap-dead-0.parquet")
+    fs.rename(orphanSrc, orphan)
     fs.delete(new org.apache.hadoop.fs.Path(dir + "/__crash"), true)
     assert(rows(dir) == Set((1L, 0L), (2L, 1L)), "orphan must be invisible to readers")
+    // a never-referenced file inside the retention window could be an
+    // IN-FLIGHT writer's stage (rename lands before the manifest
+    // publishes) — vacuum must leave it alone (ADVICE r13)
+    assert(SnapshotTable.vacuum(spark, dir) == 0,
+      "vacuum swept a fresh never-referenced file — an in-flight " +
+        "writer's stage window is not safe")
+    assert(fs.exists(orphan))
+    // age it past the window: now it is a genuine crash orphan
+    fs.setTimes(orphan, System.currentTimeMillis() - 24L * 3600 * 1000, -1)
     assert(SnapshotTable.vacuum(spark, dir) == 1)
+    assert(!fs.exists(orphan))
     assert(rows(dir) == Set((1L, 0L), (2L, 1L)))
   }
 
