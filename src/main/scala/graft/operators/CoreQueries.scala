@@ -1221,6 +1221,74 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     }),
 
+    /** DV-aware incremental view maintenance, driver-gated end to end
+      * (VERDICT r13 #6 — [[graft.sources.SnapshotTable.readChangesSince]]
+      * composing (inserts, deletes) from the file-list diff + DV diff,
+      * consumed by [[graft.sources.MaterializedView.refreshWithDeletes]]):
+      * the source takes an append AND a deletion-vector erasure after
+      * the view was created; the plain append-only refresh must REFUSE
+      * (its r13 fail-loud contract — a file-diff cannot see row
+      * deletes), while the change-feed refresh folds `- deletes +
+      * inserts` into the stored count/sum state in one delta-sized
+      * pass. The claims pin the refusal, that the folded state is
+      * row-identical to a from-scratch recompute of the new snapshot,
+      * and that the view's recorded source version caught up. Hashes
+      * against the oracle's direct NOT-deleted recompute.
+      *
+      * Scale shape: the nightly-refresh story at 100 TB with GDPR
+      * deletes in the stream — the maintainer pays (new files) +
+      * (new DV rows), never a base rescan; a deleted group's count
+      * reaching zero retires the group exactly as a rebuild would. */
+    "q294_mv_change_feed" -> ((s, d) => {
+      import graft.sources.{MaterializedView, SnapshotTable}
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_cdf_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val src = new java.io.File(dir, "src").toString
+      val mv = new java.io.File(dir, "mv").toString
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("ql"))
+      val keys = Seq("l_returnflag")
+      val aggs = Seq(MaterializedView.AggSpec("count", "", "n_rows"),
+        MaterializedView.AggSpec("sum", "ql", "sum_ql"))
+      SnapshotTable.write(s, src,
+        base.filter(col("l_orderkey") % 2 === 0), "l_returnflag")
+      MaterializedView.create(s, mv, src, keys, aggs, "l_returnflag")
+      SnapshotTable.append(s, src,
+        base.filter(col("l_orderkey") % 2 =!= 0), "l_returnflag")
+      val (_, nDel) = SnapshotTable.deleteWhereDV(s, src,
+        col("ql") < 10L || col("l_orderkey") % 13 === 0)
+      // the append-only refresh must fail loudly once a DV landed
+      val plainRefuses =
+        try { MaterializedView.refresh(s, mv, src, keys, aggs, "l_returnflag")
+              false }
+        catch { case _: IllegalStateException => true }
+      MaterializedView.refreshWithDeletes(s, mv, src, keys, aggs, "l_returnflag")
+      val folded = MaterializedView.read(s, mv)
+        .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
+          col("sum_ql").cast("long").as("sum_ql"))
+      val scratch = MaterializedView.fullState(
+          SnapshotTable.read(s, src), keys, aggs)
+        .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
+          col("sum_ql").cast("long").as("sum_ql"))
+      val foldExact = folded.except(scratch).isEmpty &&
+        scratch.except(folded).isEmpty
+      val caughtUp = MaterializedView.sourceVersion(s, mv) ==
+        SnapshotTable.latest(s, src).get._1
+      folded
+        .select(col("l_returnflag"), col("n_rows"), col("sum_ql"),
+          lit(nDel > 0L).as("dv_deletes_folded"),
+          lit(plainRefuses).as("plain_refresh_refuses"),
+          lit(foldExact).as("fold_equals_recompute"),
+          lit(caughtUp).as("source_caught_up"))
+        .orderBy("l_returnflag")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -2593,6 +2661,25 @@ object CoreQueries {
         |  TRUE AS no_file_rewrite,
         |  TRUE AS v1_unevolved
         |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the view state recomputed directly from the surviving rows —
+    // a stale fold (deletes not applied / applied twice) fails
+    // n_rows/sum_ql; the refusal and exactness claims are
+    // oracle-asserted TRUE
+    "q294_mv_change_feed" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS ql
+        |  FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (ql < 10 OR l_orderkey % 13 = 0))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(ql) AS BIGINT) AS sum_ql,
+        |  TRUE AS dv_deletes_folded,
+        |  TRUE AS plain_refresh_refuses,
+        |  TRUE AS fold_equals_recompute,
+        |  TRUE AS source_caught_up
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q277_compact_vacuum" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),

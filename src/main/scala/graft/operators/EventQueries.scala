@@ -788,6 +788,75 @@ object EventQueries {
         .orderBy("part")
     }),
 
+    /** Exactly-once replay detection at DEPTH, driver-gated (VERDICT
+      * r13 #1 — [[graft.sources.SnapshotTable.appendBatch]]'s carried
+      * `lastbatch.` manifest header, the Delta txn-appId pattern): a
+      * 50-commit ladder of streaming appends lands batch-per-version,
+      * then the gate pins the COST contract — the manifest-read count
+      * of a commit at depth 10 equals the count at depth 50 (the r13
+      * newest-first `#batch=` walk matched nothing for every NEW batch
+      * id, so each commit read the ENTIRE history: O(n²) cumulative,
+      * one GET per historical manifest per micro-batch on object
+      * storage) — and the CORRECTNESS contract: replaying the last
+      * batch and an ancient mid-ladder batch both return their
+      * original versions with no new commit and no duplicate rows.
+      * The final table hashes against the oracle's recompute of the
+      * same 50-order slice.
+      *
+      * Scale shape: replay detection reads ONE manifest regardless of
+      * history length; a year-long micro-batch stream pays the same
+      * commit cost on day 365 as on day 1. */
+    "q293_replay_ladder" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val tbl = java.nio.file.Files.createTempDirectory("q293_tbl")
+        .resolve("t").toString
+      val sel = orders(s, d)
+        .orderBy("o_orderkey").limit(50)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("part"),
+          col("o_totalprice").as("v"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("k")) - 1)
+        .cache()
+      sel.count() // materialize once; the 50 batch filters reuse it
+      def reads(body: => Unit): Long = {
+        val before = SnapshotTable.manifestReadCount.get()
+        body
+        SnapshotTable.manifestReadCount.get() - before
+      }
+      var readsAt10 = -1L; var readsAt49 = -1L
+      val versions = (0 until 50).map { b =>
+        var v = -1L
+        val r = reads {
+          v = SnapshotTable.appendBatch(s, tbl,
+            sel.filter(col("rn") === b).drop("rn"), "part", b.toLong, "q293")
+        }
+        if (b == 10) readsAt10 = r
+        if (b == 49) readsAt49 = r
+        b.toLong -> v
+      }.toMap
+      val vTop = SnapshotTable.latest(s, tbl).get._1
+      // commit cost must not grow with history depth — the O(1) pin
+      val readsConstant = readsAt10 == readsAt49 && readsAt49 <= 4L
+      // checkpoint-loss replays: last batch and an ancient batch
+      val replayLast = SnapshotTable.appendBatch(s, tbl,
+        sel.filter(col("rn") === 49).drop("rn"), "part", 49L, "q293")
+      val replayAncient = SnapshotTable.appendBatch(s, tbl,
+        sel.filter(col("rn") === 7).drop("rn"), "part", 7L, "q293")
+      val vEnd = SnapshotTable.latest(s, tbl).get._1
+      val lastNoop = replayLast == versions(49L) && vEnd == vTop
+      val ancientNoop = replayAncient == versions(7L) && vEnd == vTop
+      sel.unpersist()
+      SnapshotTable.read(s, tbl)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"), round(sum("v"), 4).as("sum_v"))
+        .select(col("part"), col("n_rows"), col("sum_v"),
+          lit(vTop).as("versions"),
+          lit(readsConstant).as("reads_constant"),
+          lit(lastNoop).as("replay_last_noop"),
+          lit(ancientNoop).as("replay_ancient_noop"))
+        .orderBy("part")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -2494,6 +2563,21 @@ object EventQueries {
         |  CAST(2 AS BIGINT) AS versions,
         |  TRUE AS replay_noop
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the 50-order ladder recomputed directly: one commit per batch
+    // (versions = 50, hard), the O(1) commit-cost claim and both
+    // replay no-ops oracle-asserted TRUE; a replayed batch's rows
+    // landing twice would fail n_rows/sum_v
+    "q293_replay_ladder" ->
+      """WITH sel AS (
+        |  SELECT o_orderstatus AS part, o_totalprice AS v
+        |  FROM orders ORDER BY o_orderkey LIMIT 50)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(v), 4) AS sum_v,
+        |  CAST(50 AS BIGINT) AS versions,
+        |  TRUE AS reads_constant,
+        |  TRUE AS replay_last_noop,
+        |  TRUE AS replay_ancient_noop
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // q77's inner attribution over the raw events AS IF the staged late
     // pair never arrived — a leaked late row fails the hash; state pins
     // to exactly the two unexpired advance rows

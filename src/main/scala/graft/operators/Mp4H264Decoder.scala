@@ -18,28 +18,34 @@ package graft
   *    samples, byte-aligned in the bitstream — LOSSLESS, so downstream
   *    features (frame mean luma, scene cuts) are integer-exact and
   *    DuckDB-oracle-replicable, which no transform codec could offer;
-  *  - (r13, VERDICT r12 #7) CAVLC-entropy-coded I_16x16 LUMA-DC-ONLY
-  *    macroblocks (mb_type 3, I_16x16_2_0_0): real §9.2 CAVLC
-  *    (coeff_token, trailing-one signs, level prefix/suffix with
+  *  - (r13, VERDICT r12 #7) CAVLC-entropy-coded I_16x16 DC-PREDICTED
+  *    macroblocks, in two tiers: luma-DC-only (mb_type 3,
+  *    I_16x16_2_0_0 — all AC zero, flat per-4×4 residual) and FULL-AC
+  *    (mb_type 15, I_16x16_2_0_1's luma half: CodedBlockPatternLuma =
+  *    15, every 4×4 luma block carrying a CAVLC AC residual with
+  *    neighbor-derived nC contexts, §8.5.12 dequant + integer-DCT
+  *    inverse). Real §9.2 CAVLC throughout (coeff_token across nC
+  *    contexts, trailing-one signs, level prefix/suffix with
   *    escalation, total_zeros, run_before), inverse 4×4 Hadamard +
-  *    §8.5.10 scaling, §8.3.3.3 DC prediction — the smallest
-  *    entropy-coded subset of the standard with a CLOSED-FORM integer
-  *    inverse (all AC levels zero ⇒ flat per-4×4 residual), so the
-  *    integer-exact oracle contract carries over from I_PCM. VLC tables
-  *    transcribed from ITU-T Tables 9-5/9-7/9-10 and structurally
-  *    validated (prefix-free + Kraft-complete) in CavlcSpec.
+  *    §8.5.10 DC scaling, §8.3.3.3 DC prediction — integer-exact end
+  *    to end, so the oracle contract carries over from I_PCM. VLC
+  *    tables transcribed from ITU-T Tables 9-5/9-7/9-10 and
+  *    structurally validated (prefix-free + Kraft-complete) in
+  *    CavlcSpec; the AC path is checksum-pinned against an independent
+  *    from-spec model in CavlcAcSpec.
   *
-  * What is NOT here, and fails loudly instead of approximately: AC
-  * residual decoding (CAVLC 2≤nC<8 contexts, intra 4×4/16×16 V/H/plane
-  * prediction, dequant/IDCT, deblocking) and CABAC. A macroblock outside
-  * the envelope or a CABAC PPS throws the typed [[UnsupportedMediaFeature]]
-  * with a stable reason code, and [[MultimodalQueries.featurize]]'s
-  * fail-vs-skip ledger policy applies — the COVERAGE.md contract for
-  * payloads beyond the supported envelope. I_PCM is the one H.264
-  * macroblock type whose payload is raw samples (the spec's escape hatch
-  * guaranteeing any encoder a worst-case bound); luma-DC-only I_16x16 is
-  * the one entropy-coded type whose inverse transform degenerates to a
-  * flat integer per 4×4 block.
+  * What is NOT here, and fails loudly instead of approximately: intra
+  * prediction modes other than 16×16 DC (I_4x4 entirely; V/H/plane
+  * I_16x16, e.g. mb_type 4's plane prediction), PARTIAL luma CBPs
+  * (only 0 and 15 decode — mb_types with some-but-not-all coded 4×4
+  * blocks quarantine), chroma AC residuals (CodedBlockPatternChroma
+  * != 0), deblocking, P/B slices (motion compensation), and CABAC
+  * entropy coding. A payload outside the envelope throws the typed
+  * [[UnsupportedMediaFeature]] with a stable reason code (`cabac`,
+  * `unsupported_macroblock`, `no_avc_track`), and
+  * [[MultimodalQueries.featurize]]'s fail-vs-skip ledger policy
+  * applies — the COVERAGE.md contract for payloads beyond the
+  * supported envelope (CavlcAcSpec pins the quarantine class).
   *
   * Reference analogue: none (the reference has no media path at all);
   * this extends the MediaDecoder family (ImageIoDecoder / WavDecoder /
@@ -223,7 +229,8 @@ object Mp4H264Decoder extends MediaDecoder {
     * there fails loudly (ASO/FMO are outside the supported subset).
     * Returns the next expected macroblock index.
     *
-    * Macroblock envelope (r13 — the CAVLC notch, VERDICT r12 #7):
+    * Macroblock envelope (r13 — the CAVLC notch, VERDICT r12 #7, then
+    * widened to full AC by m292):
     *  - mb_type 25, I_PCM: raw samples, byte-exact (as before);
     *  - mb_type 3, I_16x16_2_0_0 (DC prediction, CodedBlockPatternLuma
     *    = 0, CodedBlockPatternChroma = 0): the smallest ENTROPY-CODED
@@ -232,7 +239,14 @@ object Mp4H264Decoder extends MediaDecoder {
     *    scaling, flat per-4×4 residual (all AC zero), §8.3.3.3 DC
     *    prediction. Integer-exact end to end, so the oracle contract
     *    carries over from I_PCM;
-    *  - anything else throws the typed boundary as before. */
+    *  - mb_type 15, I_16x16_2_0_1's luma half (DC prediction,
+    *    CodedBlockPatternLuma = 15, CodedBlockPatternChroma = 0): every
+    *    4×4 luma block carries a CAVLC AC residual — coeff_token under
+    *    the neighbor-derived nC contexts (§9.2.1), zig-zag run/level
+    *    reconstruction, §8.5.12 dequant + integer inverse DCT on top of
+    *    the Hadamard-scaled DC. Still integer-exact;
+    *  - anything else (partial CBPs, chroma AC, non-DC prediction,
+    *    I_4x4, P/B, CABAC) throws the typed boundary as before. */
   private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps, idr: Boolean,
       refIdc: Int, yPlane: Array[Byte], expectFirstMb: Int): Int = {
     val r = new BitReader(rbsp)

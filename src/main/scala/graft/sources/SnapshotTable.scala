@@ -59,8 +59,9 @@ object SnapshotTable {
 
   /** Manifest reads since JVM start — the observability hook the
     * replay-detection cost contract is pinned on (a streaming commit
-    * must read O(1) manifests regardless of history length). */
-  private[sources] val manifestReadCount =
+    * must read O(1) manifests regardless of history length; the q293
+    * gate and StreamingReplaySpec both assert on deltas of this). */
+  private[graft] val manifestReadCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {

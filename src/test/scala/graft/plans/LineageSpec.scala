@@ -87,7 +87,11 @@ class LineageSpec extends SparkSpec {
       // deletes, streaming CDC merge, snapshot-layer schema evolution)
       "q284_join_late", "q286_join_outer", "q287_delete_vectors",
       "q288_stream_merge", "q289_schema_evolution", "q290_file_skipping",
-      "q291_erasure_proof")
+      "q291_erasure_proof",
+      // round-14: q293 reads back the 50-batch replay-ladder table it
+      // committed, q294 the change-feed-refreshed materialized view —
+      // both legitimately root at staged snapshot output
+      "q293_replay_ladder", "q294_mv_change_feed")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
