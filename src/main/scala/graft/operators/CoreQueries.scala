@@ -1289,6 +1289,208 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Merge-on-read row-level UPDATE, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.updateWhere]] — the third
+      * mutation verb on the q287 deletion-vector substrate: DV-delete
+      * the old row versions + append the new versions in ONE atomic
+      * commit): two STACKED updates run (the second's predicate matches
+      * rows the first just rewrote, so merge-on-read composition is on
+      * the hash path), with claims pinning that no data file was ever
+      * rewritten (both updates carry every prior file), that the DV set
+      * grew twice, that the pre-update snapshot still time-travels
+      * intact, and that OPTIMIZE folds the accumulated update DVs away
+      * with the aggregate unchanged. Hashes against the oracle's
+      * composed CASE-expression recompute over the raw table.
+      *
+      * Scale shape: THE small-update contract at 100 TB — a
+      * MERGE-based update re-stages every partition containing a match
+      * (one matched row per partition = full table rewrite); this pays
+      * one predicate scan plus update-sized bytes, and the read-side
+      * anti-join amortizes into the next routine OPTIMIZE. */
+    "q295_update_mor" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_upd_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"))
+      SnapshotTable.write(s, dir.toString,
+        base.filter(col("l_orderkey") % 2 === 0), "l_returnflag")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("l_orderkey") % 2 =!= 0), "l_returnflag")
+      val (_, f0, _) = SnapshotTable.latestFull(s, dir.toString).get
+      val (_, n1) = SnapshotTable.updateWhere(s, dir.toString, "l_returnflag",
+        col("l_orderkey") % 7 === 0, Map("q" -> (col("q") + 5L)))
+      val (_, f1, dv1) = SnapshotTable.latestFull(s, dir.toString).get
+      // the second update's predicate intersects the first's outputs —
+      // it MUST see the updated values through the DV-applied read
+      val (_, n2) = SnapshotTable.updateWhere(s, dir.toString, "l_returnflag",
+        col("q") > 45L, Map("q" -> (col("q") * 2L)))
+      val (_, f2, dv2) = SnapshotTable.latestFull(s, dir.toString).get
+      val noRewrite = f0.forall(f1.contains) && f1.forall(f2.contains) &&
+        dv1.nonEmpty && dv2.size > dv1.size
+      val baseCount = base.count()
+      val baseSum = base.agg(sum("q")).first().getLong(0)
+      val v2 = SnapshotTable.read(s, dir.toString, Some(2L))
+        .agg(count(lit(1)), sum("q")).first()
+      val v2Intact = v2.getLong(0) == baseCount && v2.getLong(1) == baseSum
+      def aggNow(): Map[String, (Long, Long)] =
+        SnapshotTable.read(s, dir.toString)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val preFold = aggNow()
+      val (foldV, _) = SnapshotTable.compact(s, dir.toString, "l_returnflag")
+      val folded =
+        SnapshotTable.latestFull(s, dir.toString).get._3.isEmpty &&
+          aggNow() == preFold
+      SnapshotTable.read(s, dir.toString)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("q").as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(n1 + n2).as("updated_rows"),
+          lit(foldV).as("final_version"),
+          lit(noRewrite).as("no_file_rewrite"),
+          lit(v2Intact).as("old_snapshot_intact"),
+          lit(folded).as("dv_folded"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** ANALYZE stats backfill, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.analyzeStats]] — the metadata-only
+      * job that makes an APPEND-BUILT table skippable: plain appends
+      * land stats-less because they skip the clustered writer's range
+      * shuffle, so q290's manifest pruning is inert until the index is
+      * computed): three disjoint-key-range appends build the table, the
+      * gate proves pruning is IMPOSSIBLE before (pruned read keeps every
+      * file), runs ANALYZE (one column-pruned pass over only the
+      * missing files), proves full stats coverage, actual pruning on
+      * the middle third, and idempotency (a second ANALYZE commits
+      * nothing). The middle-third aggregate hashes against the
+      * oracle's direct range recompute.
+      *
+      * Scale shape: the nightly stats job after a day of appends scans
+      * one column of the day's files — never the table; pruning then
+      * costs driver-side manifest arithmetic (q290's contract). */
+    "q296_analyze_skipping" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_ana_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mm = base.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * (mx - mn) / 3
+      SnapshotTable.write(s, dir.toString,
+        base.filter(col("o_orderkey") <= t1), "o_orderstatus")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("o_orderkey") > t1 && col("o_orderkey") <= t2),
+        "o_orderstatus")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("o_orderkey") > t2), "o_orderstatus")
+      val statslessBlind = SnapshotTable.fileStats(s, dir.toString,
+        "o_orderkey").isEmpty
+      val (_, kept0, tot0) =
+        SnapshotTable.readRange(s, dir.toString, "o_orderkey", t1 + 1, t2)
+      val noPruneBefore = kept0 == tot0
+      val vA = SnapshotTable.analyzeStats(s, dir.toString, "o_orderkey")
+      val coverAll = SnapshotTable.fileStats(s, dir.toString, "o_orderkey")
+        .keySet == SnapshotTable.latest(s, dir.toString).get._2.toSet
+      val idempotent =
+        SnapshotTable.analyzeStats(s, dir.toString, "o_orderkey") == vA
+      val (df, kept1, tot1) =
+        SnapshotTable.readRange(s, dir.toString, "o_orderkey", t1 + 1, t2)
+      val prunesAfter = kept1 * 2 <= tot1 && kept1 >= 1
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 4).as("sum_price"))
+        .select(col("o_orderstatus"), col("n_rows"), col("sum_price"),
+          lit(statslessBlind && noPruneBefore).as("blind_before_analyze"),
+          lit(coverAll).as("stats_cover_all"),
+          lit(prunesAfter).as("files_pruned"),
+          lit(idempotent).as("analyze_idempotent"))
+        .orderBy("o_orderstatus")
+    }),
+
+    /** Full re-cluster OPTIMIZE, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.compactClustered]] — the
+      * OPTIMIZE-ZORDER-style maintenance verb: one commit rewrites the
+      * whole table range-clustered on the stats column, folds every
+      * deletion vector in, and refreshes the complete skipping index):
+      * four INTERLEAVED appends build a table whose every file spans
+      * the whole key domain (clustering fully degraded — even with
+      * stats, nothing can prune), a DV delete stacks on top, then the
+      * re-cluster runs. Claims pin that the fresh index covers every
+      * rewritten file, that a middle-eighth range NOW prunes to at most
+      * half the files, that the DV set folded away, and the version
+      * ladder. The full-table aggregate hashes against the oracle's
+      * NOT-deleted recompute — maintenance moves bytes, never rows.
+      *
+      * Scale shape: the heavy cadence job — one range shuffle of the
+      * table, slice count derived from the corpus so file sizes stay
+      * flat; after it, q290's narrow-range contract holds again. */
+    "q297_optimize_cluster" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_rcl_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      (0 until 4).foreach { i =>
+        val chunk = base.filter(col("l_orderkey") % 4 === i)
+        if (i == 0) SnapshotTable.write(s, dir.toString, chunk, "l_returnflag")
+        else SnapshotTable.append(s, dir.toString, chunk, "l_returnflag")
+      }
+      SnapshotTable.deleteWhereDV(s, dir.toString, col("l_orderkey") % 9 === 0)
+      // interleaved appends: even WITH stats nothing could prune — every
+      // file's [min, max] spans the domain (proven, then repaired)
+      SnapshotTable.analyzeStats(s, dir.toString, "l_orderkey")
+      val mm = base.agg(min("l_orderkey"), max("l_orderkey")).first()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 8, mn + (mx - mn) / 4)
+      val (_, keptB, totB) =
+        SnapshotTable.readRange(s, dir.toString, "l_orderkey", lo, hi)
+      val degraded = keptB == totB
+      val vR = SnapshotTable.compactClustered(s, dir.toString,
+        "l_returnflag", "l_orderkey", rangeParts = 16)
+      val (_, files, dvs) = SnapshotTable.latestFull(s, dir.toString).get
+      val foldedClean = dvs.isEmpty &&
+        SnapshotTable.fileStats(s, dir.toString, "l_orderkey")
+          .keySet == files.toSet
+      val (_, keptA, totA) =
+        SnapshotTable.readRange(s, dir.toString, "l_orderkey", lo, hi)
+      val prunesAfter = keptA * 2 <= totA && keptA >= 1
+      SnapshotTable.read(s, dir.toString)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(vR).as("final_version"),
+          lit(degraded).as("degraded_before"),
+          lit(foldedClean).as("dv_folded_index_fresh"),
+          lit(prunesAfter).as("files_pruned"))
+        .orderBy("l_returnflag")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -2679,6 +2881,68 @@ object CoreQueries {
         |  TRUE AS plain_refresh_refuses,
         |  TRUE AS fold_equals_recompute,
         |  TRUE AS source_caught_up
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // merge-on-read UPDATE composed twice: the oracle applies the same
+    // two assignments as CASE expressions IN ORDER (the second sees the
+    // first's outputs — a stale second update fails the hash); the
+    // updated count is the sum of both match counts, the version ladder
+    // is hard (write, append, update, update, compact -> 5), and the
+    // no-rewrite / time-travel / fold claims are oracle-asserted TRUE
+    "q295_update_mor" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |u1 AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN q + 5 ELSE q END AS q
+        |  FROM base),
+        |u2 AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN q > 45 THEN q * 2 ELSE q END AS q
+        |  FROM u1)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(q) AS BIGINT) AS sum_qty,
+        |  CAST((SELECT count(*) FROM base WHERE l_orderkey % 7 = 0) +
+        |       (SELECT count(*) FROM u1 WHERE q > 45) AS BIGINT)
+        |    AS updated_rows,
+        |  CAST(5 AS BIGINT) AS final_version,
+        |  TRUE AS no_file_rewrite,
+        |  TRUE AS old_snapshot_intact,
+        |  TRUE AS dv_folded
+        |FROM u2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the middle-third range recomputed directly (integer-div corners,
+    // the q280/q290 rule); the blind-before / coverage / pruning /
+    // idempotency claims are oracle-asserted TRUE
+    "q296_analyze_skipping" ->
+      """WITH r AS (
+        |  SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders),
+        |sel AS (
+        |  SELECT o.o_orderstatus, o.o_totalprice
+        |  FROM orders o CROSS JOIN r
+        |  WHERE o.o_orderkey >  r.mn + (r.mx - r.mn) // 3
+        |    AND o.o_orderkey <= r.mn + (2 * (r.mx - r.mn)) // 3)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  TRUE AS blind_before_analyze,
+        |  TRUE AS stats_cover_all,
+        |  TRUE AS files_pruned,
+        |  TRUE AS analyze_idempotent
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+    // maintenance moves bytes, never rows: the post-recluster table is
+    // the raw table minus the DV-deleted keys; the version ladder is
+    // hard (write, 3 appends, DV, analyze, recluster -> 7) and the
+    // degraded-before / fold+index / pruning claims oracle-asserted
+    "q297_optimize_cluster" ->
+      """WITH kept AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 9 <> 0)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(7 AS BIGINT) AS final_version,
+        |  TRUE AS degraded_before,
+        |  TRUE AS dv_folded_index_fresh,
+        |  TRUE AS files_pruned
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q277_compact_vacuum" ->
       """WITH base AS (

@@ -874,6 +874,141 @@ object SnapshotTable {
     sys.error(s"could not DV-delete from $dir after $MaxCommitAttempts attempts")
   }
 
+  /** Merge-on-read row-level UPDATE — the third mutation verb on the
+    * deletion-vector substrate (UPDATE = DV-delete the old versions +
+    * append the new versions, in ONE atomic commit): rows matching
+    * `pred` get their stable addresses written as a DV sidecar, and the
+    * same rows with `assignments` applied (each `column -> expression`,
+    * expressions may reference the row's own columns) are staged as new
+    * data files. No existing data file is rewritten — the update cost
+    * is (matched rows) regardless of how many partitions they spread
+    * over, exactly [[deleteWhereDV]]'s contract extended with the
+    * delete-sized re-insert. An assignment may move a row to a new
+    * partition (the staged files land in the new value's dir).
+    *
+    * Updates stack: a second update evaluates against the DV-applied
+    * snapshot, so updating an already-updated row sees the NEW values
+    * (its first version is suppressed by the DV, its second lives in an
+    * appended file). [[compact]] folds the accumulated DVs away on the
+    * next OPTIMIZE, identical to the delete path.
+    *
+    * Scale shape: THE small-update contract at 100 TB — a
+    * [[merge]]-based update re-stages every partition containing a
+    * match (one matched row per partition = full table rewrite); this
+    * pays one predicate scan plus update-sized bytes. Returns
+    * (version, updated row count); no commit when nothing matches. */
+  def updateWhere(spark: SparkSession, dir: String, partCol: String,
+      pred: Column, assignments: Map[String, Column]): (Long, Long) = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    require(!assignments.contains(FileCol) && !assignments.contains(PosCol),
+      "assignments cannot target the internal lineage columns")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val base = st.version
+      val hits = readResolved(spark, dir, Some(base), withLineage = true)
+        .filter(pred)
+        .cache()
+      try {
+        val n = hits.count()
+        if (n == 0L) return (base, 0L)
+        val newDvs = stageDv(spark, dir,
+          hits.select(col(FileCol).as("file"), col(PosCol).as("pos")))
+        val updated = assignments.foldLeft(hits.drop(FileCol, PosCol)) {
+          case (df, (name, expr)) => df.withColumn(name, expr)
+        }
+        val newFiles = stage(spark, dir, updated, partCol)
+        if (commitAt(spark, dir, base, st.files ++ newFiles, st.carried,
+            st.dvs ++ newDvs, st.stats))
+          return (base + 1, n)
+        // lost the race: both the addresses and the rewritten rows were
+        // derived against a stale snapshot — drop and re-derive
+        dropStaged(spark, dir, newDvs ++ newFiles)
+      } finally hits.unpersist(): Unit
+      attempt += 1
+    }
+    sys.error(s"could not update $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** ANALYZE: backfill per-file min/max stats of `statsCol` for every
+    * data file that lacks them — plain appends land stats-less (they
+    * did not pay the clustered write's range shuffle), so a table built
+    * by appends gets no file skipping until someone computes the index.
+    * One column-pruned pass over ONLY the missing files; existing stats
+    * lines (this column's and any other column's) carry unchanged; the
+    * commit is metadata-only. Returns the committed version (base
+    * version when nothing was missing — idempotent).
+    *
+    * Scale shape: the standard lakehouse ANALYZE/OPTIMIZE-stats job —
+    * cost is one scan of one column of the un-indexed files, so the
+    * nightly run after a day of appends touches the day's files, never
+    * the table. */
+  def analyzeStats(spark: SparkSession, dir: String,
+      statsCol: String): Long = {
+    require(!statsCol.contains("|"),
+      s"stats column name '$statsCol' contains the stats-line delimiter '|'")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val covered = st.stats.map(parseStat)
+        .collect { case (c, f, _, _) if c == statsCol => f }.toSet
+      val missing = st.files.filterNot(covered.contains)
+      if (missing.isEmpty) return st.version
+      val fresh = computeStats(spark, dir, missing, statsCol)
+      if (commitAt(spark, dir, st.version, st.files, st.carried, st.dvs,
+          st.stats ++ fresh))
+        return st.version + 1
+      attempt += 1
+    }
+    sys.error(s"could not analyze $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** OPTIMIZE ... ZORDER-style full re-cluster: rewrite the ENTIRE
+    * table range-clustered on `statsCol` (the 1-D analogue of Delta's
+    * OPTIMIZE ZORDER BY), folding every deletion vector in and
+    * committing a complete fresh stats index — the maintenance verb
+    * that restores [[readRange]] selectivity after a day of appends
+    * fragmented the clustering. Readers of the old snapshot keep their
+    * files until vacuum; the relation is row-identical by construction.
+    *
+    * Scale shape: this is the heavy maintenance job (one full shuffle
+    * of the table), run on the partitions-need-it cadence, and it is
+    * exactly one range-exchange + write wide — the same plan at any
+    * table size, with the slice count derived from the corpus so file
+    * sizes stay flat ([[writeClustered]]'s knob rule). For
+    * crowded-partition-scoped file coalescing WITHOUT the clustering
+    * shuffle, use [[compact]]. Returns the committed version. */
+  def compactClustered(spark: SparkSession, dir: String, partCol: String,
+      statsCol: String, rangeParts: Int = 0): Long = {
+    require(!statsCol.contains("|"),
+      s"stats column name '$statsCol' contains the stats-line delimiter '|'")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val snap = read(spark, dir, Some(st.version)) // DV-applied: folds
+      val parts =
+        if (rangeParts > 0) rangeParts
+        else {
+          val target = spark.conf
+            .get("spark.graft.cluster.targetSliceRows", (1L << 22).toString)
+            .toLong
+          math.max(16L, (snap.count() + target - 1) / target).toInt
+        }
+      val newFiles = stage(spark, dir,
+        snap.repartitionByRange(parts, col(statsCol)), partCol)
+      val fresh = computeStats(spark, dir, newFiles, statsCol)
+      if (commitAt(spark, dir, st.version, newFiles, st.carried,
+          Seq.empty, fresh))
+        return st.version + 1
+      dropStaged(spark, dir, newFiles)
+      attempt += 1
+    }
+    sys.error(s"could not recluster $dir after $MaxCommitAttempts attempts")
+  }
+
   /** Stage a (file, pos) address frame as immutable parquet sidecars
     * under `_dv/`, returning their relative paths (nothing committed).
     * Part files move as-is — a huge delete set stays distributed. */

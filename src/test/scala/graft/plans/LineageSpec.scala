@@ -89,9 +89,11 @@ class LineageSpec extends SparkSpec {
       "q288_stream_merge", "q289_schema_evolution", "q290_file_skipping",
       "q291_erasure_proof",
       // round-14: q293 reads back the 50-batch replay-ladder table it
-      // committed, q294 the change-feed-refreshed materialized view —
-      // both legitimately root at staged snapshot output
-      "q293_replay_ladder", "q294_mv_change_feed")
+      // committed, q294 the change-feed-refreshed materialized view,
+      // q295-q297 the snapshot tables they updated/analyzed/reclustered
+      // — all legitimately root at staged snapshot output
+      "q293_replay_ladder", "q294_mv_change_feed", "q295_update_mor",
+      "q296_analyze_skipping", "q297_optimize_cluster")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
