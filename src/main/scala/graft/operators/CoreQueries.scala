@@ -1491,6 +1491,65 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Per-commit change-data-feed, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.tableChanges]] — the Delta
+      * `table_changes` read surface over the manifest ladder: every row
+      * change between two versions annotated with its change type and
+      * the commit that produced it): a four-verb ladder runs (write,
+      * append, DV delete, merge-on-read UPDATE), then the feed over
+      * v1→v4 must attribute the append's rows as v2 inserts, the
+      * erasure as v3 deletes, and the UPDATE as a delete(old)+
+      * insert(new) PAIR in the same v4 commit — the standard CDC upsert
+      * stream shape. The fold law is claimed (v1 ∖ deletes ∪ inserts
+      * row-identical to v4) and the per-(commit, type) aggregate hashes
+      * against the oracle's predicate-by-predicate reconstruction of
+      * the ladder from the raw table.
+      *
+      * Scale shape: each step is a delta-sized pairwise file/DV diff —
+      * a day of commits replays as the day's deltas, never a
+      * table-sized content join. */
+    "q298_table_changes" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_cdc_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("part"), col("o_totalprice").as("v"))
+      SnapshotTable.write(s, dir.toString,
+        base.filter(col("k") % 2 === 0), "part")
+      SnapshotTable.append(s, dir.toString,
+        base.filter(col("k") % 2 =!= 0), "part")
+      SnapshotTable.deleteWhereDV(s, dir.toString, col("k") % 11 === 0)
+      SnapshotTable.updateWhere(s, dir.toString, "part",
+        col("k") % 13 === 0, Map("v" -> (col("v") + 1000.0)))
+      val ch = SnapshotTable.tableChanges(s, dir.toString, 1L, 4L)
+      // fold law (MULTISET: union first, then subtract — a row inserted
+      // at v2 and deleted at v3 appears once in each leg and must
+      // cancel): v1 ⊎ inserts ∖ deletes must equal v4, row-identical
+      val cols = Seq(col("k"), col("part"), col("v"))
+      val folded = SnapshotTable.read(s, dir.toString, Some(1L))
+        .select(cols: _*)
+        .unionAll(ch.filter(col(SnapshotTable.ChangeTypeCol) === "insert")
+          .select(cols: _*))
+        .exceptAll(ch.filter(col(SnapshotTable.ChangeTypeCol) === "delete")
+          .select(cols: _*))
+      val v4 = SnapshotTable.read(s, dir.toString, Some(4L)).select(cols: _*)
+      val foldExact = folded.exceptAll(v4).isEmpty &&
+        v4.exceptAll(folded).isEmpty
+      ch.groupBy(col(SnapshotTable.CommitVersionCol).as("commit_version"),
+          col(SnapshotTable.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), round(sum("v"), 4).as("sum_v"))
+        .select(col("commit_version"), col("change_type"),
+          col("n_rows"), col("sum_v"),
+          lit(foldExact).as("fold_exact"))
+        .orderBy("commit_version", "change_type")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -2944,6 +3003,32 @@ object CoreQueries {
         |  TRUE AS dv_folded_index_fresh,
         |  TRUE AS files_pruned
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the change log reconstructed predicate by predicate: v2 inserted
+    // the odd keys, v3 deleted the %11 keys, v4's UPDATE emitted a
+    // delete(old)/insert(new) pair for the %13 survivors of v3; the
+    // fold-law claim is oracle-asserted TRUE — a feed that missed or
+    // double-counted a change fails n_rows/sum_v
+    "q298_table_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS part,
+        |    o_totalprice AS v
+        |  FROM orders),
+        |c AS (
+        |  SELECT 2 AS cv, 'insert' AS ct, count(*) AS n, sum(v) AS sv
+        |  FROM base WHERE k % 2 <> 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', count(*), sum(v)
+        |  FROM base WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT 4, 'delete', count(*), sum(v)
+        |  FROM base WHERE k % 13 = 0 AND k % 11 <> 0
+        |  UNION ALL
+        |  SELECT 4, 'insert', count(*), sum(v + 1000.0)
+        |  FROM base WHERE k % 13 = 0 AND k % 11 <> 0)
+        |SELECT CAST(cv AS BIGINT) AS commit_version, ct AS change_type,
+        |  CAST(n AS BIGINT) AS n_rows, round(sv, 4) AS sum_v,
+        |  TRUE AS fold_exact
+        |FROM c ORDER BY 1, 2""".stripMargin,
     "q277_compact_vacuum" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),

@@ -391,19 +391,36 @@ object SnapshotTable {
     * rows), never a base-table scan. */
   def readChangesSince(spark: SparkSession, dir: String,
       sinceVersion: Long): Option[(Long, DataFrame, DataFrame)] = {
-    import spark.implicits._
-    val (fs, root) = fsFor(spark, dir)
-    val sinceP = new Path(new Path(root, ManifestDir), s"v$sinceVersion.manifest")
-    require(fs.exists(sinceP), s"$dir has no snapshot v$sinceVersion")
-    val sinceLines = readManifest(fs, sinceP)
     val st = latestState(spark, dir)
       .getOrElse(sys.error(s"$dir has no committed snapshot"))
     if (st.version == sinceVersion) return None
+    val (inserts, deletes) = changesBetween(spark, dir, sinceVersion, st.version)
+    Some((st.version, inserts, deletes))
+  }
+
+  /** The (inserts, deletes) pair between two COMMITTED versions — the
+    * pairwise core of [[readChangesSince]] and the per-step unit of
+    * [[tableChanges]]. Same file-list + DV diff algebra and the same
+    * un-delete invariant guard. */
+  private def changesBetween(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, dir)
+    def linesOf(v: Long): Seq[String] = {
+      val p = new Path(new Path(root, ManifestDir), s"v$v.manifest")
+      require(fs.exists(p), s"$dir has no snapshot v$v")
+      readManifest(fs, p)
+    }
+    val sinceVersion = fromVersion
+    val sinceLines = linesOf(fromVersion)
+    val toLines = linesOf(toVersion)
+    val toFiles = dataLines(toLines)
+    val toDvs = dvLines(toLines)
     val before = dataLines(sinceLines)
     val beforeSet = before.toSet
-    val nowSet = st.files.toSet
+    val nowSet = toFiles.toSet
     val removed = before.filterNot(nowSet.contains)
-    val added = st.files.filterNot(beforeSet.contains)
+    val added = toFiles.filterNot(beforeSet.contains)
     val kept = before.filter(nowSet.contains)
     def dvAddrs(rels: Seq[String]): DataFrame =
       if (rels.isEmpty)
@@ -411,7 +428,7 @@ object SnapshotTable {
       else spark.read.parquet(rels.map(f => new Path(root, f).toString): _*)
         .select(col("file").as(FileCol), col("pos").as(PosCol))
     val sdv = dvAddrs(dvLines(sinceLines))
-    val ndv = dvAddrs(st.dvs)
+    val ndv = dvAddrs(toDvs)
     // invariant guard: a DV row present at `since` over a CARRIED file
     // must still be present now — anything else is an un-delete the
     // feed cannot represent (delete-sized check, not table-sized)
@@ -422,7 +439,7 @@ object SnapshotTable {
       if (lost > 0L)
         throw new IllegalStateException(
           s"$dir: $lost deletion-vector rows over carried files vanished " +
-            s"between v$sinceVersion and v${st.version} — an un-delete " +
+            s"between v$sinceVersion and v$toVersion — an un-delete " +
             "cannot be represented as a change feed; rebuild derived state")
     }
     def emptyLike(v: Long): DataFrame = read(spark, dir, Some(v)).filter(lit(false))
@@ -433,7 +450,7 @@ object SnapshotTable {
         .join(sdv, Seq(FileCol, PosCol), "left_anti"))
     val newAddrs = ndv.join(sdv, Seq(FileCol, PosCol), "left_anti")
     val delCarried =
-      if (kept.isEmpty || st.dvs.isEmpty) None
+      if (kept.isEmpty || toDvs.isEmpty) None
       else Some(addressedRows(spark, dir, root, kept)
         .join(newAddrs, Seq(FileCol, PosCol), "left_semi"))
     val deletes = (delRemoved.toSeq ++ delCarried.toSeq)
@@ -441,10 +458,47 @@ object SnapshotTable {
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(emptyLike(sinceVersion))
     val inserts =
-      if (added.isEmpty) emptyLike(st.version)
+      if (added.isEmpty) emptyLike(toVersion)
       else strip(addressedRows(spark, dir, root, added)
         .join(ndv, Seq(FileCol, PosCol), "left_anti"))
-    Some((st.version, inserts, deletes))
+    (inserts, deletes)
+  }
+
+  /** Column names of the change-feed annotations [[tableChanges]]
+    * attaches: the change kind ("insert" | "delete") and the version
+    * whose commit produced it — the Delta `table_changes` read surface,
+    * reduced to its minimum. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Row-level change-data-feed across a version RANGE, one commit at a
+    * time: every row the ladder `fromVersion → toVersion` inserted or
+    * deleted, annotated with [[ChangeTypeCol]] and [[CommitVersionCol]]
+    * — an UPDATE surfaces as its commit's delete(old)+insert(new) pair,
+    * so downstream CDC consumers see the standard upsert stream.
+    * Requires every manifest in the range to still exist (vacuumed
+    * history cannot be diffed; [[readChangesSince]] diffs endpoint-only
+    * and is the cheaper call when per-commit attribution is not
+    * needed).
+    *
+    * Scale shape: each step is delta-sized (the pairwise file/DV diff);
+    * the result is a UNION of per-step frames, so a range of K commits
+    * plans K pairwise diffs — bounded by the day's commit count in the
+    * nightly-CDC deployment, never by table size. */
+  def tableChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"tableChanges needs fromVersion < toVersion ($fromVersion, $toVersion)")
+    val steps = (fromVersion until toVersion).map { v =>
+      val (ins, del) = changesBetween(spark, dir, v, v + 1)
+      ins.withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitVersionCol, lit(v + 1))
+        .unionByName(
+          del.withColumn(ChangeTypeCol, lit("delete"))
+            .withColumn(CommitVersionCol, lit(v + 1)),
+          allowMissingColumns = true)
+    }
+    steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Stage `df` under unique file names inside `dir`'s hive layout and

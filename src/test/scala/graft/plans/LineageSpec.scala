@@ -93,7 +93,8 @@ class LineageSpec extends SparkSpec {
       // q295-q297 the snapshot tables they updated/analyzed/reclustered
       // — all legitimately root at staged snapshot output
       "q293_replay_ladder", "q294_mv_change_feed", "q295_update_mor",
-      "q296_analyze_skipping", "q297_optimize_cluster")
+      "q296_analyze_skipping", "q297_optimize_cluster",
+      "q298_table_changes")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

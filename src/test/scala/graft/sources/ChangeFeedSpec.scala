@@ -126,6 +126,45 @@ class ChangeFeedSpec extends SparkSpec {
       spark, mv, src, Seq("p"), aggs, "p").isEmpty)
   }
 
+  test("tableChanges attributes every row change to its commit and the " +
+      "fold across the range reproduces the endpoint") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L, 10L), (2L, 0L, 20L))), "p")
+    SnapshotTable.append(spark, dir, mkDf(Seq((3L, 1L, 30L))), "p")       // v2
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 2L)              // v3
+    SnapshotTable.updateWhere(spark, dir, "p",                            // v4
+      col("k") === 1L, Map("v" -> (col("v") + 1L)))
+    val ch = SnapshotTable.tableChanges(spark, dir, 1L, 4L)
+    val got = ch.select(col(SnapshotTable.CommitVersionCol).cast("long"),
+        col(SnapshotTable.ChangeTypeCol),
+        col("k").cast("long"), col("p").cast("long"), col("v").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toSet
+    assert(got == Set(
+      (2L, "insert", (3L, 1L, 30L)),
+      (3L, "delete", (2L, 0L, 20L)),
+      (4L, "delete", (1L, 0L, 10L)),   // the UPDATE's old version...
+      (4L, "insert", (1L, 0L, 11L))),  // ...and its new version, same commit
+      s"got $got")
+    // the fold law: v1 minus all deletes plus all inserts == v4
+    val cols = Seq("k", "p", "v").map(col)
+    val folded = rowSet(SnapshotTable.read(spark, dir, Some(1L))) --
+      rowSet(ch.filter(col(SnapshotTable.ChangeTypeCol) === "delete")
+        .select(cols: _*)) ++
+      rowSet(ch.filter(col(SnapshotTable.ChangeTypeCol) === "insert")
+        .select(cols: _*))
+    assert(folded == rowSet(SnapshotTable.read(spark, dir, Some(4L))))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tableChanges(spark, dir, 3L, 3L)
+    }
+    // a vacuumed range cannot be diffed — fail loudly, not approximately
+    SnapshotTable.vacuum(spark, dir, retain = 1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tableChanges(spark, dir, 1L, 4L).collect()
+    }
+  }
+
   test("refreshWithDeletes retires a group whose every row is deleted " +
       "and rejects non-invertible aggregates") {
     val src = tempTable(); val mv = tempTable()
