@@ -1550,6 +1550,76 @@ object CoreQueries {
         .orderBy("commit_version", "change_type")
     }),
 
+    /** CHECK constraints, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.addConstraint]] — the Delta
+      * `ALTER TABLE ADD CONSTRAINT` surface: predicates commit as
+      * carried manifest headers, existing rows validate before the
+      * constraint can land, and every content-adding verb validates its
+      * batch in one aggregate pass, refusing WHOLESALE on any
+      * violation): the gate adds two constraints, lands a valid append,
+      * then proves a mixed good+bad append is refused with version AND
+      * relation untouched, an UPDATE that would push rows out of range
+      * is refused, and a constraint the existing data already violates
+      * cannot commit. The final relation hashes against the oracle's
+      * base ∪ valid-slice recompute — refused batches leave no trace.
+      *
+      * Scale shape: enforcement is one codegen'd conditional-sum pass
+      * over the INCOMING batch (all constraints together), never a
+      * table scan; the promise to readers costs writers
+      * delta-sized work. */
+    "q299_constraints" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_chk_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("part"), col("o_totalprice").as("v"))
+      SnapshotTable.write(s, dir.toString, base, "part")          // v1
+      SnapshotTable.addConstraint(s, dir.toString, "v_pos", "v > 0")   // v2
+      SnapshotTable.addConstraint(s, dir.toString, "k_nonneg", "k >= 0") // v3
+      val valid = base.filter(col("k") % 10 === 0)
+        .withColumn("k", col("k") + 100000000L)
+      SnapshotTable.append(s, dir.toString, valid, "part")        // v4
+      val vGood = SnapshotTable.latest(s, dir.toString).get._1
+      val countGood = SnapshotTable.read(s, dir.toString).count()
+      // a MIXED batch (valid rows + one violator) must be refused
+      // wholesale: version and relation untouched
+      val mixed = valid.limit(3).withColumn("k", col("k") + 1000000000L)
+        .unionAll(valid.limit(1).withColumn("v", lit(-1.0)))
+      val batchRefused =
+        try { SnapshotTable.append(s, dir.toString, mixed, "part"); false }
+        catch { case _: SnapshotTable.ConstraintViolationException => true }
+      val untouched =
+        SnapshotTable.latest(s, dir.toString).get._1 == vGood &&
+          SnapshotTable.read(s, dir.toString).count() == countGood
+      // an UPDATE pushing rows out of range is refused the same way
+      val updateRefused =
+        try { SnapshotTable.updateWhere(s, dir.toString, "part",
+          col("k") % 97 === 0, Map("v" -> (col("v") - 1.0e9))); false }
+        catch { case _: SnapshotTable.ConstraintViolationException => true }
+      // a constraint the EXISTING data violates cannot commit
+      val addRefused =
+        try { SnapshotTable.addConstraint(s, dir.toString,
+          "v_huge", "v > 100000000"); false }
+        catch { case _: SnapshotTable.ConstraintViolationException => true }
+      val stillTwo = SnapshotTable.constraints(s, dir.toString).keySet ==
+        Set("v_pos", "k_nonneg")
+      SnapshotTable.read(s, dir.toString)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"), round(sum("v"), 4).as("sum_v"))
+        .select(col("part"), col("n_rows"), col("sum_v"),
+          lit(vGood).as("versions"),
+          lit(batchRefused && untouched).as("batch_refused_wholesale"),
+          lit(updateRefused).as("update_refused"),
+          lit(addRefused && stillTwo).as("violating_constraint_refused"))
+        .orderBy("part")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -3029,6 +3099,26 @@ object CoreQueries {
         |  CAST(n AS BIGINT) AS n_rows, round(sv, 4) AS sum_v,
         |  TRUE AS fold_exact
         |FROM c ORDER BY 1, 2""".stripMargin,
+    // refused batches leave no trace: the final relation is base ∪ the
+    // one VALID append slice; the version ladder is hard (write, two
+    // constraints, valid append -> 4) and every refusal claim is
+    // oracle-asserted TRUE
+    "q299_constraints" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS part,
+        |    o_totalprice AS v
+        |  FROM orders),
+        |allr AS (
+        |  SELECT part, v FROM base
+        |  UNION ALL
+        |  SELECT part, v FROM base WHERE k % 10 = 0)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(v), 4) AS sum_v,
+        |  CAST(4 AS BIGINT) AS versions,
+        |  TRUE AS batch_refused_wholesale,
+        |  TRUE AS update_refused,
+        |  TRUE AS violating_constraint_refused
+        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q277_compact_vacuum" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),

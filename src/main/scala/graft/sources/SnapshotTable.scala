@@ -57,6 +57,18 @@ object SnapshotTable {
     * cumulative, 10k GETs per micro-batch on object storage). */
   private val LastBatchPrefix = "lastbatch."
 
+  /** Carried-forward header holding one CHECK constraint
+    * (`#constraint.<name>=<sql predicate>`) — the Delta `ALTER TABLE
+    * ADD CONSTRAINT` contract: every content-adding commit validates
+    * its incoming rows against every stored predicate and REFUSES the
+    * whole batch on any violation, so a reader never has to re-check
+    * what the table's schema-level contract already promises. */
+  private val ConstraintPrefix = "constraint."
+
+  /** Headers every commit must re-publish verbatim. */
+  private def isCarriedHeader(k: String): Boolean =
+    k.startsWith(LastBatchPrefix) || k.startsWith(ConstraintPrefix)
+
   /** Manifest reads since JVM start — the observability hook the
     * replay-detection cost contract is pinned on (a streaming commit
     * must read O(1) manifests regardless of history length; the q293
@@ -165,7 +177,7 @@ object SnapshotTable {
   private final case class TableState(version: Long, files: Seq[String],
       dvs: Seq[String], stats: Seq[String], meta: Map[String, String]) {
     def carried: Map[String, String] =
-      meta.filter { case (k, _) => k.startsWith(LastBatchPrefix) }
+      meta.filter { case (k, _) => isCarriedHeader(k) }
   }
 
   private def latestState(spark: SparkSession,
@@ -676,6 +688,98 @@ object SnapshotTable {
       files, meta, dvs, stats)
   }
 
+  /** A content-adding commit was refused because `violations` incoming
+    * rows failed the stored CHECK constraint — nothing was committed;
+    * fix the batch (or drop the constraint) and retry. */
+  final class ConstraintViolationException(val constraint: String,
+      val predicate: String, val violations: Long, what: String)
+    extends RuntimeException(
+      s"$what refused: $violations row(s) violate CHECK constraint " +
+        s"'$constraint' ($predicate); nothing was committed")
+
+  /** The table's CHECK constraints (name → SQL predicate). */
+  def constraints(spark: SparkSession, dir: String): Map[String, String] =
+    latestState(spark, dir).map(_.meta).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+      }
+
+  /** Validate `df` against every constraint in `meta` — ONE aggregate
+    * pass counts all predicates' violations together (codegen'd
+    * conditional sums, no per-constraint job). CHECK semantics are
+    * SQL-standard: a row violates only when the predicate is FALSE;
+    * UNKNOWN (null) passes. Throws on the first (alphabetical)
+    * violated constraint. Enforcement runs INSIDE each commit's CAS
+    * loop against the same state the commit is conditioned on, so a
+    * constraint added concurrently is either seen here or fails the
+    * racer's CAS — no batch can slip past a newer constraint. */
+  private def enforce(meta: Map[String, String], df: DataFrame,
+      what: String): Unit = {
+    val cs = meta.toSeq
+      .collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+        (k.stripPrefix(ConstraintPrefix), v)
+      }.sorted
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, sql) =>
+      coalesce(sum(when(not(coalesce(expr(sql), lit(true))), 1L)
+        .otherwise(0L)), lit(0L)).as(s"__c_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    cs.zipWithIndex.foreach { case ((n, sql), i) =>
+      val bad = row.getLong(i)
+      if (bad > 0L) throw new ConstraintViolationException(n, sql, bad, what)
+    }
+  }
+
+  /** Add a CHECK constraint (`ALTER TABLE ADD CONSTRAINT`): existing
+    * rows are validated FIRST (a constraint the table already violates
+    * is refused — it would promise readers something false), then the
+    * predicate commits as a carried manifest header, atomic with the
+    * version that starts enforcing it. Every subsequent content-adding
+    * commit (append/appendBatch/merge/mergeBatch/updateWhere/write*)
+    * validates its incoming rows and throws
+    * [[ConstraintViolationException]] wholesale on any violation.
+    * Returns the committed version. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      predicate: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '=' || c == '\n'),
+      s"constraint name '$name' must be nonempty without '=' or newlines")
+    require(!predicate.contains("\n"),
+      "constraint predicates are single manifest lines — no newlines")
+    val key = ConstraintPrefix + name
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      require(!st.meta.contains(key),
+        s"$dir already has a constraint named '$name'")
+      enforce(Map(key -> predicate), read(spark, dir, Some(st.version)),
+        s"ADD CONSTRAINT '$name' on existing rows")
+      if (commitAt(spark, dir, st.version, st.files,
+          st.carried + (key -> predicate), st.dvs, st.stats))
+        return st.version + 1
+      attempt += 1
+    }
+    sys.error(s"could not add constraint to $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** Drop a CHECK constraint; returns the committed version (the
+    * current version unchanged when no such constraint exists). */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Long = {
+    val key = ConstraintPrefix + name
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      if (!st.meta.contains(key)) return st.version
+      if (commitAt(spark, dir, st.version, st.files, st.carried - key,
+          st.dvs, st.stats))
+        return st.version + 1
+      attempt += 1
+    }
+    sys.error(s"could not drop constraint from $dir after $MaxCommitAttempts attempts")
+  }
+
   /** Drop staged-but-never-committed files (a lost racer's leftovers —
     * no manifest references them, so deletion is always safe; vacuum
     * would reclaim them anyway, this just does it eagerly). */
@@ -687,10 +791,17 @@ object SnapshotTable {
 
   private val MaxCommitAttempts = 20
 
-  /** Create (or replace the content of) the table as snapshot max+1. */
+  /** Create (or replace the content of) the table as snapshot max+1.
+    * Constraints carry through a full replace and the incoming content
+    * is validated against them (once, pre-commit — write() is the one
+    * state-independent commit, so the validation races a concurrent
+    * addConstraint by at most one blind version bump). */
   def write(spark: SparkSession, dir: String, df: DataFrame,
-      partCol: String, meta: Map[String, String] = Map.empty): Long =
+      partCol: String, meta: Map[String, String] = Map.empty): Long = {
+    enforce(latestState(spark, dir).map(_.meta).getOrElse(Map.empty),
+      df, "write")
     commit(spark, dir, stage(spark, dir, df, partCol), meta)
+  }
 
   /** Create (or replace) the table CLUSTERED on `statsCol` with a
     * per-file min/max data-skipping index: rows are range-partitioned
@@ -730,6 +841,8 @@ object SnapshotTable {
           .toLong
         math.max(16L, (df.count() + target - 1) / target).toInt
       }
+    enforce(latestState(spark, dir).map(_.meta).getOrElse(Map.empty),
+      df, "writeClustered")
     val files = stage(spark, dir,
       df.repartitionByRange(parts, col(statsCol)), partCol)
     commit(spark, dir, files, Map.empty, Seq.empty,
@@ -805,6 +918,7 @@ object SnapshotTable {
     val current = st.map(_.version).getOrElse(0L)
     if (current != expectedPrev) return None
     val carried = st.map(_.carried).getOrElse(Map.empty)
+    enforce(st.map(_.meta).getOrElse(Map.empty), df, "writeIf")
     val files = stage(spark, dir, df, partCol)
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
@@ -832,6 +946,10 @@ object SnapshotTable {
     while (attempt < MaxCommitAttempts) {
       val st = latestState(spark, dir)
         .getOrElse(TableState(0L, Seq.empty, Seq.empty, Seq.empty, Map.empty))
+      try enforce(st.meta, df, "append")
+      catch { case e: ConstraintViolationException =>
+        dropStaged(spark, dir, staged); throw e
+      }
       if (commitAt(spark, dir, st.version, st.files ++ staged, st.carried,
           st.dvs, st.stats))
         return st.version + 1
@@ -967,11 +1085,12 @@ object SnapshotTable {
       try {
         val n = hits.count()
         if (n == 0L) return (base, 0L)
-        val newDvs = stageDv(spark, dir,
-          hits.select(col(FileCol).as("file"), col(PosCol).as("pos")))
         val updated = assignments.foldLeft(hits.drop(FileCol, PosCol)) {
           case (df, (name, expr)) => df.withColumn(name, expr)
         }
+        enforce(st.meta, updated, "updateWhere")
+        val newDvs = stageDv(spark, dir,
+          hits.select(col(FileCol).as("file"), col(PosCol).as("pos")))
         val newFiles = stage(spark, dir, updated, partCol)
         if (commitAt(spark, dir, base, st.files ++ newFiles, st.carried,
             st.dvs ++ newDvs, st.stats))
@@ -1140,8 +1259,8 @@ object SnapshotTable {
           dropStaged(spark, dir, staged) // lost to a concurrent creator:
                                          // re-derive as a real merge
         case Some(TableState(base, files, dvs, stats, metaHdr)) =>
-          val carried =
-            metaHdr.filter { case (k, _) => k.startsWith(LastBatchPrefix) }
+          val carried = metaHdr.filter { case (k, _) => isCarriedHeader(k) }
+          enforce(metaHdr, updates, "merge")
           val snap = read(spark, dir, Some(base))
           // one pass: per-partition matched-row counts -> affected set +
           // replaced total + (via distinct keys) inserted total
@@ -1290,6 +1409,10 @@ object SnapshotTable {
       }
       val st = stOpt
         .getOrElse(TableState(0L, Seq.empty, Seq.empty, Seq.empty, Map.empty))
+      try enforce(st.meta, df, s"appendBatch $queryId/$batchId")
+      catch { case e: ConstraintViolationException =>
+        dropStaged(spark, dir, staged); throw e
+      }
       if (commitAt(spark, dir, st.version, st.files ++ staged,
           st.carried ++ batchMeta(queryId, batchId, st.version),
           st.dvs, st.stats))
