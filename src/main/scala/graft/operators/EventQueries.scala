@@ -857,6 +857,59 @@ object EventQueries {
         .orderBy("part")
     }),
 
+    /** Hidden (transform) partitioning, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.writeTransformPartitioned]] — the
+      * Iceberg partition-transform contract: the table is physically
+      * partitioned by day(ts), but the MAPPING is table metadata, the
+      * derived bucket column never surfaces in any read, writers append
+      * RAW rows through the recorded transform, and a reader's
+      * plain-`ts` range predicate prunes partition dirs via driver-side
+      * transform arithmetic — no `month=`/`day=` predicates for users
+      * to remember, which on a hive-layout table is exactly what a
+      * forgotten partition filter costs a full scan for): the gate
+      * writes the events table day-partitioned, appends a +40-day
+      * shifted slice through the transform (claims: old files carried
+      * untouched, bucket column hidden), queries a 3-day window by `ts`
+      * alone (claims: ≤ a fifth of the files survive pruning), and
+      * probes an out-of-domain year (zero files, zero rows). The
+      * window's aggregate hashes against the oracle's direct BETWEEN
+      * over the raw events.
+      *
+      * Scale shape: a day-scoped query on a years-long 100 TB event
+      * table reads one day's dirs — and no analyst has to know the
+      * layout to get that. */
+    "q300_hidden_partitioning" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = java.nio.file.Files.createTempDirectory("q300_tbl")
+        .resolve("t").toString
+      val base = events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      SnapshotTable.writeTransformPartitioned(s, dir, base, "ts", "day")
+      val (_, f0, _) = SnapshotTable.latestFull(s, dir).get
+      val shifted = base.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS"))
+      SnapshotTable.appendTransformPartitioned(s, dir, shifted)
+      val (_, f1, _) = SnapshotTable.latestFull(s, dir).get
+      val noRewrite = f0.forall(f1.contains)
+      val hiddenCol = !SnapshotTable.readHidden(s, dir).columns
+        .contains("__tp")
+      val (df, kept, tot) = SnapshotTable.readSourceRange(s, dir,
+        "2024-01-10 00:00:00", "2024-01-12 23:59:59")
+      val pruned = kept >= 1 && kept * 5 <= tot
+      val (dfE, keptE, _) = SnapshotTable.readSourceRange(s, dir,
+        "2030-01-01 00:00:00", "2030-12-31 23:59:59")
+      val emptyZero = keptE == 0 && dfE.count() == 0L
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), round(sum("value"), 4).as("sum_value"))
+        .select(col("event_type"), col("n_rows"), col("sum_value"),
+          lit(noRewrite).as("no_file_rewrite"),
+          lit(hiddenCol).as("bucket_col_hidden"),
+          lit(pruned).as("files_pruned"),
+          lit(emptyZero).as("empty_range_zero"))
+        .orderBy("event_type")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -2578,6 +2631,22 @@ object EventQueries {
         |  TRUE AS replay_last_noop,
         |  TRUE AS replay_ancient_noop
         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+    // transform pruning routes IO, never changes the relation: the
+    // 3-day window recomputed as a plain BETWEEN over raw events (the
+    // +40-day appended slice lies outside it by construction); the
+    // no-rewrite / hidden-column / pruning / empty-range claims are
+    // oracle-asserted TRUE
+    "q300_hidden_partitioning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(value), 4) AS sum_value,
+        |  TRUE AS no_file_rewrite,
+        |  TRUE AS bucket_col_hidden,
+        |  TRUE AS files_pruned,
+        |  TRUE AS empty_range_zero
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |             AND TIMESTAMP '2024-01-12 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q77's inner attribution over the raw events AS IF the staged late
     // pair never arrived — a leaked late row fails the hash; state pins
     // to exactly the two unexpired advance rows

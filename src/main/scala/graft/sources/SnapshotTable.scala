@@ -65,9 +65,23 @@ object SnapshotTable {
     * what the table's schema-level contract already promises. */
   private val ConstraintPrefix = "constraint."
 
+  /** Carried-forward headers recording a HIDDEN-PARTITIONING transform
+    * (`#parttransform.col=<sourceCol>`, `#parttransform.fn=<name>`) —
+    * the Iceberg partition-transform idea: the table is physically
+    * partitioned by a derived bucket of a source column (year/month/
+    * day/hour of a timestamp), the mapping lives in table metadata, and
+    * READERS prune partitions from a predicate on the SOURCE column —
+    * users never write (or even see) the derived column. */
+  private val TransformColKey = "parttransform.col"
+  private val TransformFnKey = "parttransform.fn"
+
+  /** The derived bucket column hidden partitioning writes and hides. */
+  private[sources] val HiddenPartCol = "__tp"
+
   /** Headers every commit must re-publish verbatim. */
   private def isCarriedHeader(k: String): Boolean =
-    k.startsWith(LastBatchPrefix) || k.startsWith(ConstraintPrefix)
+    k.startsWith(LastBatchPrefix) || k.startsWith(ConstraintPrefix) ||
+      k.startsWith("parttransform.")
 
   /** Manifest reads since JVM start — the observability hook the
     * replay-detection cost contract is pinned on (a streaming commit
@@ -686,6 +700,113 @@ object SnapshotTable {
     val (fs, root) = fsFor(spark, dir)
     writeManifest(fs, new Path(root, ManifestDir), expectedPrev + 1,
       files, meta, dvs, stats)
+  }
+
+  /** date_format patterns of the supported partition transforms; each
+    * bucket's time span is closed-open ([start, next bucket)). */
+  private val Transforms: Map[String, String] = Map(
+    "year" -> "yyyy", "month" -> "yyyy-MM",
+    "day" -> "yyyy-MM-dd", "hour" -> "yyyy-MM-dd-HH")
+
+  /** [start, end) of one transform bucket value, as naive local
+    * date-times (the session runs UTC; timestamps are NTZ µs). */
+  private def bucketSpan(fn: String,
+      value: String): (java.time.LocalDateTime, java.time.LocalDateTime) = {
+    import java.time.{LocalDate, LocalDateTime, YearMonth}
+    fn match {
+      case "year" =>
+        val s = LocalDate.of(value.toInt, 1, 1).atStartOfDay()
+        (s, s.plusYears(1))
+      case "month" =>
+        val s = YearMonth.parse(value).atDay(1).atStartOfDay()
+        (s, s.plusMonths(1))
+      case "day" =>
+        val s = LocalDate.parse(value).atStartOfDay()
+        (s, s.plusDays(1))
+      case "hour" =>
+        val s = LocalDateTime.parse(value.replaceAll("-(\\d{2})$", "T$1:00"))
+        (s, s.plusHours(1))
+      case other => sys.error(s"unknown partition transform '$other'")
+    }
+  }
+
+  /** Create the table HIDDEN-PARTITIONED by `transform(sourceCol)`
+    * (year | month | day | hour): the derived bucket column is
+    * computed here, recorded in carried metadata, physically used as
+    * the hive partition column, and stripped from every read — users
+    * query the SOURCE column and [[readSourceRange]] prunes partitions
+    * by transform arithmetic (the Iceberg hidden-partitioning
+    * contract; hive-style partitioning makes users write `month=...`
+    * predicates by hand, and a query that forgets one scans the
+    * table). Returns the committed version. */
+  def writeTransformPartitioned(spark: SparkSession, dir: String,
+      df: DataFrame, sourceCol: String, transform: String): Long = {
+    val pat = Transforms.getOrElse(transform,
+      sys.error(s"unknown partition transform '$transform' " +
+        s"(supported: ${Transforms.keys.toSeq.sorted.mkString(", ")})"))
+    write(spark, dir, df.withColumn(HiddenPartCol,
+        date_format(col(sourceCol), pat)), HiddenPartCol,
+      Map(TransformColKey -> sourceCol, TransformFnKey -> transform))
+  }
+
+  /** Append through the table's recorded transform — callers pass raw
+    * rows; the bucket column derives here, so every writer agrees on
+    * the partitioning without coordinating. */
+  def appendTransformPartitioned(spark: SparkSession, dir: String,
+      df: DataFrame): Long = {
+    val (src, fn) = transformOf(spark, dir)
+    append(spark, dir, df.withColumn(HiddenPartCol,
+      date_format(col(src), Transforms(fn))), HiddenPartCol)
+  }
+
+  /** The table's recorded (source column, transform name). */
+  def transformOf(spark: SparkSession, dir: String): (String, String) = {
+    val meta = latestState(spark, dir).map(_.meta).getOrElse(Map.empty)
+    (meta.getOrElse(TransformColKey,
+        sys.error(s"$dir is not transform-partitioned")),
+      meta.getOrElse(TransformFnKey,
+        sys.error(s"$dir is not transform-partitioned")))
+  }
+
+  /** Snapshot read of a transform-partitioned table with the derived
+    * bucket column hidden (the user-facing schema is the written
+    * schema). */
+  def readHidden(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame =
+    read(spark, dir, version).drop(HiddenPartCol)
+
+  /** Range read on the SOURCE column of a transform-partitioned table:
+    * partition dirs whose bucket span cannot intersect
+    * [`lo`, `hi`] (inclusive timestamp literals, `yyyy-MM-dd HH:mm:ss`)
+    * are pruned by DRIVER-SIDE transform arithmetic — no footer reads,
+    * no IO — and the exact predicate applies to the survivors.
+    * Deletion vectors still apply. Returns (frame, files kept, files
+    * total), the q290-style audit pair.
+    *
+    * Scale shape: the reason hidden partitioning exists — a day-scoped
+    * query on a years-long 100 TB event table reads one day's dirs, and
+    * no analyst has to remember the table's layout to get that. */
+  def readSourceRange(spark: SparkSession, dir: String, lo: String,
+      hi: String): (DataFrame, Int, Int) = {
+    import java.time.LocalDateTime
+    import java.time.format.DateTimeFormatter
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val (loT, hiT) = (LocalDateTime.parse(lo, fmt), LocalDateTime.parse(hi, fmt))
+    val st = latestState(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val (src, fn) = transformOf(spark, dir)
+    val live = st.files.filter { f =>
+      val (s, e) = bucketSpan(fn, partValueOf(f.split('/').head))
+      !s.isAfter(hiT) && e.isAfter(loT) // [s, e) intersects [lo, hi]
+    }
+    val residual = col(src).between(
+      lit(lo).cast("timestamp"), lit(hi).cast("timestamp"))
+    val frame =
+      if (live.isEmpty)
+        readHidden(spark, dir, Some(st.version)).filter(lit(false))
+      else readResolved(spark, dir, Some(st.version), withLineage = false,
+        restrictTo = Some(live.toSet)).filter(residual).drop(HiddenPartCol)
+    (frame, live.size, st.files.size)
   }
 
   /** A content-adding commit was refused because `violations` incoming
