@@ -1550,6 +1550,62 @@ object CoreQueries {
         .orderBy("commit_version", "change_type")
     }),
 
+    /** Bloom point-lookup index, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.analyzeBloom]] /
+      * [[graft.sources.SnapshotTable.readPointLookup]] — the Delta
+      * bloom-filter-index idea, and the pruning leg min/max stats
+      * CANNOT provide: the table is built by four INTERLEAVED appends,
+      * so every file spans the whole key domain and a range index is
+      * useless for a point predicate; per-file bloom sketches of
+      * xxhash64(key) — built by Spark's own codegen'd
+      * `bloom_filter_agg`, stored as a parquet sidecar pointed at by a
+      * carried manifest header — answer "can this file contain v?"
+      * driver-side with zero data IO): the id lookup prunes to at most
+      * half the files (claims), an absent id returns zero rows with
+      * most files pruned, re-ANALYZE commits nothing, and the lookup's
+      * rows hash against the oracle's direct equality recompute.
+      *
+      * Scale shape: an id lookup on an append-ordered 100 TB event
+      * table touches the O(occurrences) files that can actually hold
+      * the value, at a false-positive tax set by bits-per-file. */
+    "q301_bloom_pointlookup" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_blm_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"))
+      (0 until 4).foreach { i =>
+        val chunk = base.filter(col("l_orderkey") % 4 === i)
+        if (i == 0) SnapshotTable.write(s, dir.toString, chunk, "l_returnflag")
+        else SnapshotTable.append(s, dir.toString, chunk, "l_returnflag")
+      }
+      val vI = SnapshotTable.analyzeBloom(s, dir.toString, "l_orderkey",
+        bitsPerFile = 1L << 19)
+      val idempotent =
+        SnapshotTable.analyzeBloom(s, dir.toString, "l_orderkey", 1L << 19) == vI
+      val target = base.agg(max("l_orderkey")).first().getLong(0)
+      val (df, kept, tot) =
+        SnapshotTable.readPointLookup(s, dir.toString, "l_orderkey", target)
+      val pruned = kept >= 1 && kept * 2 <= tot
+      val (dfA, keptA, totA) =
+        SnapshotTable.readPointLookup(s, dir.toString, "l_orderkey",
+          target + 1234567L)
+      val absentClean = dfA.count() == 0L && keptA * 2 <= totA
+      df.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_quantity"), 4).as("quantity"),
+          lit(vI).as("index_version"),
+          lit(idempotent).as("analyze_idempotent"),
+          lit(pruned).as("files_pruned"),
+          lit(absentClean).as("absent_zero_rows"))
+        .orderBy("l_linenumber")
+    }),
+
     /** CHECK constraints, driver-gated end to end
       * ([[graft.sources.SnapshotTable.addConstraint]] — the Delta
       * `ALTER TABLE ADD CONSTRAINT` surface: predicates commit as
@@ -3099,6 +3155,20 @@ object CoreQueries {
         |  CAST(n AS BIGINT) AS n_rows, round(sv, 4) AS sum_v,
         |  TRUE AS fold_exact
         |FROM c ORDER BY 1, 2""".stripMargin,
+    // the max-key order's line items recomputed directly (equality on
+    // the deterministic max key); pruning routes IO, never changes the
+    // relation — version ladder hard (4 writes + index -> 5), claims
+    // oracle-asserted TRUE
+    "q301_bloom_pointlookup" ->
+      """WITH t AS (SELECT max(l_orderkey) AS mk FROM lineitem)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(l.l_quantity, 4) AS quantity,
+        |  CAST(5 AS BIGINT) AS index_version,
+        |  TRUE AS analyze_idempotent,
+        |  TRUE AS files_pruned,
+        |  TRUE AS absent_zero_rows
+        |FROM lineitem l CROSS JOIN t WHERE l.l_orderkey = t.mk
+        |ORDER BY l.l_linenumber""".stripMargin,
     // refused batches leave no trace: the final relation is base ∪ the
     // one VALID append slice; the version ladder is hard (write, two
     // constraints, valid append -> 4) and every refusal claim is

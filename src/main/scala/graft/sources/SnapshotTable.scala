@@ -81,7 +81,7 @@ object SnapshotTable {
   /** Headers every commit must re-publish verbatim. */
   private def isCarriedHeader(k: String): Boolean =
     k.startsWith(LastBatchPrefix) || k.startsWith(ConstraintPrefix) ||
-      k.startsWith("parttransform.")
+      k.startsWith("parttransform.") || k.startsWith("bloomidx.")
 
   /** Manifest reads since JVM start — the observability hook the
     * replay-detection cost contract is pinned on (a streaming commit
@@ -806,6 +806,127 @@ object SnapshotTable {
         readHidden(spark, dir, Some(st.version)).filter(lit(false))
       else readResolved(spark, dir, Some(st.version), withLineage = false,
         restrictTo = Some(live.toSet)).filter(residual).drop(HiddenPartCol)
+    (frame, live.size, st.files.size)
+  }
+
+  /** Carried header pointing at a column's bloom point-lookup index
+    * sidecar (`#bloomidx.<col>=<relpath under _idx/>`) — the Delta
+    * bloom-filter-index idea: per-file bloom sketches answer "can this
+    * FILE contain value v?" for point predicates on high-cardinality
+    * columns, where min/max stats are useless unless the table is
+    * clustered on exactly that column. The sketches live in a parquet
+    * sidecar (file-count-sized rows of (file, sketch)); the manifest
+    * carries only the pointer, so commit cost stays flat. */
+  private val BloomIdxPrefix = "bloomidx."
+
+  /** Build (or extend) the bloom point-lookup index on `column`: ONE
+    * column-pruned pass over only the files the current index does not
+    * cover computes a per-file bloom of `xxhash64(column)` via Spark's
+    * own codegen'd `bloom_filter_agg` (the machinery Catalyst's runtime
+    * join filters use), merges it with the carried entries, writes the
+    * combined sidecar under `_idx/`, and commits the header pointer —
+    * metadata-only, like [[analyzeStats]]. `bitsPerFile` sizes each
+    * sketch (default 2^20 ≈ 128 KiB per file at ~1 % fpp for 100k
+    * items). Idempotent: full coverage commits nothing. Returns the
+    * committed version. */
+  def analyzeBloom(spark: SparkSession, dir: String, column: String,
+      bitsPerFile: Long = 1L << 20): Long = {
+    graft.functions.BloomFunctions.register(spark)
+    val key = BloomIdxPrefix + column
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val existing = loadBloomSidecar(spark, dir, st.meta.get(key))
+        .filter { case (f, _) => st.files.contains(f) }
+      val missing = st.files.filterNot(existing.contains)
+      if (missing.isEmpty) return st.version
+      val (_, root) = fsFor(spark, dir)
+      val est = math.max(1L, bitsPerFile / 10)
+      val fresh = spark.read.option("basePath", dir)
+        .parquet(missing.map(f => new Path(root, f).toString): _*)
+        .select(relPathExpr.as("file"), col(column).as("__v"))
+        .groupBy("file")
+        .agg(expr(s"bloom_filter_agg(xxhash64(__v), ${est}L, ${bitsPerFile}L)")
+          .as("sketch"))
+      import spark.implicits._
+      val combined = fresh.unionByName(
+        existing.toSeq.toDF("file", "sketch"))
+      val rel = stageBloomSidecar(spark, dir, combined)
+      if (commitAt(spark, dir, st.version, st.files,
+          st.carried + (key -> rel), st.dvs, st.stats))
+        return st.version + 1
+      dropStaged(spark, dir, Seq(rel))
+      attempt += 1
+    }
+    sys.error(s"could not index $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** (file → sketch bytes) of a bloom sidecar; empty when absent. */
+  private def loadBloomSidecar(spark: SparkSession, dir: String,
+      rel: Option[String]): Map[String, Array[Byte]] = rel match {
+    case None => Map.empty
+    case Some(r) =>
+      val (_, root) = fsFor(spark, dir)
+      spark.read.parquet(new Path(root, r).toString)
+        .select("file", "sketch").collect()
+        .map(row => row.getString(0) -> row.getAs[Array[Byte]](1)).toMap
+  }
+
+  /** Stage one combined bloom sidecar under `_idx/` (coalesced — the
+    * index is file-count-sized); returns its relative path. */
+  private def stageBloomSidecar(spark: SparkSession, dir: String,
+      df: DataFrame): String = {
+    val (fs, root) = fsFor(spark, dir)
+    val tmp = new Path(dir.stripSuffix("/") + "__idx_stage_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).head
+    fs.mkdirs(new Path(root, "_idx"))
+    val rel = s"_idx/bloom-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    require(fs.rename(part.getPath, new Path(root, rel)),
+      s"could not stage bloom sidecar into $dir")
+    fs.delete(tmp, true)
+    rel
+  }
+
+  /** Point lookup through the bloom index: every indexed file whose
+    * sketch says "definitely not" is pruned (driver-side probes of the
+    * file-count-sized sidecar — no data IO); un-indexed files are
+    * conservatively scanned; the exact equality predicate applies to
+    * the survivors and deletion vectors still apply. Returns (frame,
+    * files kept, files total).
+    *
+    * Scale shape: the pruning leg min/max stats cannot provide — a
+    * point predicate on an UNCLUSTERED high-cardinality column (an id
+    * lookup on an append-ordered 100 TB event table) touches the
+    * O(occurrences) files that can actually contain the value, at a
+    * false-positive tax set by `bitsPerFile`. */
+  def readPointLookup(spark: SparkSession, dir: String, column: String,
+      value: Any): (DataFrame, Int, Int) = {
+    val st = latestState(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val blooms = loadBloomSidecar(spark, dir,
+      st.meta.get(BloomIdxPrefix + column))
+    // the probe hash MUST be the same xxhash64 the index was built
+    // with — computed through the engine, not re-implemented here
+    val probe = spark.range(1)
+      .select(xxhash64(lit(value)).cast("long")).first().getLong(0)
+    val live = st.files.filter { f =>
+      blooms.get(f) match {
+        case Some(bytes) =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(probe)
+        case None => true // un-indexed file: must scan
+      }
+    }
+    val residual = col(column) === lit(value)
+    val frame =
+      if (live.isEmpty) read(spark, dir, Some(st.version)).filter(lit(false))
+      else readResolved(spark, dir, Some(st.version), withLineage = false,
+        restrictTo = Some(live.toSet)).filter(residual)
     (frame, live.size, st.files.size)
   }
 
@@ -1674,6 +1795,29 @@ object SnapshotTable {
     def reclaimable(rel: String, mtime: Long): Boolean =
       droppedRef.contains(rel) || now - mtime > retentionMs
     var deleted = 0
+    // bloom-index sidecars: keep the ones any retained manifest's
+    // headers reference; dropped-header garbage reclaims immediately,
+    // never-referenced (a possible in-flight analyzeBloom stage) only
+    // past retention — the same three-way rule as data files
+    val referencedIdx: Set[String] = keptLines.flatMap(l =>
+      metaOf(l).collect { case (k, v) if k.startsWith(BloomIdxPrefix) => v })
+      .toSet
+    val droppedIdx: Set[String] = droppedLines.flatMap(l =>
+      metaOf(l).collect { case (k, v) if k.startsWith(BloomIdxPrefix) => v })
+      .toSet
+    val idxDir = new Path(root, "_idx")
+    if (fs.exists(idxDir)) {
+      fs.listStatus(idxDir).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val rel = s"_idx/${f.getPath.getName}"
+        if (!referencedIdx.contains(rel) &&
+            (droppedIdx.contains(rel) ||
+              now - f.getModificationTime > retentionMs)) {
+          fs.delete(f.getPath, false); deleted += 1
+        }
+      }
+      if (fs.listStatus(idxDir).isEmpty) fs.delete(idxDir, false): Unit
+    }
     val dvDir = new Path(root, "_dv")
     if (fs.exists(dvDir)) {
       fs.listStatus(dvDir).filter(f => f.isFile &&

@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bloom point-lookup index contract ([[SnapshotTable.analyzeBloom]] /
+  * [[SnapshotTable.readPointLookup]] — the Delta bloom-filter-index
+  * idea): per-file sketches of xxhash64(column) prune point predicates
+  * on UNCLUSTERED high-cardinality columns where min/max stats are
+  * useless; the index is a parquet sidecar pointed at by a carried
+  * header; lookups are exact (pruning only ever drops files that
+  * CANNOT contain the value), un-indexed files scan conservatively,
+  * and the sidecar follows vacuum's three-way reclaim rule.
+  */
+class BloomIndexSpec extends SparkSpec {
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("snapbloom").toString + "/t"
+
+  private def mkDf(ks: Seq[Long]) = {
+    import spark.implicits._
+    ks.map(k => (k, k % 2, k * 7L)).toDF("k", "p", "v")
+  }
+
+  test("analyzeBloom prunes point lookups exactly, extends incrementally, " +
+      "is idempotent, and composes with DV deletes") {
+    val dir = tempTable()
+    // interleaved appends: every file spans the key domain — min/max
+    // stats could never prune a point predicate here
+    (0 until 4).foreach { i =>
+      val chunk = mkDf((1L to 400L).filter(_ % 4 == i))
+      if (i == 0) SnapshotTable.write(spark, dir, chunk, "p")
+      else SnapshotTable.append(spark, dir, chunk, "p")
+    }
+    val v = SnapshotTable.analyzeBloom(spark, dir, "k", bitsPerFile = 1L << 14)
+    assert(v == 5L)
+    assert(SnapshotTable.analyzeBloom(spark, dir, "k", 1L << 14) == v,
+      "full coverage re-analyzes to a no-op, no new commit")
+    // every present key is found exactly; most files prune
+    val (df, kept, tot) = SnapshotTable.readPointLookup(spark, dir, "k", 123L)
+    assert(df.select(col("v").cast("long")).collect().map(_.getLong(0)).toSeq
+      == Seq(123L * 7))
+    assert(kept < tot, s"bloom must prune some of $tot files (kept $kept)")
+    // an absent value prunes everything (modulo fp) and returns no rows
+    val (dfA, keptA, totA) =
+      SnapshotTable.readPointLookup(spark, dir, "k", 999999L)
+    assert(dfA.count() == 0L)
+    assert(keptA * 2 <= totA, s"absent-value lookup kept $keptA/$totA")
+    // a new append is NOT indexed -> conservatively scanned, still exact
+    SnapshotTable.append(spark, dir, mkDf(Seq(5000L)), "p")
+    val (dfN, _, _) = SnapshotTable.readPointLookup(spark, dir, "k", 5000L)
+    assert(dfN.count() == 1L, "un-indexed files must be scanned")
+    // incremental: only the new file gets a sketch, lookups now prune it
+    SnapshotTable.analyzeBloom(spark, dir, "k", 1L << 14)
+    val (dfI, keptI, totI) =
+      SnapshotTable.readPointLookup(spark, dir, "k", 123L)
+    assert(dfI.count() == 1L && keptI < totI)
+    // DV delete composes: the looked-up row can be erased
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 123L)
+    val (dfD, _, _) = SnapshotTable.readPointLookup(spark, dir, "k", 123L)
+    assert(dfD.count() == 0L, "DVs must apply through the pruned lookup")
+  }
+
+  test("the index header carries across commit classes and vacuum keeps " +
+      "the referenced sidecar") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(1L to 50L), "p")
+    SnapshotTable.analyzeBloom(spark, dir, "k", 1L << 14)
+    SnapshotTable.append(spark, dir, mkDf(Seq(60L)), "p")
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 1L)
+    SnapshotTable.vacuum(spark, dir, retain = 1)
+    val (df, kept, tot) = SnapshotTable.readPointLookup(spark, dir, "k", 25L)
+    assert(df.count() == 1L)
+    assert(kept < tot || tot == 1,
+      "the index must survive append + DV + vacuum")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_idx")),
+      "vacuum must keep the header-referenced sidecar")
+    // a re-index supersedes the old sidecar; vacuum reclaims it once
+    // its header dropped out of the retained manifests
+    SnapshotTable.analyzeBloom(spark, dir, "k", 1L << 14) // covers the append
+    SnapshotTable.vacuum(spark, dir, retain = 1)
+    val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_idx"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(sidecars == 1,
+      s"exactly the live sidecar survives vacuum, found $sidecars")
+  }
+}
