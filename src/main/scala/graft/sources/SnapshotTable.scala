@@ -837,8 +837,9 @@ object SnapshotTable {
     while (attempt < MaxCommitAttempts) {
       val st = latestState(spark, dir)
         .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val fileSet = st.files.toSet
       val existing = loadBloomSidecar(spark, dir, st.meta.get(key))
-        .filter { case (f, _) => st.files.contains(f) }
+        .filter { case (f, _) => fileSet.contains(f) }
       val missing = st.files.filterNot(existing.contains)
       if (missing.isEmpty) return st.version
       val (_, root) = fsFor(spark, dir)
