@@ -1550,6 +1550,73 @@ object CoreQueries {
         .orderBy("commit_version", "change_type")
     }),
 
+    /** CDC replication — the change feed CONSUMED, driver-gated end to
+      * end ([[graft.sources.SnapshotTable.replicate]]: first call
+      * copies the source snapshot; later calls read ONLY the feed since
+      * the source version recorded in the replica's carried metadata,
+      * apply pure deletes as one keyed DV-delete and inserts+updates
+      * as one MERGE, and land the bookkeeping atomically with the last
+      * applied change): the source takes one of EVERY producer verb
+      * after the initial copy (append, DV delete, merge-on-read
+      * UPDATE, MERGE that both replaces and inserts — including
+      * re-inserting a key the DV delete removed), then ONE incremental
+      * replicate must converge the replica to row-identity with the
+      * source (claim), in at most two commits (claim), with a
+      * further call a no-op (claim). The replica's aggregate hashes
+      * against the oracle's CASE-chain reconstruction of the whole
+      * ladder — a feed leg missed, double-applied, or applied out of
+      * order diverges the hash.
+      *
+      * Scale shape: the geo-replica story — steady-state cost is
+      * delete-sized + upsert-sized commits, never a table copy after
+      * the first call. */
+    "q302_cdc_replica" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_rep_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val src = new java.io.File(dir, "src").toString
+      val dst = new java.io.File(dir, "dst").toString
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("part"), col("o_totalprice").as("v"))
+      SnapshotTable.write(s, src, base.filter(col("k") % 2 === 0), "part")
+      SnapshotTable.replicate(s, src, dst, "part", "k") // full copy
+      // one of every producer verb lands on the source
+      SnapshotTable.append(s, src, base.filter(col("k") % 2 =!= 0), "part")
+      SnapshotTable.deleteWhereDV(s, src, col("k") % 11 === 0)
+      SnapshotTable.updateWhere(s, src, "part",
+        col("k") % 13 === 0, Map("v" -> (col("v") + 1000.0)))
+      val m17 = base.filter(col("k") % 17 === 0)
+      SnapshotTable.merge(s, src, "part", "k",
+        m17.withColumn("v", col("v") + 5000.0)
+          .unionAll(m17.select((col("k") + 10000000L).as("k"), col("part"),
+            (col("v") + 7000.0).as("v"))))
+      val vBefore = SnapshotTable.latest(s, dst).get._1
+      val vApplied = SnapshotTable.replicate(s, src, dst, "part", "k")
+      val twoCommits = vApplied - vBefore <= 2L
+      val cols = Seq(col("k"), col("part"), col("v"))
+      val srcDf = SnapshotTable.read(s, src).select(cols: _*)
+      val dstDf = SnapshotTable.read(s, dst).select(cols: _*)
+      val converged = dstDf.exceptAll(srcDf).isEmpty &&
+        srcDf.exceptAll(dstDf).isEmpty
+      val idempotent =
+        SnapshotTable.replicate(s, src, dst, "part", "k") == vApplied &&
+          SnapshotTable.latest(s, dst).get._1 == vApplied
+      SnapshotTable.read(s, dst)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"), round(sum("v"), 4).as("sum_v"))
+        .select(col("part"), col("n_rows"), col("sum_v"),
+          lit(converged).as("replica_equals_source"),
+          lit(twoCommits).as("incremental_apply"),
+          lit(idempotent).as("uptodate_noop"))
+        .orderBy("part")
+    }),
+
     /** Bloom point-lookup index, driver-gated end to end
       * ([[graft.sources.SnapshotTable.analyzeBloom]] /
       * [[graft.sources.SnapshotTable.readPointLookup]] — the Delta
@@ -3155,6 +3222,31 @@ object CoreQueries {
         |  CAST(n AS BIGINT) AS n_rows, round(sv, 4) AS sum_v,
         |  TRUE AS fold_exact
         |FROM c ORDER BY 1, 2""".stripMargin,
+    // the replica reconstructed as a CASE chain over the raw table:
+    // a key survives iff it escaped the %11 delete OR the %17 merge
+    // re-inserted it; the merge's value wins over the update's, which
+    // wins over base; the +10M insert slice unions on; convergence /
+    // commit-count / idempotency claims oracle-asserted TRUE
+    "q302_cdc_replica" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS part,
+        |    o_totalprice AS v
+        |  FROM orders),
+        |kept AS (
+        |  SELECT part,
+        |    CASE WHEN k % 17 = 0 THEN v + 5000.0
+        |         WHEN k % 13 = 0 THEN v + 1000.0
+        |         ELSE v END AS v
+        |  FROM base WHERE k % 11 <> 0 OR k % 17 = 0),
+        |ins AS (
+        |  SELECT part, v + 7000.0 AS v FROM base WHERE k % 17 = 0),
+        |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(v), 4) AS sum_v,
+        |  TRUE AS replica_equals_source,
+        |  TRUE AS incremental_apply,
+        |  TRUE AS uptodate_noop
+        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
     // the max-key order's line items recomputed directly (equality on
     // the deterministic max key); pruning routes IO, never changes the
     // relation — version ladder hard (4 writes + index -> 5), claims

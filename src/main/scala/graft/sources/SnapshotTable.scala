@@ -81,7 +81,9 @@ object SnapshotTable {
   /** Headers every commit must re-publish verbatim. */
   private def isCarriedHeader(k: String): Boolean =
     k.startsWith(LastBatchPrefix) || k.startsWith(ConstraintPrefix) ||
-      k.startsWith("parttransform.") || k.startsWith("bloomidx.")
+      k.startsWith("parttransform.") || k.startsWith("bloomidx.") ||
+      k == "replica_source_version" // replica bookkeeping survives
+                                    // maintenance commits (compact etc.)
 
   /** Manifest reads since JVM start — the observability hook the
     * replay-detection cost contract is pinned on (a streaming commit
@@ -1423,6 +1425,88 @@ object SnapshotTable {
       attempt += 1
     }
     sys.error(s"could not recluster $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** DV-delete every row whose `keyCol` appears in `keys` (a
+    * DataFrame with one `keyCol` column) — [[deleteWhereDV]]'s
+    * join-predicate sibling: the predicate form cannot reference
+    * another relation, and collecting keys into an `isin` literal dies
+    * at scale; here the match is one semi-join of the snapshot against
+    * the key set (broadcast in the common small-delete case). Returns
+    * (version, deleted rows); no commit when nothing matches. */
+  def deleteMatchingDV(spark: SparkSession, dir: String, keyCol: String,
+      keys: DataFrame): (Long, Long) = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val hits = readResolved(spark, dir, Some(st.version), withLineage = true)
+        .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+        .cache()
+      try {
+        val n = hits.count()
+        if (n == 0L) return (st.version, 0L)
+        val newDvs = stageDv(spark, dir, hits)
+        if (commitAt(spark, dir, st.version, st.files, st.carried,
+            st.dvs ++ newDvs, st.stats))
+          return (st.version + 1, n)
+        dropStaged(spark, dir, newDvs)
+      } finally hits.unpersist(): Unit
+      attempt += 1
+    }
+    sys.error(s"could not DV-delete from $dir after $MaxCommitAttempts attempts")
+  }
+
+  private val ReplicaSourceVersionKey = "replica_source_version"
+
+  /** Maintain `dstDir` as a keyed REPLICA of `srcDir` — the change
+    * feed's consumer half, closing the CDC loop the producer verbs
+    * (append/DV delete/UPDATE/MERGE → [[readChangesSince]]) open: the
+    * first call copies the source snapshot wholesale; every later call
+    * reads ONLY the feed since the source version recorded in the
+    * replica's manifest, applies pure deletes as one keyed DV-delete
+    * and inserts+updates as one MERGE, and records the new source
+    * version atomically with the last applied change.
+    *
+    * Idempotent and crash-safe BY REPLAY: a crash between the delete
+    * commit and the merge commit leaves the recorded source version
+    * unchanged, so the rerun re-reads the same feed — the re-applied
+    * delete matches nothing (keys already gone) and the re-applied
+    * MERGE replaces rows with themselves. `keyCol` must be unique in
+    * the source (the same contract MERGE has). Returns the replica
+    * version, unchanged when the source has not advanced.
+    *
+    * Scale shape: steady-state replication cost is (new files) + (new
+    * DV rows) on the source side and delete-sized + upsert-sized
+    * commits on the replica — never a table copy after the first
+    * call; the 100 TB geo-replica story. */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String,
+      partCol: String, keyCol: String): Long = {
+    latestState(spark, dstDir) match {
+      case None =>
+        val (srcV, _) = latest(spark, srcDir)
+          .getOrElse(sys.error(s"$srcDir has no committed snapshot"))
+        write(spark, dstDir, read(spark, srcDir, Some(srcV)), partCol,
+          Map(ReplicaSourceVersionKey -> srcV.toString))
+      case Some(dst) =>
+        val since = dst.meta.getOrElse(ReplicaSourceVersionKey,
+          sys.error(s"$dstDir exists but carries no " +
+            s"$ReplicaSourceVersionKey — not a replica")).toLong
+        readChangesSince(spark, srcDir, since) match {
+          case None => dst.version // up to date
+          case Some((srcV, inserts, deletes)) =>
+            // keys both deleted and (re)inserted are UPDATES — MERGE
+            // replaces them; only pure deletes need the DV pass
+            val pureDeletes = deletes.select(col(keyCol))
+              .join(inserts.select(col(keyCol)), Seq(keyCol), "left_anti")
+            deleteMatchingDV(spark, dstDir, keyCol, pureDeletes)
+            // the MERGE commit carries the new source version — the
+            // bookkeeping lands atomically with the last applied change
+            merge(spark, dstDir, partCol, keyCol, inserts,
+              Map(ReplicaSourceVersionKey -> srcV.toString))._1
+        }
+    }
   }
 
   /** Stage a (file, pos) address frame as immutable parquet sidecars

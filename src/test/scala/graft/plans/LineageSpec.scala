@@ -94,7 +94,8 @@ class LineageSpec extends SparkSpec {
       // — all legitimately root at staged snapshot output
       "q293_replay_ladder", "q294_mv_change_feed", "q295_update_mor",
       "q296_analyze_skipping", "q297_optimize_cluster",
-      "q298_table_changes", "q299_constraints", "q300_hidden_partitioning", "q301_bloom_pointlookup")
+      "q298_table_changes", "q299_constraints", "q300_hidden_partitioning", "q301_bloom_pointlookup",
+      "q302_cdc_replica")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
