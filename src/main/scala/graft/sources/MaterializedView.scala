@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * point of a materialized view.
   *
   * Contracts and limits, stated rather than hidden:
-  *   - The source must be APPEND-ONLY between refreshes
-  *     ([[SnapshotTable.readAppendsSince]]'s exactness contract): after
-  *     a rewriting mutation (deleteWhere/merge/compact), re-`create`
-  *     the view, or diff snapshots by content (q142's CDC) upstream.
-  *     min/max are in any case not decrementable under deletes.
+  *   - [[refresh]]'s source must be APPEND-ONLY between refreshes
+  *     ([[SnapshotTable.readAppendsSince]]'s exactness contract — it
+  *     fails loudly otherwise); [[refreshWithDeletes]] additionally
+  *     folds row deletes: invertible aggregates (count/sum) by negative
+  *     delta, min/max by re-aggregating ONLY the delete-touched groups
+  *     from the base (partition-pruned when the partition column is a
+  *     view key).
   *   - State is written as a FULL new MV snapshot per refresh: MV state
   *     is key-grain (catalog-sized), so a full rewrite is cheap and the
   *     read path stays one manifest-pruned scan. A key-space too large
@@ -159,29 +161,41 @@ object MaterializedView {
     * of [[SnapshotTable.readAppendsSinceVersioned]]'s fail-loud DV guard
     * (VERDICT r13 #6): where [[refresh]] must abandon a source the
     * moment a deletion vector lands, this consumes
-    * [[SnapshotTable.readChangesSince]]'s (inserts, deletes) pair and
-    * applies the delete-side state NEGATIVELY, so a DV erasure or a
-    * MERGE rewrite costs one delta-sized fold, never a rebuild.
+    * [[SnapshotTable.readChangesSince]]'s (inserts, deletes) pair.
     *
-    * Restricted to count/sum (the invertible decomposable aggregates —
-    * min/max cannot be decremented without the retired value's rank;
-    * re-create the view for those). At least one `count` column is
-    * required: a group whose rows are all deleted must LEAVE the state
-    * (fullState of the new snapshot has no such group), and the count
-    * reaching zero is what detects that.
+    * Two algebras, picked by the aggregate set:
+    *   - **All invertible (count/sum):** the delete-side state applies
+    *     NEGATIVELY — one delta-sized fold, never a rebuild. At least
+    *     one `count` column is required: a group whose rows are all
+    *     deleted must LEAVE the state, and the count reaching zero is
+    *     what detects that.
+    *   - **Any non-invertible (min/max):** a retired value cannot be
+    *     decremented out, but only the DELETE-TOUCHED groups need the
+    *     base again (VERDICT r14 #5): those groups re-aggregate from
+    *     the new source snapshot and REPLACE their state rows; every
+    *     untouched group folds the insert delta pointwise exactly as
+    *     before. When `sourcePartKey` names a view key that is ALSO the
+    *     source's partition column, the recompute scan is restricted to
+    *     the touched groups' partition dirs
+    *     ([[SnapshotTable.readPartitions]] — manifest-pruned, no data
+    *     IO elsewhere); otherwise it is one semi-join of the snapshot
+    *     against the (group-count-sized) touched-key set.
     *
     * Same CAS discipline as [[refresh]]: the delta and the version it
     * covers come from one snapshot resolution, and the commit is
     * conditional on the MV version read at the start. */
   def refreshWithDeletes(spark: SparkSession, mvDir: String,
       sourceDir: String, keys: Seq[String], aggs: Seq[AggSpec],
-      partCol: String): Option[Long] = {
-    require(aggs.forall(a => a.fn == "count" || a.fn == "sum"),
-      "refreshWithDeletes needs invertible aggregates (count/sum) — " +
-        "min/max cannot fold a delete; re-create the view instead")
-    val countCol = aggs.find(_.fn == "count").map(_.as).getOrElse(
-      sys.error("refreshWithDeletes needs a count AggSpec to retire " +
-        "groups whose every row is deleted"))
+      partCol: String,
+      sourcePartKey: Option[String] = None): Option[Long] = {
+    val invertible = aggs.forall(a => a.fn == "count" || a.fn == "sum")
+    val countCol =
+      if (!invertible) None
+      else Some(aggs.find(_.fn == "count").map(_.as).getOrElse(
+        sys.error("refreshWithDeletes needs a count AggSpec to retire " +
+          "groups whose every row is deleted")))
+    sourcePartKey.foreach(k => require(keys.contains(k),
+      s"sourcePartKey '$k' must be one of the view keys $keys"))
     val hist = SnapshotTable.history(spark, mvDir)
     require(hist.nonEmpty, s"$mvDir has no committed view — create() first")
     val (mvV, _, latestMeta) = hist.maxBy(_._1)
@@ -189,13 +203,42 @@ object MaterializedView {
       sys.error(s"$mvDir latest manifest lacks $SourceVersionKey")).toLong
     SnapshotTable.readChangesSince(spark, sourceDir, sinceV)
       .map { case (srcV, inserts, deletes) =>
-        val negate = (df: DataFrame) => df.select(
-          keys.map(col) ++ aggs.map(a => (-col(a.as)).as(a.as)): _*)
-        val merged = mergeStates(
-          mergeStates(SnapshotTable.read(spark, mvDir, Some(mvV)),
-            fullState(inserts, keys, aggs), keys, aggs),
-          negate(fullState(deletes, keys, aggs)), keys, aggs)
-          .filter(col(countCol) > 0)
+        val merged =
+          if (invertible) {
+            val negate = (df: DataFrame) => df.select(
+              keys.map(col) ++ aggs.map(a => (-col(a.as)).as(a.as)): _*)
+            mergeStates(
+              mergeStates(SnapshotTable.read(spark, mvDir, Some(mvV)),
+                fullState(inserts, keys, aggs), keys, aggs),
+              negate(fullState(deletes, keys, aggs)), keys, aggs)
+              .filter(col(countCol.get) > 0)
+          } else {
+            // group-count-sized: the distinct view keys the deletes hit
+            val delKeys = deletes.select(keys.map(col): _*).distinct()
+            def antiTouched(df: DataFrame): DataFrame = df.join(delKeys,
+              keys.map(k => df(k) <=> delKeys(k)).reduce(_ && _),
+              "left_anti")
+            // untouched groups: pointwise insert fold, delta-sized
+            val carried = mergeStates(
+              antiTouched(SnapshotTable.read(spark, mvDir, Some(mvV))),
+              fullState(antiTouched(inserts), keys, aggs), keys, aggs)
+            // touched groups: re-aggregate from the srcV snapshot —
+            // partition-pruned when the partition column is a view key
+            val base = sourcePartKey match {
+              case Some(pk) =>
+                val vals = delKeys.select(col(pk).cast("string"))
+                  .distinct().collect().map(_.getString(0)).toSeq
+                SnapshotTable.readPartitions(spark, sourceDir, pk, vals,
+                  Some(srcV))._1
+              case None => SnapshotTable.read(spark, sourceDir, Some(srcV))
+            }
+            val touched = base.join(delKeys,
+              keys.map(k => base(k) <=> delKeys(k)).reduce(_ && _),
+              "left_semi")
+            // a fully-deleted group recomputes to no row at all — it
+            // leaves the state with no count sentinel needed
+            carried.unionByName(fullState(touched, keys, aggs))
+          }
         SnapshotTable.writeIf(spark, mvDir, merged, partCol, mvV,
           Map(SourceVersionKey -> srcV.toString))
           .getOrElse(throw new ConcurrentRefreshException(

@@ -95,7 +95,10 @@ class LineageSpec extends SparkSpec {
       "q293_replay_ladder", "q294_mv_change_feed", "q295_update_mor",
       "q296_analyze_skipping", "q297_optimize_cluster",
       "q298_table_changes", "q299_constraints", "q300_hidden_partitioning", "q301_bloom_pointlookup",
-      "q302_cdc_replica")
+      "q302_cdc_replica",
+      // round-15: q303/q305 read back the replicas they converged, q304
+      // the min/max materialized view it refreshed — staged snapshots
+      "q303_reorg_feed", "q304_mv_minmax", "q305_replica_reseed")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

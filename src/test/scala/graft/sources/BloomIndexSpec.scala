@@ -78,12 +78,76 @@ class BloomIndexSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_idx")),
       "vacuum must keep the header-referenced sidecar")
     // a re-index supersedes the old sidecar; vacuum reclaims it once
-    // its header dropped out of the retained manifests
+    // its header dropped out of the retained manifests (a sidecar is
+    // one reclaim unit — a parquet directory since r15)
     SnapshotTable.analyzeBloom(spark, dir, "k", 1L << 14) // covers the append
     SnapshotTable.vacuum(spark, dir, retain = 1)
     val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_idx"))
-      .count(_.getPath.getName.endsWith(".parquet"))
+      .count(_.getPath.getName.startsWith("bloom-"))
     assert(sidecars == 1,
       s"exactly the live sidecar survives vacuum, found $sidecars")
+  }
+
+  test("lookup and analyzeBloom never move sketch BYTES to the driver: " +
+      "collected results stay occurrence-sized at a forced many-files, " +
+      "big-sketch tier") {
+    val dir = tempTable()
+    // 12 interleaved appends x 1 MiB sketches = ~12 MiB of sketch bytes;
+    // driver-side task results must stay orders of magnitude below that
+    (0 until 12).foreach { i =>
+      val chunk = mkDf((1L to 600L).filter(_ % 12 == i))
+      if (i == 0) SnapshotTable.write(spark, dir, chunk, "p")
+      else SnapshotTable.append(spark, dir, chunk, "p")
+    }
+    val bits = 1L << 23 // 1 MiB per file
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          resultBytes.addAndGet(t.taskMetrics.resultSize): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.analyzeBloom(spark, dir, "k", bits)
+      // incremental extension unions the existing sidecar as a FRAME
+      SnapshotTable.append(spark, dir, mkDf(Seq(7001L)), "p")
+      SnapshotTable.analyzeBloom(spark, dir, "k", bits)
+      val (df, kept, tot) = SnapshotTable.readPointLookup(spark, dir, "k", 123L)
+      assert(df.count() == 1L && kept < tot)
+      // let straggler task-end events drain before reading the counter
+      var waited = 0
+      while (waited < 5000 && resultBytes.get() == 0L) {
+        Thread.sleep(100); waited += 100
+      }
+      Thread.sleep(500)
+      val total = resultBytes.get()
+      val sketchBytes = 13L * (bits / 8)
+      assert(total > 0L, "listener saw no tasks — the pin would be vacuous")
+      assert(total < sketchBytes / 4,
+        s"driver-bound task results ($total B) approach the sketch " +
+          s"volume ($sketchBytes B) — sketches are transiting the driver")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("the probe literal is cast to the column's stored type before " +
+      "hashing — an INT column probed with a Long still matches") {
+    import spark.implicits._
+    val dir = tempTable()
+    val df = (1 to 300).map(i => (i, i % 2, i * 3)).toDF("k", "p", "v")
+    (0 until 3).foreach { i =>
+      val chunk = df.filter(col("k") % 3 === i)
+      if (i == 0) SnapshotTable.write(spark, dir, chunk, "p")
+      else SnapshotTable.append(spark, dir, chunk, "p")
+    }
+    SnapshotTable.analyzeBloom(spark, dir, "k", 1L << 14)
+    // k is INT on disk; probe with a Scala Long — the old type-exact
+    // hash made every sketch answer "definitely not" (ADVICE r14)
+    val (dfL, keptL, totL) = SnapshotTable.readPointLookup(spark, dir, "k", 42L)
+    assert(dfL.count() == 1L,
+      "a Long probe against an INT column must still find the row")
+    assert(keptL < totL, "and the index must still prune")
+    val (dfI, _, _) = SnapshotTable.readPointLookup(spark, dir, "k", 42)
+    assert(dfI.count() == 1L)
   }
 }

@@ -53,14 +53,18 @@ class ChangeFeedSpec extends SparkSpec {
     assertFeedExact(dir, 1L)
     assert(SnapshotTable.readChangesSince(spark, dir, 3L).isEmpty,
       "an up-to-date reader gets None")
-    // window STARTING with live DVs, ended by the fold: the rewritten
-    // files' deletes are computed under the since-DVs, so the already-
-    // deleted row must not resurface in either leg
+    // compact is row-preserving maintenance tagged #datachange=false:
+    // the feed SKIPS it (VERDICT r14 #1) — an OPTIMIZE-only window
+    // feeds nothing at all, not table-sized self-canceling churn
     SnapshotTable.compact(spark, dir, "p")
-    val (_, ins2, del2) = SnapshotTable.readChangesSince(spark, dir, 3L).get
-    assert(!rowSet(ins2).contains((2L, 0L, 20L)) &&
-      !rowSet(del2).contains((2L, 0L, 20L)),
-      "a pre-window DV delete resurfaced through the compact rewrite")
+    assert(SnapshotTable.readChangesSince(spark, dir, 3L).isEmpty,
+      "a maintenance-only window must feed None")
+    // and a LATER real change feeds exactly itself, straddling the
+    // maintenance commit transparently
+    SnapshotTable.append(spark, dir, mkDf(Seq((9L, 1L, 90L))), "p")
+    val (_, ins3, del3) = SnapshotTable.readChangesSince(spark, dir, 3L).get
+    assert(rowSet(ins3) == Set((9L, 1L, 90L)) && rowSet(del3).isEmpty,
+      "the post-OPTIMIZE append is the only change the window feeds")
     assertFeedExact(dir, 3L)
   }
 
@@ -77,7 +81,7 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("MERGE surfaces as delete(old row) + insert(new row); compact " +
-      "self-cancels; partition-rewrite deletes surface exactly") {
+      "is skipped; partition-rewrite deletes surface exactly") {
     val dir = tempTable()
     SnapshotTable.write(spark, dir,
       mkDf(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L))), "p")
@@ -93,8 +97,63 @@ class ChangeFeedSpec extends SparkSpec {
     val v3 = SnapshotTable.latest(spark, dir).get._1
     SnapshotTable.append(spark, dir, mkDf(Seq((6L, 0L, 60L))), "p")
     SnapshotTable.compact(spark, dir, "p")
-    assertFeedExact(dir, v3) // rewrite rows cancel: delete+insert pairs
+    assertFeedExact(dir, v3) // the maintenance tail contributes nothing
     assertFeedExact(dir, 1L) // and the whole chain composes end to end
+  }
+
+  test("changes straddling maintenance commits NET to the endpoint " +
+      "diff: compactClustered and the DV-fold rewrite feed nothing, " +
+      "and a row appended before and deleted after an OPTIMIZE cancels") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir,
+      mkDf(Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L))), "p") // v1
+    SnapshotTable.append(spark, dir, mkDf(Seq((4L, 1L, 40L))), "p") // v2
+    // DV-fold class: live DV rows force the rewrite, which folds them
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 2L)        // v3
+    SnapshotTable.compact(spark, dir, "p")                          // v4
+    // full-recluster class
+    SnapshotTable.compactClustered(spark, dir, "p", "k")            // v5
+    SnapshotTable.deleteWhereDV(spark, dir, col("k") === 4L)        // v6
+    // multi-run window (v1..v2 | v5..v6): k=4 was appended in the first
+    // run and deleted in the second — netting must cancel it entirely
+    val (nowV, ins, del) = SnapshotTable.readChangesSince(spark, dir, 1L).get
+    assert(nowV == 6L)
+    assert(rowSet(ins).isEmpty,
+      s"appended-then-deleted row must net out: ${rowSet(ins)}")
+    assert(rowSet(del) == Set((2L, 0L, 20L)),
+      s"only the k=2 delete survives netting: ${rowSet(del)}")
+    assertFeedExact(dir, 1L)
+    // both OPTIMIZE classes feed zero rows in per-commit attribution too
+    assert(SnapshotTable.tableChanges(spark, dir, 3L, 4L).count() == 0L,
+      "the DV-fold compact commit must feed nothing")
+    assert(SnapshotTable.tableChanges(spark, dir, 4L, 5L).count() == 0L,
+      "the compactClustered commit must feed nothing")
+    // per-commit attribution across the whole range skips v4/v5
+    val vs = SnapshotTable.tableChanges(spark, dir, 1L, 6L)
+      .select(col(SnapshotTable.CommitVersionCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(vs == Set(2L, 3L, 6L), s"maintenance commits leaked: $vs")
+  }
+
+  test("a wide commit range (200+) walks without plan blow-up and " +
+      "folds exactly") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((0L, 0L, 0L))), "p")
+    val n = 210
+    (1 to n).foreach { i =>
+      SnapshotTable.append(spark, dir, mkDf(Seq((i.toLong, 0L, i.toLong))), "p")
+    }
+    val ch = SnapshotTable.tableChanges(spark, dir, 1L, 1L + n)
+    assert(ch.count() == n.toLong)
+    val sums = ch.agg(org.apache.spark.sql.functions.sum("v")).first().getLong(0)
+    assert(sums == n.toLong * (n + 1) / 2)
+    // per-commit attribution intact through the chunked union
+    val vs = ch.select(col(SnapshotTable.CommitVersionCol).cast("long"))
+      .distinct().count()
+    assert(vs == n.toLong)
+    // and the run-splitting endpoint feed over the same range is one
+    // pairwise diff, exact
+    assertFeedExact(dir, 1L)
   }
 
   test("refreshWithDeletes folds a DV erasure into the view without a " +
@@ -166,7 +225,7 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("refreshWithDeletes retires a group whose every row is deleted " +
-      "and rejects non-invertible aggregates") {
+      "and still requires a count column on the invertible path") {
     val src = tempTable(); val mv = tempTable()
     SnapshotTable.write(spark, src,
       mkDf(Seq((1L, 0L, 10L), (3L, 1L, 30L))), "p")
@@ -179,13 +238,57 @@ class ChangeFeedSpec extends SparkSpec {
       .select(col("p").cast("long")).collect().map(_.getLong(0)).toSet
     assert(groups == Set(0L),
       s"the emptied group must leave the state entirely: $groups")
-    intercept[IllegalArgumentException] {
-      MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"),
-        Seq(MaterializedView.AggSpec("min", "v", "mn")), "p")
-    }
     intercept[RuntimeException] {
       MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"),
         Seq(MaterializedView.AggSpec("sum", "v", "s")), "p")
+    }
+  }
+
+  test("refreshWithDeletes folds min/max by partial-group recompute: " +
+      "touched groups re-aggregate (partition-pruned), untouched groups " +
+      "never rescan, fully-deleted groups leave the state") {
+    val src = tempTable(); val mv = tempTable()
+    SnapshotTable.write(spark, src, mkDf(Seq(
+      (1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L), (4L, 1L, 40L),
+      (5L, 2L, 50L))), "p")
+    val aggs = Seq(MaterializedView.AggSpec("count", "", "n"),
+      MaterializedView.AggSpec("sum", "v", "sum_v"),
+      MaterializedView.AggSpec("min", "v", "mn"),
+      MaterializedView.AggSpec("max", "v", "mx"))
+    MaterializedView.create(spark, mv, src, Seq("p"), aggs, "p")
+    // an insert into an UNTOUCHED group, the group-1 minimum retired
+    // (min must RISE — only a recompute can know the new minimum), and
+    // group 2 deleted entirely
+    SnapshotTable.append(spark, src, mkDf(Seq((6L, 0L, 5L))), "p")
+    SnapshotTable.deleteWhereDV(spark, src,
+      col("k") === 3L || col("p") === 2L)
+    assert(MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"),
+      aggs, "p", sourcePartKey = Some("p")).nonEmpty)
+    val got = MaterializedView.read(spark, mv)
+      .select(col("p").cast("long"), col("n").cast("long"),
+        col("sum_v").cast("long"), col("mn").cast("long"),
+        col("mx").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (0L, 3L, 35L, 5L, 20L),   // untouched group folded its insert
+      (1L, 1L, 40L, 40L, 40L)), // min rose from 30 to 40 via recompute
+      s"got $got")
+    // group 2 left the state with no count sentinel involved
+    // recompute scan restriction: the touched partitions' dirs are a
+    // strict subset of the table's files
+    val (_, kept, tot) = SnapshotTable.readPartitions(spark, src, "p",
+      Seq("1", "2"))
+    assert(kept >= 1 && kept < tot,
+      s"partition restriction must prune files ($kept/$tot)")
+    // idempotent: nothing new -> None
+    assert(MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"),
+      aggs, "p", sourcePartKey = Some("p")).isEmpty)
+    // a sourcePartKey outside the view keys is refused
+    intercept[IllegalArgumentException] {
+      MaterializedView.refreshWithDeletes(spark, mv, src, Seq("p"),
+        aggs, "p", sourcePartKey = Some("nope"))
     }
   }
 }

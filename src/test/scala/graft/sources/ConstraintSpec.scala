@@ -120,4 +120,25 @@ class ConstraintSpec extends SparkSpec {
     }
     assert(e.constraint == "k_small", e.getMessage)
   }
+
+  test("writeClustered validates per CAS attempt like write(): a " +
+      "violating full replace leaves version, relation, and stats alone") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L, 10L))), "p")
+    SnapshotTable.addConstraint(spark, dir, "v_pos", "v > 0")
+    val v0 = SnapshotTable.latest(spark, dir).get._1
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.writeClustered(spark, dir,
+        mkDf(Seq((2L, 0L, -2L))), "p", "k", rangeParts = 2)
+    }
+    assert(SnapshotTable.latest(spark, dir).get._1 == v0 &&
+      rows(dir) == Set((1L, 0L)),
+      "a refused clustered replace must apply nothing")
+    SnapshotTable.writeClustered(spark, dir,
+      mkDf(Seq((2L, 0L, 2L))), "p", "k", rangeParts = 2)
+    assert(SnapshotTable.constraints(spark, dir) == Map("v_pos" -> "v > 0"),
+      "the constraint header carries through the clustered replace")
+    assert(SnapshotTable.fileStats(spark, dir, "k").nonEmpty,
+      "the clustered replace commits its stats index")
+  }
 }

@@ -74,6 +74,57 @@ class ReplicaSpec extends SparkSpec {
     assert(rows(dst) == Set((1L, 0L, 10L), (7L, 0L, 70L)))
   }
 
+  test("a source vacuumed past the marker refuses loudly with the " +
+      "remedy named; reseed=true re-copies and incremental resumes") {
+    val src = tempTable(); val dst = tempTable()
+    SnapshotTable.write(spark, src,
+      mkDf(Seq((1L, 0L, 10L), (2L, 1L, 20L))), "p")
+    SnapshotTable.replicate(spark, src, dst, "p", "k") // marker 1
+    SnapshotTable.append(spark, src, mkDf(Seq((3L, 0L, 30L))), "p") // v2
+    SnapshotTable.append(spark, src, mkDf(Seq((4L, 1L, 40L))), "p") // v3
+    SnapshotTable.vacuum(spark, src, retain = 1) // v1, v2 manifests gone
+    val vStuck = SnapshotTable.latest(spark, dst).get._1
+    val e = intercept[SnapshotTable.ReplicaSourceVacuumedException] {
+      SnapshotTable.replicate(spark, src, dst, "p", "k")
+    }
+    assert(e.getMessage.contains("reseed = true"),
+      s"the refusal must name the remedy: ${e.getMessage}")
+    assert(SnapshotTable.latest(spark, dst).get._1 == vStuck,
+      "a refused replicate must apply nothing")
+    // the opt-in full re-copy converges and restarts the marker
+    SnapshotTable.replicate(spark, src, dst, "p", "k", reseed = true)
+    assert(rows(dst) == rows(src))
+    // steady-state incremental replication resumes from the new marker
+    SnapshotTable.append(spark, src, mkDf(Seq((5L, 0L, 50L))), "p")
+    SnapshotTable.replicate(spark, src, dst, "p", "k")
+    assert(rows(dst) == rows(src))
+    assert(rows(dst) == Set((1L, 0L, 10L), (2L, 1L, 20L), (3L, 0L, 30L),
+      (4L, 1L, 40L), (5L, 0L, 50L)))
+  }
+
+  test("MERGE refuses a duplicate-key batch wholesale — CDC replay can " +
+      "never silently diverge on an ambiguous upsert") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L, 10L))), "p")
+    val v0 = SnapshotTable.latest(spark, dir).get._1
+    // the same key twice in one batch: which row should win is
+    // undefined — the contract is a loud wholesale refusal
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir, "p", "k",
+        mkDf(Seq((2L, 0L, 20L), (2L, 0L, 99L))))
+    }
+    assert(e.getMessage.contains("key-unique"))
+    assert(SnapshotTable.latest(spark, dir).get._1 == v0 &&
+      rows(dir) == Set((1L, 0L, 10L)),
+      "a refused merge must leave version and relation untouched")
+    // mergeBatch rides the same contract
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeBatch(spark, dir, "p", "k",
+        mkDf(Seq((3L, 0L, 30L), (3L, 0L, 31L))), batchId = 7L)
+    }
+    assert(SnapshotTable.latest(spark, dir).get._1 == v0)
+  }
+
   test("a non-replica destination is refused; deleteMatchingDV is " +
       "join-based and no-ops on absent keys") {
     val src = tempTable(); val dst = tempTable()
