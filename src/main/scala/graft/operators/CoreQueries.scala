@@ -1944,6 +1944,81 @@ object CoreQueries {
         .orderBy("part")
     }),
 
+    /** Write-audit-publish branches, driver-gated end to end (the
+      * Iceberg WAP pattern on [[graft.sources.SnapshotTable]]'s
+      * manifest substrate: [[graft.sources.SnapshotTable.writeBranch]]
+      * stages a batch's files behind an unpublished
+      * `branch.<name>.manifest` no reader resolves; auditors query the
+      * staged rows; [[graft.sources.SnapshotTable.publishBranch]]
+      * appends them in one CAS commit that ALSO plants the branch's
+      * exactly-once marker — the `lastbatch.` carried-header machinery
+      * the streaming sinks ride — so a replayed publish returns the
+      * original version; [[graft.sources.SnapshotTable.dropBranch]]
+      * deletes the rejected bytes): the gate stages a dirty batch,
+      * proves the main table sees NOTHING (claim), the audit counts the
+      * bad rows (claim), a publish over a CHECK constraint is refused
+      * wholesale (claim), the re-staged clean batch publishes
+      * atomically, and a second publish is a no-op returning the same
+      * version (claim). The final relation hashes against the oracle's
+      * base ∪ clean-slice recompute.
+      *
+      * Scale shape: the data-CI pattern at 100 TB — stage cost is the
+      * write the batch pays anyway, audits read only what they query,
+      * publish is one metadata commit + one constraint pass over the
+      * staged rows; nothing is ever rewritten or rolled back. */
+    "q306_wap" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_wap_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("part"), col("o_totalprice").as("v"))
+      SnapshotTable.write(s, tbl, base.filter(col("k") % 2 === 0), "part") // v1
+      SnapshotTable.addConstraint(s, tbl, "v_pos", "v > 0")                // v2
+      val countBefore = SnapshotTable.read(s, tbl).count()
+      val odds = base.filter(col("k") % 2 =!= 0)
+      val dirty = odds.unionAll(odds.limit(3).withColumn("v", lit(-1.0))
+        .withColumn("k", col("k") + 900000000L))
+      SnapshotTable.writeBranch(s, tbl, dirty, "part", "night1")
+      // staged bytes are invisible to every reader of the table
+      val stagedInvisible =
+        SnapshotTable.read(s, tbl).count() == countBefore &&
+          SnapshotTable.latest(s, tbl).get._1 == 2L
+      // the audit queries the staged rows and finds the bad ones
+      val auditCatches = SnapshotTable.readBranch(s, tbl, "night1",
+        stagedOnly = true).filter(col("v") <= 0).count() == 3L
+      // publishing over the CHECK constraint is refused wholesale
+      val publishRefused =
+        try { SnapshotTable.publishBranch(s, tbl, "night1"); false }
+        catch { case _: SnapshotTable.ConstraintViolationException =>
+          SnapshotTable.latest(s, tbl).get._1 == 2L
+        }
+      SnapshotTable.dropBranch(s, tbl, "night1")
+      // the audited-clean batch re-stages under the same (never
+      // published) name and publishes atomically
+      SnapshotTable.writeBranch(s, tbl, odds, "part", "night1")
+      val vPub = SnapshotTable.publishBranch(s, tbl, "night1")          // v3
+      val exactlyOnce =
+        SnapshotTable.publishBranch(s, tbl, "night1") == vPub &&
+          SnapshotTable.latest(s, tbl).get._1 == vPub
+      SnapshotTable.read(s, tbl)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"), round(sum("v"), 4).as("sum_v"))
+        .select(col("part"), col("n_rows"), col("sum_v"),
+          lit(vPub).as("versions"),
+          lit(stagedInvisible).as("staged_invisible"),
+          lit(auditCatches).as("audit_catches"),
+          lit(publishRefused).as("bad_publish_refused"),
+          lit(exactlyOnce).as("publish_exactly_once"))
+        .orderBy("part")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -3538,6 +3613,23 @@ object CoreQueries {
         |  TRUE AS reseed_converges,
         |  TRUE AS incremental_resumes
         |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // refused/dropped stages leave no trace: the published table is
+    // exactly base ∪ the clean odd slice; the version ladder is hard
+    // (write, constraint, one publish -> 3) and the isolation / audit /
+    // refusal / exactly-once claims are oracle-asserted TRUE
+    "q306_wap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS part,
+        |    o_totalprice AS v
+        |  FROM orders)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(v), 4) AS sum_v,
+        |  CAST(3 AS BIGINT) AS versions,
+        |  TRUE AS staged_invisible,
+        |  TRUE AS audit_catches,
+        |  TRUE AS bad_publish_refused,
+        |  TRUE AS publish_exactly_once
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     "q277_compact_vacuum" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),

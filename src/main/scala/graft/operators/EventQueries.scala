@@ -910,6 +910,72 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    /** Partition transform EVOLUTION, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.evolveTransform]] — the Iceberg
+      * partition-evolution contract: switching day(ts) → month(ts) is a
+      * METADATA-ONLY commit; old files keep their day dirs, new appends
+      * bucket monthly, and [[graft.sources.SnapshotTable.readSourceRange]]
+      * prunes each file under the transform its OWN dir value was
+      * written under — the four transforms' value shapes are
+      * self-describing — so mixed-era tables stay exactly prunable with
+      * ZERO rewrite): the gate writes events day-partitioned, evolves
+      * to month (claims: version bump with the identical file list;
+      * re-evolving is a no-op), appends a +60-day slice through the
+      * evolved transform (claim: every new dir is month-shaped), then
+      * proves a day-era window prunes and returns exactly the direct
+      * BETWEEN (claim) and aggregates a month-era window against the
+      * oracle's recompute of the shifted slice.
+      *
+      * Scale shape: re-granulating a 100 TB table because its partition
+      * scheme aged badly (hourly dirs at year 3 = millions of dirs)
+      * costs one manifest line, not a table rewrite — and no reader
+      * ever knows the eras exist. */
+    "q307_partition_evolution" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = java.nio.file.Files.createTempDirectory("q307_tbl")
+        .resolve("t").toString
+      val base = events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      SnapshotTable.writeTransformPartitioned(s, dir, base, "ts", "day") // v1
+      val (_, f1, _) = SnapshotTable.latestFull(s, dir).get
+      val v2 = SnapshotTable.evolveTransform(s, dir, "month")            // v2
+      val (_, f2, _) = SnapshotTable.latestFull(s, dir).get
+      val metadataOnly = v2 == 2L && f1.toSet == f2.toSet
+      val shifted = base.filter(col("event_id") % 7 === 0)
+        .withColumn("event_id", col("event_id") + 20000000L)
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+      SnapshotTable.appendTransformPartitioned(s, dir, shifted)          // v3
+      val (_, f3, _) = SnapshotTable.latestFull(s, dir).get
+      val newDirs = (f3.toSet -- f2.toSet).map(_.split('/').head)
+      val monthDirs = newDirs.nonEmpty &&
+        newDirs.forall(_.stripPrefix("__tp=").length == 7)
+      val idem = SnapshotTable.evolveTransform(s, dir, "month") == 3L
+      // day-era window: pruned by day arithmetic, rows exactly the
+      // direct BETWEEN over the raw slice (month-era dirs cannot
+      // intersect January and must prune too)
+      val (dfD, keptD, totD) = SnapshotTable.readSourceRange(s, dir,
+        "2024-01-10 00:00:00", "2024-01-12 23:59:59")
+      val directD = base.filter(col("ts").between(
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-12 23:59:59").cast("timestamp")))
+      val dayExact = dfD.exceptAll(directD).isEmpty &&
+        directD.exceptAll(dfD).isEmpty
+      val dayPruned = keptD >= 1 && keptD * 5 <= totD
+      // month-era window: only the evolved era's dirs survive
+      val (dfM, keptM, totM) = SnapshotTable.readSourceRange(s, dir,
+        "2024-03-01 00:00:00", "2024-03-31 23:59:59")
+      val monthPruned = keptM >= 1 && keptM * 5 <= totM
+      dfM.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), round(sum("value"), 4).as("sum_value"))
+        .select(col("event_type"), col("n_rows"), col("sum_value"),
+          lit(metadataOnly).as("evolution_metadata_only"),
+          lit(monthDirs).as("month_era_dirs"),
+          lit(idem).as("evolve_idempotent"),
+          lit(dayExact && dayPruned).as("day_window_exact"),
+          lit(monthPruned).as("files_pruned"))
+        .orderBy("event_type")
+    }),
+
     /** Scalar subquery: orders above the global average price — the 1-row
       * aggregate broadcasts via cross join, fully lazy. */
     "q55_scalar_subquery" -> ((s, d) => {
@@ -2646,6 +2712,26 @@ object EventQueries {
         |FROM events
         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
         |             AND TIMESTAMP '2024-01-12 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the month-era window recomputed directly over the shifted slice
+    // (all shifted rows land in March by construction); the
+    // metadata-only / era-dir / idempotency / day-era-exactness /
+    // pruning claims are oracle-asserted TRUE — a range read that lost
+    // an era (or scanned one it should prune) fails n_rows/sum_value
+    // or the claims
+    "q307_partition_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(value), 4) AS sum_value,
+        |  TRUE AS evolution_metadata_only,
+        |  TRUE AS month_era_dirs,
+        |  TRUE AS evolve_idempotent,
+        |  TRUE AS day_window_exact,
+        |  TRUE AS files_pruned
+        |FROM events
+        |WHERE event_id % 7 = 0
+        |  AND ts + INTERVAL 60 DAY
+        |      BETWEEN TIMESTAMP '2024-03-01 00:00:00'
+        |          AND TIMESTAMP '2024-03-31 23:59:59'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q77's inner attribution over the raw events AS IF the staged late
     // pair never arrived — a leaked late row fails the hash; state pins

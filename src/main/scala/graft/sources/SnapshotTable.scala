@@ -922,6 +922,53 @@ object SnapshotTable {
       version: Option[Long] = None): DataFrame =
     read(spark, dir, version).drop(HiddenPartCol)
 
+  /** PARTITION EVOLUTION (the Iceberg `ALTER TABLE ... WRITE ORDERED/
+    * PARTITIONED BY` contract, reduced to transforms): switch the
+    * table's recorded transform for FUTURE writes — a metadata-only
+    * commit; no existing file moves. Old files keep their old-era dirs,
+    * new appends bucket by the new transform, and [[readSourceRange]]
+    * prunes each file by the transform its OWN dir value was written
+    * under (the four transforms' value shapes are self-describing:
+    * yyyy / yyyy-MM / yyyy-MM-dd / yyyy-MM-dd-HH), so mixed-era tables
+    * stay exactly prunable with zero rewrite.
+    *
+    * Scale shape: the reason evolution exists — re-partitioning a
+    * 100 TB table because its granularity was wrong (hourly dirs at
+    * year 3 = millions of dirs; daily dirs at year 1 = crowded files)
+    * must not cost a table rewrite. Idempotent; returns the committed
+    * version. */
+  def evolveTransform(spark: SparkSession, dir: String,
+      newTransform: String): Long = {
+    require(Transforms.contains(newTransform),
+      s"unknown partition transform '$newTransform' " +
+        s"(supported: ${Transforms.keys.toSeq.sorted.mkString(", ")})")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val (_, fn) = transformOf(spark, dir)
+      if (fn == newTransform) return st.version
+      if (commitAt(spark, dir, st.version, st.files,
+          st.carried + (TransformFnKey -> newTransform), st.dvs, st.stats))
+        return st.version + 1
+      attempt += 1
+    }
+    sys.error(s"could not evolve $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** The transform a bucket VALUE was written under, inferred from its
+    * shape — the four supported patterns have distinct lengths, which
+    * is what makes per-file era resolution free. None for a value no
+    * era could have written (foreign dir: scan conservatively). */
+  private def transformOfShape(value: String): Option[String] =
+    value.length match {
+      case 4 => Some("year")
+      case 7 => Some("month")
+      case 10 => Some("day")
+      case 13 => Some("hour")
+      case _ => None
+    }
+
   /** Range read on the SOURCE column of a transform-partitioned table:
     * partition dirs whose bucket span cannot intersect
     * [`lo`, `hi`] (inclusive timestamp literals, `yyyy-MM-dd HH:mm:ss`)
@@ -941,18 +988,21 @@ object SnapshotTable {
     val (loT, hiT) = (LocalDateTime.parse(lo, fmt), LocalDateTime.parse(hi, fmt))
     val st = latestState(spark, dir)
       .getOrElse(sys.error(s"$dir has no committed snapshot"))
-    val (src, fn) = transformOf(spark, dir)
+    val (src, _) = transformOf(spark, dir)
     val live = st.files.filter { f =>
       val pv = partValueOf(f.split('/').head)
-      // a default-partition dir (a null bucket written before the null
-      // guard, or by a foreign writer) has no parsable span — scan it
-      // conservatively instead of poisoning every range read forever
-      // (ADVICE r14); the residual predicate stays exact
-      if (pv == org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) true
-      else {
-        val (s, e) = bucketSpan(fn, pv)
-        !s.isAfter(hiT) && e.isAfter(loT) // [s, e) intersects [lo, hi]
+      // each file prunes under the transform its OWN dir value was
+      // written under (shape-inferred) — evolution leaves old-era dirs
+      // in place, and they must keep pruning exactly. A value no era
+      // could have written (a pre-guard null bucket's
+      // __HIVE_DEFAULT_PARTITION__, a foreign dir) scans conservatively
+      // instead of poisoning every range read forever (ADVICE r14);
+      // the residual predicate stays exact either way
+      transformOfShape(pv) match {
+        case None => true
+        case Some(fileFn) =>
+          val (s, e) = bucketSpan(fileFn, pv)
+          !s.isAfter(hiT) && e.isAfter(loT) // [s, e) intersects [lo, hi]
       }
     }
     val residual = col(src).between(
@@ -1115,6 +1165,139 @@ object SnapshotTable {
     spark.read.parquet(new Path(root, files.head).toString).schema
       .find(_.name == column).map(_.dataType)
       .getOrElse(read(spark, dir).schema(column).dataType)
+
+  // ————— Write-audit-publish (WAP) branches —————
+  //
+  // The Iceberg WAP pattern, reduced to this substrate: a batch stages
+  // its data files plus an UNPUBLISHED `branch.<name>.manifest` (never
+  // resolved by readers — manifestVersion() ignores it); auditors read
+  // base ∪ staged; publish appends the staged files to the CURRENT
+  // snapshot in one CAS commit that also plants the branch's
+  // exactly-once marker (the `lastbatch.` carried-header machinery the
+  // streaming sinks ride), so a crashed-and-replayed publish returns
+  // the original version instead of double-appending; discard deletes
+  // the staged bytes. CHECK constraints deliberately enforce at
+  // PUBLISH, not at stage — staging possibly-dirty data in order to
+  // audit it is the entire point of WAP.
+  //
+  // Scale shape: stage cost = the write the batch pays anyway; audit
+  // reads only what it queries; publish is a metadata commit plus one
+  // constraint pass over the staged rows. Nothing is ever rewritten.
+
+  private def branchPath(mdir: Path, branch: String): Path =
+    new Path(mdir, s"branch.$branch.manifest")
+
+  private def branchQueryId(branch: String): String = "wap." + branch
+
+  /** Stage `df` as unpublished branch `branch`: files land in the hive
+    * layout (invisible to readers — no committed manifest references
+    * them), the branch manifest publishes atomically (two stagers of
+    * the same name: one wins, the loser's files are dropped). Branch
+    * names are ONE-SHOT per table (the published marker is carried
+    * forever, which is what makes publish exactly-once) — refuse a
+    * name that was ever staged-and-still-pending or published. */
+  def writeBranch(spark: SparkSession, dir: String, df: DataFrame,
+      partCol: String, branch: String): Unit = {
+    require(branch.nonEmpty && !branch.exists(c =>
+        c == '.' || c == '/' || c == '=' || c == '\n'),
+      s"branch name '$branch' must be nonempty without '.', '/', '=' " +
+        "or newlines")
+    val (fs, root) = fsFor(spark, dir)
+    val mdir = new Path(root, ManifestDir)
+    val st = latestState(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot — WAP " +
+        "stages an append; write() the table first"))
+    require(!st.meta.contains(LastBatchPrefix + branchQueryId(branch)),
+      s"$dir already published a branch named '$branch' — branch names " +
+        "are one-shot (the publish marker makes replay exact)")
+    require(!fs.exists(branchPath(mdir, branch)),
+      s"$dir already has a staged branch '$branch'")
+    val staged = stage(spark, dir, df, partCol)
+    val tmp = new Path(mdir,
+      s".branch.$branch.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((s"#${FormatKey}=$CurrentFormat\n" +
+      staged.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!publishIfAbsent(fs, tmp, branchPath(mdir, branch))) {
+      fs.delete(tmp, false)
+      dropStaged(spark, dir, staged)
+      sys.error(s"$dir: another writer staged branch '$branch' first")
+    }
+  }
+
+  /** The staged rows of `branch` (`stagedOnly = true`), or the table a
+    * publish would produce: the CURRENT snapshot (DVs applied) ∪ the
+    * staged rows — the audit surface. */
+  def readBranch(spark: SparkSession, dir: String, branch: String,
+      stagedOnly: Boolean = false): DataFrame = {
+    val (fs, root) = fsFor(spark, dir)
+    val bp = branchPath(new Path(root, ManifestDir), branch)
+    require(fs.exists(bp), s"$dir has no staged branch '$branch'")
+    val staged = dataLines(readManifest(fs, bp))
+    val stagedRows = spark.read.option("basePath", dir)
+      .option("mergeSchema", "true")
+      .parquet(staged.map(f => new Path(root, f).toString): _*)
+    if (stagedOnly) stagedRows
+    else read(spark, dir).unionByName(stagedRows, allowMissingColumns = true)
+  }
+
+  /** Publish `branch`: append its staged files to the current snapshot
+    * in one CAS commit — constraints enforce against each attempt's
+    * state (exactly like [[append]]), the branch's `lastbatch.` marker
+    * commits in the same manifest (a replayed publish returns the
+    * original version, never double-appends), and the branch manifest
+    * is deleted after the commit (crash between the two: the replay
+    * marker answers first, and the leftover manifest is swept here on
+    * the rerun). Returns the committed (or previously-committed)
+    * version. */
+  def publishBranch(spark: SparkSession, dir: String, branch: String): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    val mdir = new Path(root, ManifestDir)
+    val bp = branchPath(mdir, branch)
+    val qid = branchQueryId(branch)
+    def published(st: Option[TableState]): Option[Long] =
+      st.flatMap(_.meta.get(LastBatchPrefix + qid))
+        .map(_.split(":", 2)(1).toLong)
+    published(latestState(spark, dir)).foreach { v =>
+      if (fs.exists(bp)) fs.delete(bp, false) // crashed pre-delete rerun
+      return v
+    }
+    require(fs.exists(bp), s"$dir has no staged branch '$branch'")
+    val staged = dataLines(readManifest(fs, bp))
+    val stagedRows = spark.read.option("basePath", dir)
+      .option("mergeSchema", "true")
+      .parquet(staged.map(f => new Path(root, f).toString): _*)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val stOpt = latestState(spark, dir)
+      published(stOpt).foreach { v =>
+        fs.delete(bp, false); return v // racing publisher landed
+      }
+      val st = stOpt.getOrElse(sys.error(s"$dir has no committed snapshot"))
+      enforce(st.meta, stagedRows, s"publish branch '$branch'")
+      if (commitAt(spark, dir, st.version, st.files ++ staged,
+          st.carried ++ batchMeta(qid, 0L, st.version) + ("wap" -> branch),
+          st.dvs, st.stats)) {
+        fs.delete(bp, false)
+        return st.version + 1
+      }
+      attempt += 1
+    }
+    sys.error(s"could not publish $dir branch '$branch' after " +
+      s"$MaxCommitAttempts attempts")
+  }
+
+  /** Discard `branch`: delete its staged files and manifest. The
+    * audited-and-rejected half of WAP — nothing was ever visible, so
+    * nothing needs rolling back. Idempotent. */
+  def dropBranch(spark: SparkSession, dir: String, branch: String): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    val bp = branchPath(new Path(root, ManifestDir), branch)
+    if (!fs.exists(bp)) return
+    dropStaged(spark, dir, dataLines(readManifest(fs, bp)))
+    fs.delete(bp, false): Unit
+  }
 
   /** A content-adding commit was refused because `violations` incoming
     * rows failed the stored CHECK constraint — nothing was committed;
@@ -2140,7 +2323,15 @@ object SnapshotTable {
       .sortBy(-_._1)
     val (keep, drop) = manifests.splitAt(math.max(1, retain))
     val keptLines = keep.map { case (_, p) => readManifest(fs, p) }
-    val referenced: Set[String] = keptLines.flatMap(dataLines).toSet
+    // staged-but-unpublished WAP branches reference real bytes readers
+    // cannot see yet — protected for the branch's whole lifetime, not
+    // just the retention window (an audit can legitimately outlive it)
+    val branchLines = fs.listStatus(mdir).toSeq.filter { f =>
+      val n = f.getPath.getName
+      n.startsWith("branch.") && n.endsWith(".manifest")
+    }.map(f => readManifest(fs, f.getPath))
+    val referenced: Set[String] =
+      (keptLines ++ branchLines).flatMap(dataLines).toSet
     val referencedDv: Set[String] = keptLines.flatMap(dvLines).toSet
     // committed-then-superseded garbage: safe to reclaim with no grace
     val droppedLines = drop.map { case (_, p) => readManifest(fs, p) }

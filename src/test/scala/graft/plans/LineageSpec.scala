@@ -97,8 +97,11 @@ class LineageSpec extends SparkSpec {
       "q298_table_changes", "q299_constraints", "q300_hidden_partitioning", "q301_bloom_pointlookup",
       "q302_cdc_replica",
       // round-15: q303/q305 read back the replicas they converged, q304
-      // the min/max materialized view it refreshed — staged snapshots
-      "q303_reorg_feed", "q304_mv_minmax", "q305_replica_reseed")
+      // the min/max materialized view it refreshed, q306 the table its
+      // branch published into, q307 the evolved transform table —
+      // staged snapshots
+      "q303_reorg_feed", "q304_mv_minmax", "q305_replica_reseed",
+      "q306_wap", "q307_partition_evolution")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

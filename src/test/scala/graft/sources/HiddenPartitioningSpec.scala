@@ -183,4 +183,61 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(ids(df2) == Set(2L),
       "the default dir's rows are excluded by the residual when outside")
   }
+
+  test("partition evolution: day → month is metadata-only, mixed eras " +
+      "prune under their OWN transform, DVs and idempotency compose") {
+    val dir = tempTable()
+    SnapshotTable.writeTransformPartitioned(spark, dir, mkDf(Seq(
+      (1L, "2024-01-01 06:00:00", 10L),
+      (2L, "2024-01-02 06:00:00", 20L),
+      (3L, "2024-01-31 23:59:59", 30L))), "ts", "day")     // v1: day era
+    val f1 = SnapshotTable.latest(spark, dir).get._2.toSet
+    assert(SnapshotTable.evolveTransform(spark, dir, "month") == 2L)
+    assert(SnapshotTable.latest(spark, dir).get._2.toSet == f1,
+      "evolution must move no file")
+    assert(SnapshotTable.transformOf(spark, dir) == ("ts", "month"))
+    assert(SnapshotTable.evolveTransform(spark, dir, "month") == 2L,
+      "re-evolving to the current transform is a no-op")
+    // new rows bucket monthly; old day dirs stay
+    SnapshotTable.appendTransformPartitioned(spark, dir, mkDf(Seq(
+      (4L, "2024-02-10 12:00:00", 40L),
+      (5L, "2024-03-05 12:00:00", 50L))))                   // v3
+    val dirs = SnapshotTable.latest(spark, dir).get._2
+      .map(_.split('/').head.stripPrefix("__tp=")).toSet
+    assert(dirs.contains("2024-02") && dirs.contains("2024-03") &&
+      dirs.contains("2024-01-01"),
+      s"old day dirs and new month dirs must coexist: $dirs")
+    // a day-era window prunes day dirs exactly AND prunes month-era
+    // dirs that cannot intersect it
+    val (dJ, keptJ, totJ) = SnapshotTable.readSourceRange(spark, dir,
+      "2024-01-01 00:00:00", "2024-01-02 23:59:59")
+    assert(ids(dJ) == Set(1L, 2L))
+    assert(keptJ == 2 && totJ >= 5,
+      s"exactly the two spanned day dirs survive ($keptJ/$totJ)")
+    // a month-era window prunes to its month dir; day dirs of other
+    // dates prune; the edge day dir 2024-01-31 cannot intersect Feb
+    val (dF, keptF, _) = SnapshotTable.readSourceRange(spark, dir,
+      "2024-02-01 00:00:00", "2024-02-29 23:59:59")
+    assert(ids(dF) == Set(4L))
+    assert(keptF == 1, s"only the 2024-02 dir survives ($keptF)")
+    // a window straddling both eras reads both exactly
+    val (dS, _, _) = SnapshotTable.readSourceRange(spark, dir,
+      "2024-01-31 00:00:00", "2024-03-31 23:59:59")
+    assert(ids(dS) == Set(3L, 4L, 5L))
+    // DVs apply through mixed-era pruned reads
+    SnapshotTable.deleteWhereDV(spark, dir, col("id") === 4L)
+    val (dF2, _, _) = SnapshotTable.readSourceRange(spark, dir,
+      "2024-02-01 00:00:00", "2024-02-29 23:59:59")
+    assert(ids(dF2).isEmpty)
+    // unknown target transform refused; non-transform tables refused
+    intercept[RuntimeException] {
+      SnapshotTable.evolveTransform(spark, dir, "fortnight")
+    }
+    val plain = tempTable()
+    SnapshotTable.write(spark, plain,
+      mkDf(Seq((1L, "2024-01-01 00:00:00", 1L))).withColumn("p", lit(0L)), "p")
+    intercept[RuntimeException] {
+      SnapshotTable.evolveTransform(spark, plain, "month")
+    }
+  }
 }
