@@ -2019,6 +2019,80 @@ object CoreQueries {
         .orderBy("part")
     }),
 
+    /** OPTIMIZE ZORDER BY (a, b), driver-gated end to end
+      * ([[graft.sources.SnapshotTable.compactZOrdered]] — Morton
+      * interleaving of two integral columns + fresh per-file min/max
+      * stats for BOTH, the public Delta OPTIMIZE ZORDER + data-skipping
+      * composition): the gate fragments the table with three
+      * interleaved appends and a DV delete, 1-D re-clusters on
+      * `l_orderkey` and proves the structural blindness — an orderkey
+      * range prunes but a partkey range keeps EVERY file, since no
+      * partkey stats exist and each slice spans its whole domain
+      * (claim) — then Z-orders on (orderkey, partkey) and proves BOTH
+      * narrow ranges prune (claim), the relation is row-identical
+      * (claim), and the DVs folded (claim). The partkey window's
+      * aggregate hashes against the oracle's direct recompute.
+      *
+      * Scale shape: the second-column pruning leg is what makes a
+      * 100 TB table queryable by more than one access path without a
+      * copy — a narrow range on either column touches O(√files). */
+    "q308_zorder_optimize" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_zor_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_returnflag"), col("l_quantity"))
+      (0 until 3).foreach { i =>
+        val chunk = base.filter(col("l_orderkey") % 3 === i)
+        if (i == 0) SnapshotTable.write(s, tbl, chunk, "l_returnflag")
+        else SnapshotTable.append(s, tbl, chunk, "l_returnflag")
+      } // v1..v3
+      SnapshotTable.deleteWhereDV(s, tbl, col("l_orderkey") % 9 === 0) // v4
+      SnapshotTable.compactClustered(s, tbl, "l_returnflag",
+        "l_orderkey", rangeParts = 16) // v5: 1-D clustering
+      // integer-div middle-fifth windows, replicated exactly in the oracle
+      def fifth(c: String): (Long, Long) = {
+        val r = base.agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+          .first()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        (mn + 2 * (mx - mn) / 5, mn + 3 * (mx - mn) / 5)
+      }
+      val (loA, hiA) = fifth("l_orderkey")
+      val (loB, hiB) = fifth("l_partkey")
+      val (_, kA1, t1) = SnapshotTable.readRange(s, tbl, "l_orderkey", loA, hiA)
+      val (_, kB1, _) = SnapshotTable.readRange(s, tbl, "l_partkey", loB, hiB)
+      // 1-D clustering is structurally blind on the other column: no
+      // partkey stats exist, so EVERY file conservatively scans
+      val oneDimBlind = kA1 * 2 <= t1 && kB1 == t1
+      val before = SnapshotTable.read(s, tbl)
+      val beforeCount = before.count()
+      val vZ = SnapshotTable.compactZOrdered(s, tbl, "l_returnflag",
+        "l_orderkey", "l_partkey", rangeParts = 64) // v6: 8x8 cell grid
+      val (dfA2, kA2, t2) = SnapshotTable.readRange(s, tbl, "l_orderkey", loA, hiA)
+      val (dfB2, kB2, _) = SnapshotTable.readRange(s, tbl, "l_partkey", loB, hiB)
+      val bothPruned = kA2 * 2 <= t2 && kB2 * 2 <= t2 &&
+        dfA2.count() > 0 && kA2 >= 1 && kB2 >= 1
+      val after = SnapshotTable.read(s, tbl)
+      val identical = after.count() == beforeCount &&
+        after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty
+      val dvFolded = SnapshotTable.latestFull(s, tbl).get._3.isEmpty
+      dfB2.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(vZ).as("final_version"),
+          lit(oneDimBlind).as("one_dim_blind_on_b"),
+          lit(bothPruned).as("both_columns_pruned"),
+          lit(identical && dvFolded).as("relation_identical_dv_folded"))
+        .orderBy("l_returnflag")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -3613,6 +3687,28 @@ object CoreQueries {
         |  TRUE AS reseed_converges,
         |  TRUE AS incremental_resumes
         |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the partkey middle-fifth window recomputed directly over the
+    // surviving rows (integer-div corners, the q280/q290 rule) — a
+    // z-order that moved or dropped a row fails n_rows/sum_qty; the
+    // ladder is hard (3 appends, DV, recluster, zorder -> 6) and the
+    // blindness / dual-pruning / identity claims are oracle-asserted
+    "q308_zorder_optimize" ->
+      """WITH r AS (
+        |  SELECT min(l_partkey) AS mn, max(l_partkey) AS mx
+        |  FROM lineitem),
+        |sel AS (
+        |  SELECT l.l_returnflag, l.l_quantity
+        |  FROM lineitem l CROSS JOIN r
+        |  WHERE l.l_orderkey % 9 <> 0
+        |    AND l.l_partkey >= r.mn + 2 * (r.mx - r.mn) // 5
+        |    AND l.l_partkey <= r.mn + 3 * (r.mx - r.mn) // 5)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(6 AS BIGINT) AS final_version,
+        |  TRUE AS one_dim_blind_on_b,
+        |  TRUE AS both_columns_pruned,
+        |  TRUE AS relation_identical_dv_folded
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // refused/dropped stages leave no trace: the published table is
     // exactly base ∪ the clean odd slice; the version ladder is hard
     // (write, constraint, one publish -> 3) and the isolation / audit /

@@ -693,17 +693,28 @@ object SnapshotTable {
   private val UnionChunk = 64
 
   /** Stage `df` under unique file names inside `dir`'s hive layout and
-    * return the new files' relative paths (nothing is committed yet). */
+    * return the new files' relative paths (nothing is committed yet).
+    * `layoutCols` are LAYOUT-ONLY split columns: the writer partitions
+    * by them too — guaranteeing every staged file holds exactly one
+    * value of each (the alignment [[compactZOrdered]] needs, which no
+    * sampling range-partitioner can promise) — but their directory
+    * levels are flattened away before registration, so the table's
+    * on-disk contract (`partCol=x/snap-*.parquet`) and schema are
+    * untouched (partition columns are never written into the files). */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
-      partCol: String): Seq[String] = {
+      partCol: String, layoutCols: Seq[String] = Nil): Seq[String] = {
     val (fs, root) = fsFor(spark, dir)
     val tmp = new Path(dir.stripSuffix("/") + "__snap_stage_" +
       java.util.UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    df.write.mode("overwrite").partitionBy(partCol +: layoutCols: _*)
+      .parquet(tmp.toString)
+    def leaves(p: Path): Seq[Path] = {
+      val (ds, fsx) = fs.listStatus(p).partition(_.isDirectory)
+      fsx.filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+        .toSeq ++ ds.flatMap(d => leaves(d.getPath))
+    }
     val staged = fs.listStatus(tmp).filter(_.isDirectory).flatMap { pd =>
-      fs.listStatus(pd.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => (pd.getPath.getName, f.getPath))
+      leaves(pd.getPath).map(f => (pd.getPath.getName, f))
     }.toSeq
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val moved = staged.zipWithIndex.map { case ((part, src), i) =>
@@ -1852,6 +1863,102 @@ object SnapshotTable {
       attempt += 1
     }
     sys.error(s"could not recluster $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** OPTIMIZE ... ZORDER BY (a, b): rewrite the ENTIRE table clustered
+    * on the MORTON INTERLEAVING of two integral columns, folding every
+    * deletion vector in and committing fresh per-file min/max stats for
+    * BOTH columns — so [[readRange]] prunes on EITHER column afterward.
+    * This is the pruning shape 1-D clustering structurally cannot give:
+    * after [[compactClustered]] on `a`, every file spans `b`'s whole
+    * domain and a `b`-range read scans the table; after Z-order, files
+    * cover locally-compact rectangles in (a, b) and a narrow range on
+    * either column touches O(√files) of them (the public Delta
+    * OPTIMIZE ZORDER + data-skipping composition, on this substrate).
+    *
+    * The z-value normalizes each column into `2^bitsPerDim` grid cells
+    * over its committed [min, max] span with exact long arithmetic
+    * (SQL `div` — a double quotient drifts past 2^53) and interleaves
+    * the cell bits. File boundaries must ALIGN to the Morton grid — a
+    * sampled quantile cut landing mid-way through a major z boundary
+    * produces a file whose bounding box spans HALF of each dimension
+    * (measured: 36/48 files kept on a 1/5-wide window — no pruning at
+    * all), and no range partitioner can promise alignment because its
+    * cuts are sampled row values. So alignment is enforced by the
+    * WRITER: rows carry their aligned quadtree cell (the top
+    * `floor(log4(rangeParts))` bit-pairs of z) as a layout-only split
+    * column, [[stage]] partitions the write by it, and every staged
+    * file therefore holds exactly one cell — its [min, max] box is at
+    * most one aligned rectangle no matter where the shuffle's sampled
+    * cuts fell. The range partition on (cell, z) still co-locates and
+    * orders cells so file count stays ≈ rangeParts (× live table
+    * partitions). Both helper columns are layout, never schema. Rows
+    * with a null in either column land in the null cell directory and
+    * carry stats only for their non-null column — [[readRange]]'s null
+    * semantics (residual `between` is UNKNOWN → excluded) hold
+    * unchanged.
+    *
+    * Scale shape: identical to [[compactClustered]] — one full shuffle
+    * of the table wide, the heavy maintenance job on its own cadence,
+    * with the slice count derived from the corpus (the knob rule).
+    * Row-preserving, so the commit is tagged `#datachange=false` and
+    * the change feed skips it. Returns the committed version. */
+  def compactZOrdered(spark: SparkSession, dir: String, partCol: String,
+      colA: String, colB: String, rangeParts: Int = 0,
+      bitsPerDim: Int = 8): Long = {
+    require(!colA.contains("|") && !colB.contains("|"),
+      "stats column names cannot contain the stats-line delimiter '|'")
+    require(bitsPerDim >= 1 && bitsPerDim <= 15,
+      s"bitsPerDim $bitsPerDim out of [1, 15]")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      val snap = read(spark, dir, Some(st.version)) // DV-applied: folds
+      val bounds = snap.agg(
+        min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long")).first()
+      require(!bounds.anyNull,
+        s"$dir: z-order needs at least one non-null value in '$colA' " +
+          s"and '$colB'")
+      val cells = 1L << bitsPerDim
+      def cellCol(c: String, lo: Long, hi: Long): Column = {
+        val span = math.max(1L, hi - lo + 1)
+        expr(s"cast(((least(greatest(cast(`$c` as bigint), ${lo}L), " +
+          s"${hi}L) - ${lo}L) * ${cells}L) div ${span}L as bigint)")
+      }
+      val ca = cellCol(colA, bounds.getLong(0), bounds.getLong(1))
+      val cb = cellCol(colB, bounds.getLong(2), bounds.getLong(3))
+      val z = (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+        acc.bitwiseOR(shiftleft(shiftright(ca, i).bitwiseAND(1), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(1), 2 * i + 1))
+      }
+      val parts =
+        if (rangeParts > 0) rangeParts
+        else {
+          val target = spark.conf
+            .get("spark.graft.cluster.targetSliceRows", (1L << 22).toString)
+            .toLong
+          math.max(16L, (snap.count() + target - 1) / target).toInt
+        }
+      // aligned quadtree cell: the top floor(log4(parts)) bit-pairs of z
+      val cellLevels = math.min(bitsPerDim,
+        math.max(1, (63 - java.lang.Long.numberOfLeadingZeros(
+          parts.toLong)) / 2))
+      val cell = shiftright(col("__z"), 2 * (bitsPerDim - cellLevels))
+      val newFiles = stage(spark, dir,
+        snap.withColumn("__z", z).withColumn("__zc", cell)
+          .repartitionByRange(parts, col("__zc"), col("__z"))
+          .drop("__z"), partCol, layoutCols = Seq("__zc"))
+      val fresh = computeStats(spark, dir, newFiles, colA) ++
+        computeStats(spark, dir, newFiles, colB)
+      if (commitAt(spark, dir, st.version, newFiles,
+          st.carried + (DataChangeKey -> "false"), Seq.empty, fresh))
+        return st.version + 1
+      dropStaged(spark, dir, newFiles)
+      attempt += 1
+    }
+    sys.error(s"could not z-order $dir after $MaxCommitAttempts attempts")
   }
 
   /** DV-delete every row whose `keyCol` appears in `keys` (a
