@@ -2093,6 +2093,144 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** RESTORE TABLE TO VERSION, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.restore]] — the public Delta
+      * RESTORE contract: a metadata-only commit pointing back at an
+      * earlier version's files/DVs/stats). The gate builds a ladder
+      * with a "bad" DV delete and a "bad" append, restores to the
+      * pre-damage version, and asserts the restored relation equals
+      * the time-travel read of the target EXACTLY (claim), the undone
+      * history stays readable (claim), restore-to-current is a no-op
+      * commit-wise (claim), and the change feed across the restore
+      * CONVERGES: old-state minus feed-deletes plus feed-inserts is
+      * multiset-identical to the restored state (claim) — the law that
+      * makes replicas and MVs downstream of a restored table heal
+      * without reseeding.
+      *
+      * Scale shape: the restore itself is driver-side manifest
+      * arithmetic — no data moves at any table size; the one scan is
+      * constraint validation, skipped here (none registered). */
+    "q309_restore" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_rst_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = lineitem(s, d).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"))
+      SnapshotTable.write(s, tbl, base.filter(col("l_orderkey") % 3 === 0),
+        "l_returnflag") // v1
+      SnapshotTable.append(s, tbl, base.filter(col("l_orderkey") % 3 === 1),
+        "l_returnflag") // v2: the good state
+      SnapshotTable.deleteWhereDV(s, tbl, col("l_orderkey") % 7 === 0) // v3: bad delete
+      SnapshotTable.append(s, tbl, base.filter(col("l_orderkey") % 3 === 2),
+        "l_returnflag") // v4: bad append
+      val beforeRestore = SnapshotTable.read(s, tbl)
+      val asOfTarget = SnapshotTable.read(s, tbl, Some(2L))
+      val vR = SnapshotTable.restore(s, tbl, 2L) // v5
+      val after = SnapshotTable.read(s, tbl)
+      val restoredExact = after.count() == asOfTarget.count() &&
+        after.exceptAll(asOfTarget).isEmpty &&
+        asOfTarget.exceptAll(after).isEmpty
+      val historyIntact = // undone versions stay time-travel readable
+        SnapshotTable.read(s, tbl, Some(4L)).count() == beforeRestore.count()
+      val noopCurrent = SnapshotTable.restore(s, tbl, vR) == vR
+      // feed convergence across the restore: v4-state − deletes +
+      // inserts ≡ v5-state (multiset) — what downstream CDC applies
+      val (fv, ins, del) = SnapshotTable.readChangesSince(s, tbl, 4L).get
+      val healed = beforeRestore.exceptAll(del).unionByName(ins)
+      val feedConverges = fv == vR &&
+        healed.exceptAll(after).isEmpty && after.exceptAll(healed).isEmpty
+      after.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(vR).as("final_version"),
+          lit(restoredExact).as("restored_exact"),
+          lit(historyIntact && noopCurrent).as("history_intact_noop_current"),
+          lit(feedConverges).as("feed_converges"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Data skipping FROM INGEST, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.setStatsColumns]] — the public
+      * Delta indexed-columns contract: registered columns get per-file
+      * min/max stats computed by EVERY content-adding commit on its new
+      * files, in one multi-column pass, so [[graft.sources
+      * .SnapshotTable.readRange]] prunes from the moment a batch lands
+      * instead of waiting for OPTIMIZE). The gate ingests three
+      * range-correlated chunks (the time-ordered-append pattern a real
+      * ingest key has): one BEFORE registration (claim: stat-less files
+      * scan conservatively — a window read keeps everything), one after
+      * (claim: the new files — and ONLY they — carry stats for both
+      * registered columns at commit time), backfills history with
+      * ANALYZE, proves the narrow window now prunes (claim), and runs
+      * OPTIMIZE proving maintenance keeps every current file covered on
+      * the ingest key (claim). The pruned window's aggregate hashes
+      * against the oracle's direct recompute.
+      *
+      * Scale shape: THE append-mostly 100 TB contract — a table
+      * ingesting on event time / sequence id stays range-skippable with
+      * zero maintenance in the loop; cost is one column-pruned pass
+      * over each commit's own files. */
+    "q310_ingest_stats" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_ist_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_returnflag"), col("l_quantity"))
+      val r0 = base.agg(min(col("l_orderkey")).cast("long"),
+        max(col("l_orderkey")).cast("long")).first()
+      val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+      val (c1, c2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+      SnapshotTable.write(s, tbl,
+        base.filter(col("l_orderkey") <= c1), "l_returnflag") // v1
+      SnapshotTable.append(s, tbl,
+        base.filter(col("l_orderkey") > c1 && col("l_orderkey") <= c2),
+        "l_returnflag") // v2: pre-registration — no stats anywhere
+      val (w1, w2) = (c2 + (mx - c2) / 4, c2 + (mx - c2) / 2)
+      val (_, kPre, tPre) = SnapshotTable.readRange(s, tbl, "l_orderkey", w1, w2)
+      val statlessScansAll = kPre == tPre && tPre > 0
+      val filesPre = SnapshotTable.latest(s, tbl).get._2.toSet
+      SnapshotTable.setStatsColumns(s, tbl,
+        Seq("l_orderkey", "l_partkey")) // v3
+      SnapshotTable.append(s, tbl,
+        base.filter(col("l_orderkey") > c2), "l_returnflag") // v4: ingest stats
+      val okStats = SnapshotTable.fileStats(s, tbl, "l_orderkey").keySet
+      val pkStats = SnapshotTable.fileStats(s, tbl, "l_partkey").keySet
+      val newFiles = SnapshotTable.latest(s, tbl).get._2.toSet -- filesPre
+      val ingestCovered = newFiles.nonEmpty &&
+        newFiles.forall(f => okStats.contains(f) && pkStats.contains(f)) &&
+        filesPre.forall(f => !okStats.contains(f) && !pkStats.contains(f))
+      SnapshotTable.analyzeStats(s, tbl, "l_orderkey") // v5: backfill history
+      val (win, kPost, tPost) = SnapshotTable.readRange(s, tbl, "l_orderkey", w1, w2)
+      val pruned = kPost * 2 <= tPost && kPost >= 1 && win.count() > 0
+      val agg = win.groupBy("l_returnflag") // bound to v5's snapshot
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+      val (vC, _) = SnapshotTable.compact(s, tbl, "l_returnflag") // v6
+      val okAfter = SnapshotTable.fileStats(s, tbl, "l_orderkey").keySet
+      val maintCovered = SnapshotTable.latest(s, tbl).get._2
+        .forall(okAfter.contains)
+      agg.select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(vC).as("final_version"),
+          lit(statlessScansAll).as("statless_scans_all"),
+          lit(ingestCovered).as("ingest_covered_new_files_only"),
+          lit(pruned).as("window_pruned_after_backfill"),
+          lit(maintCovered).as("maintenance_keeps_coverage"))
+        .orderBy("l_returnflag")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -3708,6 +3846,45 @@ object CoreQueries {
         |  TRUE AS one_dim_blind_on_b,
         |  TRUE AS both_columns_pruned,
         |  TRUE AS relation_identical_dv_folded
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the restored relation IS the pre-damage state: chunks 0 and 1,
+    // with the later DV delete and the later append both undone — a
+    // restore that leaked either fails the hash; the ladder is hard
+    // (write, append, DV, append, restore -> 5) and the exactness /
+    // history / no-op / feed-convergence claims are oracle-asserted
+    "q309_restore" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(5 AS BIGINT) AS final_version,
+        |  TRUE AS restored_exact,
+        |  TRUE AS history_intact_noop_current,
+        |  TRUE AS feed_converges
+        |FROM lineitem WHERE l_orderkey % 3 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the orderkey window recomputed directly (integer-div corners,
+    // the q280/q290 rule) — ingest-time stats that mis-bounded a file
+    // would drop or duplicate window rows and fail the hash; the
+    // ladder is hard (write, append, register, append, analyze,
+    // compact -> 6) and the conservative-scan / ingest-coverage /
+    // pruning / maintenance-coverage claims are oracle-asserted
+    "q310_ingest_stats" ->
+      """WITH r AS (
+        |  SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT mn + 2 * (mx - mn) // 3 AS c2, mx FROM r),
+        |sel AS (
+        |  SELECT l.l_returnflag, l.l_quantity
+        |  FROM lineitem l CROSS JOIN w
+        |  WHERE l.l_orderkey >= w.c2 + (w.mx - w.c2) // 4
+        |    AND l.l_orderkey <= w.c2 + (w.mx - w.c2) // 2)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(6 AS BIGINT) AS final_version,
+        |  TRUE AS statless_scans_all,
+        |  TRUE AS ingest_covered_new_files_only,
+        |  TRUE AS window_pruned_after_backfill,
+        |  TRUE AS maintenance_keeps_coverage
         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // refused/dropped stages leave no trace: the published table is
     // exactly base ∪ the clean odd slice; the version ladder is hard

@@ -78,10 +78,19 @@ object SnapshotTable {
   /** The derived bucket column hidden partitioning writes and hides. */
   private[sources] val HiddenPartCol = "__tp"
 
+  /** Carried-forward header naming the table's REGISTERED data-skipping
+    * columns (`#statscols=a,b` — [[setStatsColumns]]): every commit
+    * that stages new data files computes per-file min/max stats for
+    * these columns on those files, so [[readRange]] skips from the
+    * moment of INGEST instead of waiting for the next OPTIMIZE — the
+    * public Delta `dataSkippingNumIndexedCols` idea made explicit. */
+  private val StatsColsKey = "statscols"
+
   /** Headers every commit must re-publish verbatim. */
   private def isCarriedHeader(k: String): Boolean =
     k.startsWith(LastBatchPrefix) || k.startsWith(ConstraintPrefix) ||
       k.startsWith("parttransform.") || k.startsWith("bloomidx.") ||
+      k == StatsColsKey ||          // registered skipping columns
       k == "replica_source_version" // replica bookkeeping survives
                                     // maintenance commits (compact etc.)
 
@@ -480,15 +489,17 @@ object SnapshotTable {
     *     nothing instead of table-sized self-canceling churn (VERDICT
     *     r14 #1); a range that is ALL maintenance returns None;
     *   - files CARRIED: rows newly addressed by the DV delta are
-    *     deletes (DV sets over a carried file only ever grow — compact
-    *     rewrites any file whose DV rows fold, removing it from the
-    *     carried class; the guard below verifies the invariant rather
-    *     than trusting it).
+    *     deletes, and rows whose since-DV addresses VANISHED are
+    *     inserts — the table re-contains them, the shape a [[restore]]
+    *     to a pre-delete version commits (ordinary maintenance never
+    *     un-deletes on a carried file: compact rewrites any file whose
+    *     DV rows fold, removing it from the carried class, and tags
+    *     `#datachange=false` besides).
     *
     * Scale shape: every frame is delta-sized — removed/added file scans
     * plus one delete-sized anti/semi join per leg; a steady
     * append+DV-delete workload pays exactly (new files) + (new DV
-    * rows), never a base-table scan. */
+    * rows) + (resurrected rows), never a base-table scan. */
   def readChangesSince(spark: SparkSession, dir: String,
       sinceVersion: Long): Option[(Long, DataFrame, DataFrame)] = {
     val st = latestState(spark, dir)
@@ -584,20 +595,27 @@ object SnapshotTable {
     val sinceDvRels = dvLines(sinceLines)
     val sdv = dvAddrs(sinceDvRels)
     val ndv = dvAddrs(toDvs)
-    // invariant guard: a DV row present at `since` over a CARRIED file
-    // must still be present now — anything else is an un-delete the
-    // feed cannot represent (delete-sized check, not table-sized, and
-    // skipped entirely when `since` had no DVs: nothing can be lost)
-    if (kept.nonEmpty && sinceDvRels.nonEmpty) {
-      val lost = sdv
-        .join(broadcast(kept.toDF(FileCol)), Seq(FileCol), "left_semi")
-        .join(ndv, Seq(FileCol, PosCol), "left_anti").count()
-      if (lost > 0L)
-        throw new IllegalStateException(
-          s"$dir: $lost deletion-vector rows over carried files vanished " +
-            s"between v$sinceVersion and v$toVersion — an un-delete " +
-            "cannot be represented as a change feed; rebuild derived state")
-    }
+    // un-deletes: a DV row present at `since` over a CARRIED file but
+    // gone now means the table RE-CONTAINS that row — the shape a
+    // RESTORE to a pre-delete version commits. Semantically that is an
+    // INSERT (the row exists at `to` and not at `since`), so the feed
+    // surfaces it as one; the check and the read are both
+    // resurrection-sized (the DV diff, then only the addressed rows of
+    // only the touched files), never table-sized, and skipped entirely
+    // when `since` had no DVs. Maintenance DV-folds never reach here —
+    // they rewrite files (nothing is carried) and tag
+    // `#datachange=false` besides.
+    val resAddrs =
+      if (kept.isEmpty || sinceDvRels.isEmpty) None
+      else {
+        val lost = sdv
+          .join(broadcast(kept.toDF(FileCol)), Seq(FileCol), "left_semi")
+          .join(ndv, Seq(FileCol, PosCol), "left_anti")
+        val touched = lost.select(FileCol).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (touched.isEmpty) None
+        else Some((lost, touched))
+      }
     def emptyLike(v: Long): DataFrame = read(spark, dir, Some(v)).filter(lit(false))
     val strip = (df: DataFrame) => df.drop(FileCol, PosCol)
     val delRemoved =
@@ -624,10 +642,18 @@ object SnapshotTable {
       .map(strip)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(emptyLike(sinceVersion))
-    val inserts =
-      if (added.isEmpty) emptyLike(toVersion)
-      else strip(addressedRows(spark, dir, root, added)
+    val insAdded =
+      if (added.isEmpty) None
+      else Some(addressedRows(spark, dir, root, added)
         .join(ndv, Seq(FileCol, PosCol), "left_anti"))
+    val insResurrected = resAddrs.map { case (lost, touched) =>
+      addressedRows(spark, dir, root, touched)
+        .join(lost, Seq(FileCol, PosCol), "left_semi")
+    }
+    val inserts = (insAdded.toSeq ++ insResurrected.toSeq)
+      .map(strip)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(emptyLike(toVersion))
     (inserts, deletes)
   }
 
@@ -1289,7 +1315,7 @@ object SnapshotTable {
       enforce(st.meta, stagedRows, s"publish branch '$branch'")
       if (commitAt(spark, dir, st.version, st.files ++ staged,
           st.carried ++ batchMeta(qid, 0L, st.version) + ("wap" -> branch),
-          st.dvs, st.stats)) {
+          st.dvs, st.stats ++ ingestStats(spark, dir, staged, st.meta))) {
         fs.delete(bp, false)
         return st.version + 1
       }
@@ -1402,6 +1428,77 @@ object SnapshotTable {
     sys.error(s"could not drop constraint from $dir after $MaxCommitAttempts attempts")
   }
 
+  /** Registered data-skipping columns recorded in `meta` (empty when
+    * none — the default, in which [[ingestStats]] is a zero-cost
+    * no-op on every commit path). */
+  private def statsColsOf(meta: Map[String, String]): Seq[String] =
+    meta.get(StatsColsKey).map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** The table's registered data-skipping columns ([[setStatsColumns]];
+    * empty when none are registered). */
+  def statsColumnsOf(spark: SparkSession, dir: String): Seq[String] =
+    statsColsOf(latestState(spark, dir).map(_.meta).getOrElse(Map.empty))
+
+  /** Register the columns every FUTURE content-adding commit computes
+    * per-file min/max stats for on its newly staged files (the public
+    * Delta indexed-columns contract: skipping starts at INGEST, not at
+    * the next OPTIMIZE). Metadata-only commit; existing files are
+    * untouched — backfill them with [[analyzeStats]], or let the next
+    * OPTIMIZE cover its rewrites. An empty `cols` CLEARS the
+    * registration. Stats serialize as LONGs (the repo-wide exact-
+    * arithmetic rule), so registered columns should be integral; a
+    * registered column absent from a batch's schema — or not
+    * long-castable in it — simply contributes no lines for that batch
+    * (schema evolution stays legal, [[readRange]] keeps stat-less
+    * files conservatively). Idempotent; returns the committed version.
+    *
+    * Scale shape: the per-commit cost is ONE column-pruned pass over
+    * only the commit's new files computing every registered column's
+    * min/max together (not a pass per column), and the result is
+    * manifest metadata committed atomically with the files it
+    * describes. This is what keeps a 100 TB append-mostly table
+    * skippable on its natural ingest key (event time, sequence id)
+    * without any maintenance job in the loop. */
+  def setStatsColumns(spark: SparkSession, dir: String,
+      cols: Seq[String]): Long = {
+    val distinct = cols.distinct
+    distinct.foreach { c =>
+      require(!c.contains("|") && !c.contains(","),
+        s"stats column name '$c' cannot contain '|' (the stats-line " +
+          "delimiter) or ',' (the registration-list delimiter)")
+    }
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      if (statsColsOf(st.meta) == distinct) return st.version
+      val carried =
+        if (distinct.isEmpty) st.carried - StatsColsKey
+        else st.carried + (StatsColsKey -> distinct.mkString(","))
+      if (commitAt(spark, dir, st.version, st.files, carried, st.dvs,
+          st.stats))
+        return st.version + 1
+      attempt += 1
+    }
+    sys.error(s"could not register stats columns on $dir after " +
+      s"$MaxCommitAttempts attempts")
+  }
+
+  /** Stats lines for the table's registered skipping columns over the
+    * commit's NEWLY STAGED files — the hook every content-adding commit
+    * path calls (append/appendBatch/merge/mergeBatch/updateWhere,
+    * the write variants, deleteWhere, publishBranch, and all three
+    * OPTIMIZE classes).
+    * `already` names columns the caller computed itself (a clustered
+    * write's cluster column) so no column is scanned twice. Zero cost
+    * when nothing is registered. */
+  private def ingestStats(spark: SparkSession, dir: String,
+      newFiles: Seq[String], meta: Map[String, String],
+      already: Seq[String] = Seq.empty): Seq[String] =
+    computeStatsMulti(spark, dir, newFiles,
+      statsColsOf(meta).filterNot(already.contains))
+
   /** Drop staged-but-never-committed files (a lost racer's leftovers —
     * no manifest references them, so deletion is always safe; vacuum
     * would reclaim them anyway, this just does it eagerly). */
@@ -1434,7 +1531,9 @@ object SnapshotTable {
       }
       val v = st.map(_.version).getOrElse(0L)
       if (commitAt(spark, dir, v, staged,
-          st.map(_.carried).getOrElse(Map.empty) ++ meta))
+          st.map(_.carried).getOrElse(Map.empty) ++ meta, Seq.empty,
+          ingestStats(spark, dir, staged,
+            st.map(_.meta).getOrElse(Map.empty) ++ meta)))
         return v + 1
       attempt += 1
     }
@@ -1493,7 +1592,9 @@ object SnapshotTable {
       }
       val v = st.map(_.version).getOrElse(0L)
       if (commitAt(spark, dir, v, files,
-          st.map(_.carried).getOrElse(Map.empty), Seq.empty, stats))
+          st.map(_.carried).getOrElse(Map.empty), Seq.empty,
+          stats ++ ingestStats(spark, dir, files,
+            st.map(_.meta).getOrElse(Map.empty), already = Seq(statsCol))))
         return v + 1
       attempt += 1
     }
@@ -1506,16 +1607,35 @@ object SnapshotTable {
     * collect and mean nothing for pruning — ADVICE r13); [[readRange]]
     * conservatively keeps stat-less files, so correctness is unchanged. */
   private def computeStats(spark: SparkSession, dir: String,
-      files: Seq[String], statsCol: String): Seq[String] = {
+      files: Seq[String], statsCol: String): Seq[String] =
+    computeStatsMulti(spark, dir, files, Seq(statsCol))
+
+  /** [[computeStats]] for SEVERAL columns in one column-pruned pass
+    * (one scan regardless of column count — the shape
+    * [[setStatsColumns]]' per-commit hook needs). Columns absent from
+    * the scanned files' schema, or entirely null / non-long-castable
+    * within a file, contribute no line for that file. */
+  private def computeStatsMulti(spark: SparkSession, dir: String,
+      files: Seq[String], cols: Seq[String]): Seq[String] = {
+    if (files.isEmpty || cols.isEmpty) return Seq.empty
     val (_, root) = fsFor(spark, dir)
-    spark.read.option("basePath", dir)
+    val scan = spark.read.option("basePath", dir)
       .parquet(files.map(f => new Path(root, f).toString): _*)
-      .select(relPathExpr.as("f"), col(statsCol).cast("long").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
-      .collect()
-      .map(r => mkStat(statsCol, r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSeq
+    val present = cols.filter(scan.columns.contains)
+    if (present.isEmpty) return Seq.empty
+    val aggs = present.flatMap { c =>
+      val v = col(c).cast("long")
+      Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
+    }
+    scan.select(relPathExpr.as("__f") +: present.map(col): _*)
+      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        val f = r.getString(0)
+        present.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(1 + 2 * i) =>
+            mkStat(c, f, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        }
+      }
   }
 
   /** Range read through the data-skipping index: resolve the latest
@@ -1604,7 +1724,9 @@ object SnapshotTable {
     val (fs, root) = fsFor(spark, dir)
     val mdir = new Path(root, ManifestDir)
     val v = expectedPrev + 1
-    if (writeManifest(fs, mdir, v, files, carried ++ meta)) Some(v)
+    if (writeManifest(fs, mdir, v, files, carried ++ meta, Seq.empty,
+        ingestStats(spark, dir, files,
+          st.map(_.meta).getOrElse(Map.empty) ++ meta))) Some(v)
     else {
       // lost the race: drop the staged files — they were never
       // referenced by any committed manifest (tmp cleanup happened
@@ -1632,7 +1754,7 @@ object SnapshotTable {
         dropStaged(spark, dir, staged); throw e
       }
       if (commitAt(spark, dir, st.version, st.files ++ staged, st.carried,
-          st.dvs, st.stats))
+          st.dvs, st.stats ++ ingestStats(spark, dir, staged, st.meta)))
         return st.version + 1
       attempt += 1
     }
@@ -1668,7 +1790,8 @@ object SnapshotTable {
       // manifest — harmless no-ops at read; rows over kept files must
       // keep applying, so the DV set carries over whole
       if (commitAt(spark, dir, base, keptFiles ++ newFiles, st.carried, st.dvs,
-          carriedStats(st.stats, keptFiles)))
+          carriedStats(st.stats, keptFiles) ++
+            ingestStats(spark, dir, newFiles, st.meta)))
         return (base + 1, affected)
       // lost the race: the survivors were derived against a stale
       // snapshot — drop the stage and re-derive against the winner's
@@ -1774,7 +1897,8 @@ object SnapshotTable {
           hits.select(col(FileCol).as("file"), col(PosCol).as("pos")))
         val newFiles = stage(spark, dir, updated, partCol)
         if (commitAt(spark, dir, base, st.files ++ newFiles, st.carried,
-            st.dvs ++ newDvs, st.stats))
+            st.dvs ++ newDvs,
+            st.stats ++ ingestStats(spark, dir, newFiles, st.meta)))
           return (base + 1, n)
         // lost the race: both the addresses and the rewritten rows were
         // derived against a stale snapshot — drop and re-derive
@@ -1853,7 +1977,8 @@ object SnapshotTable {
         }
       val newFiles = stage(spark, dir,
         snap.repartitionByRange(parts, col(statsCol)), partCol)
-      val fresh = computeStats(spark, dir, newFiles, statsCol)
+      val fresh = computeStats(spark, dir, newFiles, statsCol) ++
+        ingestStats(spark, dir, newFiles, st.meta, already = Seq(statsCol))
       // row-preserving by construction (one snapshot read, re-written)
       // — tagged so the change feed skips it (VERDICT r14 #1)
       if (commitAt(spark, dir, st.version, newFiles,
@@ -1950,8 +2075,9 @@ object SnapshotTable {
         snap.withColumn("__z", z).withColumn("__zc", cell)
           .repartitionByRange(parts, col("__zc"), col("__z"))
           .drop("__z"), partCol, layoutCols = Seq("__zc"))
-      val fresh = computeStats(spark, dir, newFiles, colA) ++
-        computeStats(spark, dir, newFiles, colB)
+      val fresh = computeStatsMulti(spark, dir, newFiles,
+        Seq(colA, colB)) ++ ingestStats(spark, dir, newFiles, st.meta,
+        already = Seq(colA, colB))
       if (commitAt(spark, dir, st.version, newFiles,
           st.carried + (DataChangeKey -> "false"), Seq.empty, fresh))
         return st.version + 1
@@ -1959,6 +2085,74 @@ object SnapshotTable {
       attempt += 1
     }
     sys.error(s"could not z-order $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** RESTORE TABLE TO VERSION `toVersion` (the public Delta RESTORE
+    * contract): commit a NEW snapshot whose data files, deletion
+    * vectors, and file stats are exactly version `toVersion`'s — a
+    * metadata-only commit; nothing moves or rewrites, because retained
+    * manifests keep their files alive ([[vacuum]]'s contract). History
+    * is preserved: the undone versions stay readable by time travel,
+    * and the restore is one more audited commit — an undo, not a
+    * rewind.
+    *
+    * Contract details, each spec-pinned:
+    *  - CARRIED headers keep their CURRENT values — above all the
+    *    `lastbatch.` exactly-once replay markers: a restore that
+    *    rewound them would let an already-applied micro-batch replay
+    *    as a duplicate. Constraints, transform, bloom pointers, and
+    *    registered stats columns also stay current (Delta's
+    *    setTransaction-survives-RESTORE semantics).
+    *  - CURRENT CHECK constraints validate the RESTORED relation
+    *    first: a constraint added after `toVersion` may outlaw the old
+    *    rows, and restoring them would hand readers data the table's
+    *    contract says cannot exist. Refused wholesale on violation.
+    *  - Data-changing (rows change), so the change feed surfaces the
+    *    restore as delete(now-gone rows) + insert(restored rows) and
+    *    downstream replicas/MVs converge to the restored state.
+    *  - Restoring past vacuum is refused loudly — a reclaimed target
+    *    manifest, data file, or DV sidecar names the remedy instead of
+    *    surfacing later as a read-time FileNotFound.
+    *
+    * Scale shape: driver-side manifest arithmetic (file-count-sized
+    * existence probes) plus one validation scan of the restored
+    * relation only when constraints exist. Returns the committed
+    * version (the current version unchanged when `toVersion` is
+    * already current). */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val st = latestState(spark, dir)
+        .getOrElse(sys.error(s"$dir has no committed snapshot"))
+      require(toVersion <= st.version && toVersion >= 1,
+        s"$dir: cannot restore to v$toVersion — the table is at " +
+          s"v${st.version}")
+      if (toVersion == st.version) return st.version
+      val target =
+        try manifestLinesAt(fs, root, dir, toVersion)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"$dir: cannot restore to v$toVersion — its manifest was " +
+              "vacuumed away; restore targets must be within the vacuum " +
+              "retention window (see history() for retained versions)", e)
+        }
+      guardDvFormat(dir, target)
+      val files = dataLines(target)
+      val dvs = dvLines(target)
+      val gone = (files ++ dvs).filterNot(f => fs.exists(new Path(root, f)))
+      require(gone.isEmpty,
+        s"$dir: cannot restore to v$toVersion — ${gone.size} of its " +
+          s"files were reclaimed (first: ${gone.headOption.getOrElse("")});" +
+          " restore targets must be within the vacuum retention window")
+      enforce(st.meta, read(spark, dir, Some(toVersion)),
+        s"restore to v$toVersion")
+      if (commitAt(spark, dir, st.version, files, st.carried, dvs,
+          normalizedStats(target)))
+        return st.version + 1
+      attempt += 1
+    }
+    sys.error(s"could not restore $dir after $MaxCommitAttempts attempts")
   }
 
   /** DV-delete every row whose `keyCol` appears in `keys` (a
@@ -2179,7 +2373,9 @@ object SnapshotTable {
                 partCol)
             }
           if (commitAt(spark, dir, base, keptFiles ++ staged,
-              carried ++ metaFor(base), dvs, carriedStats(stats, keptFiles)))
+              carried ++ metaFor(base), dvs,
+              carriedStats(stats, keptFiles) ++
+                ingestStats(spark, dir, staged, metaHdr)))
             return (base + 1, replaced, upCount - matchedKeys)
           // lost the race: the match probe ran against a stale snapshot
           // (the next attempt's recheck also catches a same-batch racer)
@@ -2301,7 +2497,7 @@ object SnapshotTable {
       }
       if (commitAt(spark, dir, st.version, st.files ++ staged,
           st.carried ++ batchMeta(queryId, batchId, st.version),
-          st.dvs, st.stats))
+          st.dvs, st.stats ++ ingestStats(spark, dir, staged, st.meta)))
         return st.version + 1
       attempt += 1
     }
@@ -2385,7 +2581,8 @@ object SnapshotTable {
         // tagged so the change feed skips it (VERDICT r14 #1)
         if (commitAt(spark, dir, base, keptFiles ++ newFiles,
             st.carried + (DataChangeKey -> "false"),
-            Seq.empty, carriedStats(st.stats, keptFiles)))
+            Seq.empty, carriedStats(st.stats, keptFiles) ++
+              ingestStats(spark, dir, newFiles, st.meta)))
           return (base + 1, crowded)
         // lost the race (e.g. to a concurrent append/DV delete): the
         // rewrite captured a stale snapshot — drop it and re-derive
