@@ -2231,6 +2231,76 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** STRING-column data skipping, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.readRangeString]] /
+      * [[graft.sources.SnapshotTable.readPrefix]] — lexicographic
+      * per-file min/max string stats riding the same '%' manifest
+      * lines as numeric stats, `s:`-marked and URL-encoded, computed
+      * at INGEST for registered string columns): a documents table
+      * gets a derived `day` date-string key (the shape a real corpus
+      * ingests on), three calendar-ordered chunks land — one before
+      * registration (stat-less, claim), two after (string-stat-covered
+      * at commit, claim) — ANALYZE backfills history type-aware, a
+      * month window prunes to the window's files (claim), a month
+      * PREFIX read prunes and stays exact vs a direct filter (claim),
+      * and the NUMERIC range read on the string column stays
+      * conservative — every file kept, none wrongly skipped (claim).
+      * The month window's per-language aggregate hashes against the
+      * oracle's direct recompute.
+      *
+      * Scale shape: the corpus-table contract — date-string / URL /
+      * source keys are what a 100 TB documents table actually ingests
+      * on, and a month-windowed read touches the month's files, never
+      * the corpus. */
+    "q311_string_skipping" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_sst_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        date_format(date_add(to_date(lit("2024-01-01")),
+          (col("doc_id") % 300).cast("int")), "yyyy-MM-dd").as("day"))
+      val m = col("doc_id") % 300
+      SnapshotTable.write(s, tbl, base.filter(m < 100), "lang") // v1
+      SnapshotTable.setStatsColumns(s, tbl, Seq("day")) // v2
+      val filesPre = SnapshotTable.latest(s, tbl).get._2.toSet
+      SnapshotTable.append(s, tbl, base.filter(m >= 100 && m < 200),
+        "lang") // v3
+      SnapshotTable.append(s, tbl, base.filter(m >= 200), "lang") // v4
+      val strStats = SnapshotTable.fileStatsStr(s, tbl, "day").keySet
+      val newFiles = SnapshotTable.latest(s, tbl).get._2.toSet -- filesPre
+      val ingestCovered = newFiles.nonEmpty && newFiles.forall(strStats) &&
+        filesPre.forall(f => !strStats(f))
+      val vA = SnapshotTable.analyzeStats(s, tbl, "day") // v5: type-aware
+      val (win, kW, tW) = SnapshotTable.readRangeString(s, tbl, "day",
+        "2024-05-01", "2024-05-31")
+      val windowPruned = kW * 2 <= tW && kW >= 1 && win.count() > 0
+      val (pre, kP, tP) = SnapshotTable.readPrefix(s, tbl, "day", "2024-02")
+      val wantPre = base.filter(col("day").startsWith("2024-02")).count()
+      val prefixPrunedExact = kP * 2 <= tP && pre.count() == wantPre
+      // the NUMERIC view of a string column is stat-less by design:
+      // readRange must keep (scan) every file, never skip one wrongly
+      val (_, kN, tN) = SnapshotTable.readRange(s, tbl, "day", 0L, 1L)
+      val numericConservative = kN == tN
+      win.groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .select(col("lang"), col("n_rows"), col("sum_chars"),
+          lit(vA).as("final_version"),
+          lit(ingestCovered).as("ingest_covered_new_files_only"),
+          lit(windowPruned).as("month_window_pruned"),
+          lit(prefixPrunedExact).as("prefix_pruned_exact"),
+          lit(numericConservative).as("numeric_view_conservative"))
+        .orderBy("lang")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -3886,6 +3956,28 @@ object CoreQueries {
         |  TRUE AS window_pruned_after_backfill,
         |  TRUE AS maintenance_keeps_coverage
         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the month window recomputed directly over the same derived
+    // date-string key (DuckDB date arithmetic + strftime mirrors the
+    // Spark date_add + date_format derivation exactly) — a string-stat
+    // bound that wrongly excluded a file would drop that file's window
+    // rows and fail the hash; the ladder is hard (write, register,
+    // append, append, analyze -> 5) and the ingest-coverage / pruning /
+    // prefix-exactness / numeric-conservatism claims are oracle-asserted
+    "q311_string_skipping" ->
+      """WITH sel AS (
+        |  SELECT lang, n_chars,
+        |    strftime(DATE '2024-01-01' + CAST(doc_id % 300 AS INTEGER),
+        |      '%Y-%m-%d') AS day
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(5 AS BIGINT) AS final_version,
+        |  TRUE AS ingest_covered_new_files_only,
+        |  TRUE AS month_window_pruned,
+        |  TRUE AS prefix_pruned_exact,
+        |  TRUE AS numeric_view_conservative
+        |FROM sel WHERE day >= '2024-05-01' AND day <= '2024-05-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // refused/dropped stages leave no trace: the published table is
     // exactly base ∪ the clean odd slice; the version ladder is hard
     // (write, constraint, one publish -> 3) and the isolation / audit /

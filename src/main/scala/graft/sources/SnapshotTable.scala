@@ -209,22 +209,56 @@ object SnapshotTable {
           "with the revision that wrote it, write() it fresh) before " +
           "reading it here.")
 
-  /** Parse one stats line into (column, file, min, max). Callers must
-    * hand lines already normalized to the current field order
-    * ([[normalizedStats]] — TableState.stats always is). */
-  private def parseStat(line: String): (String, String, Long, Long) = {
+  /** Parse one stats line into (column, file, rawMin, rawMax). Raw
+    * values are either decimal longs (numeric stats) or `s:`-prefixed
+    * URL-encoded strings (string stats, [[mkStatStr]]) — the two
+    * classes share the '%' line format, so every commit path carries
+    * both without knowing which is which. Callers must hand lines
+    * already normalized to the current field order ([[normalizedStats]]
+    * — TableState.stats always is). */
+  private def parseStatRaw(line: String): (String, String, String, String) = {
     val Array(c, mn, mx, f) = line.split("\\|", 4)
-    (c, f, mn.toLong, mx.toLong)
+    (c, f, mn, mx)
+  }
+
+  /** Numeric view of a stats line; None for string-stats lines (a
+    * numeric consumer treats files with only string stats as stat-less
+    * — conservatively scanned). */
+  private def parseStatNum(line: String): Option[(String, String, Long, Long)] = {
+    val (c, f, mn, mx) = parseStatRaw(line)
+    for (a <- mn.toLongOption; b <- mx.toLongOption) yield (c, f, a, b)
+  }
+
+  /** String view of a stats line; None for numeric lines. */
+  private def parseStatStr(line: String): Option[(String, String, String, String)] = {
+    val (c, f, mn, mx) = parseStatRaw(line)
+    for (a <- decStatStr(mn); b <- decStatStr(mx)) yield (c, f, a, b)
   }
 
   private def mkStat(col: String, file: String, mn: Long, mx: Long): String =
     s"$col|$mn|$mx|$file"
 
+  /** String-stats value coding: `s:` marker + URL-encoding keeps the
+    * '|' line delimiter, newlines, and any other byte out of the
+    * manifest line, and the marker keeps a numeric-LOOKING string
+    * ("123") from ever being misread as a numeric stat. */
+  private val StrStatMark = "s:"
+  private def encStatStr(v: String): String =
+    StrStatMark + java.net.URLEncoder.encode(v, "UTF-8")
+  private def decStatStr(v: String): Option[String] =
+    if (v.startsWith(StrStatMark))
+      Some(java.net.URLDecoder.decode(v.stripPrefix(StrStatMark), "UTF-8"))
+    else None
+
+  private def mkStatStr(col: String, file: String, mn: String,
+      mx: String): String =
+    s"$col|${encStatStr(mn)}|${encStatStr(mx)}|$file"
+
   /** Stats lines still valid after a commit keeps only `kept` data
     * files (stats address immutable files, so validity IS presence). */
   private def carriedStats(stats: Seq[String], kept: Seq[String]): Seq[String] = {
     val keptSet = kept.toSet
-    stats.filter(s => keptSet.contains(parseStat(s)._2))
+    stats.filter(s => keptSet.contains(parseStatRaw(s)._2))
   }
 
   /** Latest committed (version, data-file relative paths); None if the
@@ -283,7 +317,17 @@ object SnapshotTable {
   def fileStats(spark: SparkSession, dir: String,
       statsCol: String): Map[String, (Long, Long)] =
     latestState(spark, dir).map(_.stats).getOrElse(Seq.empty)
-      .map(parseStat).collect {
+      .flatMap(parseStatNum).collect {
+        case (c, f, mn, mx) if c == statsCol => f -> (mn, mx)
+      }.toMap
+
+  /** Per-file lexicographic min/max STRING stats of `statsCol` in the
+    * latest snapshot — [[fileStats]]' sibling for string columns
+    * ([[readRangeString]] prunes with these). */
+  def fileStatsStr(spark: SparkSession, dir: String,
+      statsCol: String): Map[String, (String, String)] =
+    latestState(spark, dir).map(_.stats).getOrElse(Seq.empty)
+      .flatMap(parseStatStr).collect {
         case (c, f, mn, mx) if c == statsCol => f -> (mn, mx)
       }.toMap
 
@@ -1612,9 +1656,13 @@ object SnapshotTable {
 
   /** [[computeStats]] for SEVERAL columns in one column-pruned pass
     * (one scan regardless of column count — the shape
-    * [[setStatsColumns]]' per-commit hook needs). Columns absent from
-    * the scanned files' schema, or entirely null / non-long-castable
-    * within a file, contribute no line for that file. */
+    * [[setStatsColumns]]' per-commit hook needs). TYPE-AWARE: a string
+    * column gets lexicographic min/max string stats ([[mkStatStr]],
+    * pruned by [[readRangeString]]); everything else casts to long
+    * ([[mkStat]], pruned by [[readRange]]) — the repo-wide exact-
+    * arithmetic rule. Columns absent from the scanned files' schema,
+    * or entirely null / non-castable within a file, contribute no
+    * line for that file. */
   private def computeStatsMulti(spark: SparkSession, dir: String,
       files: Seq[String], cols: Seq[String]): Seq[String] = {
     if (files.isEmpty || cols.isEmpty) return Seq.empty
@@ -1623,8 +1671,10 @@ object SnapshotTable {
       .parquet(files.map(f => new Path(root, f).toString): _*)
     val present = cols.filter(scan.columns.contains)
     if (present.isEmpty) return Seq.empty
+    def isStr(c: String): Boolean =
+      scan.schema(c).dataType == org.apache.spark.sql.types.StringType
     val aggs = present.flatMap { c =>
-      val v = col(c).cast("long")
+      val v = if (isStr(c)) col(c) else col(c).cast("long")
       Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
     }
     scan.select(relPathExpr.as("__f") +: present.map(col): _*)
@@ -1633,7 +1683,9 @@ object SnapshotTable {
         val f = r.getString(0)
         present.zipWithIndex.collect {
           case (c, i) if !r.isNullAt(1 + 2 * i) =>
-            mkStat(c, f, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+            if (isStr(c))
+              mkStatStr(c, f, r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+            else mkStat(c, f, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
         }
       }
   }
@@ -1657,7 +1709,7 @@ object SnapshotTable {
     val st = latestState(spark, dir)
       .getOrElse(sys.error(s"$dir has no committed snapshot"))
     val (v, files, stats) = (st.version, st.files, st.stats)
-    val ranges = stats.map(parseStat)
+    val ranges = stats.flatMap(parseStatNum)
       .collect { case (c, f, mn, mx) if c == statsCol => f -> (mn, mx) }
       .toMap
     val live = files.filter(f => ranges.get(f) match {
@@ -1671,6 +1723,80 @@ object SnapshotTable {
       else readResolved(spark, dir, Some(v), withLineage = false,
         restrictTo = Some(live.toSet)).filter(residual)
     (frame, live.size, files.size)
+  }
+
+  /** Driver-side string comparison in Spark's OWN order (UTF8String —
+    * binary UTF-8 bytes): the string-stats pruning decision must never
+    * disagree with the executor-computed min/max it prunes against
+    * (Java's UTF-16 code-unit order differs for supplementary-plane
+    * characters). */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** [[readRange]] for a STRING column: prune every data file whose
+    * committed lexicographic [min, max] cannot intersect [`lo`, `hi`]
+    * (inclusive; Spark's binary string order), then apply the exact
+    * `between` residual to the survivors. Files without string stats
+    * on the column are conservatively kept; deletion vectors still
+    * apply. Returns (frame, files kept, files total).
+    *
+    * This is data skipping for the keys a text corpus actually has —
+    * date strings, URLs, source names, language tags: register the
+    * column with [[setStatsColumns]] (string columns get string stats
+    * automatically) and a date-windowed read of a 100 TB documents
+    * table touches the window's files, not the corpus. */
+  def readRangeString(spark: SparkSession, dir: String, statsCol: String,
+      lo: String, hi: String): (DataFrame, Int, Int) = {
+    val st = latestState(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val ranges = st.stats.flatMap(parseStatStr)
+      .collect { case (c, f, mn, mx) if c == statsCol => f -> (mn, mx) }
+      .toMap
+    val live = st.files.filter(f => ranges.get(f) match {
+      case Some((mn, mx)) => utf8Cmp(lo, mx) <= 0 && utf8Cmp(mn, hi) <= 0
+      case None => true // no stats for this file: must scan it
+    })
+    val residual = col(statsCol).between(lit(lo), lit(hi))
+    val frame =
+      if (live.isEmpty)
+        read(spark, dir, Some(st.version)).filter(lit(false))
+      else readResolved(spark, dir, Some(st.version), withLineage = false,
+        restrictTo = Some(live.toSet)).filter(residual)
+    (frame, live.size, st.files.size)
+  }
+
+  /** Prefix read on a STRING column through the string-stats index:
+    * files provably outside the prefix interval are pruned, the exact
+    * `startsWith` residual applies to the survivors. The exclusion
+    * rule is pure byte-order reasoning (a file is skippable iff its
+    * max is below `prefix`, or its min is above `prefix` without
+    * carrying it as a prefix — then every row is above ALL
+    * prefix-strings), so no "prefix successor" string needs
+    * constructing and supplementary-plane continuations are never
+    * wrongly excluded. The URL/path/date-prefix access path
+    * (`source = "src1%"`, `day = "2024-03%"`) on corpus tables. */
+  def readPrefix(spark: SparkSession, dir: String, statsCol: String,
+      prefix: String): (DataFrame, Int, Int) = {
+    val st = latestState(spark, dir)
+      .getOrElse(sys.error(s"$dir has no committed snapshot"))
+    val ranges = st.stats.flatMap(parseStatStr)
+      .collect { case (c, f, mn, mx) if c == statsCol => f -> (mn, mx) }
+      .toMap
+    val live = st.files.filter(f => ranges.get(f) match {
+      case Some((mn, mx)) =>
+        val allBelow = utf8Cmp(mx, prefix) < 0
+        val allAbove = utf8Cmp(mn, prefix) > 0 && !mn.startsWith(prefix)
+        !allBelow && !allAbove
+      case None => true
+    })
+    val residual = col(statsCol).startsWith(prefix)
+    val frame =
+      if (live.isEmpty)
+        read(spark, dir, Some(st.version)).filter(lit(false))
+      else readResolved(spark, dir, Some(st.version), withLineage = false,
+        restrictTo = Some(live.toSet)).filter(residual)
+    (frame, live.size, st.files.size)
   }
 
   /** Snapshot read restricted to the given partition VALUES of
@@ -1930,7 +2056,7 @@ object SnapshotTable {
     while (attempt < MaxCommitAttempts) {
       val st = latestState(spark, dir)
         .getOrElse(sys.error(s"$dir has no committed snapshot"))
-      val covered = st.stats.map(parseStat)
+      val covered = st.stats.map(parseStatRaw)
         .collect { case (c, f, _, _) if c == statsCol => f }.toSet
       val missing = st.files.filterNot(covered.contains)
       if (missing.isEmpty) return st.version
