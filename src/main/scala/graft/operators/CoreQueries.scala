@@ -2301,6 +2301,82 @@ object CoreQueries {
         .orderBy("lang")
     }),
 
+    /** Merge-on-read MERGE, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.mergeDV]] — the Iceberg
+      * merge-on-read / Delta DV-merge upsert: matched target rows
+      * DV-delete at their addresses, every update row lands in
+      * update-sized appended files, one atomic commit). The gate
+      * upserts a mixed batch (updates bump a bigint column on a 1/5
+      * key slice; inserts add fresh keys in a NEW partition value) and
+      * asserts the counts are exact (claim), NO pre-existing data file
+      * left the manifest — the MoR write-amplification contract the
+      * CoW [[graft.sources.SnapshotTable.merge]] cannot give (claim),
+      * the DVs applied (relation matches the oracle recompute), a
+      * second stacked mergeDV sees the FIRST's values (claim), and
+      * OPTIMIZE folds it all back to a DV-free snapshot with the same
+      * relation (claim).
+      *
+      * Scale shape: one key-probe scan + matched-rows DV bytes +
+      * batch-sized file bytes per upsert, independent of partition
+      * spread — vs CoW's re-stage of every matched partition. */
+    "q312_merge_mor" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_mmr_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_custkey"))
+      val maxKey = base.agg(max(col("o_orderkey")).cast("long"))
+        .first().getLong(0)
+      SnapshotTable.write(s, tbl, base, "o_orderstatus") // v1
+      val filesBefore = SnapshotTable.latest(s, tbl).get._2.toSet
+      val upd = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+      val ins = base.filter(col("o_orderkey") % 7 === 3)
+        .select((col("o_orderkey") + maxKey).as("o_orderkey"),
+          lit("Z").as("o_orderstatus"), col("o_custkey"))
+      val (v2, matched, inserted) =
+        SnapshotTable.mergeDV(s, tbl, "o_orderstatus", "o_orderkey",
+          upd.unionByName(ins)) // v2
+      val wantM = base.filter(col("o_orderkey") % 5 === 0).count()
+      val wantI = base.filter(col("o_orderkey") % 7 === 3).count()
+      val countsExact = v2 == 2L && matched == wantM && inserted == wantI
+      val filesAfter = SnapshotTable.latest(s, tbl).get._2.toSet
+      val noRewrite = filesBefore.subsetOf(filesAfter) &&
+        SnapshotTable.latestFull(s, tbl).get._3.nonEmpty
+      // stacking: a second MoR merge on already-merged keys sees the
+      // FIRST merge's values (DV-applied probe), not the originals
+      val restack = base.filter(col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 3 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 3000000L)
+      val (v3, m2, i2) =
+        SnapshotTable.mergeDV(s, tbl, "o_orderstatus", "o_orderkey", restack)
+      val stacks = v3 == 3L && m2 == restack.count() && i2 == 0L
+      val beforeFold = SnapshotTable.read(s, tbl)
+      val beforeCount = beforeFold.count()
+      val (v4, _) = SnapshotTable.compact(s, tbl, "o_orderstatus") // folds
+      val after = SnapshotTable.read(s, tbl)
+      val foldIdentical = SnapshotTable.latestFull(s, tbl).get._3.isEmpty &&
+        after.count() == beforeCount &&
+        after.exceptAll(beforeFold).isEmpty &&
+        beforeFold.exceptAll(after).isEmpty
+      after.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"))
+        .select(col("o_orderstatus"), col("n_rows"), col("sum_cust"),
+          lit(v4).as("final_version"),
+          lit(countsExact).as("counts_exact"),
+          lit(noRewrite).as("no_data_file_rewritten"),
+          lit(stacks).as("stacked_merge_sees_merged"),
+          lit(foldIdentical).as("optimize_folds_identical"))
+        .orderBy("o_orderstatus")
+    }),
+
     /** In-place crash-safe small-file compaction, driver-gated (the
       * second half of VERDICT r11 #2's named machinery —
       * [[graft.sources.Layouts.compactParquet]], the two-marker
@@ -3978,6 +4054,30 @@ object CoreQueries {
         |  TRUE AS numeric_view_conservative
         |FROM sel WHERE day >= '2024-05-01' AND day <= '2024-05-31'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the post-fold relation recomputed directly: every key carries the
+    // LAST merge's value (%15 keys the stacked +3000000, other %5 keys
+    // the first +1000000, the rest their original), plus the inserted
+    // 'Z' partition — a MoR merge that resurrected a suppressed old
+    // version, dropped an insert, or double-applied a stack fails
+    // n_rows/sum_cust; ladder hard (write, merge, merge, compact -> 4)
+    "q312_merge_mor" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 15 = 0 THEN o_custkey + 3000000
+        |         WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS c
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'Z' AS o_orderstatus, o_custkey AS c
+        |  FROM orders WHERE o_orderkey % 7 = 3)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cust,
+        |  CAST(4 AS BIGINT) AS final_version,
+        |  TRUE AS counts_exact,
+        |  TRUE AS no_data_file_rewritten,
+        |  TRUE AS stacked_merge_sees_merged,
+        |  TRUE AS optimize_folds_identical
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // refused/dropped stages leave no trace: the published table is
     // exactly base ∪ the clean odd slice; the version ladder is hard
     // (write, constraint, one publish -> 3) and the isolation / audit /

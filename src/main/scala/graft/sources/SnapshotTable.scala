@@ -2035,6 +2035,71 @@ object SnapshotTable {
     sys.error(s"could not update $dir after $MaxCommitAttempts attempts")
   }
 
+  /** Merge-on-read MERGE (upsert) — [[merge]]'s deletion-vector
+    * sibling, the fourth mutation verb on the DV substrate: target
+    * rows whose `keyCol` appears in `updates` are DV-deleted at their
+    * stable addresses, and EVERY update row (matched or new) lands in
+    * update-sized appended files — one atomic commit, no existing data
+    * file rewritten.
+    *
+    * Why it exists: [[merge]] is copy-on-write — it re-stages every
+    * partition containing a match, so one matched row per partition
+    * re-writes the table; at 100 TB that is the classic upsert
+    * write-amplification wall. This pays one key-probe scan plus
+    * (matched rows) of DV bytes plus (batch) of file bytes,
+    * independent of partition spread — the Iceberg merge-on-read /
+    * Delta DV-merge contract. The read-side cost is the DV anti-join
+    * until [[compact]] folds; semantics match [[merge]] exactly
+    * (multi-match target keys collapse to the single update row,
+    * duplicate update keys are refused wholesale — the contract CDC
+    * replay relies on), spec-pinned equivalent.
+    *
+    * Returns (version, matched target rows, inserted keys);
+    * degenerates to a plain create on an empty table. */
+  def mergeDV(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, updates: DataFrame): (Long, Long, Long) = {
+    val upCount = updates.count()
+    require(updates.select(col(keyCol)).distinct().count() == upCount,
+      s"merge updates must be key-unique on '$keyCol'")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      latestState(spark, dir) match {
+        case None => // empty table: merge degenerates to create
+          val staged = stage(spark, dir, updates, partCol)
+          if (commitAt(spark, dir, 0L, staged, Map.empty, Seq.empty,
+              ingestStats(spark, dir, staged, Map.empty)))
+            return (1L, 0L, upCount)
+          dropStaged(spark, dir, staged)
+        case Some(st) =>
+          enforce(st.meta, updates, "mergeDV")
+          val upKeys = updates.select(col(keyCol)).distinct()
+          val hits = readResolved(spark, dir, Some(st.version),
+              withLineage = true)
+            .join(upKeys, Seq(keyCol), "left_semi")
+            .select(col(keyCol), col(FileCol).as("file"),
+              col(PosCol).as("pos"))
+            .cache()
+          try {
+            val matched = hits.count()
+            val matchedKeys = hits.select(keyCol).distinct().count()
+            val newDvs =
+              if (matched == 0L) Seq.empty
+              else stageDv(spark, dir, hits.select("file", "pos"))
+            val newFiles = stage(spark, dir, updates, partCol)
+            if (commitAt(spark, dir, st.version, st.files ++ newFiles,
+                st.carried, st.dvs ++ newDvs,
+                st.stats ++ ingestStats(spark, dir, newFiles, st.meta)))
+              return (st.version + 1, matched, upCount - matchedKeys)
+            // lost the race: addresses were derived against a stale
+            // snapshot — drop both stages and re-derive
+            dropStaged(spark, dir, newDvs ++ newFiles)
+          } finally hits.unpersist(): Unit
+      }
+      attempt += 1
+    }
+    sys.error(s"could not merge into $dir after $MaxCommitAttempts attempts")
+  }
+
   /** ANALYZE: backfill per-file min/max stats of `statsCol` for every
     * data file that lacks them — plain appends land stats-less (they
     * did not pay the clustered write's range shuffle), so a table built
