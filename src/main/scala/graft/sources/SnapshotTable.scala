@@ -2331,7 +2331,17 @@ object SnapshotTable {
       guardDvFormat(dir, target)
       val files = dataLines(target)
       val dvs = dvLines(target)
-      val gone = (files ++ dvs).filterNot(f => fs.exists(new Path(root, f)))
+      // existence audit batched per DIRECTORY (one listing per
+      // partition dir + one for _dv), not one GET per file — on an
+      // object store a 10⁵-file target costs hundreds of LISTs, not
+      // 10⁵ HEADs
+      val present: Set[String] = (files ++ dvs).map(_.split('/').head)
+        .distinct.flatMap { d0 =>
+          val p = new Path(root, d0)
+          if (!fs.exists(p)) Seq.empty[String]
+          else fs.listStatus(p).map(f => s"$d0/${f.getPath.getName}").toSeq
+        }.toSet
+      val gone = (files ++ dvs).filterNot(present.contains)
       require(gone.isEmpty,
         s"$dir: cannot restore to v$toVersion — ${gone.size} of its " +
           s"files were reclaimed (first: ${gone.headOption.getOrElse("")});" +
@@ -2344,6 +2354,17 @@ object SnapshotTable {
       attempt += 1
     }
     sys.error(s"could not restore $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** [[restore]] by TIMESTAMP (`RESTORE TABLE ... TO TIMESTAMP AS OF`):
+    * restores to the highest-version snapshot committed at or before
+    * `tsMillis` — [[readAsOf]]'s stamp resolution feeding [[restore]]'s
+    * contract (same refusals, same feed semantics). */
+  def restoreAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val eligible = history(spark, dir).filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"$dir has no snapshot committed at or before $tsMillis")
+    restore(spark, dir, eligible.maxBy(_._1)._1)
   }
 
   /** DV-delete every row whose `keyCol` appears in `keys` (a

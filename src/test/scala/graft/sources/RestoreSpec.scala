@@ -80,6 +80,24 @@ class RestoreSpec extends SparkSpec {
     assert(SnapshotTable.latest(spark, dir).get._1 == 4L)
   }
 
+  test("restoreAsOf resolves a timestamp to the highest committed " +
+      "version at or before it, with restore's exact semantics") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(0L until 50L), "p") // v1
+    SnapshotTable.append(spark, dir, mkDf(50L until 100L), "p") // v2
+    val tsV2 = SnapshotTable.history(spark, dir)
+      .find(_._1 == 2L).get._2
+    Thread.sleep(25) // distinct commit stamps for v3
+    SnapshotTable.append(spark, dir, mkDf(100L until 150L), "p") // v3
+    val vR = SnapshotTable.restoreAsOf(spark, dir, tsV2)
+    assert(vR == 4L)
+    assert(SnapshotTable.read(spark, dir).count() == 100L,
+      "the as-of restore must land on v2's relation")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restoreAsOf(spark, dir, tsV2 - 100000L) // before v1
+    }
+  }
+
   test("refusals: future target, vacuumed target, and a restored " +
       "relation violating a CURRENT constraint") {
     val dir = tempTable()
