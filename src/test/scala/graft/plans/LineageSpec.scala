@@ -101,7 +101,13 @@ class LineageSpec extends SparkSpec {
       // branch published into, q307 the evolved transform table —
       // staged snapshots
       "q303_reorg_feed", "q304_mv_minmax", "q305_replica_reseed",
-      "q306_wap", "q307_partition_evolution")
+      "q306_wap", "q307_partition_evolution",
+      // round-15 (cont.): q308 reads back the table it Z-ordered, q309
+      // the relation it restored, q310/q311 the ingest-statted tables
+      // they window-read, q312 the MoR-merged + folded table — all
+      // legitimately root at staged snapshot output
+      "q308_zorder_optimize", "q309_restore", "q310_ingest_stats",
+      "q311_string_skipping", "q312_merge_mor")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
