@@ -649,8 +649,17 @@ object SnapshotTable {
     // when `since` had no DVs. Maintenance DV-folds never reach here —
     // they rewrite files (nothing is carried) and tag
     // `#datachange=false` besides.
+    // Free fast path: DV sidecar FILES are immutable and, inside one
+    // data-changing run, only ever accumulate (compact's DV-fold both
+    // rewrites the data files out of the carried class and tags
+    // `#datachange=false`, so segments never straddle it; only a
+    // restore-class commit makes a listed sidecar disappear). Every
+    // since-sidecar still listed at `to` therefore proves no DV row
+    // vanished — the steady append+DV feed pays NOTHING for restore
+    // support, a driver-side set check instead of a join.
+    val noSidecarVanished = sinceDvRels.forall(toDvs.toSet.contains)
     val resAddrs =
-      if (kept.isEmpty || sinceDvRels.isEmpty) None
+      if (kept.isEmpty || sinceDvRels.isEmpty || noSidecarVanished) None
       else {
         val lost = sdv
           .join(broadcast(kept.toDF(FileCol)), Seq(FileCol), "left_semi")
@@ -2221,33 +2230,56 @@ object SnapshotTable {
     * the change feed skips it. Returns the committed version. */
   def compactZOrdered(spark: SparkSession, dir: String, partCol: String,
       colA: String, colB: String, rangeParts: Int = 0,
-      bitsPerDim: Int = 8): Long = {
-    require(!colA.contains("|") && !colB.contains("|"),
-      "stats column names cannot contain the stats-line delimiter '|'")
-    require(bitsPerDim >= 1 && bitsPerDim <= 15,
-      s"bitsPerDim $bitsPerDim out of [1, 15]")
+      bitsPerDim: Int = 8): Long =
+    compactZOrderedN(spark, dir, partCol, Seq(colA, colB), rangeParts,
+      bitsPerDim)
+
+  /** [[compactZOrdered]] generalized to N columns (2 ≤ N ≤ 8, the
+    * public Delta OPTIMIZE ZORDER column budget): bit i of column j
+    * lands at z bit `i*N + j`, the aligned cell is the top
+    * `floor(log2(rangeParts) / N)` bit-LEVELS of z (one level = one
+    * bit per dimension), and a narrow range on ANY of the N columns
+    * prunes to O(files^((N-1)/N)) afterward — each extra column trades
+    * per-column selectivity for one more independent access path, the
+    * standard Z-order bargain. `bitsPerDim = 0` derives the per-
+    * dimension grid resolution as `min(8, 62 / N)` so the interleaved
+    * z always fits a long. */
+  def compactZOrderedN(spark: SparkSession, dir: String, partCol: String,
+      cols: Seq[String], rangeParts: Int = 0, bitsPerDim: Int = 0): Long = {
+    val n = cols.size
+    require(n >= 2 && n <= 8, s"z-order needs 2..8 columns, got $n")
+    require(cols.distinct.size == n, s"z-order columns must be distinct")
+    cols.foreach(c => require(!c.contains("|"),
+      "stats column names cannot contain the stats-line delimiter '|'"))
+    val bits = if (bitsPerDim > 0) bitsPerDim else math.min(8, 62 / n)
+    require(bits >= 1 && bits * n <= 62,
+      s"bitsPerDim $bits × $n columns exceeds the 62-bit z budget")
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val st = latestState(spark, dir)
         .getOrElse(sys.error(s"$dir has no committed snapshot"))
       val snap = read(spark, dir, Some(st.version)) // DV-applied: folds
-      val bounds = snap.agg(
-        min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-        min(col(colB)).cast("long"), max(col(colB)).cast("long")).first()
-      require(!bounds.anyNull,
-        s"$dir: z-order needs at least one non-null value in '$colA' " +
-          s"and '$colB'")
-      val cells = 1L << bitsPerDim
+      val bRow = snap.agg(
+        min(col(cols.head)).cast("long"),
+        (Seq(max(col(cols.head)).cast("long")) ++ cols.tail.flatMap(c =>
+          Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))): _*)
+        .first()
+      require(!bRow.anyNull,
+        s"$dir: z-order needs at least one non-null value in every " +
+          s"column of ${cols.mkString("(", ", ", ")")}")
+      val cells = 1L << bits
       def cellCol(c: String, lo: Long, hi: Long): Column = {
         val span = math.max(1L, hi - lo + 1)
         expr(s"cast(((least(greatest(cast(`$c` as bigint), ${lo}L), " +
           s"${hi}L) - ${lo}L) * ${cells}L) div ${span}L as bigint)")
       }
-      val ca = cellCol(colA, bounds.getLong(0), bounds.getLong(1))
-      val cb = cellCol(colB, bounds.getLong(2), bounds.getLong(3))
-      val z = (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
-        acc.bitwiseOR(shiftleft(shiftright(ca, i).bitwiseAND(1), 2 * i))
-          .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(1), 2 * i + 1))
+      val dims = cols.zipWithIndex.map { case (c, j) =>
+        cellCol(c, bRow.getLong(2 * j), bRow.getLong(2 * j + 1))
+      }
+      val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        dims.zipWithIndex.foldLeft(acc) { case (a, (dc, j)) =>
+          a.bitwiseOR(shiftleft(shiftright(dc, i).bitwiseAND(1), i * n + j))
+        }
       }
       val parts =
         if (rangeParts > 0) rangeParts
@@ -2257,18 +2289,16 @@ object SnapshotTable {
             .toLong
           math.max(16L, (snap.count() + target - 1) / target).toInt
         }
-      // aligned quadtree cell: the top floor(log4(parts)) bit-pairs of z
-      val cellLevels = math.min(bitsPerDim,
-        math.max(1, (63 - java.lang.Long.numberOfLeadingZeros(
-          parts.toLong)) / 2))
-      val cell = shiftright(col("__z"), 2 * (bitsPerDim - cellLevels))
+      // aligned cell: the top floor(log2(parts) / n) LEVELS of z
+      val cellLevels = math.min(bits, math.max(1,
+        (63 - java.lang.Long.numberOfLeadingZeros(parts.toLong)) / n))
+      val cell = shiftright(col("__z"), n * (bits - cellLevels))
       val newFiles = stage(spark, dir,
         snap.withColumn("__z", z).withColumn("__zc", cell)
           .repartitionByRange(parts, col("__zc"), col("__z"))
           .drop("__z"), partCol, layoutCols = Seq("__zc"))
-      val fresh = computeStatsMulti(spark, dir, newFiles,
-        Seq(colA, colB)) ++ ingestStats(spark, dir, newFiles, st.meta,
-        already = Seq(colA, colB))
+      val fresh = computeStatsMulti(spark, dir, newFiles, cols) ++
+        ingestStats(spark, dir, newFiles, st.meta, already = cols)
       if (commitAt(spark, dir, st.version, newFiles,
           st.carried + (DataChangeKey -> "false"), Seq.empty, fresh))
         return st.version + 1

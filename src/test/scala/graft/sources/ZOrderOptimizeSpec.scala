@@ -60,6 +60,38 @@ class ZOrderOptimizeSpec extends SparkSpec {
     assert(SnapshotTable.tableChanges(spark, dir, vBefore, vZ).count() == 0L)
   }
 
+  test("N-column z-order: three independent columns all prune, the " +
+      "relation is identical, and the column budget is validated") {
+    import spark.implicits._
+    val dir = tempTable()
+    // a, b, c pairwise pseudorandom: no 1-D or 2-D layout could serve
+    // all three access paths
+    val df = (0L until 4000L).map { k =>
+      (k, (k * 2654435761L) % 4000L, (k * 40503L) % 4000L, k % 2)
+    }.toDF("a", "b", "c", "p")
+    SnapshotTable.write(spark, dir, df, "p")
+    SnapshotTable.compactZOrderedN(spark, dir, "p", Seq("a", "b", "c"),
+      rangeParts = 64) // 4^3 cells at 2 bit-levels/dim
+    assert(SnapshotTable.read(spark, dir).count() == 4000L)
+    Seq("a", "b", "c").foreach { cc =>
+      val (got, kept, tot) = SnapshotTable.readRange(spark, dir, cc,
+        1000L, 1399L) // 10% window inside one 4-strip
+      assert(kept * 2 <= tot,
+        s"$cc window must prune after 3-col z-order: kept $kept/$tot")
+      assert(got.count() == 400L, s"$cc window row count")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compactZOrderedN(spark, dir, "p", Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compactZOrderedN(spark, dir, "p", Seq("a", "a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compactZOrderedN(spark, dir, "p", Seq("a", "b", "c"),
+        bitsPerDim = 30) // 90 bits > the 62-bit z budget
+    }
+  }
+
   test("null cells route to the null range-partition and stay exact; " +
       "an all-null column is refused; bad column names are refused") {
     import spark.implicits._
