@@ -86,4 +86,45 @@ class ConcurrentWritersSpec extends SparkSpec {
     // whichever order the CAS serialized them in
     assert(rows == Set((1L, 0L), (2L, 0L), (3L, 1L), (50L, 1L)), s"got $rows")
   }
+
+  test("MoR merge racing an append: the loser re-derives — upsert and " +
+      "append both land, no DV addresses a stale file") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf((1L to 20L).map(k => (k, k % 2))), "p")
+    inParallel(
+      () => { SnapshotTable.mergeDV(spark, dir, "p", "k",
+        mkDf(Seq((2L, 0L), (30L, 1L)))); () },
+      () => { SnapshotTable.append(spark, dir, mkDf(Seq((50L, 1L))), "p"); () })
+    val got = keys(dir)
+    assert(got == ((1L to 20L).toSet ++ Set(30L, 50L)),
+      s"a racer's effect was clobbered: $got")
+    // k=2 must appear exactly once (old version DV-suppressed)
+    assert(SnapshotTable.read(spark, dir).filter(col("k") === 2L)
+      .count() == 1L)
+    assert(SnapshotTable.latest(spark, dir).get._1 == 3L)
+  }
+
+  test("restore racing an append: restore re-derives at the winner's " +
+      "version; the relation is the target's and the racer's rows stay " +
+      "time-travel readable") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(Seq((1L, 0L))), "p") // v1
+    SnapshotTable.append(spark, dir, mkDf(Seq((2L, 1L))), "p") // v2
+    SnapshotTable.append(spark, dir, mkDf(Seq((3L, 0L))), "p") // v3
+    inParallel(
+      () => { SnapshotTable.restore(spark, dir, 2L); () },
+      () => { SnapshotTable.append(spark, dir, mkDf(Seq((99L, 1L))), "p"); () })
+    val vEnd = SnapshotTable.latest(spark, dir).get._1
+    assert(vEnd == 5L, "both commits must land, in some CAS order")
+    val ks = keys(dir)
+    // two legal serializations: append-then-restore (latest = exactly
+    // v2's relation) or restore-then-append (v2's relation + k=99);
+    // either way NOTHING is lost from history
+    assert(ks == Set(1L, 2L) || ks == Set(1L, 2L, 99L), s"got $ks")
+    val hist = (1L to vEnd).flatMap(v =>
+      SnapshotTable.read(spark, dir, Some(v))
+        .select(col("k").cast("long")).collect().map(_.getLong(0))).toSet
+    assert(hist.contains(99L) && hist.contains(3L),
+      "every racer's rows must stay readable somewhere in history")
+  }
 }
