@@ -75,11 +75,16 @@ class IngestStatsSpec extends SparkSpec {
     assert(newSince(atV8).forall(f => covered("a")(f) && covered("b")(f)),
       "compact must stat its rewrites — maintenance keeps skipping alive")
 
-    SnapshotTable.setStatsColumns(spark, dir, Seq.empty) // v10: clear
+    val v9 = SnapshotTable.latest(spark, dir).get._1
+    SnapshotTable.writeIf(spark, dir, mkDf(400L until 450L), "p", v9) // v10
+    assert(files(dir).forall(f => covered("a")(f) && covered("b")(f)),
+      "writeIf (the MV-refresh commit path) must stat its replace files")
+
+    SnapshotTable.setStatsColumns(spark, dir, Seq.empty) // v11: clear
     assert(SnapshotTable.statsColumnsOf(spark, dir).isEmpty)
-    val atV10 = files(dir)
-    SnapshotTable.append(spark, dir, mkDf(300L until 320L), "p") // v11
-    assert((files(dir) -- atV10).forall(f => !covered("a")(f)),
+    val atV11 = files(dir)
+    SnapshotTable.append(spark, dir, mkDf(300L until 320L), "p") // v12
+    assert((files(dir) -- atV11).forall(f => !covered("a")(f)),
       "a cleared registration must stop covering new files")
   }
 
