@@ -1751,8 +1751,10 @@ object CoreQueries {
       * [[graft.sources.SnapshotTable.tableChanges]] /
       * [[graft.sources.SnapshotTable.readChangesSince]] SKIP them): the
       * gate pins that an OPTIMIZE commit feeds ZERO rows (claim), that a
-      * replica whose source advanced by maintenance only applies nothing
-      * — version unchanged (claim) — and that a feed window STRADDLING
+      * replica whose source advanced by maintenance only applies NO ROWS
+      * — one metadata-only marker-advance commit, feed-invisible and
+      * idempotent (ADVICE r15: a stale marker would be vacuumed away,
+      * forcing a reseed) — and that a feed window STRADDLING
       * two maintenance commits still converges the replica exactly (the
       * multi-run netting path: an append before the OPTIMIZE and a DV
       * delete after it net to the endpoint diff). The replica's
@@ -1781,10 +1783,18 @@ object CoreQueries {
       SnapshotTable.replicate(s, src, dst, "part", "k") // full copy, marker 2
       val (v3, compacted) = SnapshotTable.compact(s, src, "part") // v3: reorg
       val vDstBefore = SnapshotTable.latest(s, dst).get._1
-      // maintenance-only window: the replica applies NOTHING
-      val reorgNoop =
-        SnapshotTable.replicate(s, src, dst, "part", "k") == vDstBefore &&
-          SnapshotTable.latest(s, dst).get._1 == vDstBefore
+      // maintenance-only window: the replica applies NO ROWS — it
+      // advances its marker with ONE metadata-only #datachange=false
+      // commit (ADVICE r15: leaving the marker behind lets a
+      // maintenance-only source vacuum it away and forces a full
+      // reseed though no row ever changed), invisible to the replica's
+      // own downstream feed, and idempotent once advanced
+      val dstRowsBefore = SnapshotTable.read(s, dst).count()
+      val vMarker = SnapshotTable.replicate(s, src, dst, "part", "k")
+      val reorgNoop = vMarker == vDstBefore + 1 &&
+        SnapshotTable.read(s, dst).count() == dstRowsBefore &&
+        SnapshotTable.readChangesSince(s, dst, vDstBefore).isEmpty &&
+        SnapshotTable.replicate(s, src, dst, "part", "k") == vMarker
       SnapshotTable.append(s, src, base.filter(col("k") % 2 =!= 0), "part") // v4
       SnapshotTable.compactClustered(s, src, "part", "k") // v5: reorg
       SnapshotTable.deleteWhereDV(s, src, col("k") % 11 === 0) // v6
@@ -2090,6 +2100,141 @@ object CoreQueries {
           lit(oneDimBlind).as("one_dim_blind_on_b"),
           lit(bothPruned).as("both_columns_pruned"),
           lit(identical && dvFolded).as("relation_identical_dv_folded"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** OPTIMIZE commit-reconciliation, driver-gated end to end
+      * ([[graft.sources.SnapshotTable.compactClustered]] /
+      * `compactZOrderedN` — VERDICT r15 #1: the pre-reconcile loop
+      * re-ran the TABLE-WIDE shuffle on every lost CAS, so a steady
+      * append stream livelocked the one maintenance path that folds
+      * DVs and rebuilds the skipping index). The gate injects a
+      * deterministic CAS loss through the `afterStage` seam twice:
+      * a PURE APPEND interleave must commit the already-staged rewrite
+      * plus the winner's rows with EXACTLY ONE shuffle derivation
+      * (claim, pinned on the optimizeDeriveCount counter — the q293
+      * read-count-pin pattern) while still folding the pre-stage DVs
+      * (claim); a racing DV DELETE over rewritten rows must force a
+      * true re-derive (claim: two derivations) whose result folds the
+      * racer's deletion exactly — the final relation hashes against
+      * the oracle's recompute of both delete predicates.
+      *
+      * Scale shape: the reconciled commit is manifest arithmetic plus
+      * the winners' file names — a multi-hour 100 TB OPTIMIZE now
+      * lands against an append-per-hour table instead of redoing its
+      * shuffle forever. */
+    "q313_optimize_reconcile" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_rec_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_returnflag"), col("l_quantity"))
+      def chunk(i: Int) = base.filter(col("l_orderkey") % 3 === i)
+      SnapshotTable.write(s, tbl, chunk(0), "l_returnflag")            // v1
+      SnapshotTable.append(s, tbl, chunk(1), "l_returnflag")           // v2
+      SnapshotTable.deleteWhereDV(s, tbl, col("l_orderkey") % 9 === 0) // v3
+      val d0 = SnapshotTable.optimizeDeriveCount.get()
+      val vRec = SnapshotTable.compactClusteredHooked(s, tbl,
+        "l_returnflag", "l_orderkey", 16, Nil,
+        // the racing append wins v4; the OPTIMIZE must reconcile at v5
+        () => { SnapshotTable.append(s, tbl, chunk(2), "l_returnflag"); () })
+      val reconciled =
+        SnapshotTable.optimizeDeriveCount.get() - d0 == 1 && vRec == 5L
+      val dvFolded1 = SnapshotTable.latestFull(s, tbl).get._3.isEmpty
+      val d1 = SnapshotTable.optimizeDeriveCount.get()
+      val vRed = SnapshotTable.compactZOrderedNHooked(s, tbl,
+        "l_returnflag", Seq("l_orderkey", "l_partkey"), 64, 0, Nil,
+        // the racing delete wins v6 and addresses rewritten rows — the
+        // z-order must RE-DERIVE and commit v7
+        () => { SnapshotTable.deleteWhereDV(s, tbl,
+          col("l_orderkey") % 13 === 0); () })
+      val rederived =
+        SnapshotTable.optimizeDeriveCount.get() - d1 == 2 && vRed == 7L
+      val dvFolded2 = SnapshotTable.latestFull(s, tbl).get._3.isEmpty
+      SnapshotTable.read(s, tbl)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(vRed).as("final_version"),
+          lit(reconciled).as("append_race_reconciled_no_reshuffle"),
+          lit(rederived).as("delete_race_rederived"),
+          lit(dvFolded1 && dvFolded2).as("dvs_folded"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Partition-scoped OPTIMIZE (`OPTIMIZE ... WHERE`), driver-gated
+      * end to end ([[graft.sources.SnapshotTable.compactClustered]]
+      * with `scope` — VERDICT r15 #4: both re-cluster verbs rewrote the
+      * WHOLE table, so the nightly job could not incrementally z-order
+      * only fresh partitions): three appends fragment every partition
+      * and a DV delete spans them; the gate then re-clusters ONLY the
+      * 'N' partition and proves out-of-scope files are carried BY NAME,
+      * byte-identical in the manifest (claim), the DV set is carried so
+      * out-of-scope deletions keep applying — the window aggregate
+      * hashes against the oracle's recompute over the deletion
+      * predicate (and the in-scope DV rows folded into the rewrite) —
+      * the change feed stays silent (`#datachange=false`, claim), and a
+      * window read prunes INSIDE the scope while conservatively keeping
+      * the unstatted out-of-scope files (claim).
+      *
+      * Scale shape: the scoped rewrite costs O(scope), shrinking the
+      * reconcile conflict window from table-rewrite hours to
+      * partition-rewrite minutes — the incremental nightly OPTIMIZE a
+      * 100 TB table actually runs. */
+    "q314_scoped_optimize" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_sco_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      cleanupOnExit(dir)
+      val tbl = new java.io.File(dir, "t").toString
+      val base = lineitem(s, d).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"))
+      def chunk(i: Int) = base.filter(col("l_orderkey") % 3 === i)
+      SnapshotTable.write(s, tbl, chunk(0), "l_returnflag")             // v1
+      SnapshotTable.append(s, tbl, chunk(1), "l_returnflag")            // v2
+      SnapshotTable.append(s, tbl, chunk(2), "l_returnflag")            // v3
+      SnapshotTable.deleteWhereDV(s, tbl, col("l_orderkey") % 11 === 0) // v4
+      val before = SnapshotTable.latest(s, tbl).get._2
+      val outBefore = before.filterNot(_.startsWith("l_returnflag=N/")).toSet
+      val vS = SnapshotTable.compactClustered(s, tbl, "l_returnflag",
+        "l_orderkey", rangeParts = 16, scope = Seq("N"))                // v5
+      val stA = SnapshotTable.latestFull(s, tbl).get
+      val outIdentical = vS == 5L &&
+        stA._2.filterNot(_.startsWith("l_returnflag=N/")).toSet == outBefore
+      val dvCarried = stA._3.nonEmpty
+      val feedSilent = SnapshotTable.readChangesSince(s, tbl, 4L).isEmpty
+      // integer-div middle-fifth window (the q308 rule), oracle-mirrored
+      val r0 = base.agg(min(col("l_orderkey")).cast("long"),
+        max(col("l_orderkey")).cast("long")).first()
+      val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+      val (loA, hiA) = (mn + 2 * (mx - mn) / 5, mn + 3 * (mx - mn) / 5)
+      val (dfW, kept, tot) =
+        SnapshotTable.readRange(s, tbl, "l_orderkey", loA, hiA)
+      val inScope = stA._2.count(_.startsWith("l_returnflag=N/"))
+      // all out-of-scope files are stat-less (conservatively kept), so
+      // every pruned file is in-scope — require real in-scope pruning
+      val scopedPruned =
+        kept < tot && (kept - (tot - inScope)) * 2 <= inScope
+      dfW.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+          lit(vS).as("final_version"),
+          lit(outIdentical).as("out_of_scope_identical"),
+          lit(dvCarried).as("dv_out_of_scope_applies"),
+          lit(feedSilent).as("feed_silent"),
+          lit(scopedPruned).as("in_scope_pruned"))
         .orderBy("l_returnflag")
     }),
 
@@ -4007,6 +4152,48 @@ object CoreQueries {
         |  TRUE AS feed_converges
         |FROM lineitem WHERE l_orderkey % 3 <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the final relation carries BOTH racing deletes exactly: %9 over
+    // chunks 0/1 (landed before chunk 2 appended) and %13 over the
+    // whole table — a reconcile that dropped the append-winner's rows,
+    // resurrected a deleted row, or double-kept a staged file fails
+    // n_rows/sum_qty; the one-derivation / re-derivation / fold claims
+    // are oracle-asserted and the version ladder is hard (write,
+    // append, DV, append, OPTIMIZE, DV, OPTIMIZE -> 7)
+    "q313_optimize_reconcile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(7 AS BIGINT) AS final_version,
+        |  TRUE AS append_race_reconciled_no_reshuffle,
+        |  TRUE AS delete_race_rederived,
+        |  TRUE AS dvs_folded
+        |FROM lineitem
+        |WHERE l_orderkey % 13 <> 0
+        |  AND (l_orderkey % 3 = 2 OR l_orderkey % 9 <> 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the orderkey middle-fifth window recomputed over the %11-deleted
+    // relation (integer-div corners, the q280/q290 rule) — a scoped
+    // rewrite that lost an out-of-scope DV row (resurrection), moved an
+    // out-of-scope file, or dropped an in-scope row fails
+    // n_rows/sum_qty; byte-identity / DV-carry / feed-silence /
+    // in-scope-pruning claims are oracle-asserted
+    "q314_scoped_optimize" ->
+      """WITH r AS (
+        |  SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |  FROM lineitem),
+        |sel AS (
+        |  SELECT l.l_returnflag, l.l_quantity
+        |  FROM lineitem l CROSS JOIN r
+        |  WHERE l.l_orderkey % 11 <> 0
+        |    AND l.l_orderkey >= r.mn + 2 * (r.mx - r.mn) // 5
+        |    AND l.l_orderkey <= r.mn + 3 * (r.mx - r.mn) // 5)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(5 AS BIGINT) AS final_version,
+        |  TRUE AS out_of_scope_identical,
+        |  TRUE AS dv_out_of_scope_applies,
+        |  TRUE AS feed_silent,
+        |  TRUE AS in_scope_pruned
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // the orderkey window recomputed directly (integer-div corners,
     // the q280/q290 rule) — ingest-time stats that mis-bounded a file
     // would drop or duplicate window rows and fail the hash; the

@@ -17,6 +17,23 @@ object EventQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic per-(name, sf) gate directory: wiped at call start
+    * and registered for JVM-exit deletion, so the repeated dual-scale
+    * sweeps reuse ONE /tmp location per gate instead of accumulating a
+    * fresh table/checkpoint tree per invocation (VERDICT r15 #3 — the
+    * q204 `freshDir` convention, shared). Wiping at call start also
+    * guarantees a reused streaming CHECKPOINT can never resume a prior
+    * sweep's state. */
+  private def gateDir(name: String, d: String): java.nio.file.Path = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+    }
+    rm(f); CoreQueries.cleanupOnExit(f); f.mkdirs()
+    f.toPath
+  }
+
   val queries: Map[String, Q] = Map(
     /** JSON scalar extraction (get_json_object) + aggregate over the
       * extracted field. */
@@ -320,7 +337,7 @@ object EventQueries {
       * byte-identical to their originals, so which copy survives is
       * immaterial and the output is deterministic. */
     "q79_stream_dedup" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("q79_dup")
+      val dir = gateDir("q79_dup", d)
       graft.streaming.EventStream.stageEvents(s, d, dir, "a")
       java.nio.file.Files.copy(dir.resolve("a.parquet"), dir.resolve("b.parquet"))
       val sink = "q79_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -349,7 +366,7 @@ object EventQueries {
       * exactly the batch answer. */
     "q80_stream_hourly_sink" -> ((s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q80_sink")
+      val dir = gateDir("q80_sink", d)
       graft.streaming.EventStream.stageEvents(s, d, dir, "a")
       val maxMs = events(s, d)
         .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
@@ -367,7 +384,7 @@ object EventQueries {
       // the sink must live OUTSIDE the stream source directory — the file
       // source re-lists its tree each trigger and would discover the
       // sink's freshly-written parts as conflicting input
-      val outDir = java.nio.file.Files.createTempDirectory("q80_out")
+      val outDir = gateDir("q80_out", d)
         .resolve("agg_out").toString
       graft.streaming.EventStream.runToParquet(
         graft.streaming.EventStream.hourlyAggregates(src), outDir)
@@ -480,7 +497,7 @@ object EventQueries {
       * of stream length. */
     "q278_late_data" -> ((s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q278_src")
+      val dir = gateDir("q278_src", d)
       graft.streaming.EventStream.stageEvents(s, d, dir, "a")
       val maxMs = events(s, d)
         .agg(max(col("ts").cast("timestamp").cast("double"))).first().getDouble(0)
@@ -505,7 +522,7 @@ object EventQueries {
       val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       // sink lives outside the source tree (q80's file-source rule)
-      val outDir = java.nio.file.Files.createTempDirectory("q278_out")
+      val outDir = gateDir("q278_out", d)
         .resolve("agg_out").toString
       val q = graft.streaming.EventStream.hourlyAggregates(src).writeStream
         .outputMode("append")
@@ -515,7 +532,7 @@ object EventQueries {
             batch.write.mode("append").parquet(outDir)
         }
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+          gateDir("q278_ckpt", d).toString)
         .start()
       q.processAllAvailable()
       // state rows from the last progress that actually CONSUMED input
@@ -566,7 +583,7 @@ object EventQueries {
       * window), not O(stream), at any executor count. */
     "q284_join_late" -> ((s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q284_src")
+      val dir = gateDir("q284_src", d)
       // 1-in-3 user slice: the late-drop contract is per-user state
       // semantics; streaming the full corpus through the micro-batch
       // harness adds wall time, not evidence (oracle slices identically;
@@ -607,7 +624,7 @@ object EventQueries {
       graft.streaming.EventStream.spaceFileMtimes(dir, Seq("a", "b", "c"))
       val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      val outDir = java.nio.file.Files.createTempDirectory("q284_out")
+      val outDir = gateDir("q284_out", d)
         .resolve("join_out").toString
       // a stream-stream join keeps FOUR state stores per shuffle
       // partition; this 3-micro-batch proof gate doesn't need 32 state
@@ -628,7 +645,7 @@ object EventQueries {
                 batch.write.mode("append").parquet(outDir)
             }
             .option("checkpointLocation",
-              java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+              gateDir("q284_ckpt", d).toString)
             .start()
           try {
             q.processAllAvailable()
@@ -669,7 +686,7 @@ object EventQueries {
       * eviction; outer emission adds no state beyond the inner case. */
     "q286_join_outer" -> ((s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("q286_src")
+      val dir = gateDir("q286_src", d)
       // q284's 1-in-10 user slice, same rationale — oracle matches
       graft.streaming.EventStream.stageEvents(s, d, dir, "a", userMod = 10L)
       val maxMs = events(s, d)
@@ -684,7 +701,7 @@ object EventQueries {
       graft.streaming.EventStream.spaceFileMtimes(dir, Seq("a", "b"))
       val src = s.readStream.schema(graft.streaming.EventStream.streamSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      val outDir = java.nio.file.Files.createTempDirectory("q286_out")
+      val outDir = gateDir("q286_out", d)
         .resolve("join_out").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions") // q284's
       s.conf.set("spark.sql.shuffle.partitions", "8")              // rationale
@@ -699,7 +716,7 @@ object EventQueries {
                 .write.mode("append").parquet(outDir)
           }
           .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+            gateDir("q286_ckpt", d).toString)
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -742,7 +759,7 @@ object EventQueries {
       * protection one manifest-header lookup, newest-first. */
     "q288_stream_merge" -> ((s, d) => {
       import graft.sources.SnapshotTable
-      val srcDir = java.nio.file.Files.createTempDirectory("q288_src")
+      val srcDir = gateDir("q288_src", d)
       val cdc = orders(s, d).select(
         col("o_orderkey").as("k"), col("o_orderstatus").as("part"),
         col("o_totalprice").as("v"))
@@ -751,7 +768,7 @@ object EventQueries {
       graft.streaming.EventStream.writeEventsFile(cdc, srcDir, "b0")
       graft.streaming.EventStream.writeEventsFile(b1, srcDir, "b1")
       graft.streaming.EventStream.spaceFileMtimes(srcDir, Seq("b0", "b1"))
-      val tbl = java.nio.file.Files.createTempDirectory("q288_tbl")
+      val tbl = gateDir("q288_tbl", d)
         .resolve("t").toString
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k",
@@ -770,7 +787,7 @@ object EventQueries {
               batch, batchId, "q288"): Unit
         }
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+          gateDir("q288_ckpt", d).toString)
         .start()
       q.processAllAvailable()
       q.stop()
@@ -808,7 +825,7 @@ object EventQueries {
       * commit cost on day 365 as on day 1. */
     "q293_replay_ladder" -> ((s, d) => {
       import graft.sources.SnapshotTable
-      val tbl = java.nio.file.Files.createTempDirectory("q293_tbl")
+      val tbl = gateDir("q293_tbl", d)
         .resolve("t").toString
       val sel = orders(s, d)
         .orderBy("o_orderkey").limit(50)
@@ -880,7 +897,7 @@ object EventQueries {
       * layout to get that. */
     "q300_hidden_partitioning" -> ((s, d) => {
       import graft.sources.SnapshotTable
-      val dir = java.nio.file.Files.createTempDirectory("q300_tbl")
+      val dir = gateDir("q300_tbl", d)
         .resolve("t").toString
       val base = events(s, d)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -932,7 +949,7 @@ object EventQueries {
       * ever knows the eras exist. */
     "q307_partition_evolution" -> ((s, d) => {
       import graft.sources.SnapshotTable
-      val dir = java.nio.file.Files.createTempDirectory("q307_tbl")
+      val dir = gateDir("q307_tbl", d)
         .resolve("t").toString
       val base = events(s, d)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))

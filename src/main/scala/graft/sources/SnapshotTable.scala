@@ -1224,12 +1224,28 @@ object SnapshotTable {
     val (_, root) = fsFor(spark, dir)
     val live: Seq[String] = st.meta.get(BloomIdxPrefix + column) match {
       case None => st.files // no index: every file must scan
+      // a committed ZERO-file snapshot can still carry the index header
+      // (a full delete keeps carried headers) — short-circuit instead of
+      // letting columnType NoSuchElement on files.head (ADVICE r15)
+      case Some(_) if st.files.isEmpty => Seq.empty
       case Some(rel) =>
         graft.functions.BloomFunctions.register(spark)
         import spark.implicits._
         // the probe hash MUST be the same xxhash64 the index was built
         // with — engine-computed over the column's OWN type
         val dt = columnType(spark, dir, root, st.files, column)
+        // a probe value the stored type cannot represent casts to NULL,
+        // and xxhash64(NULL) degrades to the seed — the probe would then
+        // prune against a meaningless hash and silently return matches
+        // of nothing; refuse loudly instead (ADVICE r15)
+        val probeCast = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(value), dt,
+          Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+        require(value != null && probeCast.eval(null) != null,
+          s"$dir: point-lookup probe value '$value' " +
+            s"(${if (value == null) "null" else value.getClass.getName}) " +
+            s"does not cast to $column's stored type $dt — the bloom " +
+            "probe would hash NULL and prune meaninglessly")
         st.files.toDF("file")
           .join(spark.read.parquet(new Path(root, rel).toString)
             .select(col("file"), col("sketch")), Seq("file"), "left")
@@ -1575,6 +1591,11 @@ object SnapshotTable {
   def write(spark: SparkSession, dir: String, df: DataFrame,
       partCol: String, meta: Map[String, String] = Map.empty): Long = {
     val staged = stage(spark, dir, df, partCol)
+    // ingest stats are a full column-pruned scan of the staged files —
+    // memoized across CAS attempts keyed by the registration value, so a
+    // lost race only recomputes when a concurrent setStatsColumns
+    // actually changed what must be indexed (ADVICE r15)
+    val statsFor = memoStats(spark, dir, staged)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val st = latestState(spark, dir)
@@ -1585,12 +1606,33 @@ object SnapshotTable {
       val v = st.map(_.version).getOrElse(0L)
       if (commitAt(spark, dir, v, staged,
           st.map(_.carried).getOrElse(Map.empty) ++ meta, Seq.empty,
-          ingestStats(spark, dir, staged,
-            st.map(_.meta).getOrElse(Map.empty) ++ meta)))
+          statsFor(st.map(_.meta).getOrElse(Map.empty) ++ meta, Seq.empty)))
         return v + 1
       attempt += 1
     }
+    // exhaustion leaks the staged files until vacuum otherwise (ADVICE r15)
+    dropStaged(spark, dir, staged)
     sys.error(s"could not write to $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** Memoized [[ingestStats]] for one staged file set: recomputes only
+    * when the registered-columns value (minus the caller's
+    * already-computed columns) actually changes between CAS attempts —
+    * a blind per-attempt recompute re-scans the staged files up to
+    * MaxCommitAttempts times under contention for an identical result
+    * (ADVICE r15). */
+  private def memoStats(spark: SparkSession, dir: String,
+      staged: Seq[String]): (Map[String, String], Seq[String]) => Seq[String] = {
+    var key: Option[Seq[String]] = None
+    var cached: Seq[String] = Seq.empty
+    (meta: Map[String, String], already: Seq[String]) => {
+      val cols = statsColsOf(meta).filterNot(already.contains)
+      if (!key.contains(cols)) {
+        cached = computeStatsMulti(spark, dir, staged, cols)
+        key = Some(cols)
+      }
+      cached
+    }
   }
 
   /** Create (or replace) the table CLUSTERED on `statsCol` with a
@@ -1636,6 +1678,8 @@ object SnapshotTable {
     val files = stage(spark, dir,
       df.repartitionByRange(parts, col(statsCol)), partCol)
     val stats = computeStats(spark, dir, files, statsCol)
+    val statsFor = memoStats(spark, dir, files) // ADVICE r15: no re-scan
+                                                // per lost CAS attempt
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val st = latestState(spark, dir)
@@ -1646,11 +1690,12 @@ object SnapshotTable {
       val v = st.map(_.version).getOrElse(0L)
       if (commitAt(spark, dir, v, files,
           st.map(_.carried).getOrElse(Map.empty), Seq.empty,
-          stats ++ ingestStats(spark, dir, files,
-            st.map(_.meta).getOrElse(Map.empty), already = Seq(statsCol))))
+          stats ++ statsFor(st.map(_.meta).getOrElse(Map.empty),
+            Seq(statsCol))))
         return v + 1
       attempt += 1
     }
+    dropStaged(spark, dir, files) // ADVICE r15: no leak on exhaustion
     sys.error(s"could not write to $dir after $MaxCommitAttempts attempts")
   }
 
@@ -1893,6 +1938,7 @@ object SnapshotTable {
         return st.version + 1
       attempt += 1
     }
+    dropStaged(spark, dir, staged) // ADVICE r15: no leak on exhaustion
     sys.error(s"could not append to $dir after $MaxCommitAttempts attempts")
   }
 
@@ -2143,51 +2189,192 @@ object SnapshotTable {
     sys.error(s"could not analyze $dir after $MaxCommitAttempts attempts")
   }
 
-  /** OPTIMIZE ... ZORDER-style full re-cluster: rewrite the ENTIRE
-    * table range-clustered on `statsCol` (the 1-D analogue of Delta's
-    * OPTIMIZE ZORDER BY), folding every deletion vector in and
-    * committing a complete fresh stats index — the maintenance verb
-    * that restores [[readRange]] selectivity after a day of appends
-    * fragmented the clustering. Readers of the old snapshot keep their
-    * files until vacuum; the relation is row-identical by construction.
+  /** Full-shuffle derivations the OPTIMIZE verbs ran since JVM start —
+    * the reconcile contract's observability anchor (VERDICT r15 #1, the
+    * q293 read-count-pin pattern): an OPTIMIZE that loses its CAS to
+    * pure appends must COMMIT-RECONCILE (re-commit the already-staged
+    * rewrite plus the winners' files) without incrementing this; only a
+    * conflicting interleave (delete/merge/restore touching the
+    * rewritten span) forces a second derivation. */
+  private[graft] val optimizeDeriveCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The data files a (possibly partition-scoped) re-cluster rewrites:
+    * the whole list for an empty scope, else only the files in the
+    * scope's partition dirs. */
+  private def scopedFiles(files: Seq[String], partCol: String,
+      scope: Seq[String]): Seq[String] =
+    if (scope.isEmpty) files
+    else {
+      val dirs = scope.map(v => partDirOf(partCol, v)).toSet
+      files.filter(f => dirs.contains(f.split('/').head))
+    }
+
+  /** [[writeClustered]]'s slice-count knob rule, shared by the OPTIMIZE
+    * classes: a constant slice COUNT is a scale bug (n/16 rows per
+    * slice at 100 TB is a straggler file and a useless index); a
+    * constant rows-per-slice TARGET keeps file sizes flat and index
+    * selectivity constant at any n. */
+  private def resolveParts(spark: SparkSession, rangeParts: Int,
+      df: DataFrame): Int =
+    if (rangeParts > 0) rangeParts
+    else {
+      val target = spark.conf
+        .get("spark.graft.cluster.targetSliceRows", (1L << 22).toString)
+        .toLong
+      math.max(16L, (df.count() + target - 1) / target).toInt
+    }
+
+  /** Can a staged rewrite of `baseScoped` (derived from snapshot `base`)
+    * still commit against `cur` WITHOUT re-deriving? True iff every
+    * interleaved commit was pure content ADDITION relative to the
+    * rewrite's input:
+    *  - no rewritten input file left the manifest (a delete/merge/
+    *    compact/restore rewrote part of what the stage re-clustered);
+    *  - no DV sidecar vanished (a restore-class un-delete re-contained
+    *    rows the DV-applied stage dropped);
+    *  - no NEW DV row addresses a rewritten input file (rows the stage
+    *    carries live were deleted after it ran) — checked by reading
+    *    only the new sidecars (delete-sized, never table-sized).
+    * Everything else — appended files, upserts into other partitions,
+    * DVs over post-base files — is carried verbatim by the reconciled
+    * commit, so the answer here decides shuffle-reuse, never
+    * correctness. */
+  private def reconcilable(spark: SparkSession, root: Path,
+      base: TableState, baseScoped: Set[String], cur: TableState): Boolean = {
+    val curFiles = cur.files.toSet
+    if (!baseScoped.forall(curFiles.contains)) return false
+    val curDvs = cur.dvs.toSet
+    if (!base.dvs.forall(curDvs.contains)) return false
+    val newDvs = cur.dvs.filterNot(base.dvs.toSet)
+    newDvs.isEmpty || {
+      val addressed = spark.read
+        .parquet(newDvs.map(f => new Path(root, f).toString): _*)
+        .select("file").distinct().collect().map(_.getString(0))
+      !addressed.exists(baseScoped.contains)
+    }
+  }
+
+  /** Shared read-derive-commit loop of the two full-recluster OPTIMIZE
+    * classes, with COMMIT RECONCILIATION on a lost CAS (VERDICT r15 #1):
+    * the pre-reconcile loop dropped the complete staged rewrite and
+    * re-ran the table-wide shuffle on EVERY lost race, so on a 100 TB
+    * table taking even one append per hour the multi-hour rewrite
+    * essentially never won — OPTIMIZE, the one maintenance path that
+    * folds DVs and rebuilds the skipping index, became unrunnable
+    * exactly when the table was busiest (a livelock Delta resolves with
+    * commit reconciliation, not mutual exclusion). Here a lost CAS
+    * first CLASSIFIES the interleaved commits ([[reconcilable]] — pure
+    * manifest/DV-delta arithmetic): a pure-append interleave re-commits
+    * the already-staged files plus the winners' additions (correct by
+    * construction — the staged rewrite holds exactly base's live rows;
+    * the winners' files hold exactly the new rows, merely
+    * not-yet-clustered, which is Delta's semantics too); only a
+    * conflicting class re-derives, and [[optimizeDeriveCount]] pins the
+    * difference.
     *
-    * Scale shape: this is the heavy maintenance job (one full shuffle
-    * of the table), run on the partitions-need-it cadence, and it is
-    * exactly one range-exchange + write wide — the same plan at any
-    * table size, with the slice count derived from the corpus so file
-    * sizes stay flat ([[writeClustered]]'s knob rule). For
-    * crowded-partition-scoped file coalescing WITHOUT the clustering
-    * shuffle, use [[compact]]. Returns the committed version. */
-  def compactClustered(spark: SparkSession, dir: String, partCol: String,
-      statsCol: String, rangeParts: Int = 0): Long = {
-    require(!statsCol.contains("|"),
-      s"stats column name '$statsCol' contains the stats-line delimiter '|'")
+    * `scope` (partition VALUES; empty = whole table) bounds the rewrite
+    * to the scope's partitions — `OPTIMIZE ... WHERE` (VERDICT r15 #4):
+    * the nightly job can incrementally re-cluster only fresh
+    * partitions, out-of-scope files are carried BY NAME from the
+    * current winner's manifest (byte-identical), and the conflict
+    * window shrinks from table-rewrite hours to scope-rewrite minutes.
+    * A full-table run drops every pre-base DV sidecar (all folded); a
+    * scoped run carries the DV set whole — out-of-scope rows must keep
+    * applying, and the folded scope's addresses are dead rows over
+    * files no manifest references (harmless, reclaimed by the next
+    * full fold).
+    *
+    * `derive(state, snapshot)` stages the rewrite of the DV-applied
+    * scoped snapshot and returns (staged files, their stats lines).
+    * `afterStage` is a test seam: invoked once, after the first stage,
+    * before the first commit attempt — deterministic CAS-loss injection
+    * for the race specs/gates. Commits `#datachange=false` (row-
+    * preserving by construction); returns the committed version. */
+  private def optimizeLoop(spark: SparkSession, dir: String,
+      partCol: String, scope: Seq[String], verb: String,
+      derive: (TableState, DataFrame) => (Seq[String], Seq[String]),
+      afterStage: () => Unit = () => ()): Long = {
+    val (_, root) = fsFor(spark, dir)
+    var base: TableState = null
+    var baseScoped: Set[String] = Set.empty
+    var staged: Seq[String] = Seq.empty
+    var stagedStats: Seq[String] = Seq.empty
+    var hook = afterStage
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val st = latestState(spark, dir)
         .getOrElse(sys.error(s"$dir has no committed snapshot"))
-      val snap = read(spark, dir, Some(st.version)) // DV-applied: folds
-      val parts =
-        if (rangeParts > 0) rangeParts
-        else {
-          val target = spark.conf
-            .get("spark.graft.cluster.targetSliceRows", (1L << 22).toString)
-            .toLong
-          math.max(16L, (snap.count() + target - 1) / target).toInt
-        }
-      val newFiles = stage(spark, dir,
-        snap.repartitionByRange(parts, col(statsCol)), partCol)
-      val fresh = computeStats(spark, dir, newFiles, statsCol) ++
-        ingestStats(spark, dir, newFiles, st.meta, already = Seq(statsCol))
-      // row-preserving by construction (one snapshot read, re-written)
-      // — tagged so the change feed skips it (VERDICT r14 #1)
-      if (commitAt(spark, dir, st.version, newFiles,
-          st.carried + (DataChangeKey -> "false"), Seq.empty, fresh))
+      val reusable = base != null && (st.version == base.version ||
+        reconcilable(spark, root, base, baseScoped, st))
+      if (!reusable) {
+        if (base != null) dropStaged(spark, dir, staged)
+        base = st
+        baseScoped = scopedFiles(st.files, partCol, scope).toSet
+        if (baseScoped.isEmpty) return st.version // nothing in scope: no-op
+        optimizeDeriveCount.incrementAndGet()
+        val snap = readResolved(spark, dir, Some(st.version),
+          withLineage = false, restrictTo = Some(baseScoped)) // DV-applied:
+                                                              // folds
+        val (f, fstats) = derive(st, snap)
+        staged = f; stagedStats = fstats
+        val h = hook; hook = () => (); h()
+      }
+      val carriedFiles = st.files.filterNot(baseScoped.contains)
+      val dvs =
+        if (scope.isEmpty) st.dvs.filterNot(base.dvs.toSet) // all folded
+        else st.dvs // out-of-scope rows keep applying; folded scope
+                    // addresses are dead rows (harmless)
+      if (commitAt(spark, dir, st.version, carriedFiles ++ staged,
+          st.carried + (DataChangeKey -> "false"), dvs,
+          carriedStats(st.stats, carriedFiles) ++ stagedStats))
         return st.version + 1
-      dropStaged(spark, dir, newFiles)
       attempt += 1
     }
-    sys.error(s"could not recluster $dir after $MaxCommitAttempts attempts")
+    dropStaged(spark, dir, staged)
+    sys.error(s"could not $verb $dir after $MaxCommitAttempts attempts")
+  }
+
+  /** OPTIMIZE ... ZORDER-style re-cluster: rewrite the table (or, with
+    * `scope`, only the named partition values — `OPTIMIZE ... WHERE`)
+    * range-clustered on `statsCol` (the 1-D analogue of Delta's
+    * OPTIMIZE ZORDER BY), folding the rewritten span's deletion vectors
+    * in and committing a fresh stats index for it — the maintenance
+    * verb that restores [[readRange]] selectivity after a day of
+    * appends fragmented the clustering. Readers of the old snapshot
+    * keep their files until vacuum; the relation is row-identical by
+    * construction; a lost CAS against pure appends COMMIT-RECONCILES
+    * instead of re-shuffling ([[optimizeLoop]], VERDICT r15 #1).
+    *
+    * Scale shape: the heavy maintenance job (one range-exchange + write
+    * over the rewritten span), run on the partitions-need-it cadence,
+    * with the slice count derived from the corpus so file sizes stay
+    * flat ([[writeClustered]]'s knob rule) — and with `scope`, the
+    * nightly incremental form that re-clusters only fresh partitions.
+    * For crowded-partition file coalescing WITHOUT the clustering
+    * shuffle, use [[compact]]. Returns the committed version. */
+  def compactClustered(spark: SparkSession, dir: String, partCol: String,
+      statsCol: String, rangeParts: Int = 0,
+      scope: Seq[String] = Nil): Long =
+    compactClusteredHooked(spark, dir, partCol, statsCol, rangeParts,
+      scope, () => ())
+
+  /** [[compactClustered]] with the deterministic CAS-loss test seam
+    * (`afterStage` runs once between the stage and the first commit
+    * attempt — the race specs/gates inject a concurrent commit there). */
+  private[graft] def compactClusteredHooked(spark: SparkSession,
+      dir: String, partCol: String, statsCol: String, rangeParts: Int,
+      scope: Seq[String], afterStage: () => Unit): Long = {
+    require(!statsCol.contains("|"),
+      s"stats column name '$statsCol' contains the stats-line delimiter '|'")
+    optimizeLoop(spark, dir, partCol, scope, "recluster",
+      (st, snap) => {
+        val parts = resolveParts(spark, rangeParts, snap)
+        val files = stage(spark, dir,
+          snap.repartitionByRange(parts, col(statsCol)), partCol)
+        (files, computeStats(spark, dir, files, statsCol) ++
+          ingestStats(spark, dir, files, st.meta, already = Seq(statsCol)))
+      }, afterStage)
   }
 
   /** OPTIMIZE ... ZORDER BY (a, b): rewrite the ENTIRE table clustered
@@ -2223,16 +2410,18 @@ object SnapshotTable {
     * semantics (residual `between` is UNKNOWN → excluded) hold
     * unchanged.
     *
-    * Scale shape: identical to [[compactClustered]] — one full shuffle
-    * of the table wide, the heavy maintenance job on its own cadence,
-    * with the slice count derived from the corpus (the knob rule).
-    * Row-preserving, so the commit is tagged `#datachange=false` and
-    * the change feed skips it. Returns the committed version. */
+    * Scale shape: identical to [[compactClustered]] — one shuffle of
+    * the rewritten span wide, the heavy maintenance job on its own
+    * cadence, with the slice count derived from the corpus (the knob
+    * rule), commit-reconciled on a lost CAS and partition-scopable via
+    * `scope` ([[optimizeLoop]], VERDICT r15 #1/#4). Row-preserving, so
+    * the commit is tagged `#datachange=false` and the change feed skips
+    * it. Returns the committed version. */
   def compactZOrdered(spark: SparkSession, dir: String, partCol: String,
       colA: String, colB: String, rangeParts: Int = 0,
-      bitsPerDim: Int = 8): Long =
+      bitsPerDim: Int = 8, scope: Seq[String] = Nil): Long =
     compactZOrderedN(spark, dir, partCol, Seq(colA, colB), rangeParts,
-      bitsPerDim)
+      bitsPerDim, scope)
 
   /** [[compactZOrdered]] generalized to N columns (2 ≤ N ≤ 8, the
     * public Delta OPTIMIZE ZORDER column budget): bit i of column j
@@ -2245,7 +2434,17 @@ object SnapshotTable {
     * dimension grid resolution as `min(8, 62 / N)` so the interleaved
     * z always fits a long. */
   def compactZOrderedN(spark: SparkSession, dir: String, partCol: String,
-      cols: Seq[String], rangeParts: Int = 0, bitsPerDim: Int = 0): Long = {
+      cols: Seq[String], rangeParts: Int = 0, bitsPerDim: Int = 0,
+      scope: Seq[String] = Nil): Long =
+    compactZOrderedNHooked(spark, dir, partCol, cols, rangeParts,
+      bitsPerDim, scope, () => ())
+
+  /** [[compactZOrderedN]] with the deterministic CAS-loss test seam
+    * ([[compactClusteredHooked]]'s twin). */
+  private[graft] def compactZOrderedNHooked(spark: SparkSession,
+      dir: String, partCol: String, cols: Seq[String], rangeParts: Int,
+      bitsPerDim: Int, scope: Seq[String],
+      afterStage: () => Unit): Long = {
     val n = cols.size
     require(n >= 2 && n <= 8, s"z-order needs 2..8 columns, got $n")
     require(cols.distinct.size == n, s"z-order columns must be distinct")
@@ -2254,11 +2453,7 @@ object SnapshotTable {
     val bits = if (bitsPerDim > 0) bitsPerDim else math.min(8, 62 / n)
     require(bits >= 1 && bits * n <= 62,
       s"bitsPerDim $bits × $n columns exceeds the 62-bit z budget")
-    var attempt = 0
-    while (attempt < MaxCommitAttempts) {
-      val st = latestState(spark, dir)
-        .getOrElse(sys.error(s"$dir has no committed snapshot"))
-      val snap = read(spark, dir, Some(st.version)) // DV-applied: folds
+    optimizeLoop(spark, dir, partCol, scope, "z-order", (st, snap) => {
       val bRow = snap.agg(
         min(col(cols.head)).cast("long"),
         (Seq(max(col(cols.head)).cast("long")) ++ cols.tail.flatMap(c =>
@@ -2268,10 +2463,24 @@ object SnapshotTable {
         s"$dir: z-order needs at least one non-null value in every " +
           s"column of ${cols.mkString("(", ", ", ")")}")
       val cells = 1L << bits
+      // Overflow-safe cell scaling (ADVICE r15): the old
+      // ((v - lo) * cells) div span multiplied BEFORE dividing, so a
+      // wide-span column (span > ~2^55 at 256 cells — random 64-bit ids,
+      // epoch nanos) silently overflowed into negative/garbage cells and
+      // the Morton-grid alignment (the feature's whole point) vanished
+      // with no error. Divide FIRST by the cell width, computed exactly
+      // in BigInt on the driver; (v - lo) itself still overflows long
+      // arithmetic when the span exceeds 2^63, so the subtraction and
+      // quotient run in decimal(38,0) — exact for any pair of longs —
+      // and the quotient clamps to the top cell (a ceil-width grid can
+      // leave the last cell short).
       def cellCol(c: String, lo: Long, hi: Long): Column = {
-        val span = math.max(1L, hi - lo + 1)
-        expr(s"cast(((least(greatest(cast(`$c` as bigint), ${lo}L), " +
-          s"${hi}L) - ${lo}L) * ${cells}L) div ${span}L as bigint)")
+        val span = BigInt(hi) - BigInt(lo) + 1
+        val width = ((span + cells - 1) / cells).max(1)
+        expr(s"cast(least(${cells - 1}L, " +
+          s"(cast(least(greatest(cast(`$c` as bigint), ${lo}L), ${hi}L) " +
+          s"as decimal(38,0)) - cast(${lo}L as decimal(38,0))) div " +
+          s"cast($width as decimal(38,0))) as bigint)")
       }
       val dims = cols.zipWithIndex.map { case (c, j) =>
         cellCol(c, bRow.getLong(2 * j), bRow.getLong(2 * j + 1))
@@ -2281,14 +2490,7 @@ object SnapshotTable {
           a.bitwiseOR(shiftleft(shiftright(dc, i).bitwiseAND(1), i * n + j))
         }
       }
-      val parts =
-        if (rangeParts > 0) rangeParts
-        else {
-          val target = spark.conf
-            .get("spark.graft.cluster.targetSliceRows", (1L << 22).toString)
-            .toLong
-          math.max(16L, (snap.count() + target - 1) / target).toInt
-        }
+      val parts = resolveParts(spark, rangeParts, snap)
       // aligned cell: the top floor(log2(parts) / n) LEVELS of z
       val cellLevels = math.min(bits, math.max(1,
         (63 - java.lang.Long.numberOfLeadingZeros(parts.toLong)) / n))
@@ -2297,15 +2499,9 @@ object SnapshotTable {
         snap.withColumn("__z", z).withColumn("__zc", cell)
           .repartitionByRange(parts, col("__zc"), col("__z"))
           .drop("__z"), partCol, layoutCols = Seq("__zc"))
-      val fresh = computeStatsMulti(spark, dir, newFiles, cols) ++
-        ingestStats(spark, dir, newFiles, st.meta, already = cols)
-      if (commitAt(spark, dir, st.version, newFiles,
-          st.carried + (DataChangeKey -> "false"), Seq.empty, fresh))
-        return st.version + 1
-      dropStaged(spark, dir, newFiles)
-      attempt += 1
-    }
-    sys.error(s"could not z-order $dir after $MaxCommitAttempts attempts")
+      (newFiles, computeStatsMulti(spark, dir, newFiles, cols) ++
+        ingestStats(spark, dir, newFiles, st.meta, already = cols))
+    }, afterStage)
   }
 
   /** RESTORE TABLE TO VERSION `toVersion` (the public Delta RESTORE
@@ -2488,8 +2684,39 @@ object SnapshotTable {
               "then incremental resumes from the current source version) " +
               "or rebuild the replica.")
         }
+        // resolved BEFORE the feed read: if the feed then reports
+        // "nothing to apply", every commit ≤ this version is covered
+        // (commits landing between the two reads stay uncovered —
+        // conservative, the next replicate picks them up)
+        val srcNow = latest(spark, srcDir)
+          .map(_._1).getOrElse(sys.error(s"$srcDir has no committed snapshot"))
         readChangesSince(spark, srcDir, since) match {
-          case None => dst.version // up to date
+          case None if srcNow == since => dst.version // up to date
+          case None =>
+            // maintenance-only window (ADVICE r15): the source advanced
+            // but no row changed (OPTIMIZE/analyze ladder). Advance the
+            // replica's marker with a METADATA-ONLY commit, or a source
+            // that only runs maintenance between replications lets
+            // vacuum reclaim the stale marker manifest and forces a full
+            // reseed though nothing ever changed. Tagged
+            // #datachange=false — the replica's own downstream feed
+            // must not surface the bookkeeping as churn.
+            var attempt = 0
+            while (attempt < MaxCommitAttempts) {
+              val cur = latestState(spark, dstDir)
+                .getOrElse(sys.error(s"$dstDir has no committed snapshot"))
+              if (cur.meta.get(ReplicaSourceVersionKey)
+                  .exists(_.toLong >= srcNow)) return cur.version
+              if (commitAt(spark, dstDir, cur.version, cur.files,
+                  cur.carried +
+                    (ReplicaSourceVersionKey -> srcNow.toString) +
+                    (DataChangeKey -> "false"),
+                  cur.dvs, cur.stats))
+                return cur.version + 1
+              attempt += 1
+            }
+            sys.error(s"could not advance $dstDir's replica marker after " +
+              s"$MaxCommitAttempts attempts")
           case Some((srcV, inserts, deletes)) =>
             // keys both deleted and (re)inserted are UPDATES — MERGE
             // replaces them; only pure deletes need the DV pass
@@ -2743,6 +2970,7 @@ object SnapshotTable {
         return st.version + 1
       attempt += 1
     }
+    dropStaged(spark, dir, staged) // ADVICE r15: no leak on exhaustion
     sys.error(s"could not append batch to $dir after $MaxCommitAttempts attempts")
   }
 

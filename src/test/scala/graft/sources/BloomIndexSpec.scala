@@ -150,4 +150,35 @@ class BloomIndexSpec extends SparkSpec {
     val (dfI, _, _) = SnapshotTable.readPointLookup(spark, dir, "k", 42)
     assert(dfI.count() == 1L)
   }
+
+  test("an un-castable probe value is refused loudly, and a committed " +
+      "zero-file snapshot carrying the index header fails on the " +
+      "documented empty-snapshot contract, not NoSuchElement (ADVICE r15)") {
+    val dir = tempTable()
+    SnapshotTable.write(spark, dir, mkDf(0L until 100L), "p")
+    SnapshotTable.analyzeBloom(spark, dir, "k")
+    // a probe the stored type cannot represent TRY-casts to NULL;
+    // xxhash64(NULL) degrades to the seed and the probe would prune
+    // against a meaningless hash — refused instead
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.readPointLookup(spark, dir, "k", "not-a-number")
+    }
+    assert(e1.getMessage.contains("does not cast"),
+      s"probe refusal must name the cause: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.readPointLookup(spark, dir, "k", null)
+    }
+    assert(e2.getMessage.contains("does not cast"))
+    // full delete: the snapshot commits with ZERO data files while the
+    // carried header still points at the sidecar — the lookup must hit
+    // the empty-snapshot contract, not columnType's files.head
+    SnapshotTable.deleteWhere(spark, dir, "p", lit(true))
+    assert(SnapshotTable.latest(spark, dir).get._2.isEmpty,
+      "the full delete must commit a zero-file snapshot")
+    val e3 = intercept[RuntimeException] {
+      SnapshotTable.readPointLookup(spark, dir, "k", 1L)
+    }
+    assert(e3.getMessage.contains("snapshot is empty"),
+      s"zero-file lookup must fail on the read contract: ${e3.getMessage}")
+  }
 }

@@ -102,6 +102,35 @@ class ReplicaSpec extends SparkSpec {
       (4L, 1L, 40L), (5L, 0L, 50L)))
   }
 
+  test("a maintenance-only source window advances the marker with a " +
+      "metadata-only commit — vacuum can never strand a replica whose " +
+      "source only ever OPTIMIZEd (ADVICE r15)") {
+    val src = tempTable(); val dst = tempTable()
+    SnapshotTable.write(spark, src,
+      mkDf(Seq((1L, 0L, 10L), (2L, 1L, 20L))), "p")
+    SnapshotTable.replicate(spark, src, dst, "p", "k") // marker 1
+    val vDst = SnapshotTable.latest(spark, dst).get._1
+    // the source runs ONLY row-preserving maintenance
+    val srcV = SnapshotTable.compactClustered(spark, src, "p", "k") // v2
+    assert(srcV == 2L)
+    val vAdv = SnapshotTable.replicate(spark, src, dst, "p", "k")
+    assert(vAdv == vDst + 1,
+      "the marker must advance with exactly one metadata-only commit")
+    assert(rows(dst) == rows(src), "no row may move")
+    // the bookkeeping commit is invisible to the replica's own feed
+    assert(SnapshotTable.readChangesSince(spark, dst, vDst).isEmpty,
+      "the marker commit must be #datachange=false")
+    // idempotent: nothing further to advance
+    assert(SnapshotTable.replicate(spark, src, dst, "p", "k") == vAdv)
+    // the point of the fix: the source vacuums its pre-maintenance
+    // history and the replica is NOT stranded on a reclaimed marker
+    SnapshotTable.vacuum(spark, src, retain = 1)
+    SnapshotTable.append(spark, src, mkDf(Seq((3L, 0L, 30L))), "p")
+    SnapshotTable.replicate(spark, src, dst, "p", "k")
+    assert(rows(dst) == rows(src))
+    assert(rows(dst) == Set((1L, 0L, 10L), (2L, 1L, 20L), (3L, 0L, 30L)))
+  }
+
   test("MERGE refuses a duplicate-key batch wholesale — CDC replay can " +
       "never silently diverge on an ambiguous upsert") {
     val dir = tempTable()

@@ -92,6 +92,39 @@ class ZOrderOptimizeSpec extends SparkSpec {
     }
   }
 
+  test("wide-span columns (random 64-bit ids) keep Morton alignment — " +
+      "the divide-first cell scaling cannot overflow (ADVICE r15)") {
+    import spark.implicits._
+    val dir = tempTable()
+    // values scattered over nearly the whole long domain: the old
+    // ((v - lo) * cells) div span multiplied BEFORE dividing, so any
+    // span past ~2^55 at 256 cells overflowed into negative/garbage
+    // cells, files stopped aligning to the grid, and pruning silently
+    // vanished while every row stayed correct
+    val wide = (0L until 2000L).map { k =>
+      val a = (k * 2654435761L) * 4097540077L // wraps: pseudorandom 64-bit
+      val b = java.lang.Long.reverse(a) ^ (k * 40503L)
+      (a, b, k % 2, k)
+    }.toDF("a", "b", "p", "v")
+    SnapshotTable.write(spark, dir, wide, "p")
+    SnapshotTable.compactZOrdered(spark, dir, "p", "a", "b", rangeParts = 16)
+    assert(SnapshotTable.read(spark, dir).count() == 2000L)
+    val vals = wide.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Seq(("a", vals.map(_._1).toSeq), ("b", vals.map(_._2).toSeq))
+      .foreach { case (c, vs) =>
+        val lo = vs.min; val hi = vs.max
+        val span = BigInt(hi) - BigInt(lo)
+        val wlo = (BigInt(lo) + span / 2).toLong
+        val whi = (BigInt(lo) + span / 2 + span / 8).toLong
+        val (df, kept, tot) = SnapshotTable.readRange(spark, dir, c, wlo, whi)
+        assert(kept * 2 <= tot,
+          s"$c window over a 2^64 span must still prune: kept $kept/$tot")
+        assert(df.count() == vs.count(v => v >= wlo && v <= whi).toLong,
+          s"$c wide-span window row count")
+      }
+  }
+
   test("null cells route to the null range-partition and stay exact; " +
       "an all-null column is refused; bad column names are refused") {
     import spark.implicits._
