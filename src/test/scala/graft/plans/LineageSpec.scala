@@ -107,7 +107,11 @@ class LineageSpec extends SparkSpec {
       // they window-read, q312 the MoR-merged + folded table — all
       // legitimately root at staged snapshot output
       "q308_zorder_optimize", "q309_restore", "q310_ingest_stats",
-      "q311_string_skipping", "q312_merge_mor")
+      "q311_string_skipping", "q312_merge_mor",
+      // round-16: q313 reads back the table whose lost-CAS OPTIMIZE it
+      // reconciled, q314 the partition-scoped recluster target — staged
+      // snapshots like their q297/q308 siblings
+      "q313_optimize_reconcile", "q314_scoped_optimize")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
