@@ -32,6 +32,17 @@ object Bench {
       // ≥ half a G1 region at any heap ≤ 64 GiB and lands in old gen)
       .config("spark.buffer.pageSize", "2m")
       .config("spark.hadoop.io.file.buffer.size", "1048576")
+      // SnapshotTable reads hand Spark an EXPLICIT manifest-named file
+      // list; below this many paths the driver stats them directly
+      // instead of launching a listing job (default 32 → every
+      // few-hundred-file snapshot read paid a ~0.6 s 381-task job that
+      // re-stats files the manifest already names — guide §6 file
+      // listing). Production-sane at any cluster size for
+      // manifest-backed reads (Delta lists driver-side the same way);
+      // env-tunable for object stores where a huge flat stat burst
+      // should fan out instead.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

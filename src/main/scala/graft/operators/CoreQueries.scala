@@ -3341,7 +3341,14 @@ object CoreQueries {
       * numeric round-trip proving the extractions agree. Pure
       * codegen'd scan — string functions never shuffle. */
     "q183_safe_parse" -> ((s, d) =>
-      orders(s, d)
+      // conditional spread of the single-row-group orders scan (r16,
+      // guide §2.5): the four per-row regex extractions below otherwise
+      // run in the scan's one task; a many-file table skips the shuffle.
+      // All outputs are per-row — partitioning-independent.
+      (if (orders(s, d).rdd.getNumPartitions >=
+          s.sparkContext.defaultParallelism) orders(s, d)
+       else orders(s, d).repartition(
+         s.sparkContext.defaultParallelism, col("o_orderkey")))
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"),
           regexp_extract(col("o_orderpriority"), "^(\\d)-(.*)$", 1)

@@ -25,6 +25,27 @@ object DedupQueries {
 
   // ---- shared shingle machinery -------------------------------------
 
+  /** The documents scan spread to full core parallelism BEFORE the
+    * CPU-heavy per-row stages (tokenize → 3-gram shingle strings →
+    * array_distinct → md5 base hashes): the guide's §2.5 "one huge
+    * unsplittable file" case. The bench corpus is a single parquet row
+    * group, so the scan is one task and every downstream projection-stage
+    * consumer (shingleFrame persist, MinHash signatures, exact-verify
+    * sets) serialized on one core — measured 9.8 s single-task for the
+    * d81 shingle persist at sf0.1, ~0.5 s spread over 32. The repartition
+    * is CONDITIONAL on the scan's actual parallelism, so a production
+    * many-file corpus (scan partitions ≥ cores) pays no extra shuffle;
+    * the partitioner is a deterministic hash of doc_id (never rand —
+    * guide §2.5's retry-duplication trap). Downstream values are
+    * partitioning-independent: shingle sets/sizes are per-row, Jaccard
+    * and MinHash derive from integer arithmetic. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame = {
+    val df = documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col("doc_id"))
+  }
+
   /** doc_id + DISTINCT word-3-gram shingle set as an array, one row per
     * doc. Dedup happens per-row via array_distinct INSIDE the scan stage —
     * no shuffle — so every consumer (the Jaccard inverted index, MinHash
@@ -33,7 +54,7 @@ object DedupQueries {
     * free. (The previous explode-then-.distinct() formulation cost one
     * full shuffle per consumer — the measured d38 regression.) */
   private def shingleArrays(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsSpread(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"),
         array_distinct(when(size(col("t")) >= 3,
@@ -285,7 +306,7 @@ object DedupQueries {
 
   /** doc_id + 60-bit simhash over term-frequency-weighted token hashes. */
   private def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    simhashFromHashes(documents(s, d)
+    simhashFromHashes(docsSpread(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
       .withColumn("h",
         conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long")))
@@ -359,34 +380,32 @@ object DedupQueries {
           // now looks two hops back). The changed flag rides in-row, so
           // fixpoint detection reuses the materializing count instead
           // of a second join against the previous labels.
+          // One EAGER localCheckpoint per round (r16 optimization —
+          // guide §7.3 "planning time itself can become the bottleneck"):
+          // the pointer-jump self-join references `hop` twice, so with
+          // plain persist the logical tree QUADRUPLED per round (4^k; the
+          // 16-diameter chain spec OOMed the explain string at
+          // checkpoint-every-5) and re-analyzing/optimizing that tree on
+          // the driver dominated the forced tier's wall time — profiled
+          // 15 s of driver gap against 13 s of job time at sf0.1.
+          // Checkpointing truncates lineage to the materialized blocks
+          // EVERY round, so Catalyst sees a constant-size plan per round;
+          // the convergence count then reuses those same blocks instead
+          // of re-deriving the round. Values are unchanged — the
+          // checkpoint is a materialization barrier, not a computation.
           val upd = hop
             .join(hop.select(col("doc_id").as("lbl1"), col("lbl1").as("jump")),
               Seq("lbl1"), "left")
             .withColumn("new_lbl", least(col("lbl1"), coalesce(col("jump"), col("lbl1"))))
             .select(col("doc_id"), col("new_lbl"),
               (col("new_lbl") =!= col("cluster_id")).as("chg"))
-            .persist()
+            .localCheckpoint()
           val changed = upd.filter(col("chg")).count()
           cached.unpersist()
           cached = upd
           labels = upd.select(col("doc_id"), col("new_lbl").as("cluster_id"))
           converged = changed == 0
           iter += 1
-          // persist() caches row data but the logical plan still nests
-          // per round — and the pointer-jump self-join references `hop`
-          // twice, so the tree QUADRUPLES per round (4^k between
-          // checkpoints; the 16-diameter chain spec OOMed the explain
-          // string at every-5). localCheckpoint() truncates lineage to
-          // the materialized blocks every other round from round 3 on:
-          // typical near-dup graphs converge in 2-3 rounds (diameter
-          // ≤ 4 with jumping) and never pay the extra materialization,
-          // while long chains stay bounded at ≤ 4³ plan copies.
-          if (!converged && iter >= 3 && iter % 2 == 1) {
-            val truncated = labels.localCheckpoint()
-            cached.unpersist()
-            cached = truncated
-            labels = truncated
-          }
         }
         // labels is materialized (the convergence count ran it); edges
         // and pairs can recompute from lineage if evicted
@@ -491,7 +510,7 @@ object DedupQueries {
   private[graft] def editDistancePairs(s: SparkSession, d: String): DataFrame = {
     val k = 2
     val nseg = k + 1
-    val keyed = documents(s, d)
+    val keyed = docsSpread(s, d)
       .select(col("doc_id"),
         lower(array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " ")).as("key"))
       .withColumn("len", length(col("key")))
@@ -929,7 +948,7 @@ object DedupQueries {
     "d112_dup_span_coverage" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val n = 8
-      val tok = Tables.documents(s, d)
+      val tok = docsSpread(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"))
       val grams = tok.filter(size(col("t")) >= n)
@@ -982,7 +1001,7 @@ object DedupQueries {
         md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
       val splitCol = when(bucket < 52429L, "train")
         .when(bucket < 58982L, "val").otherwise("test")
-      val pairs = documents(s, d)
+      val pairs = docsSpread(s, d)
         .select(col("doc_id"), splitCol.as("split"),
           split(trim(col("text")), "\\s+").as("t"))
         .filter(size(col("t")) >= n)
@@ -1191,7 +1210,7 @@ object DedupQueries {
     "d138_substring_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 8; val w = 43; val minGrams = w // span >= w + k - 1 = 50 tokens
-      val grams = documents(s, d)
+      val grams = docsSpread(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
         .filter(size(col("t")) >= k)
         .select(col("doc_id"), explode(expr(
@@ -1333,7 +1352,7 @@ object DedupQueries {
     "d188_normalized_dedup" -> ((s, d) => {
       val norm = trim(regexp_replace(regexp_replace(
         lower(col("text")), "[^a-z0-9 \\t\\n]", ""), "\\s+", " "))
-      documents(s, d)
+      docsSpread(s, d)
         .select(col("doc_id"),
           md5(norm.cast("binary")).as("norm_md5"),
           md5(col("text").cast("binary")).as("raw_md5"))
@@ -1395,7 +1414,7 @@ object DedupQueries {
     * exact join, so their outputs are identical. */
   private def decontaminate(s: SparkSession, d: String, bloomTier: Boolean): DataFrame = {
     val G = 13
-    val tok = documents(s, d)
+    val tok = docsSpread(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
     def grams(df: DataFrame) = df
       .filter(size(col("t")) >= G)

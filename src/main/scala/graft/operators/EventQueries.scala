@@ -1287,7 +1287,12 @@ object EventQueries {
       * sketch MAD must land in the rank-neighborhood of deviations
       * about the SKETCH median. */
     "q269_robust_stats_sketch" -> ((s, d) => {
-      val li = lineitem(s, d)
+      // same conditional spread as robustStats — the exact-envelope
+      // percentile passes below buffer the whole price column
+      val liRaw = lineitem(s, d)
+      val target = s.sparkContext.defaultParallelism
+      val li = if (liRaw.rdd.getNumPartitions >= target) liRaw
+        else liRaw.repartition(target, col("l_orderkey"))
       // localCheckpoint pins ONE evaluation of the randomized KLL stats:
       // st feeds both the final claim row and the deviation-neighborhood
       // branch, and a recompute could draw different (valid) estimates
@@ -2259,7 +2264,17 @@ object EventQueries {
     * the deviations above it. */
   private def robustStats(
       s: SparkSession, d: String, forceSketch: Boolean): DataFrame = {
-    val li = lineitem(s, d)
+    // Spread the single-row-group lineitem scan before the percentile
+    // passes (r16, guide §2.5): both passes buffer the full price column
+    // through the scan's ~3 bin-packed tasks otherwise. Conditional (a
+    // many-file fact table skips the shuffle); deterministic orderkey
+    // hash. Exact percentiles are order-insensitive; the avg partial-sum
+    // regrouping moves doubles by ≤ last-ulp, inside the driver
+    // comparator's documented tolerance.
+    val liRaw = lineitem(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val li = if (liRaw.rdd.getNumPartitions >= target) liRaw
+      else liRaw.repartition(target, col("l_orderkey"))
     val exact = graft.functions.Percentiles.exactTierAt(
       s, s"$d#lineitem", li.count(), forceSketch)
     val joined = li.join(broadcast(percentileBounds(s, li, exact)),

@@ -50,6 +50,22 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The documents scan spread to core parallelism before a CPU-heavy
+    * per-row mapPartitions decode (r16, guide §2.5 unsplittable-input
+    * case): the bench corpus is one parquet row group, so a typed decode
+    * pipeline otherwise runs as ONE task (profiled: m236 as two
+    * single-task 1.5–1.7 s jobs). Conditional on the scan's actual
+    * parallelism — a many-file production blob store already scans wide
+    * and skips the shuffle; deterministic hash of doc_id (guide §2.5's
+    * rand-repartition retry trap); decode is per-row deterministic, so
+    * values are partitioning-independent. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame = {
+    val df = documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col("doc_id"))
+  }
+
   /** One media record: payload + metadata. Built from `documents` text
     * bytes, standing in for image/audio blobs. */
   case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
@@ -478,7 +494,7 @@ object MultimodalQueries {
       * petabyte blob stores (ranged 12-byte reads). */
     "m236_mime_sniff" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(col("doc_id")).as[Long]
+      docsSpread(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
             val payload: Array[Byte] = (id % 3) match {
@@ -523,7 +539,7 @@ object MultimodalQueries {
       * doc; no shuffle before the presentation sort. */
     "m229_image_contrast" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).filter(col("doc_id") % 3 === 0)
+      docsSpread(s, d).filter(col("doc_id") % 3 === 0)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -557,7 +573,7 @@ object MultimodalQueries {
 
     "m213_image_phash" -> ((s, d) => {
       import s.implicits._
-      val fp = documents(s, d).filter(col("doc_id") % 3 === 0)
+      val fp = docsSpread(s, d).filter(col("doc_id") % 3 === 0)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -591,7 +607,15 @@ object MultimodalQueries {
             }
             (id, sig)
           }
-        }.toDF("doc_id", "sig")
+          // one materialization of the decode (r16): fp feeds the
+          // pigeonhole self-join TWICE plus the final count join, and an
+          // un-pinned frame re-ran the ImageIO decode once per consumer —
+          // profiled as 3 × 32-task jobs, 34 s of task time for ~12 s of
+          // decode work (ImageIO's global plugin registry serializes
+          // concurrent readers, so redundant decode rounds are extra
+          // contended). localCheckpoint is a barrier, not a computation —
+          // values unchanged.
+        }.toDF("doc_id", "sig").localCheckpoint()
       val pairs = DedupQueries.simhashNearDupPairs(
         fp.select(col("doc_id"), col("sig")))
       val counts = pairs.select(col("doc1").as("doc_id"))

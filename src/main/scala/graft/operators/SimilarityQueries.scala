@@ -1317,7 +1317,12 @@ object SimilarityQueries {
     "s214_ivf_trained" -> ((s, d) => {
       VectorFunctions.register(s)
       import s.implicits._
-      val q0 = quantizedVecs(s, d).persist()
+      // same conditional spread as kmeansAssignQ (r16): the Lloyd
+      // rounds and assignment otherwise inherit the scan's one partition
+      val q0raw = quantizedVecs(s, d)
+      val q0 = (if (q0raw.rdd.getNumPartitions >= s.sparkContext.defaultParallelism)
+        q0raw else q0raw.repartition(
+          s.sparkContext.defaultParallelism, col("vec_id"))).persist()
       try {
         val cents = kmeansCentsQ(s, d, q0)
         val lists = kmeansAssignOver(s, q0, cents)
@@ -1819,7 +1824,19 @@ object SimilarityQueries {
   }
 
   private def kmeansAssignQ(s: SparkSession, d: String): DataFrame = {
-    val q0 = quantizedVecs(s, d).persist()
+    // Spread the single-row-group embeddings scan to core parallelism
+    // before the Lloyd rounds (r16, guide §2.5 unsplittable-input case):
+    // every round's K-way distance evaluation (crossJoin × zip_with
+    // aggregate) and the within-cluster pair joins otherwise inherit the
+    // scan's ONE partition — profiled as 1.1–1.5 s single-task jobs per
+    // round in s283. Conditional on actual scan parallelism (a many-file
+    // production corpus skips the shuffle); deterministic hash of vec_id;
+    // all downstream arithmetic is integer-exact, so values are
+    // partitioning-independent.
+    val raw = quantizedVecs(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val q0 = (if (raw.rdd.getNumPartitions >= target) raw
+      else raw.repartition(target, col("vec_id"))).persist()
     try {
       val cents = kmeansCentsQ(s, d, q0)
       kmeansAssignOver(s, q0, cents).join(q0, "vec_id")

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Snapshot-isolated partitioned parquet table — the manifest-commit
   * protocol VERDICT r7 asked for (`Layouts.deleteWhere`'s dynamic
@@ -100,6 +101,125 @@ object SnapshotTable {
     * gate and StreamingReplaySpec both assert on deltas of this). */
   private[graft] val manifestReadCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // ---- per-file schema cache (r16 optimization) ----------------------
+  //
+  // Every snapshot read used to resolve its schema with
+  // `mergeSchema=true`, which launches a DISTRIBUTED footer-merge job
+  // over every listed file on every read call — profiled as one extra
+  // Spark job (plus a listing job, see the parallelPartitionDiscovery
+  // note in Bench) per read across every lakehouse gate, and at
+  // 10^5–10^6 files it is a full footer sweep per read. Data files are
+  // IMMUTABLE once staged, so their Spark schema can be resolved once
+  // and remembered: stage() records the written schema of the files it
+  // just moved (zero IO — it is the staged frame's schema minus the
+  // partition/layout dirs), and any file not seen by this JVM (e.g. a
+  // replica's raw-copied bytes) reads its footer ONCE, driver-side,
+  // from the Spark schema JSON every Spark-written parquet footer
+  // embeds. The merged read schema is then assembled in manifest file
+  // order with the same StructType.merge Spark's own mergeSchema path
+  // uses — identical result, no per-read jobs. Any file without the
+  // embedded Spark schema (foreign writer) falls back to the old
+  // mergeSchema read wholesale, so behavior is unchanged where the
+  // fast path cannot prove itself. This is schema METADATA memoization
+  // of immutable files, not result caching — every read still scans
+  // the data.
+  private val fileSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private val SparkSchemaFooterKey = "org.apache.spark.sql.parquet.row.metadata"
+
+  /** Spark schema of one immutable data file: cached, else read from
+    * the parquet footer's embedded Spark schema JSON (driver-side, one
+    * footer); None when the footer carries no Spark schema. */
+  private def fileSchema(fs: FileSystem, abs: Path): Option[StructType] =
+    Option(fileSchemaCache.get(abs.toString)).orElse {
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(fs.getFileStatus(abs), fs.getConf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val kv = try reader.getFooter.getFileMetaData.getKeyValueMetaData
+          finally reader.close()
+        Option(kv.get(SparkSchemaFooterKey)).map { json =>
+          val st = org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[StructType]
+          fileSchemaCache.put(abs.toString, st)
+          st
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Everything forced nullable, recursively — the shape a file-source
+    * read reports regardless of how strictly the writer typed its
+    * frame (and the safe shape under add-column evolution, where files
+    * predating a column surface it as null). */
+  private def nullableDeep(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableDeep(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableDeep(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Name-union merge of two file schemas (first occurrence wins field
+    * order and type — the same shape Spark's footer merge produces for
+    * the add-column evolution this table performs); None on a TYPE
+    * conflict, which routes the read to Spark's own mergeSchema
+    * promotion rules instead of replicating them here. */
+  private def mergeFileSchemas(a: StructType, b: StructType): Option[StructType] = {
+    val byName = a.fields.map(f => f.name -> f).toMap
+    val out = scala.collection.mutable.ArrayBuffer(a.fields: _*)
+    val it = b.fields.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      byName.get(f.name) match {
+        case None => out += f
+        case Some(ex) if ex.dataType == f.dataType => ()
+        case Some(_) => return None
+      }
+    }
+    Some(StructType(out.toSeq))
+  }
+
+  /** Merged Spark schema of `files` (manifest order); None when any
+    * file's schema is unavailable or a type conflict needs Spark's
+    * promotion rules (fall back to mergeSchema). */
+  private def mergedDataSchema(fs: FileSystem, root: Path,
+      files: Seq[String]): Option[StructType] = {
+    var acc: StructType = null
+    val it = files.iterator
+    while (it.hasNext) {
+      fileSchema(fs, new Path(root, it.next())) match {
+        case None => return None
+        case Some(st) =>
+          if (acc == null) acc = st
+          else mergeFileSchemas(acc, st) match {
+            case None => return None
+            case Some(m) => acc = m
+          }
+      }
+    }
+    Option(acc).map(s => nullableDeep(s).asInstanceOf[StructType])
+  }
+
+  /** Parquet read of manifest-listed `files` with the schema resolved
+    * from the per-file cache (no distributed footer-merge job); falls
+    * back to the mergeSchema read when any file's schema is unknown.
+    * Partition-column typing comes from Spark's dir-value inference in
+    * both branches, so the resulting relation is identical. */
+  private def readFiles(spark: SparkSession, dir: String, fs: FileSystem,
+      root: Path, files: Seq[String]): DataFrame =
+    mergedDataSchema(fs, root, files) match {
+      case Some(sc) => spark.read.option("basePath", dir).schema(sc)
+        .parquet(files.map(f => new Path(root, f).toString): _*)
+      case None => spark.read.option("basePath", dir)
+        .option("mergeSchema", "true")
+        .parquet(files.map(f => new Path(root, f).toString): _*)
+    }
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -391,22 +511,31 @@ object SnapshotTable {
     }
     require(files.nonEmpty, s"$dir snapshot is empty")
     // basePath keeps the hive partition column visible on per-file reads;
-    // mergeSchema makes column ADDS a metadata-only evolution — files
-    // written before the add surface the new column as null (the
+    // the merged schema makes column ADDS a metadata-only evolution —
+    // files written before the add surface the new column as null (the
     // Delta/Iceberg add-column contract; parquet footers carry each
-    // file's own schema, so no data rewrite happens)
-    val plain = spark.read.option("basePath", dir).option("mergeSchema", "true")
-      .parquet(files.map(f => new Path(root, f).toString): _*)
+    // file's own schema, so no data rewrite happens). The schema is
+    // resolved from the per-file cache / one-time driver footer reads
+    // (r16 — see [[fileSchemaCache]]) so a read launches no distributed
+    // footer-merge job; partition-column typing still comes from
+    // Spark's own dir-value inference, exactly as the mergeSchema path.
+    val plain = readFiles(spark, dir, fs, root, files)
     if (dvs.isEmpty && !withLineage) return plain
     val addressed = plain
       .withColumn(FileCol, relPathExpr)
       .withColumn(PosCol, col("_metadata.row_index"))
     val applied =
       if (dvs.isEmpty) addressed
-      else addressed.join(
-        spark.read.parquet(dvs.map(f => new Path(root, f).toString): _*)
-          .select(col("file").as(FileCol), col("pos").as(PosCol)),
-        Seq(FileCol, PosCol), "left_anti")
+      else {
+        val dvPaths = dvs.map(f => new Path(root, f).toString)
+        val dvDf = mergedDataSchema(fs, root, dvs) match {
+          case Some(sc) => spark.read.schema(sc).parquet(dvPaths: _*)
+          case None => spark.read.parquet(dvPaths: _*)
+        }
+        addressed.join(
+          dvDf.select(col("file").as(FileCol), col("pos").as(PosCol)),
+          Seq(FileCol, PosCol), "left_anti")
+      }
     if (withLineage) applied else applied.drop(FileCol, PosCol)
   }
 
@@ -495,19 +624,18 @@ object SnapshotTable {
           "by content (q142's CDC)")
     val fresh = now.filterNot(before)
     if (fresh.isEmpty) None
-    else Some(nowV ->
-      spark.read.option("basePath", dir).option("mergeSchema", "true")
-        .parquet(fresh.map(f => new Path(root, f).toString): _*))
+    else Some(nowV -> readFiles(spark, dir, fs, root, fresh))
   }
 
   /** Rows of `files` with the (file, row-index) lineage address pair
     * attached — the building block of DV application and content diffs. */
   private def addressedRows(spark: SparkSession, dir: String, root: Path,
-      files: Seq[String]): DataFrame =
-    spark.read.option("basePath", dir).option("mergeSchema", "true")
-      .parquet(files.map(f => new Path(root, f).toString): _*)
+      files: Seq[String]): DataFrame = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readFiles(spark, dir, fs, root, files)
       .withColumn(FileCol, relPathExpr)
       .withColumn(PosCol, col("_metadata.row_index"))
+  }
 
   /** Full change feed between `sinceVersion` and the latest snapshot:
     * `Some((nowVersion, inserts, deletes))` such that folding the old
@@ -785,6 +913,12 @@ object SnapshotTable {
     val (fs, root) = fsFor(spark, dir)
     val tmp = new Path(dir.stripSuffix("/") + "__snap_stage_" +
       java.util.UUID.randomUUID().toString.take(8))
+    // the footer schema every staged file will carry: the frame minus
+    // the partition/layout columns partitionBy moves into dir names —
+    // recorded in [[fileSchemaCache]] below so later reads never
+    // re-open these immutable footers
+    val dirCols = (partCol +: layoutCols).toSet
+    val writtenSchema = StructType(df.schema.filterNot(f => dirCols(f.name)))
     df.write.mode("overwrite").partitionBy(partCol +: layoutCols: _*)
       .parquet(tmp.toString)
     def leaves(p: Path): Seq[Path] = {
@@ -801,6 +935,7 @@ object SnapshotTable {
       val dest = new Path(root, rel)
       fs.mkdirs(dest.getParent)
       require(fs.rename(src, dest), s"could not stage $src into $dir")
+      fileSchemaCache.put(dest.toString, writtenSchema)
       rel
     }
     fs.delete(tmp, true)
@@ -1341,9 +1476,7 @@ object SnapshotTable {
     val bp = branchPath(new Path(root, ManifestDir), branch)
     require(fs.exists(bp), s"$dir has no staged branch '$branch'")
     val staged = dataLines(readManifest(fs, bp))
-    val stagedRows = spark.read.option("basePath", dir)
-      .option("mergeSchema", "true")
-      .parquet(staged.map(f => new Path(root, f).toString): _*)
+    val stagedRows = readFiles(spark, dir, fs, root, staged)
     if (stagedOnly) stagedRows
     else read(spark, dir).unionByName(stagedRows, allowMissingColumns = true)
   }
@@ -1371,9 +1504,7 @@ object SnapshotTable {
     }
     require(fs.exists(bp), s"$dir has no staged branch '$branch'")
     val staged = dataLines(readManifest(fs, bp))
-    val stagedRows = spark.read.option("basePath", dir)
-      .option("mergeSchema", "true")
-      .parquet(staged.map(f => new Path(root, f).toString): _*)
+    val stagedRows = readFiles(spark, dir, fs, root, staged)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val stOpt = latestState(spark, dir)
@@ -2748,6 +2879,7 @@ object SnapshotTable {
       val rel = s"_dv/dv-$uuid-$i.parquet"
       require(fs.rename(f.getPath, new Path(root, rel)),
         s"could not stage deletion vector into $dir")
+      fileSchemaCache.put(new Path(root, rel).toString, addresses.schema)
       rel
     }
     fs.delete(tmp, true)
