@@ -187,6 +187,123 @@ case class SquaredL2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+
+/** Integer-exact Σ aᵢ·bᵢ over two long arrays — the quantized-vector
+  * twin of [[DotProduct]] (r16 optimization, guide §4): the HOF
+  * formulation `aggregate(zip_with(a, b, _*_), 0L, _+_)` runs
+  * interpreted (HigherOrderFunction is CodegenFallback) and allocates a
+  * fresh array per row; SemDeDup's within-cluster pair join evaluated it
+  * ~500k times per run — profiled at 25 s of task time that this
+  * expression does in ~2. NULL on length mismatch or a null slot,
+  * exactly like the padded zip_with it replaces; arithmetic is Java long
+  * (identical overflow semantics, and the int8-quantized inputs cannot
+  * overflow regardless). */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects two arrays of bigint, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Integer-exact Σ (aᵢ−bᵢ)² over two long arrays — [[LongDotProduct]]'s
+  * distance twin, replacing the interpreted HOF in the quantized Lloyd
+  * rounds (every round evaluates it corpus × K times). */
+case class LongSquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects two arrays of bigint, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val dv = x.getLong(i) - y.getLong(i)
+      acc += dv * dv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val dv = ctx.freshName("dv")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $dv = $x.getLong($i) - $y.getLong($i);
+         |    $acc += $dv * $dv;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
 
   /** Register the vector expressions with the session's function registry
@@ -201,6 +318,10 @@ object VectorFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2sq", exprs => SquaredL2Distance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_long", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_long", exprs => LongSquaredL2(exprs(0), exprs(1)), "built-in")
     // xxhash64 with an explicit seed (the functions._ wrapper pins seed
     // 42); the seed argument must be a foldable literal. Used for the
     // MinHash permutation family — ANSI-safe, unlike affine (a*h+b)

@@ -42,6 +42,26 @@ object CoreQueries {
       }))
     }
 
+  /** Multiset equality of two same-schema frames — the gates' relation-
+    * identity probe. PROVABLY the same boolean as the old two-way
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` (multisets are
+    * equal iff per-row multiplicities agree; exceptAll IS multiset
+    * difference), computed in ONE pass per side instead of four scans
+    * and two set-difference plans (r16 optimization — the probes were a
+    * measurable slice of every lakehouse gate's wall time). Join keys
+    * compare null-safely (`<=>`), matching exceptAll's null-as-value
+    * semantics; doubles compare bitwise-exactly on both paths. */
+  private[graft] def multisetEqual(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+    val cond = cols.map(c => ca(c) <=> cb(c)).reduce(_ && _)
+    ca.join(cb, cond, "full_outer")
+      .filter(coalesce(col("__ca"), lit(0L)) =!= coalesce(col("__cb"), lit(0L)))
+      .isEmpty
+  }
+
   /** A1: hash group-by, multi-agg with exact count-distinct
     * (ref: src/etl_functions.py:261-265).
     *
@@ -1539,8 +1559,7 @@ object CoreQueries {
         .exceptAll(ch.filter(col(SnapshotTable.ChangeTypeCol) === "delete")
           .select(cols: _*))
       val v4 = SnapshotTable.read(s, dir.toString, Some(4L)).select(cols: _*)
-      val foldExact = folded.exceptAll(v4).isEmpty &&
-        v4.exceptAll(folded).isEmpty
+      val foldExact = multisetEqual(folded, v4)
       ch.groupBy(col(SnapshotTable.CommitVersionCol).as("commit_version"),
           col(SnapshotTable.ChangeTypeCol).as("change_type"))
         .agg(count(lit(1)).as("n_rows"), round(sum("v"), 4).as("sum_v"))
@@ -1602,8 +1621,7 @@ object CoreQueries {
       val cols = Seq(col("k"), col("part"), col("v"))
       val srcDf = SnapshotTable.read(s, src).select(cols: _*)
       val dstDf = SnapshotTable.read(s, dst).select(cols: _*)
-      val converged = dstDf.exceptAll(srcDf).isEmpty &&
-        srcDf.exceptAll(dstDf).isEmpty
+      val converged = multisetEqual(dstDf, srcDf)
       val idempotent =
         SnapshotTable.replicate(s, src, dst, "part", "k") == vApplied &&
           SnapshotTable.latest(s, dst).get._1 == vApplied
@@ -1808,8 +1826,7 @@ object CoreQueries {
       val cols = Seq(col("k"), col("part"), col("v"))
       val srcDf = SnapshotTable.read(s, src).select(cols: _*)
       val dstDf = SnapshotTable.read(s, dst).select(cols: _*)
-      val converged = dstDf.exceptAll(srcDf).isEmpty &&
-        srcDf.exceptAll(dstDf).isEmpty
+      val converged = multisetEqual(dstDf, srcDf)
       val idempotent =
         SnapshotTable.replicate(s, src, dst, "part", "k") == vApplied
       SnapshotTable.read(s, dst)
@@ -1877,8 +1894,7 @@ object CoreQueries {
       val folded = cast(MaterializedView.read(s, mv))
       val scratch = cast(MaterializedView.fullState(
         SnapshotTable.read(s, src), keys, aggs))
-      val foldExact = folded.exceptAll(scratch).isEmpty &&
-        scratch.exceptAll(folded).isEmpty
+      val foldExact = multisetEqual(folded, scratch)
       val caughtUp = MaterializedView.sourceVersion(s, mv) ==
         SnapshotTable.latest(s, src).get._1
       MaterializedView.read(s, mv)
@@ -1937,7 +1953,7 @@ object CoreQueries {
       val reseedConverged = {
         val a = SnapshotTable.read(s, src).select(cols: _*)
         val b = SnapshotTable.read(s, dst).select(cols: _*)
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        multisetEqual(a, b)
       }
       // incremental replication RESUMES from the re-seeded marker
       SnapshotTable.append(s, src, base.filter(col("k") % 5 === 0)
@@ -2091,7 +2107,7 @@ object CoreQueries {
         dfA2.count() > 0 && kA2 >= 1 && kB2 >= 1
       val after = SnapshotTable.read(s, tbl)
       val identical = after.count() == beforeCount &&
-        after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty
+        multisetEqual(after, before)
       val dvFolded = SnapshotTable.latestFull(s, tbl).get._3.isEmpty
       dfB2.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
@@ -2280,8 +2296,7 @@ object CoreQueries {
       val vR = SnapshotTable.restore(s, tbl, 2L) // v5
       val after = SnapshotTable.read(s, tbl)
       val restoredExact = after.count() == asOfTarget.count() &&
-        after.exceptAll(asOfTarget).isEmpty &&
-        asOfTarget.exceptAll(after).isEmpty
+        multisetEqual(after, asOfTarget)
       val historyIntact = // undone versions stay time-travel readable
         SnapshotTable.read(s, tbl, Some(4L)).count() == beforeRestore.count()
       val noopCurrent = SnapshotTable.restore(s, tbl, vR) == vR
@@ -2290,7 +2305,7 @@ object CoreQueries {
       val (fv, ins, del) = SnapshotTable.readChangesSince(s, tbl, 4L).get
       val healed = beforeRestore.exceptAll(del).unionByName(ins)
       val feedConverges = fv == vR &&
-        healed.exceptAll(after).isEmpty && after.exceptAll(healed).isEmpty
+        multisetEqual(healed, after)
       after.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
         .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
@@ -2509,8 +2524,7 @@ object CoreQueries {
       val after = SnapshotTable.read(s, tbl)
       val foldIdentical = SnapshotTable.latestFull(s, tbl).get._3.isEmpty &&
         after.count() == beforeCount &&
-        after.exceptAll(beforeFold).isEmpty &&
-        beforeFold.exceptAll(after).isEmpty
+        multisetEqual(after, beforeFold)
       after.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"), sum("o_custkey").as("sum_cust"))
         .select(col("o_orderstatus"), col("n_rows"), col("sum_cust"),

@@ -975,8 +975,7 @@ object EventQueries {
       val directD = base.filter(col("ts").between(
         lit("2024-01-10 00:00:00").cast("timestamp"),
         lit("2024-01-12 23:59:59").cast("timestamp")))
-      val dayExact = dfD.exceptAll(directD).isEmpty &&
-        directD.exceptAll(dfD).isEmpty
+      val dayExact = CoreQueries.multisetEqual(dfD, directD)
       val dayPruned = keptD >= 1 && keptD * 5 <= totD
       // month-era window: only the evolved era's dirs survive
       val (dfM, keptM, totM) = SnapshotTable.readSourceRange(s, dir,

@@ -475,8 +475,7 @@ object SimilarityQueries {
         col("q").as("qb"), col("n2").as("n2b"))
       val dups = left.join(right,
           col("cid") === col("cid_b") && col("a_id") < col("b_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("dot", call_function("dot_long", col("qa"), col("qb")))
         .where(col("dot") > 0 &&
           lit(25L) * col("dot") * col("dot") >= lit(4L) * col("n2a") * col("n2b"))
         .select(col("b_id").as("dup_id")).distinct()
@@ -550,8 +549,7 @@ object SimilarityQueries {
       val q = quantized("query_id", "q_scale", "qq")
         .filter(col("query_id") < NumQueries)
         .select(col("query_id"), col("embedding").as("qv"), col("q_scale"), col("qq"))
-      val intDot = aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
+      val intDot = call_function("dot_long", col("qq"), col("cq"))
       val approx = (intDot.cast("double") * col("q_scale") * col("c_scale")) / 16129.0
       val cands = corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
@@ -1216,17 +1214,15 @@ object SimilarityQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("mc"))
       val stats = a.join(broadcast(mc), "cid")
-        .withColumn("ss", expr(
-          "aggregate(zip_with(q, mc, (x, y) -> (x-y)*(x-y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("ss", call_function("l2sq_long", col("q"), col("mc")))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), sum("ss").as("ssum"))
         .withColumn("s_rms", sqrt(col("ssum").cast("double") / col("n_members")))
       val pairs = mc.select(col("cid"), col("mc"))
         .crossJoin(broadcast(mc.select(col("cid").as("cid_b"), col("mc").as("mc_b"))))
         .filter(col("cid") =!= col("cid_b"))
-        .withColumn("m_ij", sqrt(expr(
-          "aggregate(zip_with(mc, mc_b, (x, y) -> (x-y)*(x-y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-          .cast("double")))
+        .withColumn("m_ij", sqrt(
+          call_function("l2sq_long", col("mc"), col("mc_b")).cast("double")))
         .filter(col("m_ij") > 0.0)
       val db = pairs
         .join(broadcast(stats.select(col("cid"), col("s_rms"))), "cid")
@@ -1330,8 +1326,7 @@ object SimilarityQueries {
         val wP = Window.partitionBy("query_id").orderBy(col("dist_sq"), col("cid"))
         val probes = q0.filter(col("vec_id") < NumQueries)
           .crossJoin(broadcast(cents.toDF("cid", "cv")))
-          .withColumn("dist_sq", expr(
-            "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("dist_sq", call_function("l2sq_long", col("q"), col("cv")))
           .select(col("vec_id").as("query_id"), col("cid"), col("dist_sq"))
           .withColumn("rn", row_number().over(wP))
           .filter(col("rn") <= 2)
@@ -1769,9 +1764,9 @@ object SimilarityQueries {
   private def kmeansAssignOver(s: SparkSession, q0: DataFrame,
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import s.implicits._
+    VectorFunctions.register(s)
     q0.crossJoin(broadcast(cents.toDF("cid", "cv")))
-      .withColumn("dist_sq", expr(
-        "aggregate(zip_with(q, cv, (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("dist_sq", call_function("l2sq_long", col("q"), col("cv")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist_sq"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist_sq").as("dist_sq"))

@@ -233,11 +233,71 @@ object SnapshotTable {
     else None
   }
 
+  /** Published manifests are immutable (the CAS primitive refuses an
+    * existing destination; the one retract path removes its cache entry
+    * below), so their parsed lines are memoized per path — every verb
+    * calls latestState several times and re-reading + re-parsing the
+    * full text each time was measurable driver-gap across the
+    * commit-ladder gates (r16). `manifestReadCount` still counts every
+    * LOGICAL resolution (cache hits included): the O(1)-commits-
+    * vs-history pins (q293, StreamingReplaySpec) measure how many
+    * manifests a verb must consult, which memoization does not change. */
+  private val manifestLinesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Exact row count of freshly-staged parquet files from their footers
+    * — driver-side metadata, no Spark job (r16: lets a mutation verb
+    * fuse its "how many rows matched" count into the staging write it
+    * performs anyway). */
+  private def stagedRowCount(spark: SparkSession, dir: String,
+      rels: Seq[String]): Long = {
+    if (rels.isEmpty) return 0L
+    val (fs, root) = fsFor(spark, dir)
+    rels.iterator.map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(fs.getFileStatus(new Path(root, rel)), fs.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Canonical cache key for a manifest path: FULLY QUALIFIED, because
+    * the same file is reached both via caller-supplied raw dir strings
+    * ("/tmp/t/_manifests/v1.manifest", the writeManifest side) and via
+    * fs.listStatus results ("file:/tmp/...", the latestState side) —
+    * unqualified keys split the cache and let a REUSED path (a bench
+    * pass tearing down and rebuilding the same gate dir) serve stale
+    * lines. */
+  private def manifestCacheKey(fs: FileSystem, path: Path): String =
+    fs.makeQualified(path).toString
+
+  /** Test seam for manifest SURGERY (FormatCompatSpec rewrites a
+    * published manifest in place to simulate an old-revision writer —
+    * outside the commit protocol, where immutability is the contract).
+    * Suffix-matched so callers need not reproduce qualification. */
+  private[graft] def invalidateManifestCache(path: String): Unit = {
+    val it = manifestLinesCache.keySet().iterator()
+    while (it.hasNext) if (it.next().endsWith(path)) it.remove()
+  }
+
   private def readManifest(fs: FileSystem, path: Path): Seq[String] = {
     manifestReadCount.incrementAndGet()
+    // only VERSION manifests are immutable-once-published; branch
+    // manifests are staged, swept and may be recreated — never cached
+    if (manifestVersion(path).isEmpty) {
+      val in = fs.open(path)
+      try return scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val key = manifestCacheKey(fs, path)
+    val cached = manifestLinesCache.get(key)
+    if (cached != null) return cached
     val in = fs.open(path)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    manifestLinesCache.put(key, lines)
+    lines
   }
 
   /** Hive-layout mapping between LOGICAL partition values and DISK dir
@@ -1040,9 +1100,17 @@ object SnapshotTable {
     else if (v < lowWatermark(fs, mdir)) {
       // landed in a hole vacuum re-opened below the retained range —
       // retract: this "commit" would be invisible to every reader
+      // (and drop any memoized lines for the now-dead path)
+      manifestLinesCache.remove(manifestCacheKey(fs, dest))
       fs.delete(dest, false)
       false
-    } else true
+    } else {
+      // this writer's commit will be re-read immediately by its own
+      // post-commit bookkeeping — seed the lines cache from memory
+      manifestLinesCache.put(manifestCacheKey(fs, dest),
+        header ++ files ++ dvs.map("~" + _) ++ stats.map("%" + _))
+      true
+    }
   }
 
   /** Single-shot CAS commit at version `expectedPrev + 1`; true iff
@@ -2144,19 +2212,21 @@ object SnapshotTable {
       val hits = readResolved(spark, dir, Some(base), withLineage = true)
         .filter(del)
         .select(col(FileCol).as("file"), col(PosCol).as("pos"))
-        .cache()
-      try {
-        val n = hits.count()
-        if (n == 0L) return (base, 0L)
-        val newDvs = stageDv(spark, dir, hits)
-        if (commitAt(spark, dir, base, st.files, st.carried,
-            st.dvs ++ newDvs, st.stats))
-          return (base + 1, n)
-        // lost the race: addresses were derived against a stale snapshot
-        // (the winner may have rewritten files or deleted the same rows)
-        // — drop the staged sidecars and re-derive against its state
-        dropStaged(spark, dir, newDvs)
-      } finally hits.unpersist(): Unit
+      // ONE pass (r16): stage the addresses first and take the matched-
+      // row count from the staged sidecars' parquet footers (exact,
+      // driver-side, no extra job) — the old shape cached the address
+      // frame and ran a separate count job before staging it. An empty
+      // match stages zero files and commits nothing, as before.
+      val newDvs = stageDv(spark, dir, hits)
+      val n = stagedRowCount(spark, dir, newDvs)
+      if (n == 0L) { dropStaged(spark, dir, newDvs); return (base, 0L) }
+      if (commitAt(spark, dir, base, st.files, st.carried,
+          st.dvs ++ newDvs, st.stats))
+        return (base + 1, n)
+      // lost the race: addresses were derived against a stale snapshot
+      // (the winner may have rewritten files or deleted the same rows)
+      // — drop the staged sidecars and re-derive against its state
+      dropStaged(spark, dir, newDvs)
       attempt += 1
     }
     sys.error(s"could not DV-delete from $dir after $MaxCommitAttempts attempts")
@@ -2199,15 +2269,26 @@ object SnapshotTable {
         .filter(pred)
         .cache()
       try {
-        val n = hits.count()
-        if (n == 0L) return (base, 0L)
+        // fused count (r16): the DV staging write materializes the
+        // cached predicate scan anyway, and the matched-row count comes
+        // exactly from the staged sidecars' footers — the separate
+        // count job is gone. Constraint enforcement still refuses the
+        // whole batch before anything commits; a refusal drops the
+        // already-staged sidecars on its way out.
+        val newDvs = stageDv(spark, dir,
+          hits.select(col(FileCol).as("file"), col(PosCol).as("pos")))
+        val n = stagedRowCount(spark, dir, newDvs)
+        if (n == 0L) { dropStaged(spark, dir, newDvs); return (base, 0L) }
         val updated = assignments.foldLeft(hits.drop(FileCol, PosCol)) {
           case (df, (name, expr)) => df.withColumn(name, expr)
         }
-        enforce(st.meta, updated, "updateWhere")
-        val newDvs = stageDv(spark, dir,
-          hits.select(col(FileCol).as("file"), col(PosCol).as("pos")))
-        val newFiles = stage(spark, dir, updated, partCol)
+        val newFiles =
+          try {
+            enforce(st.meta, updated, "updateWhere")
+            stage(spark, dir, updated, partCol)
+          } catch { case e: Throwable =>
+            dropStaged(spark, dir, newDvs); throw e
+          }
         if (commitAt(spark, dir, base, st.files ++ newFiles, st.carried,
             st.dvs ++ newDvs,
             st.stats ++ ingestStats(spark, dir, newFiles, st.meta)))
@@ -2244,8 +2325,12 @@ object SnapshotTable {
     * degenerates to a plain create on an empty table. */
   def mergeDV(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, updates: DataFrame): (Long, Long, Long) = {
-    val upCount = updates.count()
-    require(updates.select(col(keyCol)).distinct().count() == upCount,
+    // one aggregation job for the size + key-uniqueness probe (r16;
+    // previously a count job plus a distinct-count job)
+    val upRow = updates.agg(count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("k")).first()
+    val upCount = upRow.getLong(0)
+    require(upRow.getLong(1) == upCount,
       s"merge updates must be key-unique on '$keyCol'")
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -2266,8 +2351,12 @@ object SnapshotTable {
               col(PosCol).as("pos"))
             .cache()
           try {
-            val matched = hits.count()
-            val matchedKeys = hits.select(keyCol).distinct().count()
+            // one aggregation job for both counts (r16; separate
+            // count + distinct-count jobs before)
+            val cnt = hits.agg(count(lit(1)).as("n"),
+              countDistinct(col(keyCol)).as("k")).first()
+            val matched = cnt.getLong(0)
+            val matchedKeys = cnt.getLong(1)
             val newDvs =
               if (matched == 0L) Seq.empty
               else stageDv(spark, dir, hits.select("file", "pos"))
@@ -2924,10 +3013,14 @@ object SnapshotTable {
       keyCol: String, updates: DataFrame,
       metaFor: Long => Map[String, String],
       recheck: Option[TableState] => Option[Long]): (Long, Long, Long) = {
-    val upCount = updates.count()
-    val upKeys = updates.select(col(keyCol)).distinct()
-    require(upKeys.count() == upCount,
+    // one aggregation job for the size + key-uniqueness probe (r16;
+    // previously a count job plus a distinct-count job)
+    val upRow = updates.agg(count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("k")).first()
+    val upCount = upRow.getLong(0)
+    require(upRow.getLong(1) == upCount,
       s"merge updates must be key-unique on '$keyCol'")
+    val upKeys = updates.select(col(keyCol)).distinct()
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val state = latestState(spark, dir)
@@ -2948,6 +3041,7 @@ object SnapshotTable {
           val matched = snap.select(col(keyCol),
               col(partCol).cast("string").as("__part"))
             .join(upKeys, Seq(keyCol))
+            .cache() // two grains below read the key-probe join once (r16)
           // per-partition row counts give the affected set + replaced total;
           // the inserted count needs GLOBALLY distinct matched keys (a key
           // living in several partitions counts once), a second grain over
@@ -2959,6 +3053,7 @@ object SnapshotTable {
           val matchedKeys =
             if (affected.isEmpty) 0L
             else matched.select(keyCol).distinct().count()
+          matched.unpersist()
           val affectedDirs = affected.map(v => partDirOf(partCol, v)).toSet
           val keptFiles =
             files.filterNot(f => affectedDirs.contains(f.split('/').head))

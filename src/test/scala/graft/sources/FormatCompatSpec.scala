@@ -35,6 +35,9 @@ class FormatCompatSpec extends SparkSpec {
       .ListHasAsScala(lines).asScala.toSeq)
     java.nio.file.Files.write(p,
       scala.jdk.CollectionConverters.SeqHasAsJava(fixed).asJava)
+    // surgery bypasses the commit protocol, so drop the memoized lines
+    SnapshotTable.invalidateManifestCache(
+      new org.apache.hadoop.fs.Path(p.toString).toString)
     (): Unit
   }
 
