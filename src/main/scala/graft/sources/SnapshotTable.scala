@@ -2829,16 +2829,16 @@ object SnapshotTable {
       val hits = readResolved(spark, dir, Some(st.version), withLineage = true)
         .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
         .select(col(FileCol).as("file"), col(PosCol).as("pos"))
-        .cache()
-      try {
-        val n = hits.count()
-        if (n == 0L) return (st.version, 0L)
-        val newDvs = stageDv(spark, dir, hits)
-        if (commitAt(spark, dir, st.version, st.files, st.carried,
-            st.dvs ++ newDvs, st.stats))
-          return (st.version + 1, n)
-        dropStaged(spark, dir, newDvs)
-      } finally hits.unpersist(): Unit
+      // fused count (r16, the deleteWhereDV pattern): the staging write
+      // materializes the key probe; the count comes from the staged
+      // sidecars' footers
+      val newDvs = stageDv(spark, dir, hits)
+      val n = stagedRowCount(spark, dir, newDvs)
+      if (n == 0L) { dropStaged(spark, dir, newDvs); return (st.version, 0L) }
+      if (commitAt(spark, dir, st.version, st.files, st.carried,
+          st.dvs ++ newDvs, st.stats))
+        return (st.version + 1, n)
+      dropStaged(spark, dir, newDvs)
       attempt += 1
     }
     sys.error(s"could not DV-delete from $dir after $MaxCommitAttempts attempts")
