@@ -42,4 +42,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Conditional scan spread before a CPU-heavy per-row stage (guide
+    * §2.5's "one huge unsplittable file" case): IF the scan's actual
+    * partition count is below the session's core parallelism (the bench
+    * corpus is a single parquet row group, so the scan is one task),
+    * hash-repartition by the DETERMINISTIC `keyCol` — never rand, which
+    * duplicates/loses rows under task retry (§2.5). A many-file
+    * production scan is already wide and skips the shuffle entirely.
+    * Hoisted from the six per-file r16 copies (ADVICE r16: the copies
+    * had already drifted in doc comments); call sites guarantee the
+    * downstream stage is per-row or integer-exact, so values are
+    * partitioning-independent. */
+  def conditionalSpread(s: SparkSession, df: DataFrame,
+      keyCol: String): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(keyCol))
+  }
 }

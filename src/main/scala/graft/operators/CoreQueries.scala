@@ -3359,10 +3359,7 @@ object CoreQueries {
       // guide §2.5): the four per-row regex extractions below otherwise
       // run in the scan's one task; a many-file table skips the shuffle.
       // All outputs are per-row — partitioning-independent.
-      (if (orders(s, d).rdd.getNumPartitions >=
-          s.sparkContext.defaultParallelism) orders(s, d)
-       else orders(s, d).repartition(
-         s.sparkContext.defaultParallelism, col("o_orderkey")))
+      graft.Tables.conditionalSpread(s, orders(s, d), "o_orderkey")
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"),
           regexp_extract(col("o_orderpriority"), "^(\\d)-(.*)$", 1)

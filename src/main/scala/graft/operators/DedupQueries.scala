@@ -39,12 +39,8 @@ object DedupQueries {
     * guide §2.5's retry-duplication trap). Downstream values are
     * partitioning-independent: shingle sets/sizes are per-row, Jaccard
     * and MinHash derive from integer arithmetic. */
-  private def docsSpread(s: SparkSession, d: String): DataFrame = {
-    val df = documents(s, d)
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, col("doc_id"))
-  }
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    graft.Tables.conditionalSpread(s, documents(s, d), "doc_id")
 
   /** doc_id + DISTINCT word-3-gram shingle set as an array, one row per
     * doc. Dedup happens per-row via array_distinct INSIDE the scan stage —
@@ -1591,7 +1587,11 @@ object DedupQueries {
         when(dot >= 0.0, lit(1 << r)).otherwise(lit(0))
       }.reduce(_.bitwiseOR(_))
     }
-    embeddings(s, d)
+    // conditional vec_id spread (r17, VERDICT r16 #7 — the embedding
+    // dedups missed the §2.5 spread their doc-based siblings got): the
+    // 32 per-row plane dots otherwise run in the one-row-group scan's
+    // single task; per-row deterministic, partitioning-independent
+    graft.Tables.conditionalSpread(s, embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("embedding").cast("array<double>").as("ve"))
       .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))

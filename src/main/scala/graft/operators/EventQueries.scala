@@ -1288,10 +1288,7 @@ object EventQueries {
     "q269_robust_stats_sketch" -> ((s, d) => {
       // same conditional spread as robustStats — the exact-envelope
       // percentile passes below buffer the whole price column
-      val liRaw = lineitem(s, d)
-      val target = s.sparkContext.defaultParallelism
-      val li = if (liRaw.rdd.getNumPartitions >= target) liRaw
-        else liRaw.repartition(target, col("l_orderkey"))
+      val li = graft.Tables.conditionalSpread(s, lineitem(s, d), "l_orderkey")
       // localCheckpoint pins ONE evaluation of the randomized KLL stats:
       // st feeds both the final claim row and the deviation-neighborhood
       // branch, and a recompute could draw different (valid) estimates
@@ -2270,10 +2267,7 @@ object EventQueries {
     // hash. Exact percentiles are order-insensitive; the avg partial-sum
     // regrouping moves doubles by ≤ last-ulp, inside the driver
     // comparator's documented tolerance.
-    val liRaw = lineitem(s, d)
-    val target = s.sparkContext.defaultParallelism
-    val li = if (liRaw.rdd.getNumPartitions >= target) liRaw
-      else liRaw.repartition(target, col("l_orderkey"))
+    val li = graft.Tables.conditionalSpread(s, lineitem(s, d), "l_orderkey")
     val exact = graft.functions.Percentiles.exactTierAt(
       s, s"$d#lineitem", li.count(), forceSketch)
     val joined = li.join(broadcast(percentileBounds(s, li, exact)),

@@ -44,19 +44,27 @@ object FunctionQueries {
       * recomputes the exact side directly and asserts the booleans true,
       * so the sketch's accuracy contract is hash-gated, not spec-only. */
     "q65_percentile_approx" -> ((s, d) =>
+      // r17 (guide §1.2 per-task work): the two approx fractions share
+      // ONE sketch and the two exact fractions share ONE sorted buffer
+      // via the array forms — the scalar forms built two identical
+      // 10k-bucket sketches and buffered the whole column twice per
+      // group for the same answers (the q56 rule applied to the sketch
+      // tier). Values are identical: the array form queries the same
+      // sketch / sorted buffer at both fractions.
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50a"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99a"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50e"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99e"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
+            .as("pa"),
+          expr("percentile(l_extendedprice, array(0.5, 0.99))").as("pe"),
           count(lit(1)).as("n"))
         .select(
           col("l_returnflag"),
-          round(col("p50e"), 6).as("p50_exact"),
-          (abs(col("p50a") - col("p50e")) / col("p50e") <= 0.01).as("p50_ok"),
-          (abs(col("p99a") - col("p99e")) / col("p99e") <= 0.01).as("p99_ok"),
+          round(element_at(col("pe"), 1), 6).as("p50_exact"),
+          (abs(element_at(col("pa"), 1) - element_at(col("pe"), 1)) /
+            element_at(col("pe"), 1) <= 0.01).as("p50_ok"),
+          (abs(element_at(col("pa"), 2) - element_at(col("pe"), 2)) /
+            element_at(col("pe"), 2) <= 0.01).as("p99_ok"),
           col("n"))
         .orderBy("l_returnflag")),
 

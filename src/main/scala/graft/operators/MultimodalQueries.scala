@@ -59,12 +59,8 @@ object MultimodalQueries {
     * and skips the shuffle; deterministic hash of doc_id (guide §2.5's
     * rand-repartition retry trap); decode is per-row deterministic, so
     * values are partitioning-independent. */
-  private def docsSpread(s: SparkSession, d: String): DataFrame = {
-    val df = documents(s, d)
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, col("doc_id"))
-  }
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    graft.Tables.conditionalSpread(s, documents(s, d), "doc_id")
 
   /** One media record: payload + metadata. Built from `documents` text
     * bytes, standing in for image/audio blobs. */

@@ -1315,10 +1315,8 @@ object SimilarityQueries {
       import s.implicits._
       // same conditional spread as kmeansAssignQ (r16): the Lloyd
       // rounds and assignment otherwise inherit the scan's one partition
-      val q0raw = quantizedVecs(s, d)
-      val q0 = (if (q0raw.rdd.getNumPartitions >= s.sparkContext.defaultParallelism)
-        q0raw else q0raw.repartition(
-          s.sparkContext.defaultParallelism, col("vec_id"))).persist()
+      val q0 = graft.Tables.conditionalSpread(s, quantizedVecs(s, d), "vec_id")
+        .persist()
       try {
         val cents = kmeansCentsQ(s, d, q0)
         val lists = kmeansAssignOver(s, q0, cents)
@@ -1828,10 +1826,8 @@ object SimilarityQueries {
     // production corpus skips the shuffle); deterministic hash of vec_id;
     // all downstream arithmetic is integer-exact, so values are
     // partitioning-independent.
-    val raw = quantizedVecs(s, d)
-    val target = s.sparkContext.defaultParallelism
-    val q0 = (if (raw.rdd.getNumPartitions >= target) raw
-      else raw.repartition(target, col("vec_id"))).persist()
+    val q0 = graft.Tables.conditionalSpread(s, quantizedVecs(s, d), "vec_id")
+      .persist()
     try {
       val cents = kmeansCentsQ(s, d, q0)
       kmeansAssignOver(s, q0, cents).join(q0, "vec_id")

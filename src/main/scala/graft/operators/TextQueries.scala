@@ -29,12 +29,8 @@ object TextQueries {
     * presentation sort" — one task on a one-row-group bench input is the
     * honest price of that shape, and at scale the scan parallelizes
     * naturally. */
-  private def docsSpread(s: SparkSession, d: String): DataFrame = {
-    val df = documents(s, d)
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, col("doc_id"))
-  }
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    graft.Tables.conditionalSpread(s, documents(s, d), "doc_id")
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 

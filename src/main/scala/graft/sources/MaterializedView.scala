@@ -213,8 +213,14 @@ object MaterializedView {
               negate(fullState(deletes, keys, aggs)), keys, aggs)
               .filter(col(countCol.get) > 0)
           } else {
-            // group-count-sized: the distinct view keys the deletes hit
+            // group-count-sized: the distinct view keys the deletes hit.
+            // Pinned to ONE evaluation (r17): the probe is referenced
+            // four times below (partition vals collect, two anti-joins,
+            // the touched semi-join) and each reference would otherwise
+            // re-run the change feed's file scans and DV anti-joins —
+            // within this one refresh call only, never across calls.
             val delKeys = deletes.select(keys.map(col): _*).distinct()
+              .localCheckpoint()
             def antiTouched(df: DataFrame): DataFrame = df.join(delKeys,
               keys.map(k => df(k) <=> delKeys(k)).reduce(_ && _),
               "left_anti")

